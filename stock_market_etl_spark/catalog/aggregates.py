@@ -1,0 +1,4 @@
+"""Placeholder — filled in as SURVEY §2 coverage widens."""
+
+QUERIES: dict = {}
+ORACLES: dict = {}
