@@ -1,4 +1,261 @@
-"""Placeholder — filled in as SURVEY §2 coverage widens."""
+"""SURVEY §2 D (joins) + H (set ops) as named oracle-checked queries.
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+Broadcast hints are applied where the reference's cardinalities imply a
+small build side (≤503-row dims / per-key watermark tables) — at 100 TB
+the fact side never shuffles for these joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from stock_market_etl_spark.io import load_table
+from stock_market_etl_spark.operators.asof import asof_join
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+@_q(
+    "d1_broadcast_left_join",
+    """WITH wm AS (
+         SELECT user_id AS wm_user, max(ts) AS latest_signup
+         FROM events WHERE event_type = 'signup' GROUP BY user_id
+       )
+       SELECT event_id, user_id, ts, latest_signup
+       FROM events LEFT JOIN wm ON user_id = wm_user""",
+)
+def d1_broadcast_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: left equi-join with a small broadcast build side — fact ⟕
+    per-key watermark table (reference `scripts/load_stock_metrics.py:77`,
+    ≤503-row build side → broadcast hash join, fact side never moves)."""
+    ev = load_table(spark, sf_dir, "events")
+    wm = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy(F.col("user_id").alias("wm_user"))
+        .agg(F.max("ts").alias("latest_signup"))
+    )
+    return ev.join(F.broadcast(wm), ev.user_id == wm.wm_user, "left").select(
+        "event_id", "user_id", "ts", "latest_signup"
+    )
+
+
+@_q(
+    "d2_dim_fact_inner_join",
+    """SELECT c_custkey, c_name, n_name, r_name
+       FROM customer
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey""",
+)
+def d2_dim_fact_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: dim ⋈ fact inner equi-join (reference sp500_companies ⋈
+    stock_metrics, `scripts/app.py:85-86`); both dims broadcast."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+@_q(
+    "d3_self_join_time_align",
+    """WITH a AS (
+         SELECT CAST(ts AS DATE) AS day, round(avg(value), 6) AS base_value
+         FROM events WHERE user_id = 1 GROUP BY 1
+       ), b AS (
+         SELECT CAST(ts AS DATE) AS day, round(avg(value), 6) AS comp_value
+         FROM events WHERE user_id = 2 GROUP BY 1
+       )
+       SELECT a.day AS day, base_value, comp_value,
+              round(100 * (base_value - comp_value), 6) AS rel_diff
+       FROM a JOIN b ON a.day = b.day""",
+)
+def d3_self_join_time_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: self-join on the time axis aligning two series (reference
+    base-vs-comparison ticker merge on date, `scripts/app.py:68-73`)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "user_id"
+    ).agg(F.round(F.avg("value"), 6).alias("avg_value"))
+    a = daily.filter(F.col("user_id") == 1).select(
+        "day", F.col("avg_value").alias("base_value")
+    )
+    b = daily.filter(F.col("user_id") == 2).select(
+        F.col("day").alias("day_b"), F.col("avg_value").alias("comp_value")
+    )
+    return a.join(b, a.day == b.day_b).select(
+        "day",
+        "base_value",
+        "comp_value",
+        F.round(100 * (F.col("base_value") - F.col("comp_value")), 6).alias(
+            "rel_diff"
+        ),
+    )
+
+
+@_q(
+    "d4_left_anti_join",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+       WHERE NOT EXISTS (
+         SELECT 1 FROM lineitem
+         WHERE l_orderkey = o.o_orderkey AND l_quantity >= 45
+       )""",
+)
+def d4_left_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: left-anti join — the direct form of the reference's
+    "rows not already loaded" pattern (`scripts/load_stock_metrics.py:76-80`,
+    SURVEY L2/L3): orders with no high-quantity lineitem."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_anti"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@_q(
+    "d5_left_semi_join",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+       WHERE EXISTS (
+         SELECT 1 FROM lineitem
+         WHERE l_orderkey = o.o_orderkey AND l_quantity >= 45
+       )""",
+)
+def d5_left_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 (superset): left-semi join, the dual of D4 (SURVEY §2.D note)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@_q(
+    "d6_cross_join",
+    """SELECT r_name, n_name FROM region CROSS JOIN nation""",
+)
+def d6_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 (superset): cross join over two tiny dims."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+@_q(
+    "d7_full_outer_join",
+    """WITH s AS (
+         SELECT s_nationkey AS nk, count(*) AS n_suppliers
+         FROM supplier GROUP BY s_nationkey
+       ), c AS (
+         SELECT c_nationkey AS nk, count(*) AS n_customers
+         FROM customer GROUP BY c_nationkey
+       )
+       SELECT coalesce(s.nk, c.nk) AS nationkey, n_suppliers, n_customers
+       FROM s FULL OUTER JOIN c ON s.nk = c.nk""",
+)
+def d7_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 (superset): full outer join of per-nation supplier and
+    customer counts (each side missing some nations)."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    s = supplier.groupBy(F.col("s_nationkey").alias("nk_s")).agg(
+        F.count("*").alias("n_suppliers")
+    )
+    c = customer.groupBy(F.col("c_nationkey").alias("nk_c")).agg(
+        F.count("*").alias("n_customers")
+    )
+    return s.join(c, s.nk_s == c.nk_c, "full_outer").select(
+        F.coalesce("nk_s", "nk_c").alias("nationkey"),
+        "n_suppliers",
+        "n_customers",
+    )
+
+
+@_q(
+    "d8_asof_join",
+    """SELECT p.event_id, p.user_id, p.ts, p.value,
+              s.ts AS ts_right, s.value AS value_right
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') s
+         ON p.user_id = s.user_id AND p.ts >= s.ts""",
+)
+def d8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 (custom operator): as-of join — each purchase matched to the
+    user's most recent signup at-or-before it. Spark lacks a native
+    as-of join; implemented as union + last-non-null window
+    (operators/asof.py), one shuffle, no UDFs."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(left, right, on="ts", key="user_id")
+
+
+# --- H. set operations -------------------------------------------------------
+
+
+@_q(
+    "h1_union_all",
+    """SELECT event_id, user_id, event_type FROM events WHERE event_type = 'click'
+       UNION ALL
+       SELECT event_id, user_id, event_type FROM events WHERE event_type = 'view'""",
+)
+def h1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1: vertical concat / UNION ALL by column name (reference
+    `pl.concat`, `scripts/ingest_hourly.py:130`)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view")
+    return clicks.unionByName(views)
+
+
+@_q(
+    "h2_intersect",
+    """SELECT user_id FROM events WHERE event_type = 'purchase'
+       INTERSECT
+       SELECT user_id FROM events WHERE event_type = 'error'""",
+)
+def h2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2 (superset): INTERSECT — users with both purchases and errors."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    return a.intersect(b)
+
+
+@_q(
+    "h3_except",
+    """SELECT DISTINCT o_custkey FROM orders
+       EXCEPT
+       SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'""",
+)
+def h3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 (superset): EXCEPT — customers with orders but none finished."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select("o_custkey").distinct()
+    b = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .distinct()
+    )
+    return a.exceptAll(b)
