@@ -1,4 +1,261 @@
-"""Placeholder — filled in as SURVEY §2 coverage widens."""
+"""SURVEY §2 E (aggregations) as named oracle-checked queries, plus the
+zero-cost Spark superset representatives (cube / rollup / grouping sets
+/ pivot / approx_count_distinct — SURVEY §2.E note).
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+All grouped aggregations get map-side partial aggregation from Catalyst
+for free; sums over doubles are rounded on both sides to absorb
+accumulation-order ULP drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from stock_market_etl_spark.io import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+@_q("e1_global_max_watermark", "SELECT max(ts) AS watermark FROM events")
+def e1_global_max_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: global scalar aggregate — the high-watermark read
+    (reference `scripts/ingest_hourly.py:48-53`)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(F.max("ts").alias("watermark"))
+
+
+@_q(
+    "e2_scalar_fn_agg",
+    "SELECT CAST(EXTRACT(year FROM max(o_orderdate)) AS INT) AS latest_year FROM orders",
+)
+def e2_scalar_fn_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: scalar fn over scalar agg — EXTRACT(YEAR FROM MAX(date))
+    (reference `scripts/transform.py:39-44`)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(F.year(F.max("o_orderdate")).alias("latest_year"))
+
+
+@_q(
+    "e3_grouped_max",
+    "SELECT user_id, max(ts) AS latest_date FROM events GROUP BY user_id",
+)
+def e3_grouped_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: grouped max — per-key watermark table
+    (reference `scripts/load_stock_metrics.py:40-49`)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(F.max("ts").alias("latest_date"))
+
+
+@_q(
+    "e4_grouped_last_max_by",
+    """SELECT user_id,
+              round(arg_max(value, ts), 6) AS final_value,
+              max(ts) AS latest_ts
+       FROM events GROUP BY user_id""",
+)
+def e4_grouped_last_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: grouped "last on ordered frame" (reference
+    `scripts/app.py:54-66`). Spark's `last` is order-sensitive, so the
+    deterministic `max_by` form is used (SURVEY §2.E4 note);
+    (user_id, ts) is unique so ties cannot occur."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.round(F.max_by("value", "ts"), 6).alias("final_value"),
+        F.max("ts").alias("latest_ts"),
+    )
+
+
+@_q(
+    "e5_distinct_years",
+    "SELECT DISTINCT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year FROM lineitem",
+)
+def e5_distinct_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: distinct years present in a batch
+    (reference `scripts/ingest_backfill_raw.py:65`)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(F.year("l_shipdate").alias("ship_year")).distinct()
+
+
+@_q(
+    "e6_dedup_on_keys",
+    """SELECT event_id, user_id, day, value FROM (
+         SELECT event_id, user_id, CAST(ts AS DATE) AS day, value,
+                row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                   ORDER BY ts, event_id) AS rn
+         FROM events)
+       WHERE rn = 1""",
+)
+def e6_dedup_on_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: dedup on key subset (reference `unique(subset=["ticker","date"])`,
+    `scripts/load_stock_metrics.py:88`). `dropDuplicates` keeps an
+    arbitrary row; the engine's deterministic form keeps the first by
+    (ts, event_id) via row_number — same semantics, reproducible."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy("ts", "event_id")
+    return (
+        ev.select("event_id", "user_id", day, "value", "ts")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "day", "value")
+    )
+
+
+@_q(
+    "e7_null_count_audit",
+    """SELECT sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS nulls_user_id,
+              sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS nulls_ts,
+              sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nulls_value
+       FROM events""",
+)
+def e7_null_count_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7: null-count audit per critical column — the quality gate's
+    key-null check (reference `scripts/transform.py:104-109`)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+            for c in ("user_id", "ts", "value")
+        ]
+    )
+
+
+@_q(
+    "e8_distinct_list",
+    "SELECT DISTINCT c_mktsegment AS segment FROM customer",
+)
+def e8_distinct_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8: distinct values for UI filters
+    (reference `scripts/app.py:136`)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(F.col("c_mktsegment").alias("segment")).distinct()
+
+
+@_q(
+    "e9_cube",
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 6) AS sum_qty, count(*) AS n_rows
+       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+)
+def e9_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 (superset): CUBE over the classic returnflag/linestatus pair."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@_q(
+    "e10_rollup",
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+              o_orderstatus,
+              round(sum(o_totalprice), 4) AS total, count(*) AS n_orders
+       FROM orders
+       GROUP BY ROLLUP (CAST(EXTRACT(year FROM o_orderdate) AS INT), o_orderstatus)""",
+)
+def e10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10 (superset): ROLLUP year → status hierarchy."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup(
+        F.year("o_orderdate").alias("order_year"), "o_orderstatus"
+    ).agg(
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@_q(
+    "e11_grouping_sets",
+    """SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 4) AS revenue
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""",
+)
+def e11_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11 (superset): explicit GROUPING SETS via Spark SQL."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """SELECT l_returnflag, l_linestatus,
+                  round(sum(l_extendedprice), 4) AS revenue
+           FROM lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"""
+    )
+
+
+@_q(
+    "e12_pivot",
+    """SELECT l_returnflag,
+              round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 6) AS F,
+              round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 6) AS O
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def e12_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12 (superset): pivot — grouped agg spread across columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 6))
+    )
+    return piv
+
+
+@_q("e13_approx_count_distinct")  # no oracle: HLL++ estimate is engine-specific
+def e13_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13 (superset): approx_count_distinct (HLL++). Estimates differ
+    across engines, so no value oracle; tests assert ≤5% error vs exact
+    (tests/test_operators.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+
+
+@_q(
+    "e14_avg_min_max_count",
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 6) AS sum_qty,
+              round(sum(l_extendedprice), 4) AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+              round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+              round(avg(l_quantity), 6) AS avg_qty,
+              round(avg(l_extendedprice), 6) AS avg_price,
+              round(avg(l_discount), 6) AS avg_disc,
+              count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def e14_avg_min_max_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14 (superset, TPC-H Q1 shape): grouped multi-aggregate pricing
+    summary — the engine's agg-heavy bench query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias(
+                "sum_charge"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
