@@ -1,4 +1,232 @@
-"""Placeholder — filled in as SURVEY §2 coverage widens."""
+"""SURVEY §2 F (window functions) + G (sorts/limits/top-k) as named
+oracle-checked queries.
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+All windows partition on the series key, so each query costs exactly one
+hash shuffle; top-k compiles to TakeOrderedAndProject (no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from stock_market_etl_spark.io import load_table
+from stock_market_etl_spark.operators.windows import latest_row_per_key
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# shared: per-user daily_return over events (F1, the reference's
+# pct_change at scripts/transform.py:67-70)
+def _with_daily_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value", 1).over(w)
+    return ev.withColumn("daily_return", (F.col("value") - prev) / prev)
+
+
+_DR_SQL = """
+  SELECT event_id, ts, user_id, value,
+    (value - lag(value) OVER w) / lag(value) OVER w AS daily_return
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@_q(
+    "f1_lag_pct_change",
+    f"""SELECT event_id, user_id, round(daily_return, 6) AS daily_return
+        FROM ({_DR_SQL})""",
+)
+def f1_lag_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: lag-based % change per partition, null on first row
+    (reference `scripts/transform.py:67-70`)."""
+    return _with_daily_return(spark, sf_dir).select(
+        "event_id", "user_id", F.round("daily_return", 6).alias("daily_return")
+    )
+
+
+@_q(
+    "f3_cumulative_return",
+    f"""SELECT event_id, user_id,
+         round(exp(sum(ln(1 + coalesce(daily_return, 0))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS cumulative_return
+        FROM ({_DR_SQL})""",
+)
+def f3_cumulative_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: cumulative product per partition — the growth curve
+    (reference cumprod, `scripts/app.py:46-52`). Implemented as
+    exp(sum(log1p(r))) over a running frame, valid since every factor is
+    positive (value > 0); DuckDB oracle uses its product() window."""
+    df = _with_daily_return(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.exp(F.sum(F.log1p(F.coalesce("daily_return", F.lit(0.0)))).over(w))
+    return df.select(
+        "event_id", "user_id", F.round(cum, 6).alias("cumulative_return")
+    )
+
+
+@_q(
+    "f4_latest_row_per_key",
+    """SELECT event_id, user_id, ts, value FROM (
+         SELECT event_id, user_id, ts, value,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events)
+       WHERE rn = 1""",
+)
+def f4_latest_row_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4+C7: latest row per key via descending row_number
+    (reference latest-per-ticker CTE, `scripts/app.py:78-92`)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@_q(
+    "f5_scale_by_scalar",
+    f"""SELECT event_id, user_id,
+         round(10000 * exp(sum(ln(1 + coalesce(daily_return, 0))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4) AS abs_return
+        FROM ({_DR_SQL})""",
+)
+def f5_scale_by_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: scale window result by a scalar — investment value curve
+    (reference `abs_return = init_investment * cumulative_return`,
+    `scripts/app.py:51`)."""
+    df = _with_daily_return(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.exp(F.sum(F.log1p(F.coalesce("daily_return", F.lit(0.0)))).over(w))
+    return df.select(
+        "event_id", "user_id", F.round(10000 * cum, 4).alias("abs_return")
+    )
+
+
+@_q(
+    "f6_rank_functions",
+    """SELECT event_id, user_id,
+              rank() OVER w AS rnk,
+              dense_rank() OVER w AS drnk,
+              ntile(4) OVER w AS quartile,
+              round(percent_rank() OVER w, 6) AS pct_rank
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)""",
+)
+def f6_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 (superset): rank family over per-key value ordering."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@_q(
+    "f7_range_frame",
+    """SELECT event_id, user_id,
+              round(sum(value) OVER (
+                PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 6) AS sum_1h
+       FROM events""",
+)
+def f7_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 (superset): RANGE frame — trailing 1-hour sum per key, a
+    time-based frame the reference's row-count windows cannot express
+    (SURVEY §2.F note: rangeBetween comes free)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 6).alias("sum_1h"),
+    )
+
+
+# --- G. sorts / top-k --------------------------------------------------------
+
+
+@_q(
+    "g1_multikey_sort",
+    """SELECT user_id, ts, event_id, value FROM events
+       ORDER BY user_id, ts, event_id""",
+)
+def g1_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1/G2: multi-key sort (reference `sort(["ticker","date"])`,
+    `scripts/transform.py:67`). The oracle hash is order-insensitive;
+    determinism is guaranteed by the unique key suffix."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("user_id", "ts", "event_id", "value").orderBy(
+        "user_id", "ts", "event_id"
+    )
+
+
+@_q(
+    "g3_top_k",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+)
+def g3_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: top-k (reference top gainers, `scripts/app.py:144-148`).
+    Catalyst compiles sort+limit to TakeOrderedAndProject — per-partition
+    heaps, no global sort (verified in tests/test_plans.py)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@_q(
+    "g4_bottom_k",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       ORDER BY o_totalprice ASC, o_orderkey LIMIT 10""",
+)
+def g4_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 (losers side): bottom-k ascending (reference
+    `scripts/app.py:148`)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").asc(), "o_orderkey")
+        .limit(10)
+    )
