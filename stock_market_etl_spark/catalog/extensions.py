@@ -1,4 +1,278 @@
-"""Placeholder — filled in as SURVEY §2 coverage widens."""
+"""SURVEY §2.O — training-data pipeline extension operators over the
+documents / embeddings fixtures: text analysis, dedup (exact + approx),
+similarity search, multimodal plumbing.
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+Exact forms are oracle-checked; LSH/approx forms are rows-only with
+recall checks in tests/test_extensions.py (SURVEY §5.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from stock_market_etl_spark.io import load_table
+from stock_market_etl_spark.operators import dedup, multimodal, similarity
+from stock_market_etl_spark.operators.text import (
+    LANG_PROFILES,
+    STOPWORDS,
+    analyze,
+)
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+
+@_q(
+    "x1_token_count",
+    f"""SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+          CAST(length(text) AS BIGINT) AS n_chars_actual
+        FROM documents""",
+)
+def x1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace split) + char audit vs the stored
+    n_chars column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+@_q(
+    "x2_word_freq",
+    """SELECT lang, token, count(*) AS freq
+       FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+       GROUP BY lang, token""",
+)
+def x2_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequency by language: explode + grouped count (the
+    classic map-side-combinable shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+@_q(
+    "x3_quality_score",
+    f"""WITH t AS (
+          SELECT doc_id,
+            CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+            CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+              / length(text) AS punct_ratio,
+            CAST(len(list_filter({_TOKS},
+                   x -> list_contains({_sql_list(STOPWORDS)}, x))) AS DOUBLE)
+              / len({_TOKS}) AS stopword_ratio
+          FROM documents)
+        SELECT doc_id, n_tokens,
+          round(punct_ratio, 6) AS punct_ratio,
+          round(stopword_ratio, 6) AS stopword_ratio,
+          round(0.4 * least(1.0, n_tokens / 100.0)
+                + 0.3 * (1.0 - punct_ratio)
+                + 0.3 * stopword_ratio, 6) AS quality_score
+        FROM t""",
+)
+def x3_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length saturation + punctuation noise +
+    stopword presence (operators/text.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = analyze(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+def _langid_sql() -> str:
+    toks = f"list_distinct({_TOKS})"
+    scores = {
+        lang: f"len(list_intersect({toks}, {_sql_list(prof)}))"
+        for lang, prof in LANG_PROFILES.items()
+    }
+    langs = list(LANG_PROFILES)
+    cases = []
+    for i, lang in enumerate(langs):
+        others = langs[i + 1 :]
+        if others:
+            cond = " AND ".join(
+                f"{scores[lang]} >= {scores[o]}" for o in others
+            )
+            cases.append(f"WHEN {cond} THEN '{lang}'")
+        else:
+            cases.append(f"ELSE '{lang}'")
+    case = "CASE " + " ".join(cases) + " END"
+    return f"SELECT doc_id, lang, {case} AS lang_pred FROM documents"
+
+
+@_q("x4_lang_id", _langid_sql())
+def x4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID via stopword-profile overlap
+    (operators/text.py lang_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = analyze(docs)
+    return out.select("doc_id", "lang", "lang_pred")
+
+
+@_q(
+    "x5_fingerprint",
+    "SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents",
+)
+def x5_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-normalized document fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return analyze(docs).select("doc_id", "fingerprint")
+
+
+@_q(
+    "x6_exact_dedup",
+    """SELECT doc_id, content_hash, n_copies FROM (
+         SELECT doc_id, sha256(text) AS content_hash,
+                min(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id,
+                count(*) OVER (PARTITION BY sha256(text)) AS n_copies
+         FROM documents)
+       WHERE doc_id = keep_id""",
+)
+def x6_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on sha256 content hash, deterministic survivor
+    (operators/dedup.py exact_dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).select("doc_id", "content_hash", "n_copies")
+
+
+@_q(
+    "x7_jaccard_pairs",
+    """WITH sh AS (
+         SELECT doc_id, lang, n_chars,
+           list_distinct(list_transform(
+             range(1, greatest(length(text) - 2, 0) + 1),
+             i -> substring(text, i, 3))) AS shingles
+         FROM documents)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+       FROM sh a JOIN sh b
+         ON a.lang = b.lang AND a.doc_id < b.doc_id
+        AND abs(a.n_chars - b.n_chars) <= 20""",
+)
+def x7_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-3-gram Jaccard over blocked candidate pairs — the
+    small-scale ground truth for near-dedup (operators/dedup.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.jaccard_pairs(docs)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@_q(
+    "x8_cosine_topk",
+    """WITH q AS (
+         SELECT CAST(embedding AS DOUBLE[]) AS qv
+         FROM embeddings WHERE vec_id = 0)
+       SELECT vec_id,
+         round(list_dot_product(v, qv)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)
+           AS cosine_sim
+       FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id <> 0), q
+       ORDER BY list_dot_product(v, qv)
+                / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC,
+                vec_id
+       LIMIT 10""",
+)
+def x8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k against a stored query vector
+    (operators/similarity.py cosine_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk(emb, query_id=0, k=10)
+    return out.select(
+        "vec_id", F.round("cosine_sim", 6).alias("cosine_sim")
+    )
+
+
+@_q(
+    "x9_multimodal_meta",
+    """SELECT doc_id AS asset_id, 'text/plain' AS media_type,
+              CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+              sha256(text) AS checksum,
+              substring(lower(hex(encode(text))), 1, 16) AS prefix_hex
+       FROM documents""",
+)
+def x9_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal asset metadata derivation: binary payload column +
+    queryable typed metadata (operators/multimodal.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.assets_from_documents(docs)
+    return assets.select(
+        "asset_id",
+        "media_type",
+        F.col("meta.byte_len").alias("byte_len"),
+        F.col("meta.checksum").alias("checksum"),
+        F.substring(F.lower(F.hex("payload")), 1, 16).alias("prefix_hex"),
+    )
+
+
+# --- approx / non-SQL-expressible forms: rows-only in the driver gate -------
+
+
+@_q("x10_minhash_lsh_pairs")
+def x10_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup candidates (seeded MLlib pipeline).
+    Estimates are engine-specific → rows-only; recall vs exact Jaccard
+    is asserted in tests/test_extensions.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.4)
+
+
+@_q("x11_ann_lsh_topk")
+def x11_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed approximate nearest neighbours; recall
+    vs x8 asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh(emb, query_id=0, dim=64, k=10)
+
+
+@_q("x12_simhash")
+def x12_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures (xxhash64 bit-majority) — hash fn is
+    Spark-specific → rows-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs)
+
+
+@_q("x13_simhash_near_pairs")
+def x13_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup candidates (Hamming ≤ 3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs)
+
+
+@_q("x14_multimodal_features")
+def x14_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary
+    payloads (decode stubbed; plumbing real)."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.assets_from_documents(docs)
+    return multimodal.extract_features(assets)

@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (SURVEY §2.O).
+
+Exact brute-force cosine top-k is the baseline (and the oracle); the
+scale path is LSH bucketing (random hyperplanes / MLlib BRP-LSH), which
+turns the all-pairs scan into a bucket-local join.
+
+Vector math stays in built-in higher-order functions (zip_with +
+aggregate fold) — JVM-side, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product — deterministic accumulation order,
+    bit-compatible with DuckDB's list_dot_product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity against one stored vector.
+
+    The 1-row query side is broadcast, so the candidate scan is a single
+    pass with no shuffle; top-k compiles to TakeOrderedAndProject. At
+    100 TB this is the per-query cost floor; see `ann_lsh` for the
+    bucketed approximate path.
+    """
+    q = df.filter(F.col(id_col) == query_id).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    cand = df.filter(F.col(id_col) != query_id)
+    sim = cosine(_as_double(F.col(vec_col)), _as_double(F.col("q_vec")))
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-random-projection LSH with OR-amplification: ``n_tables``
+    independent hash tables, each bucketing on the sign bits of
+    ``n_planes`` fixed pseudo-random hyperplanes (deterministic seed,
+    generated driver-side — tiny, shipped as literals).
+
+    Similar vectors collide in a given table with probability
+    (1 - θ/π)^n_planes; across ``n_tables`` independent tables the miss
+    probability decays exponentially — the standard recall/candidate-set
+    trade-off for ANN at scale. Output is exploded to one row per
+    (vector, table, bucket); the downstream join is bucket-local.
+    """
+    import random
+
+    rng = random.Random(seed)
+    v = _as_double(F.col(vec_col))
+    entries = []
+    for t in range(n_tables):
+        bucket = None
+        for i in range(n_planes):
+            plane = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+            p = F.array(*[F.lit(x) for x in plane])
+            bit = F.when(
+                dot(v, p) >= 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+            bucket = bit if bucket is None else bucket.bitwiseOR(bit)
+        entries.append(
+            F.struct(F.lit(t).alias("lsh_table"), bucket.alias("lsh_bucket"))
+        )
+    return df.withColumn(
+        "lsh", F.explode(F.array(*entries))
+    ).select("*", "lsh.lsh_table", "lsh.lsh_bucket").drop("lsh")
+
+
+def ann_lsh(
+    df: DataFrame,
+    query_id: int,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate nearest neighbours: candidates = vectors sharing any
+    LSH table bucket with the query (union over tables), then exact
+    cosine re-rank of the candidate set only. Recall vs `cosine_topk`
+    is tested at small scale (tests/test_extensions.py)."""
+    bucketed = hyperplane_lsh_buckets(
+        df, dim, n_planes, n_tables, seed, vec_col
+    )
+    q = bucketed.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("q_vec"),
+        F.col("lsh_table").alias("q_table"),
+        F.col("lsh_bucket").alias("q_bucket"),
+    )
+    cand = bucketed.filter(F.col(id_col) != query_id)
+    # bucket-local join, then collapse to distinct candidate ids before
+    # the (expensive) exact re-rank
+    matches = cand.join(
+        F.broadcast(q),
+        (cand.lsh_table == F.col("q_table"))
+        & (cand.lsh_bucket == F.col("q_bucket")),
+        "inner",
+    ).select(F.col(id_col), F.col(vec_col), F.col("q_vec")).distinct()
+    sim = cosine(_as_double(F.col(vec_col)), _as_double(F.col("q_vec")))
+    return (
+        matches.select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

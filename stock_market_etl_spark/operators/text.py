@@ -1,0 +1,116 @@
+"""Text-analysis operators for large-scale training-data pipelines
+(SURVEY §2.O): tokenization, quality scoring, language ID, document
+fingerprinting.
+
+All hot-path logic is built-in `pyspark.sql.functions` (JVM-side,
+codegen'd) — no Python UDFs — so these run at full scan speed over
+100 TB document corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: minimal stopword profiles per language for the n-gram/token-overlap
+#: language-ID heuristic. Ordered dict = deterministic tie-break priority.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "und", "das", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "un", "une"],
+    "es": ["el", "la", "y", "los", "un", "una"],
+}
+
+STOPWORDS = LANG_PROFILES["en"] + ["it", "on", "for", "with"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (BPE-ish regex split)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Share of characters outside [a-z0-9 ] (quality signal)."""
+    stripped = F.regexp_replace(text, "[a-z0-9 ]", "")
+    return F.length(stripped) / F.length(text)
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return n_stop / F.size(toks)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document-quality score in [0, 1]: length saturation,
+    low punctuation noise, natural stopword presence."""
+    n_tok = token_count(text).cast("double")
+    return (
+        0.4 * F.least(F.lit(1.0), n_tok / 100.0)
+        + 0.3 * (1.0 - punct_ratio(text))
+        + 0.3 * stopword_ratio(text)
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: token overlap against per-language
+    stopword profiles, deterministic priority order on ties."""
+    toks = F.array_distinct(tokens(text))
+    scores = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in prof]))
+        )
+        for lang, prof in LANG_PROFILES.items()
+    }
+    langs = list(LANG_PROFILES)
+    expr = None
+    for i, lang in enumerate(langs):
+        cond = None
+        for other in langs[i + 1 :]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        branch = F.lit(lang)
+        if expr is None:
+            expr = F.when(cond, branch) if cond is not None else branch
+        elif cond is not None:
+            expr = expr.when(cond, branch)
+        else:
+            expr = expr.otherwise(branch)
+    return expr
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint (content-normalized hash) —
+    the rolling-hash analogue used for fast identity checks."""
+    return F.md5(F.lower(F.trim(text)))
+
+
+def char_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct character n-gram shingle set (input to Jaccard / MinHash).
+
+    Guarded for short strings: Spark's sequence(1, 0) would generate a
+    DESCENDING range, so texts shorter than n yield an empty set.
+    """
+    idx = F.sequence(F.lit(1), F.length(text) - (n - 1))
+    return F.when(
+        F.length(text) >= n,
+        F.array_distinct(F.transform(idx, lambda i: F.substring(text, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis column set to a document frame."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(quality_score(t), 6).alias("quality_score"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )
