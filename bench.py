@@ -1,0 +1,85 @@
+"""Benchmark harness (SURVEY §6 / BASELINE.md BENCH set).
+
+Times the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the ``noop`` sink (full physical
+execution, no driver-side collect — the same discipline the engine keeps
+at 100 TB). One warm-up query runs first so JVM/codegen startup is not
+attributed to the first measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+#: BENCH set (BASELINE.md): metrics pipeline, the five dashboard
+#: analytics, one join-heavy and one agg-heavy TPC-H-style query.
+BENCH_QUERIES = [
+    "f1_f2_metrics_pipeline",
+    "q_compute_trends",
+    "q_final_returns",
+    "q_relative_returns",
+    "q_latest_snapshot",
+    "q_top_movers",
+    "d9_star_join_revenue",
+    "e14_avg_min_max_count",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ.setdefault("SPARK_GRAFT_CPUS", cpus)
+
+    from stock_market_etl_spark.catalog import all_queries
+    from stock_market_etl_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = all_queries()
+    # warm-up: JVM, codegen, parquet footer caches
+    _force(queries["f1_f2_metrics_pipeline"](spark, sf_dir).limit(1000))
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _force(queries[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -259,3 +259,47 @@ def h3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return a.exceptAll(b)
+
+
+@_q(
+    "d9_star_join_revenue",
+    """SELECT n_name, r_name,
+              round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+              count(*) AS n_items
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE o_orderstatus <> 'F'
+       GROUP BY n_name, r_name""",
+)
+def d9_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9 (superset, TPC-H Q5 shape): the join-heavy bench query —
+    revenue by nation/region over the full star schema.
+
+    Scale plan: lineitem⋈orders is the only shuffle join (both sides
+    large, co-partitioned on the order key); customer/nation/region are
+    broadcast so the fact side moves at most once. Aggregation is
+    partial (map-side) before the final group shuffle on the tiny
+    (nation, region) key space.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") != "F"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(F.sum(revenue), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )

@@ -26,6 +26,11 @@ _RUNTIME_CONFS: dict[str, str] = {
     # (see io.load_events).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
+    # cross-engine arithmetic canon (SURVEY §7 known-hard list): DuckDB
+    # 1.0.0 and Polars both yield NULL-ish (not an error) on double/0;
+    # Spark 4's ANSI mode raises instead. Pre-ANSI semantics (x/0 →
+    # NULL) match the oracle and the reference.
+    "spark.sql.ansi.enabled": "false",
     # runtime re-planning: partition coalescing, skew-join splitting
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
