@@ -46,7 +46,17 @@ def _modules():
         filters,
         flagship,
         joins,
+        streaming_queries,
         windows,
     )
 
-    return [flagship, filters, joins, aggregates, windows, dashboard, extensions]
+    return [
+        flagship,
+        filters,
+        joins,
+        aggregates,
+        windows,
+        dashboard,
+        extensions,
+        streaming_queries,
+    ]

@@ -1,0 +1,111 @@
+"""SURVEY §2.N — streaming-surface semantics as named queries.
+
+The window semantics (tumbling / sliding / session) are oracle-checked
+via their batch twins — by construction the streaming forms equal these
+(stream-batch parity, tests/test_streaming.py). One entry drains a real
+Structured Streaming query (rows-only for the driver gate).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from stock_market_etl_spark.streaming import core
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+@_q(
+    "n1_tumbling_window_agg",
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+              user_id, count(*) AS n_events,
+              round(sum(value), 6) AS sum_value
+       FROM events GROUP BY 1, 2""",
+)
+def n1_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N: tumbling 1-hour window aggregation (batch twin of the
+    streaming form; parity asserted in tests/test_streaming.py)."""
+    out = core.tumbling_counts(core.batch_events(spark, sf_dir))
+    return out.select("win_start", "user_id", "n_events", "sum_value")
+
+
+@_q(
+    "n2_sliding_window_agg",
+    """SELECT win_start, user_id, round(avg(value), 6) AS avg_value
+       FROM (
+         SELECT user_id, value,
+                time_bucket(INTERVAL '1 hour', ts)
+                  - to_hours(k) AS win_start
+         FROM events, unnest([0, 1, 2, 3, 4, 5]) AS t(k))
+       GROUP BY win_start, user_id""",
+)
+def n2_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N: sliding 6-hour/1-hour window average — each event lands in six
+    overlapping windows (time analogue of the 30-row rolling vol F2)."""
+    return core.sliding_avg(core.batch_events(spark, sf_dir))
+
+
+@_q(
+    "n3_session_window_agg",
+    """WITH marks AS (
+         SELECT user_id, ts,
+           CASE WHEN ts - lag(ts) OVER w <= INTERVAL '30 minutes'
+                THEN 0 ELSE 1 END AS new_session
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       ), sess AS (
+         SELECT user_id, ts,
+           sum(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM marks)
+       SELECT min(ts) AS win_start,
+              max(ts) + INTERVAL '30 minutes' AS win_end,
+              user_id, count(*) AS n_events
+       FROM sess GROUP BY user_id, session_id""",
+)
+def n3_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N: session windows (30-minute inactivity gap), batch twin — the
+    gaps-and-islands construction is the oracle; Spark's session_window
+    must agree with it exactly."""
+    return core.session_counts(core.batch_events(spark, sf_dir))
+
+
+@_q("n4_streaming_tumbling_drain")
+def n4_streaming_tumbling_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N: a REAL Structured Streaming run — file source → watermark →
+    tumbling agg → memory sink, drained with availableNow. Rows-only in
+    the driver gate (streaming is not DuckDB-checkable); full-value
+    parity with n1 is asserted in tests/test_streaming.py."""
+    stream = core.tumbling_counts(core.stream_events(spark, sf_dir))
+    name = f"drain_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    core.run_available_now(stream, name, ckpt, output_mode="complete")
+    return spark.table(name)
+
+
+@_q("n5_streaming_dedup_drain")
+def n5_streaming_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N: stateful streaming dedup (dropDuplicatesWithinWatermark) over
+    the events stream; rows-only (count parity with batch dedup is
+    asserted in tests/test_streaming.py)."""
+    stream = core.dedup_stream(core.stream_events(spark, sf_dir)).select(
+        "event_id", "ts", "user_id"
+    )
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    core.run_available_now(stream, name, ckpt)
+    return spark.table(name)

@@ -1,0 +1,136 @@
+"""Pipeline lifecycle (SURVEY §2.L, §3.1-3.2): backfill and incremental
+runs over a partitioned parquet lake, restructured Spark-first.
+
+The reference's three-stage hourly job (ingest → transform → load,
+`dags/hourly_dag.py:27-48`) — three processes, three ThreadPool(10)
+loops over hand-built S3 keys — collapses into one Spark job graph per
+run: partition-pruned scan → window transforms → quality gate →
+dynamic-partition-overwrite write. Thread pools and key templating
+disappear into task scheduling.
+
+Scale stance (100 TB): the lake is Hive-partitioned on (year, ticker) so
+incremental runs touch only the partitions present in the new batch;
+merges are key-local anti-joins (no global shuffle of the lake); the
+serving watermark table is tiny and broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from stock_market_etl_spark.io import with_year, write_partitioned
+from stock_market_etl_spark.operators.windows import compute_stock_metrics
+from stock_market_etl_spark.quality import validate
+
+KEYS = ("ticker", "date")
+
+
+def enrich(raw: DataFrame) -> DataFrame:
+    """Transform stage: raw OHLCV bars → metrics frame (F1+F2 windows),
+    mirroring the reference's LazyFrame plan (`scripts/transform.py:65-79`).
+    One shuffle on ticker; both windows reuse that partitioning."""
+    return compute_stock_metrics(raw)
+
+
+def merge_increment(
+    existing: DataFrame, new: DataFrame, keys: tuple[str, ...] = KEYS
+) -> DataFrame:
+    """L2: idempotent same-key replace-then-append — keep every existing
+    row whose key is NOT being re-delivered, then append the new batch
+    (reference read-merge-write `scripts/ingest_hourly.py:117-131`,
+    generalized from date-equality to key anti-join).
+
+    The anti-join shuffles only on the merge keys; with both sides
+    partitioned on ticker the exchange is one hash repartition of the
+    touched partitions, never the whole lake.
+    """
+    survivors = existing.join(
+        new.select(*keys).distinct(), list(keys), "left_anti"
+    )
+    return survivors.unionByName(new)
+
+
+def newer_than_watermark(
+    batch: DataFrame, watermarks: DataFrame
+) -> DataFrame:
+    """L3/D1+C4+E6: cross-store dedup before serving load — broadcast
+    the per-ticker watermark table, keep rows strictly newer than the
+    watermark (or for tickers never loaded), dedup on the key
+    (reference `scripts/load_stock_metrics.py:76-88`).
+
+    ``watermarks`` has columns (ticker, latest_date); ≤~503 rows in the
+    reference → always a broadcast hash join, fact side never moves.
+    """
+    joined = batch.join(F.broadcast(watermarks), "ticker", "left")
+    fresh = joined.filter(
+        F.col("latest_date").isNull() | (F.col("date") > F.col("latest_date"))
+    ).drop("latest_date")
+    return fresh.dropDuplicates(list(KEYS))
+
+
+def serving_watermarks(serving: DataFrame) -> DataFrame:
+    """E3: per-ticker MAX(date) watermark table
+    (reference `scripts/load_stock_metrics.py:40-49`)."""
+    return serving.groupBy("ticker").agg(F.max("date").alias("latest_date"))
+
+
+def latest_year(serving: DataFrame) -> int | None:
+    """E2/L4: watermark year for year-range resume
+    (reference `scripts/transform.py:39-44`)."""
+    row = serving.agg(
+        F.year(F.max("date")).cast("int").alias("y")
+    ).collect()[0]
+    return row.y
+
+
+def backfill(raw: DataFrame, lake_path: str) -> DataFrame:
+    """§3.2: full-history backfill — enrich, gate, write the whole lake
+    partitioned on (year, ticker) (B1, reference
+    `scripts/ingest_backfill_raw.py:49-78` + `scripts/transform.py:113-125`).
+    """
+    metrics = validate(enrich(raw))
+    write_partitioned(with_year(metrics), lake_path)
+    return metrics
+
+
+def run_increment(
+    spark: SparkSession, lake_path: str, new_raw: DataFrame
+) -> DataFrame:
+    """§3.1: one hourly micro-batch — merge the new bars into only the
+    lake partitions they touch, re-enrich those series, gate, rewrite.
+
+    Window metrics need each series' trailing history, so the re-read is
+    pruned to the touched tickers (partition pruning on the lake's
+    ticker= directories; at 100 TB this is the difference between
+    scanning ~500 partitions and the whole lake). Dynamic partition
+    overwrite (session conf) makes the rewrite idempotent — re-running
+    the same batch converges to the same lake state (O7).
+    """
+    tickers = [r.ticker for r in new_raw.select("ticker").distinct().collect()]
+    existing = (
+        spark.read.parquet(lake_path)
+        .filter(F.col("ticker").isin(tickers))
+        .select(*new_raw.columns)
+    )
+    merged = merge_increment(existing, new_raw)
+    metrics = validate(enrich(merged))
+    # The rewrite targets the same path the merge reads, so the plan's
+    # lineage back to the lake must be severed before the overwrite
+    # (SURVEY §7: upsert without a table format). localCheckpoint
+    # materializes the merged partitions; a production deployment on a
+    # table format (Delta/Iceberg MERGE) gets this atomicity natively.
+    metrics = metrics.localCheckpoint(eager=True)
+    write_partitioned(with_year(metrics), lake_path)
+    return metrics
+
+
+def load_serving(
+    batch: DataFrame, serving: DataFrame | None
+) -> DataFrame:
+    """§3.1 stage 3: append-only serving load with cross-store dedup —
+    new serving state = old ∪ strictly-newer deduped rows (L3,
+    reference `scripts/load_stock_metrics.py:76-89`)."""
+    if serving is None:
+        return batch.dropDuplicates(list(KEYS))
+    fresh = newer_than_watermark(batch, serving_watermarks(serving))
+    return serving.unionByName(fresh)

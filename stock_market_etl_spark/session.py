@@ -31,6 +31,10 @@ _RUNTIME_CONFS: dict[str, str] = {
     # Spark 4's ANSI mode raises instead. Pre-ANSI semantics (x/0 →
     # NULL) match the oracle and the reference.
     "spark.sql.ansi.enabled": "false",
+    # local[32]-sized shuffle width; AQE coalesces/splits at runtime so
+    # this is a ceiling, not a hand-tuned constant (cluster deployments
+    # override per executor count)
+    "spark.sql.shuffle.partitions": "32",
     # runtime re-planning: partition coalescing, skew-join splitting
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -1,0 +1,197 @@
+"""Structured Streaming surface (SURVEY §2.N).
+
+The reference's hourly cron job is semantically a micro-batch stream:
+source offsets = the DB high-watermark (`scripts/ingest_hourly.py:48-53`),
+idempotent sink = the same-day merge (`scripts/ingest_hourly.py:117-131`),
+late-data policy = the strictly-newer filter
+(`scripts/load_stock_metrics.py:78-80`). True streaming is roadmap-only
+in the reference (`README.md:72,75`); here it is real: file-source
+streams over the events table, tumbling/sliding/session windows with
+watermarks, stateful dedup, and a foreachBatch upsert sink running the
+batch merge.
+
+Every aggregation here is expressed so the IDENTICAL transform runs in
+batch mode — stream-batch parity is the correctness contract
+(tests/test_streaming.py), since streaming results are not
+DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from stock_market_etl_spark.pipeline import merge_increment
+
+#: events parquet schema as the stream source sees it (ts is
+#: TIMESTAMP(NANOS) → read as long under nanosAsLong, converted below).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _canon_ts(df: DataFrame) -> DataFrame:
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture. Source offsets (which
+    files have been consumed) are tracked by the engine — the streaming
+    analogue of the reference's MAX(date) watermark read (L1)."""
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        # file streams take a directory; select just the events table
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return _canon_ts(raw)
+
+
+def batch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same source, batch mode — parity twin of `stream_events`."""
+    from stock_market_etl_spark.io import load_table
+
+    return load_table(spark, sf_dir, "events")
+
+
+def tumbling_counts(
+    events: DataFrame, watermark: str = "2 hours", width: str = "1 hour"
+) -> DataFrame:
+    """Tumbling-window per-user aggregation — the streaming form of the
+    reference's per-(year,ticker) batch grouping
+    (`scripts/ingest_hourly.py:117-124`)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("win"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_avg(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    width: str = "6 hours",
+    slide: str = "1 hour",
+) -> DataFrame:
+    """Sliding-window average — time-based analogue of the 30-row
+    rolling volatility (F2, `scripts/transform.py:71-76`)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("win"), "user_id")
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "user_id",
+            "avg_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, watermark: str = "2 hours", gap: str = "30 minutes"
+) -> DataFrame:
+    """Session-window aggregation (no reference analogue — engine
+    superset): sessions close after ``gap`` of per-user inactivity."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stateful streaming dedup on the natural key — the streaming form
+    of E6 (`scripts/load_stock_metrics.py:88`): duplicates arriving
+    within the watermark horizon are dropped, state is evicted beyond
+    it."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "ts"]
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    sink_table: str,
+    checkpoint: str,
+    output_mode: str = "append",
+):
+    """Drain the whole source with availableNow and stop — the testable
+    micro-batch form (the reference's cron tick, but offset-tracked).
+
+    Append mode only emits windows already finalized by the watermark —
+    windows inside the final watermark horizon stay in state. Parity
+    tests that compare the FULL result therefore drain aggregations in
+    ``complete`` mode; production append sinks accept the
+    horizon-lagged emission (that lag IS the late-data guarantee).
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def upsert_sink(
+    stream_df: DataFrame,
+    lake_path: str,
+    checkpoint: str,
+    keys: tuple[str, ...] = ("user_id", "ts"),
+):
+    """foreachBatch idempotent upsert sink: each micro-batch runs the L2
+    anti-join merge against the lake (reference merge core
+    `scripts/ingest_hourly.py:117-131`). Exactly-once lake state =
+    at-least-once delivery + idempotent merge."""
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(lake_path).select(
+                *batch_df.columns
+            )
+        except Exception:
+            existing = None
+        if existing is not None:
+            merged = merge_increment(existing, batch_df, keys)
+            merged = merged.localCheckpoint(eager=True)
+        else:
+            merged = batch_df
+        merged.write.mode("overwrite").parquet(lake_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

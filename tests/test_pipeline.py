@@ -1,0 +1,151 @@
+"""Pipeline lifecycle tests (SURVEY §5.3-5.4): golden idempotency of the
+incremental run, quality-gate rejection of violating frames, and
+watermark-dedup serving loads.
+
+Stock-domain frames are derived from the events fixture via the
+FIXTURES.md A→B mapping (user_id → ticker, ts → date, value → close).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from stock_market_etl_spark import pipeline, quality
+from stock_market_etl_spark.io import load_table
+
+
+def _raw_prices(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.date_trunc("day", "ts").alias("date"),
+        (F.col("value") * 0.99).alias("open"),
+        (F.col("value") * 1.01).alias("high"),
+        (F.col("value") * 0.98).alias("low"),
+        F.col("value").alias("close"),
+        (F.col("event_id") % 1000 + 1).cast("long").alias("volume"),
+        F.concat(F.lit("T"), F.col("user_id")).alias("ticker"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ingest_ts"),
+    ).dropDuplicates(["ticker", "date"])
+
+
+def _snapshot(spark, lake_path):
+    rows = (
+        spark.read.parquet(lake_path)
+        .select(
+            "ticker",
+            "date",
+            F.round("close", 6).alias("close"),
+            F.round("daily_return", 6).alias("daily_return"),
+            F.round("rolling_vol_30d", 6).alias("rolling_vol_30d"),
+        )
+        .collect()
+    )
+    return sorted(map(tuple, rows))
+
+
+def test_backfill_then_increment_idempotent(spark, sf_smoke, tmp_path):
+    """Golden test: re-running the same increment must converge to a
+    byte-identical lake (L2/O7 idempotency)."""
+    lake = str(tmp_path / "lake")
+    raw = _raw_prices(spark, sf_smoke)
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    pipeline.backfill(raw.filter(F.col("date") < cutoff), lake)
+
+    new_batch = raw.filter(F.col("date") >= cutoff)
+    assert new_batch.count() > 0, "fixture must straddle the cutoff"
+    pipeline.run_increment(spark, lake, _merged_raw(spark, lake, new_batch))
+    first = _snapshot(spark, lake)
+    pipeline.run_increment(spark, lake, _merged_raw(spark, lake, new_batch))
+    second = _snapshot(spark, lake)
+    assert first == second
+    # and the lake now equals a clean full backfill (merge correctness)
+    lake2 = str(tmp_path / "lake2")
+    pipeline.backfill(raw, lake2)
+    assert first == _snapshot(spark, lake2)
+
+
+def _merged_raw(spark, lake, new_batch):
+    # run_increment takes the raw new bars; it reads trailing history
+    # itself. Pass the batch with raw columns only.
+    return new_batch
+
+
+def test_increment_prunes_untouched_tickers(spark, sf_smoke, tmp_path):
+    """A batch touching one ticker must not rewrite other tickers'
+    partitions (partition-pruned incremental, L4/O1)."""
+    lake = str(tmp_path / "lake")
+    raw = _raw_prices(spark, sf_smoke)
+    pipeline.backfill(raw, lake)
+    before = _snapshot(spark, lake)
+
+    one = raw.filter(F.col("ticker") == "T1")
+    bumped = one.withColumn("close", F.col("close") + 1.0)
+    pipeline.run_increment(spark, lake, bumped)
+    after = _snapshot(spark, lake)
+
+    changed = {t for t in set(after) - set(before)}
+    assert changed, "T1 rows must have changed"
+    assert {r[0] for r in changed} == {"T1"}
+    untouched_before = [r for r in before if r[0] != "T1"]
+    untouched_after = [r for r in after if r[0] != "T1"]
+    assert untouched_before == untouched_after
+
+
+def test_quality_gate_missing_column(spark, sf_smoke):
+    raw = _raw_prices(spark, sf_smoke)
+    bad = pipeline.enrich(raw).drop("volume")
+    with pytest.raises(quality.DataQualityError, match="missing"):
+        quality.validate(bad)
+
+
+def test_quality_gate_dtype_mismatch(spark, sf_smoke):
+    raw = _raw_prices(spark, sf_smoke)
+    bad = pipeline.enrich(raw).withColumn(
+        "volume", F.col("volume").cast("int")
+    )
+    with pytest.raises(quality.DataQualityError, match="dtype"):
+        quality.validate(bad)
+
+
+def test_quality_gate_null_keys(spark, sf_smoke):
+    raw = _raw_prices(spark, sf_smoke)
+    bad = pipeline.enrich(raw).withColumn(
+        "ticker",
+        F.when(F.col("ticker") != "T1", F.col("ticker")),
+    )
+    with pytest.raises(quality.DataQualityError, match="null"):
+        quality.validate(bad)
+
+
+def test_quality_gate_passes_clean(spark, sf_smoke):
+    raw = _raw_prices(spark, sf_smoke)
+    out = quality.validate(pipeline.enrich(raw))
+    assert out.count() == raw.count()
+
+
+def test_load_serving_watermark_dedup(spark, sf_smoke):
+    """L3: reloading an overlapping batch adds only strictly-newer rows,
+    once (reference `scripts/load_stock_metrics.py:76-89`)."""
+    raw = _raw_prices(spark, sf_smoke)
+    metrics = pipeline.enrich(raw)
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    serving = pipeline.load_serving(
+        metrics.filter(F.col("date") < cutoff), None
+    )
+    n0 = serving.count()
+    # reload the FULL history: only post-cutoff rows may land
+    serving2 = pipeline.load_serving(metrics, serving)
+    assert serving2.count() == metrics.count()
+    # and loading it again changes nothing
+    serving3 = pipeline.load_serving(metrics, serving2)
+    assert serving3.count() == serving2.count()
+    assert n0 < serving2.count()
+
+
+def test_latest_year_watermark(spark, sf_smoke):
+    raw = _raw_prices(spark, sf_smoke)
+    y = pipeline.latest_year(pipeline.enrich(raw))
+    max_date = raw.agg(F.max("date")).collect()[0][0]
+    assert y == max_date.year

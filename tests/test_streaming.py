@@ -1,0 +1,97 @@
+"""Stream-batch parity tests (SURVEY §5.2): streaming aggregations over
+the events fixture, drained with availableNow, must equal the identical
+batch aggregation — the correctness contract for the non-oracle-checkable
+streaming surface (§2.N).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from stock_market_etl_spark.streaming import core
+
+
+def _drain(spark, stream_df, tmp_path, output_mode: str = "append") -> str:
+    name = f"sink_{uuid.uuid4().hex[:8]}"
+    core.run_available_now(
+        stream_df, name, str(tmp_path / f"ckpt_{name}"), output_mode
+    )
+    return name
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_tumbling_parity(spark, sf_smoke, tmp_path):
+    stream = core.tumbling_counts(core.stream_events(spark, sf_smoke))
+    sink = _drain(spark, stream, tmp_path, "complete")
+    batch = core.tumbling_counts(core.batch_events(spark, sf_smoke))
+    assert _rows(spark.table(sink)) == _rows(batch)
+
+
+def test_sliding_parity(spark, sf_smoke, tmp_path):
+    stream = core.sliding_avg(core.stream_events(spark, sf_smoke))
+    sink = _drain(spark, stream, tmp_path, "complete")
+    batch = core.sliding_avg(core.batch_events(spark, sf_smoke))
+    assert _rows(spark.table(sink)) == _rows(batch)
+
+
+def test_session_parity(spark, sf_smoke, tmp_path):
+    stream = core.session_counts(core.stream_events(spark, sf_smoke))
+    sink = _drain(spark, stream, tmp_path, "complete")
+    batch = core.session_counts(core.batch_events(spark, sf_smoke))
+    assert _rows(spark.table(sink)) == _rows(batch)
+
+
+def test_dedup_stream_parity(spark, sf_smoke, tmp_path):
+    stream = core.dedup_stream(core.stream_events(spark, sf_smoke)).select(
+        "event_id", "ts", "user_id"
+    )
+    sink = _drain(spark, stream, tmp_path)
+    n_stream = spark.table(sink).count()
+    n_batch = (
+        core.batch_events(spark, sf_smoke)
+        .dropDuplicates(["user_id", "ts"])
+        .count()
+    )
+    assert n_stream == n_batch
+
+
+def test_foreachbatch_upsert_idempotent(spark, sf_smoke, tmp_path):
+    """Exactly-once lake semantics: replaying the whole stream into the
+    upsert sink must not duplicate rows (L2 via foreachBatch)."""
+    lake = str(tmp_path / "lake")
+    ev = core.stream_events(spark, sf_smoke).select("event_id", "ts", "user_id", "value")
+    core.upsert_sink(ev, lake, str(tmp_path / "ck1"))
+    n1 = spark.read.parquet(lake).count()
+
+    # replay from a fresh checkpoint → same source re-delivered
+    ev2 = core.stream_events(spark, sf_smoke).select("event_id", "ts", "user_id", "value")
+    core.upsert_sink(ev2, lake, str(tmp_path / "ck2"))
+    n2 = spark.read.parquet(lake).count()
+    assert n1 == n2
+    batch_n = (
+        core.batch_events(spark, sf_smoke)
+        .dropDuplicates(["user_id", "ts"])
+        .count()
+    )
+    assert n1 == batch_n
+
+
+def test_late_rows_dropped_past_watermark(spark, sf_smoke, tmp_path):
+    """Watermark semantics sanity: with availableNow over a static file
+    the final watermark admits all data (single batch), so parity holds;
+    this asserts the aggregation emits every window exactly once."""
+    stream = core.tumbling_counts(core.stream_events(spark, sf_smoke))
+    sink = _drain(spark, stream, tmp_path, "complete")
+    out = spark.table(sink)
+    dups = (
+        out.groupBy("win_start", "user_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert dups == 0
