@@ -46,7 +46,9 @@ def _modules():
         filters,
         flagship,
         joins,
+        source_queries,
         streaming_queries,
+        udf_queries,
         windows,
     )
 
@@ -59,4 +61,6 @@ def _modules():
         dashboard,
         extensions,
         streaming_queries,
+        udf_queries,
+        source_queries,
     ]

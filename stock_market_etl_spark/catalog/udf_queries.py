@@ -1,0 +1,109 @@
+"""SURVEY §2.M — UDF/UDAF/UDTF surface as named oracle-checked queries.
+
+Each query routes through a Python extension point but computes a
+deterministic, SQL-expressible answer — proving the extension machinery
+(Arrow batching, grouped aggregation, lateral table functions) without
+sacrificing the correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from stock_market_etl_spark.functions.udfs import (
+    OhlcUnpivotUDTF,
+    format_direction_pandas,
+    mean_abs_return,
+)
+from stock_market_etl_spark.io import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+_DR = """SELECT event_id, user_id,
+           round(value / lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1, 6) AS dr
+         FROM events"""
+
+
+@_q(
+    "m1_pandas_udf_format",
+    f"""SELECT event_id,
+              CASE WHEN dr > 0 THEN 'UP'
+                   WHEN dr < 0 THEN 'DOWN'
+                   ELSE 'FLAT' END AS direction
+       FROM ({_DR})""",
+)
+def m1_pandas_udf_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: scalar pandas_udf (Arrow-batched) computing I9's sign format —
+    must return the identical answer to the native when/otherwise form."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dr = F.round(F.col("value") / F.lag("value", 1).over(w) - 1, 6)
+    return ev.select(
+        "event_id", format_direction_pandas(dr).alias("direction")
+    )
+
+
+@_q(
+    "m2_grouped_agg_pandas_udf",
+    f"""SELECT user_id, round(avg(abs(dr)), 6) AS mean_abs_dr
+       FROM ({_DR})
+       GROUP BY user_id""",
+)
+def m2_grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: grouped-aggregate pandas_udf (UDAF path) — per-user mean
+    absolute return, checked against the built-in avg(abs(x))."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dr = F.round(F.col("value") / F.lag("value", 1).over(w) - 1, 6)
+    return (
+        ev.select("user_id", dr.alias("dr"))
+        .groupBy("user_id")
+        .agg(F.round(mean_abs_return("dr"), 6).alias("mean_abs_dr"))
+    )
+
+
+@_q(
+    "m3_udtf_ohlc_unpivot",
+    """SELECT event_id, u.field, round(u.val, 6) AS val
+       FROM (SELECT event_id,
+                    round(value * 0.99, 6) AS open,
+                    round(value * 1.01, 6) AS high,
+                    round(value * 0.98, 6) AS low,
+                    round(value, 6) AS close
+             FROM events),
+            unnest([struct_pack(field := 'open', val := open),
+                    struct_pack(field := 'high', val := high),
+                    struct_pack(field := 'low', val := low),
+                    struct_pack(field := 'close', val := close)]) AS t(u)""",
+)
+def m3_udtf_ohlc_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: PySpark 4 UDTF exploding an OHLC bar into (field, value)
+    rows via a lateral join — the J1 wide→long stack as a Python table
+    function."""
+    ev = load_table(spark, sf_dir, "events")
+    bars = ev.select(
+        "event_id",
+        F.round(F.col("value") * 0.99, 6).alias("open"),
+        F.round(F.col("value") * 1.01, 6).alias("high"),
+        F.round(F.col("value") * 0.98, 6).alias("low"),
+        F.round(F.col("value"), 6).alias("close"),
+    )
+    spark.udtf.register("ohlc_unpivot", OhlcUnpivotUDTF)
+    bars.createOrReplaceTempView("__m3_bars")
+    return spark.sql(
+        """SELECT b.event_id, t.field, round(t.val, 6) AS val
+           FROM __m3_bars b,
+                LATERAL ohlc_unpivot(b.open, b.high, b.low, b.close) t"""
+    )
