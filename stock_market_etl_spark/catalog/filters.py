@@ -337,3 +337,44 @@ def j2_rename_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice": "total_price",
         }
     )
+
+
+@_q(
+    "c7_filter_on_window_result",
+    """SELECT user_id, ts, event_id, rn FROM (
+         SELECT user_id, ts, event_id,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events)
+       WHERE rn <= 3""",
+)
+def c7_filter_on_window_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7: predicate over a window result — ``WHERE row_num <= k`` after
+    a ranking window (reference latest-row CTE `scripts/app.py:89-91`;
+    generalized to k=3 so the filter keeps, not just picks, rows)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@_q(
+    "g2_presentation_sort",
+    """SELECT ts, user_id, event_type, round(value, 6) AS value
+       FROM events ORDER BY ts, user_id""",
+)
+def g2_presentation_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: presentation ORDER BY (reference `scripts/app.py:39,92`) — a
+    global range-partitioned sort; the driver's hash check is
+    order-insensitive but the sort node is the point."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "ts", "user_id", "event_type", F.round("value", 6).alias("value")
+    ).orderBy("ts", "user_id")

@@ -77,3 +77,39 @@ def with_year(df: DataFrame, date_col: str = "date") -> DataFrame:
     """Derive the ``year`` partition column the reference encodes in its
     S3 key template (`scripts/ingest_backfill_raw.py:54`)."""
     return df.withColumn("year", F.year(F.col(date_col)))
+
+
+def load_jdbc(
+    spark: SparkSession,
+    url: str,
+    query: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound=None,
+    upper_bound=None,
+    properties: dict | None = None,
+) -> DataFrame:
+    """A2: JDBC scan (reference `scripts/app.py:31-44`,
+    `scripts/load_stock_metrics.py:40-49` — SQL pushed to Postgres).
+
+    Spark pushes filters/projections into the remote database; with
+    ``partition_column`` + bounds the scan splits into parallel range
+    queries instead of one connection streaming the whole table. Not
+    exercisable in this container (no database) — the self-contained
+    engine serves the same role via ``spark.table`` on registered views.
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("query", query)
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()

@@ -90,13 +90,21 @@ def relative_returns(
     daily = trends.groupBy(key, F.to_date(time).alias("day")).agg(
         F.max_by("cumulative_return", F.col(time)).alias("cum_return")
     )
-    base = daily.filter(F.col(key) == base_key).select(
-        "day", F.col("cum_return").alias("base_return")
+    # the inner join of the two series on day is a conditional
+    # aggregation over the shared day key — one scan and one window
+    # shuffle instead of two of each plus a join (the reference's
+    # pandas merge, `scripts/app.py:71`, reads the frame twice)
+    aligned = daily.groupBy("day").agg(
+        F.max(
+            F.when(F.col(key) == base_key, F.col("cum_return"))
+        ).alias("base_return"),
+        F.max(
+            F.when(F.col(key) == comp_key, F.col("cum_return"))
+        ).alias("comp_return"),
     )
-    comp = daily.filter(F.col(key) == comp_key).select(
-        F.col("day").alias("day_c"), F.col("cum_return").alias("comp_return")
-    )
-    return base.join(comp, base.day == comp.day_c).select(
+    return aligned.filter(
+        F.col("base_return").isNotNull() & F.col("comp_return").isNotNull()
+    ).select(
         "day",
         "base_return",
         "comp_return",

@@ -59,16 +59,19 @@ def test_datasource_stream_batch_parity(spark, tmp_path):
         .option("days", "7")
         .load()
     )
+    import uuid
+
+    sink = f"bars_sink_{uuid.uuid4().hex[:8]}"
     q = (
         stream.writeStream.format("memory")
-        .queryName("bars_sink")
+        .queryName(sink)
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ck"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    streamed = sorted(map(tuple, spark.table("bars_sink").collect()))
+    streamed = sorted(map(tuple, spark.table(sink).collect()))
     batch = sorted(
         map(tuple, _bars(spark, "AAPL,MSFT", 7).collect())
     )
