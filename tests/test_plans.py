@@ -1,0 +1,107 @@
+"""Physical-plan shape assertions (SURVEY §2.O 100 TB stance): the
+catalog queries must not just return correct rows — they must compile to
+the plan a 1000-executor cluster needs. These guard against regressions
+that correctness checks cannot see (a broadcast silently becoming a
+shuffle join, a filter no longer reaching the scan, a top-k becoming a
+global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stock_market_etl_spark.catalog import all_queries
+from stock_market_etl_spark.io import load_table
+from stock_market_etl_spark.operators import skew
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_single_shuffle(spark, sf_smoke):
+    """The metrics pipeline must shuffle exactly once (both windows
+    share the ticker partitioning)."""
+    df = all_queries()["f1_f2_metrics_pipeline"](spark, sf_smoke)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_flagship_column_pruning(spark, sf_smoke):
+    """The scan must read only the five needed columns, not the whole
+    events schema (props would be the expensive one at scale)."""
+    df = all_queries()["f1_f2_metrics_pipeline"](spark, sf_smoke)
+    plan = _plan(df)
+    assert "props" not in plan
+
+
+def test_broadcast_join_for_watermark_dim(spark, sf_smoke):
+    """D1's ≤503-row watermark table must build a broadcast relation —
+    the fact side never moves."""
+    df = all_queries()["d1_broadcast_left_join"](spark, sf_smoke)
+    assert "BroadcastExchange" in _plan(df)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_smoke):
+    """C5's IN + BETWEEN predicate must appear in the parquet scan's
+    PushedFilters, not only as a post-scan Filter node."""
+    df = all_queries()["c5_in_between_filter"](spark, sf_smoke)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), f"no pushed filters in scan: {pushed!r}"
+
+
+def test_topk_compiles_to_take_ordered(spark, sf_smoke):
+    """G3 must compile to TakeOrderedAndProject (per-partition heap +
+    driver merge), never a global sort of the fact table."""
+    df = all_queries()["g3_top_k"](spark, sf_smoke)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_no_cartesian_in_catalog_joins(spark, sf_smoke):
+    """No catalog join may degenerate to an unintended cartesian product
+    (d6_cross_join is the one deliberate exception)."""
+    qs = all_queries()
+    for name in [
+        "d1_broadcast_left_join",
+        "d2_dim_fact_inner_join",
+        "d3_self_join_time_align",
+        "d4_left_anti_join",
+        "d9_star_join_revenue",
+    ]:
+        plan = _plan(qs[name](spark, sf_smoke))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_salted_join_equals_plain_join(spark, sf_smoke):
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_id", "user_id", "value"
+    )
+    dim = (
+        ev.groupBy("user_id").agg(F.avg("value").alias("avg_v"))
+    )
+    plain = ev.join(dim, ["user_id"]).select("event_id", "avg_v")
+    salted = skew.salted_join(ev, dim, ["user_id"]).select(
+        "event_id", "avg_v"
+    )
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b
+
+
+def test_two_phase_agg_equals_plain_agg(spark, sf_smoke):
+    ev = load_table(spark, sf_smoke, "events")
+    plain = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("s"),
+        F.max("value").alias("mx"),
+    )
+    salted = skew.two_phase_agg(
+        ev,
+        ["event_type"],
+        {"n": F.count("*"), "s": F.sum("value"), "mx": F.max("value")},
+    )
+    a = sorted((r.event_type, r.n, round(r.s, 6), r.mx) for r in plain.collect())
+    b = sorted((r.event_type, r.n, round(r.s, 6), r.mx) for r in salted.collect())
+    assert a == b
