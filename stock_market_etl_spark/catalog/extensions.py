@@ -276,3 +276,13 @@ def x14_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     assets = multimodal.assets_from_documents(docs)
     return multimodal.extract_features(assets)
+
+
+@_q("x15_ivf_topk")
+def x15_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbours: seeded k-means coarse
+    quantizer, n_probe-cell search, exact rerank inside probed cells.
+    Clustering is engine-specific → rows-only; recall vs exact top-k is
+    asserted in tests/test_extensions.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, query_id=0, k=10)

@@ -378,3 +378,27 @@ def g2_presentation_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "ts", "user_id", "event_type", F.round("value", 6).alias("value")
     ).orderBy("ts", "user_id")
+
+
+@_q(
+    "i10_json_extract",
+    """SELECT event_id,
+              CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+              CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket
+       FROM events""",
+)
+def i10_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I10 (superset): semi-structured payload extraction — the events
+    ``props`` JSON column parsed with a declared schema (from_json stays
+    JVM-side/codegen'd; the FIXTURES.md 'JSON-ish payload' exercise)."""
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json(
+        "props", T.StructType([T.StructField("k", T.LongType())])
+    )
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        (parsed.getField("k") % 10).alias("k_bucket"),
+    )

@@ -80,3 +80,75 @@ def a5_literal_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: literal rows + declared schema (reference
     `scripts/ingest_backfill_sp500.py:29-32`)."""
     return literal_dimension(spark, _A5_ROWS, SP500_SCHEMA)
+
+
+@_q(
+    "a1_parquet_scan",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+       FROM lineitem""",
+)
+def a1_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: the parquet scan itself (reference reads one hand-built S3
+    key per partition, `scripts/transform.py:46-60`; Spark's scan node
+    handles listing, pruning, and vectorized decode)."""
+    from stock_market_etl_spark.io import load_table
+
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@_q(
+    "b1_partitioned_write_roundtrip",
+    """SELECT CAST(year(ts) AS INT) AS year, user_id, event_id,
+              round(value, 6) AS value
+       FROM events""",
+)
+def b1_partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: Hive-partitioned lake write, read back through partition
+    discovery (reference's per-(year,ticker) S3 PUT loop,
+    `scripts/ingest_backfill_raw.py:49-78`). The oracle checks the round
+    trip is lossless including the derived partition column."""
+    import tempfile
+
+    from stock_market_etl_spark.io import load_table, write_partitioned
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.year("ts").alias("year"),
+        "user_id",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        "ts",
+    )
+    path = tempfile.mkdtemp(prefix="lake_b1_")
+    write_partitioned(ev, path, partition_cols=("year", "user_id"))
+    back = spark.read.parquet(path)
+    return back.select(
+        F.col("year").cast("int").alias("year"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_id",
+        "value",
+    )
+
+
+@_q(
+    "b2_upsert_merge",
+    """SELECT event_id, user_id, ts, round(value, 6) AS value
+       FROM events""",
+)
+def b2_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2/L2: read-merge-write upsert — the lake's old half anti-joined
+    against a re-delivered overlapping batch, then unioned (reference
+    merge core `scripts/ingest_hourly.py:117-131`). Merging an
+    overlapping split must reconstruct exactly the full table, which is
+    what the oracle checks."""
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.pipeline import merge_increment
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", F.round("value", 6).alias("value")
+    )
+    mid = ev.approxQuantile("event_id", [0.6], 0.001)[0]
+    existing = ev.filter(F.col("event_id") <= mid)
+    new = ev.filter(F.col("event_id") > mid * 0.5)  # overlaps existing
+    return merge_increment(existing, new, keys=("event_id",))

@@ -140,3 +140,21 @@ def test_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_ivf_topk_recall(spark, sf_smoke):
+    """IVF with a quarter of the cells probed must recover most of the
+    exact top-k (and its scores must be true cosine values)."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    exact = [
+        r.vec_id
+        for r in similarity.cosine_topk(emb, query_id=0, k=10).collect()
+    ]
+    rows = similarity.ivf_topk(
+        emb, query_id=0, k=10, n_lists=16, n_probe=8
+    ).collect()
+    assert len(rows) == 10
+    sims = [r.cosine_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    overlap = len(set(exact) & {r.vec_id for r in rows})
+    assert overlap >= 5, f"IVF overlap with exact top-10 = {overlap}"
