@@ -33,6 +33,11 @@ BENCH_QUERIES = [
     "q_top_movers",
     "d9_star_join_revenue",
     "e14_avg_min_max_count",
+    # training-data extension ops (first-class at 100 TB): text
+    # tokenization, content-hash dedup, brute-force cosine top-k.
+    "x1_token_count",
+    "x6_exact_dedup",
+    "x8_cosine_topk",
 ]
 
 

@@ -286,3 +286,33 @@ def x15_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests/test_extensions.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb, query_id=0, k=10)
+
+
+@_q(
+    "x16_embedding_near_dup",
+    """WITH v AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       p AS (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+         FROM v a JOIN v b ON a.vec_id < b.vec_id)
+       SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= 0.4""",
+)
+def x16_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — exact all-pairs ground
+    truth (operators/similarity.py embedding_near_dup_pairs); the
+    embedding-space analogue of x7's text Jaccard pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+@_q("x17_embedding_near_dup_lsh")
+def x17_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked embedding near-dedup — bucket-local equality join
+    instead of the all-pairs scan (the 100 TB path). Bucketing is
+    engine-specific → rows-only; recall vs x16 asserted in
+    tests/test_extensions.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_lsh(emb, dim=64, threshold=0.4)

@@ -143,6 +143,84 @@ def ann_lsh(
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection, exact form: every
+    unordered pair (id_a < id_b) whose cosine similarity rounds to
+    ≥ ``threshold``. The embedding-space analogue of the text-side
+    `dedup.jaccard_pairs`.
+
+    The `<` condition makes this a theta self-join (nested-loop) —
+    O(n²/2) comparisons, the ground truth for recall checks. At 100 TB
+    use `embedding_near_dup_lsh`: same output contract, but candidates
+    are blocked into LSH buckets so the join is an equality shuffle on
+    (table, bucket) and only bucket-local pairs are compared.
+    """
+    v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+    a = v.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
+    sim = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    n_planes: int = 3,
+    n_tables: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for embedding-cosine near-dedup: a pair is a candidate
+    iff it shares an LSH bucket in at least one of ``n_tables`` tables
+    (OR-amplified sign-random-projection), then the exact cosine filter
+    runs on candidates only.
+
+    The candidate join is an equality join on (lsh_table, lsh_bucket) —
+    bucket-local, shuffle-partitionable, no all-pairs scan. Miss
+    probability per true pair is (1 - (1 - θ/π)^n_planes)^n_tables;
+    recall vs `embedding_near_dup_pairs` is asserted at small scale
+    (tests/test_extensions.py).
+    """
+    bucketed = hyperplane_lsh_buckets(df, dim, n_planes, n_tables, seed, vec_col)
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"),
+        _as_double(F.col(vec_col)).alias("__va"),
+        "lsh_table",
+        "lsh_bucket",
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"),
+        _as_double(F.col(vec_col)).alias("__vb"),
+        F.col("lsh_table").alias("__tb"),
+        F.col("lsh_bucket").alias("__bb"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("lsh_table") == F.col("__tb"))
+            & (F.col("lsh_bucket") == F.col("__bb"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", "__va", "__vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+    return cand.select("id_a", "id_b", sim.alias("cosine_sim")).filter(
+        F.col("cosine_sim") >= threshold
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_id: int,

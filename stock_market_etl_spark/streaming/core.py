@@ -134,6 +134,58 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+#: output / state schemas for the custom stateful operator below.
+RUNNING_TOTALS_OUTPUT = "user_id LONG, n_events LONG, sum_value DOUBLE"
+RUNNING_TOTALS_STATE = "n_events LONG, sum_value DOUBLE"
+
+
+def stateful_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (`applyInPandasWithState`): per-user
+    running event count + value total, carried across micro-batches in
+    engine-managed state. This is the streaming generalization of the
+    reference's cross-run watermark accounting (`scripts/
+    load_stock_metrics.py:40-49` keeps per-ticker progress in Postgres
+    between cron ticks; here the engine's state store plays that role).
+
+    State is one (count, sum) pair per key — O(keys), not O(rows) — so
+    it holds at 100 TB input: the shuffle is on the group key and state
+    never grows with history. Emission is `update`-mode: each
+    micro-batch emits the new running totals for keys it touched; the
+    latest emission per key equals the batch groupBy aggregate
+    (asserted in tests/test_streaming.py).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 6)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        RUNNING_TOTALS_OUTPUT,
+        RUNNING_TOTALS_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def batch_running_totals(events: DataFrame) -> DataFrame:
+    """Batch parity twin of `stateful_running_totals`: the final state
+    per key must equal this plain grouped aggregate."""
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 6).alias("sum_value"),
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     sink_table: str,

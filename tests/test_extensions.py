@@ -158,3 +158,25 @@ def test_ivf_topk_recall(spark, sf_smoke):
     assert sims == sorted(sims, reverse=True)
     overlap = len(set(exact) & {r.vec_id for r in rows})
     assert overlap >= 5, f"IVF overlap with exact top-10 = {overlap}"
+
+
+def test_embedding_near_dup_lsh_recall(spark, sf_smoke):
+    """LSH-blocked embedding near-dedup must recover nearly all exact
+    cosine-threshold pairs, and every pair it emits must be a true pair
+    (the exact cosine filter runs inside the candidate set, so
+    precision is 1.0 by construction)."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dup_lsh(
+            emb, dim=64, threshold=0.4
+        ).collect()
+    }
+    assert exact, "fixture must contain pairs above the threshold"
+    assert approx <= exact, "LSH blocking must not invent pairs"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"embedding LSH recall {recall:.2f} < 0.8"

@@ -74,6 +74,17 @@ def test_no_cartesian_in_catalog_joins(spark, sf_smoke):
         assert "CartesianProduct" not in plan, name
 
 
+def test_lsh_near_dup_join_is_equality_not_cartesian(spark, sf_smoke):
+    """x17's candidate generation must be an equality join on
+    (lsh_table, lsh_bucket) — shuffle-partitionable at 100 TB — while
+    x16's exact form is the deliberate O(n²) ground truth. A regression
+    that loses the bucket equality would silently turn the scale path
+    back into an all-pairs scan."""
+    plan = _plan(all_queries()["x17_embedding_near_dup_lsh"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_salted_join_equals_plain_join(spark, sf_smoke):
     ev = load_table(spark, sf_smoke, "events").select(
         "event_id", "user_id", "value"

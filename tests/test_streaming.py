@@ -81,6 +81,24 @@ def test_foreachbatch_upsert_idempotent(spark, sf_smoke, tmp_path):
     assert n1 == batch_n
 
 
+def test_stateful_running_totals_parity(spark, sf_smoke, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): the latest
+    per-key emission after draining the whole stream must equal the
+    batch groupBy aggregate — state carries correctly across batches."""
+    stream = core.stateful_running_totals(core.stream_events(spark, sf_smoke))
+    sink = _drain(spark, stream, tmp_path, "update")
+    latest = (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value", "n_events").alias("sum_value"),
+        )
+    )
+    batch = core.batch_running_totals(core.batch_events(spark, sf_smoke))
+    assert _rows(latest) == _rows(batch)
+
+
 def test_late_rows_dropped_past_watermark(spark, sf_smoke, tmp_path):
     """Watermark semantics sanity: with availableNow over a static file
     the final watermark admits all data (single batch), so parity holds;
