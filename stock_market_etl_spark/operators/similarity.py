@@ -49,11 +49,16 @@ def cosine_topk(
     100 TB this is the per-query cost floor; see `ann_lsh` for the
     bucketed approximate path.
     """
-    q = df.filter(F.col(id_col) == query_id).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    q = (
+        df.filter(F.col(id_col) == query_id)
+        .select(_as_double(F.col(vec_col)).alias("q_vec"))
+        # query-side norm computed ONCE in the 1-row broadcast side, not
+        # per candidate row (it lands behind the join boundary)
+        .withColumn("q_norm", l2_norm(F.col("q_vec")))
     )
     cand = df.filter(F.col(id_col) != query_id)
-    sim = cosine(_as_double(F.col(vec_col)), _as_double(F.col("q_vec")))
+    v = _as_double(F.col(vec_col))
+    sim = dot(v, F.col("q_vec")) / (l2_norm(v) * F.col("q_norm"))
     return (
         cand.crossJoin(F.broadcast(q))
         .select(F.col(id_col), sim.alias("cosine_sim"))
@@ -122,20 +127,27 @@ def ann_lsh(
         df, dim, n_planes, n_tables, seed, vec_col
     )
     q = bucketed.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("q_vec"),
+        _as_double(F.col(vec_col)).alias("q_vec"),
+        l2_norm(_as_double(F.col(vec_col))).alias("q_norm"),
         F.col("lsh_table").alias("q_table"),
         F.col("lsh_bucket").alias("q_bucket"),
     )
     cand = bucketed.filter(F.col(id_col) != query_id)
     # bucket-local join, then collapse to distinct candidate ids before
-    # the (expensive) exact re-rank
-    matches = cand.join(
-        F.broadcast(q),
-        (cand.lsh_table == F.col("q_table"))
-        & (cand.lsh_bucket == F.col("q_bucket")),
-        "inner",
-    ).select(F.col(id_col), F.col(vec_col), F.col("q_vec")).distinct()
-    sim = cosine(_as_double(F.col(vec_col)), _as_double(F.col("q_vec")))
+    # the (expensive) exact re-rank; q_norm rides the broadcast so only
+    # the candidate-side norm is computed per re-ranked row
+    matches = (
+        cand.join(
+            F.broadcast(q),
+            (cand.lsh_table == F.col("q_table"))
+            & (cand.lsh_bucket == F.col("q_bucket")),
+            "inner",
+        )
+        .select(F.col(id_col), F.col(vec_col), F.col("q_vec"), F.col("q_norm"))
+        .distinct()
+    )
+    v = _as_double(F.col(vec_col))
+    sim = dot(v, F.col("q_vec")) / (l2_norm(v) * F.col("q_norm"))
     return (
         matches.select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
@@ -160,10 +172,25 @@ def embedding_near_dup_pairs(
     are blocked into LSH buckets so the join is an equality shuffle on
     (table, bucket) and only bucket-local pairs are compared.
     """
-    v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
-    a = v.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
-    b = v.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
-    sim = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+    # norms are materialized once per ROW (O(n) folds) on each side of
+    # the join boundary, not once per PAIR (O(n²) folds) in the join
+    # projection — same float ops in the same order, 3× fewer folds.
+    v = df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", l2_norm(F.col("__v")))
+    a = v.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    sim = F.round(
+        dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", sim.alias("cosine_sim"))
@@ -193,29 +220,49 @@ def embedding_near_dup_lsh(
     (tests/test_extensions.py).
     """
     bucketed = hyperplane_lsh_buckets(df, dim, n_planes, n_tables, seed, vec_col)
-    a = bucketed.select(
-        F.col(id_col).alias("id_a"),
-        _as_double(F.col(vec_col)).alias("__va"),
-        "lsh_table",
-        "lsh_bucket",
-    )
+    # Candidate generation moves ONLY (id, table, bucket) — 24 B/row —
+    # through the bucket join and the pair dedup; vectors are re-attached
+    # by id afterwards. Shipping the 64-double arrays through the O(pairs)
+    # shuffle is the thing that does not survive a 100× scale-up.
+    a = bucketed.select(F.col(id_col).alias("id_a"), "lsh_table", "lsh_bucket")
     b = bucketed.select(
         F.col(id_col).alias("id_b"),
-        _as_double(F.col(vec_col)).alias("__vb"),
         F.col("lsh_table").alias("__tb"),
         F.col("lsh_bucket").alias("__bb"),
     )
-    cand = (
+    pairs = (
         a.join(
             b,
             (F.col("lsh_table") == F.col("__tb"))
             & (F.col("lsh_bucket") == F.col("__bb"))
             & (F.col("id_a") < F.col("id_b")),
         )
-        .select("id_a", "id_b", "__va", "__vb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sim = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+    # per-row norms computed once per VECTOR (O(n) folds), joined to the
+    # O(pairs) candidate set; sim itself is the only per-pair fold.
+    v = df.select(
+        F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", l2_norm(F.col("__v")))
+    cand = pairs.join(
+        v.select(
+            F.col("__id").alias("id_a"),
+            F.col("__v").alias("__va"),
+            F.col("__n").alias("__na"),
+        ),
+        "id_a",
+    ).join(
+        v.select(
+            F.col("__id").alias("id_b"),
+            F.col("__v").alias("__vb"),
+            F.col("__n").alias("__nb"),
+        ),
+        "id_b",
+    )
+    sim = F.round(
+        dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+    )
     return cand.select("id_a", "id_b", sim.alias("cosine_sim")).filter(
         F.col("cosine_sim") >= threshold
     )
@@ -274,9 +321,16 @@ def ivf_topk(
     cand = assigned.filter(
         F.col("__cell").isin(probe_cells) & (F.col(id_col) != query_id)
     )
-    sim = cosine(_as_double(F.col(vec_col)), _as_double(F.col("q_vec")))
+    # query norm rides the 1-row broadcast; only the candidate-side norm
+    # is computed per re-ranked row
+    qn = q.select(
+        _as_double(F.col("q_vec")).alias("q_vec"),
+        l2_norm(_as_double(F.col("q_vec"))).alias("q_norm"),
+    )
+    v = _as_double(F.col(vec_col))
+    sim = dot(v, F.col("q_vec")) / (l2_norm(v) * F.col("q_norm"))
     return (
-        cand.crossJoin(F.broadcast(q))
+        cand.crossJoin(F.broadcast(qn))
         .select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
