@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from stock_market_etl_spark.io import load_table
 from stock_market_etl_spark.operators.asof import asof_join
+from stock_market_etl_spark.operators.range_join import binned_range_join
 
 QUERIES = {}
 ORACLES = {}
@@ -302,4 +303,29 @@ def d9_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(revenue), 4).alias("revenue"),
             F.count("*").alias("n_items"),
         )
+    )
+
+
+@_q(
+    "d10_range_join_pairs",
+    """SELECT a.event_id AS id_a, b.event_id AS id_b,
+              round((epoch_us(b.ts) - epoch_us(a.ts)) / 1000000.0, 6) AS dt_s
+       FROM events a JOIN events b
+         ON a.event_id < b.event_id
+        AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 30 * 1000000""",
+)
+def d10_range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 (superset): range/interval self-join — all event pairs within
+    30 s of each other. The reference has no range joins (SURVEY §2.D
+    note); the oracle is the naive inequality join DuckDB can afford at
+    sf0.01, while the engine runs `binned_range_join` — bin-equality
+    shuffle join, never a cartesian (asserted in tests/test_plans.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(F.col("event_id").alias("id_a"), F.col("ts").alias("ts_a"))
+    b = ev.select(F.col("event_id").alias("id_b"), F.col("ts").alias("ts_b"))
+    dt_s = (F.unix_micros("ts_b") - F.unix_micros("ts_a")) / F.lit(1000000.0)
+    return (
+        binned_range_join(a, b, "ts_a", "ts_b", 30.0)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(dt_s, 6).alias("dt_s"))
     )

@@ -73,6 +73,34 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    num_buckets: int = 16,
+    sort_cols: tuple[str, ...] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table layout (SCALE.md Joins): pre-shuffle the
+    table ONCE at write time, hashed on its join key into
+    ``num_buckets`` files per partition.
+
+    Two tables bucketed on their join keys with the same bucket count
+    sort-merge-join with NO exchange on either side — the shuffle that
+    dominates large-large joins (e.g. lineitem⋈orders at 100 TB) is paid
+    once at layout time and amortized over every subsequent join.
+    ``sort_cols`` additionally pre-sorts within buckets so the SMJ's
+    per-partition sort disappears too. Asserted shuffle-free in
+    tests/test_plans.py.
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def with_year(df: DataFrame, date_col: str = "date") -> DataFrame:
     """Derive the ``year`` partition column the reference encodes in its
     S3 key template (`scripts/ingest_backfill_raw.py:54`)."""

@@ -116,3 +116,61 @@ def test_two_phase_agg_equals_plain_agg(spark, sf_smoke):
     a = sorted((r.event_type, r.n, round(r.s, 6), r.mx) for r in plain.collect())
     b = sorted((r.event_type, r.n, round(r.s, 6), r.mx) for r in salted.collect())
     assert a == b
+
+
+def test_range_join_is_equality_not_cartesian(spark, sf_smoke):
+    """d10's binned range join must compile to a bin-equality join —
+    shuffle-partitionable — never the BroadcastNestedLoopJoin the naive
+    inequality-only predicate produces."""
+    plan = _plan(all_queries()["d10_range_join_pairs"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_smoke):
+    """Tables pre-bucketed on the join key (io.write_bucketed) must
+    sort-merge-join with zero Exchange on either side — the layout paid
+    the shuffle once at write time (SCALE.md Joins)."""
+    import shutil
+
+    from stock_market_etl_spark import io
+
+    for t in ("li_bucketed", "od_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    li = load_table(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    od = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    io.write_bucketed(li, "li_bucketed", ("l_orderkey",), 8, ("l_orderkey",))
+    io.write_bucketed(od, "od_bucketed", ("o_orderkey",), 8, ("o_orderkey",))
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        # force SMJ so the assertion targets the exchange, not a
+        # broadcast that would hide it at this tiny scale factor
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("li_bucketed").join(
+            spark.table("od_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        # and it still returns the same rows as the plain join
+        plain = li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        assert j.count() == plain.count()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+        for t in ("li_bucketed", "od_bucketed"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
