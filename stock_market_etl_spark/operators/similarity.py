@@ -4,12 +4,17 @@ Exact brute-force cosine top-k is the baseline (and the oracle); the
 scale path is LSH bucketing (random hyperplanes / MLlib BRP-LSH), which
 turns the all-pairs scan into a bucket-local join.
 
-Vector math stays in built-in higher-order functions (zip_with +
-aggregate fold) — JVM-side, no Python in the loop.
+Per-pair vector math (dot/cosine/norm) stays in built-in higher-order
+functions (zip_with + aggregate fold) — JVM-side, deterministic fold
+order, DuckDB-oracle-comparable. The one exception is LSH bucket
+assignment, a dense matrix product evaluated as an Arrow-batched
+pandas_udf (see `hyperplane_lsh_buckets`).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -85,27 +90,51 @@ def hyperplane_lsh_buckets(
     probability decays exponentially — the standard recall/candidate-set
     trade-off for ANN at scale. Output is exploded to one row per
     (vector, table, bucket); the downstream join is bucket-local.
+
+    Bucket assignment is a (rows × dim) @ (dim × n_tables·n_planes)
+    matrix product — the one vector op built-in expressions cannot
+    express efficiently (n_tables·n_planes separate interpreted
+    aggregate-folds per row, and a plan tree that large is itself
+    seconds of Catalyst analysis). It runs as an Arrow-batched
+    pandas_udf: one numpy matmul per batch, planes shipped once in the
+    UDF closure. Sims/norms elsewhere stay in built-in folds (they are
+    per-pair, DuckDB-oracle-checked, and small trees).
     """
     import random
 
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
     rng = random.Random(seed)
-    v = _as_double(F.col(vec_col))
-    entries = []
-    for t in range(n_tables):
-        bucket = None
-        for i in range(n_planes):
-            plane = [rng.gauss(0.0, 1.0) for _ in range(dim)]
-            p = F.array(*[F.lit(x) for x in plane])
-            bit = F.when(
-                dot(v, p) >= 0, F.shiftleft(F.lit(1).cast("long"), i)
-            ).otherwise(F.lit(0).cast("long"))
-            bucket = bit if bucket is None else bucket.bitwiseOR(bit)
-        entries.append(
-            F.struct(F.lit(t).alias("lsh_table"), bucket.alias("lsh_bucket"))
+    # same generation order as the per-plane form: table-major, then
+    # plane, then component — seed compatibility with prior buckets
+    planes = np.array(
+        [
+            [rng.gauss(0.0, 1.0) for _ in range(dim)]
+            for _ in range(n_tables * n_planes)
+        ]
+    )  # (n_tables*n_planes, dim)
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf(ArrayType(LongType()))
+    def bucket_ids(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(vs.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = (m @ planes.T) >= 0.0  # (n, n_tables*n_planes)
+        buckets = (
+            bits.reshape(len(m), n_tables, n_planes).astype(np.int64)
+            @ weights
+        )  # (n, n_tables)
+        return pd.Series(list(buckets))
+
+    return (
+        df.withColumn("__buckets", bucket_ids(F.col(vec_col)))
+        .select(
+            "*", F.posexplode("__buckets").alias("lsh_table", "lsh_bucket")
         )
-    return df.withColumn(
-        "lsh", F.explode(F.array(*entries))
-    ).select("*", "lsh.lsh_table", "lsh.lsh_bucket").drop("lsh")
+        .drop("__buckets")
+    )
 
 
 def ann_lsh(
