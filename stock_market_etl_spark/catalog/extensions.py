@@ -316,3 +316,50 @@ def x17_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_extensions.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup_lsh(emb, dim=64, threshold=0.4)
+
+
+@_q(
+    "x18_multimodal_resize",
+    """SELECT doc_id AS asset_id, 16 AS width, 16 AS height,
+              256 AS px_len
+       FROM documents""",
+)
+def x18_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode→resize plumbing (operators/multimodal.py resize_images):
+    Arrow-batched mapInPandas, fixed-size binary out. The oracle checks
+    the contract (one row per asset, declared output geometry); pixel
+    determinism is asserted in tests/test_extensions.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    resized = multimodal.resize_images(
+        multimodal.assets_from_documents(docs), width=16, height=16
+    )
+    return resized.select(
+        "asset_id",
+        "width",
+        "height",
+        F.octet_length("pixels").cast("long").alias("px_len"),
+    )
+
+
+@_q(
+    "x19_frame_sample_counts",
+    """SELECT doc_id AS asset_id,
+              CAST(ceil(ceil(octet_length(encode(text)) / 256.0) / 4.0)
+                   AS BIGINT) AS n_frames,
+              CAST((ceil(ceil(octet_length(encode(text)) / 256.0) / 4.0) - 1)
+                   * 4 AS BIGINT) AS last_idx
+       FROM documents WHERE octet_length(encode(text)) > 0""",
+)
+def x19_frame_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video-shaped payloads (operators/multimodal.py
+    sample_frames, 1 row → N rows mapInPandas fan-out): per-asset
+    sampled-frame count and last sampled index, both pure arithmetic on
+    byte length — hash-checkable against DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = multimodal.sample_frames(
+        multimodal.assets_from_documents(docs), frame_size=256, every_n=4
+    )
+    return frames.groupBy("asset_id").agg(
+        F.count("*").alias("n_frames"),
+        F.max("frame_idx").cast("long").alias("last_idx"),
+    )

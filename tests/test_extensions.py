@@ -180,3 +180,40 @@ def test_embedding_near_dup_lsh_recall(spark, sf_smoke):
     assert approx <= exact, "LSH blocking must not invent pairs"
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"embedding LSH recall {recall:.2f} < 0.8"
+
+
+def test_multimodal_resize_plumbing(spark, sf_smoke):
+    """resize_images: 1 row in → 1 row out, fixed-size binary out,
+    deterministic across runs (same nearest-neighbour sample)."""
+    docs = load_table(spark, sf_smoke, "documents")
+    assets = multimodal.assets_from_documents(docs)
+    resized = multimodal.resize_images(assets, width=8, height=4)
+    rows = {r.asset_id: bytes(r.pixels) for r in resized.collect()}
+    assert len(rows) == assets.count()
+    assert all(len(p) == 32 for p in rows.values())
+    again = {
+        r.asset_id: bytes(r.pixels)
+        for r in multimodal.resize_images(assets, width=8, height=4).collect()
+    }
+    assert rows == again
+
+
+def test_frame_sampling_fanout(spark, sf_smoke):
+    """sample_frames: 1 row in → N rows out; sampled indices follow the
+    stride; reassembled sampled bytes match the payload slices."""
+    docs = load_table(spark, sf_smoke, "documents").limit(20)
+    assets = multimodal.assets_from_documents(docs)
+    payloads = {r.asset_id: bytes(r.payload) for r in assets.collect()}
+    frames = multimodal.sample_frames(assets, frame_size=64, every_n=2)
+    seen = {}
+    for r in frames.collect():
+        assert r.frame_idx % 2 == 0
+        b = payloads[r.asset_id]
+        assert bytes(r.frame) == b[r.frame_idx * 64 : (r.frame_idx + 1) * 64]
+        assert r.frame_len == len(bytes(r.frame))
+        seen.setdefault(r.asset_id, 0)
+        seen[r.asset_id] += 1
+    for aid, b in payloads.items():
+        n_frames = (len(b) + 63) // 64
+        expect = (n_frames + 1) // 2
+        assert seen.get(aid, 0) == expect, aid
