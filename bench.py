@@ -38,6 +38,11 @@ BENCH_QUERIES = [
     "x1_token_count",
     "x6_exact_dedup",
     "x8_cosine_topk",
+    # the scale paths themselves: banded MinHash LSH near-dup,
+    # LSH-blocked embedding near-dup, binned range join.
+    "x10_minhash_lsh_pairs",
+    "x17_embedding_near_dup_lsh",
+    "d10_range_join_pairs",
 ]
 
 

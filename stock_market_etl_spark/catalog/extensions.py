@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from stock_market_etl_spark.io import load_table
 from stock_market_etl_spark.operators import dedup, multimodal, similarity
+from stock_market_etl_spark.operators import text as text_ops
 from stock_market_etl_spark.operators.text import (
     LANG_PROFILES,
     STOPWORDS,
@@ -362,4 +363,26 @@ def x19_frame_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.groupBy("asset_id").agg(
         F.count("*").alias("n_frames"),
         F.max("frame_idx").cast("long").alias("last_idx"),
+    )
+
+
+@_q(
+    "x20_bpe_token_count",
+    r"""SELECT doc_id,
+              CAST(len(regexp_extract_all(text,
+                  '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+',
+                  0)) AS BIGINT) AS n_bpe_tokens
+       FROM documents""",
+)
+def x20_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-style token counting: GPT-2-ish pre-tokenizer segment
+    count (operators/text.py bpe_token_count) — the LLM-token-budget
+    proxy next to x1's whitespace count. Lookahead-free alternation so
+    Spark's Java regex and DuckDB's RE2 agree match-for-match."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text_ops.bpe_token_count(F.col("text")).cast("long").alias(
+            "n_bpe_tokens"
+        ),
     )

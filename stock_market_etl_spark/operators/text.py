@@ -24,12 +24,26 @@ STOPWORDS = LANG_PROFILES["en"] + ["it", "on", "for", "with"]
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization (BPE-ish regex split)."""
+    """Whitespace tokenization."""
     return F.split(F.trim(text), r"\s+")
 
 
 def token_count(text: Column) -> Column:
     return F.size(tokens(text))
+
+
+#: GPT-2-style pre-tokenizer alternation (contractions, letter runs,
+#: digit runs, punctuation runs — each optionally space-prefixed),
+#: written without lookahead so Java regex (Spark) and RE2 (DuckDB)
+#: match identically.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Subword-style token count: number of BPE pre-tokenizer segments.
+    A proxy for LLM token budgets that stays engine-side (regexp only,
+    no vocab) and cross-checks exactly against the SQL oracle."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_RE), 0))
 
 
 def punct_ratio(text: Column) -> Column:
