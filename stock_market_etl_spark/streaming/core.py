@@ -177,6 +177,77 @@ def stateful_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def tws_available() -> bool:
+    """PySpark 4's `transformWithStateInPandas` needs the protobuf
+    Python package for its driver-side state server; gate on it."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stateful_running_totals_tws(events: DataFrame) -> DataFrame:
+    """`stateful_running_totals` on PySpark 4's arbitrary-state API
+    (`transformWithStateInPandas` + RocksDB state store): same
+    per-key (count, sum) state and update-mode emission, but with
+    typed state handles (getValueState) and timer support for
+    TTL/eviction at scale. Requires the protobuf package
+    (`tws_available()`); raises ImportError otherwise — the
+    applyInPandasWithState form above is the portable twin, and the
+    parity test runs whichever the environment supports.
+    """
+    if not tws_available():
+        raise ImportError(
+            "transformWithStateInPandas requires the protobuf package, "
+            "not present in this environment; use stateful_running_totals"
+        )
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, s = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].fillna(0.0).sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [round(s, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=T.StructType.fromDDL(RUNNING_TOTALS_OUTPUT),
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def batch_running_totals(events: DataFrame) -> DataFrame:
     """Batch parity twin of `stateful_running_totals`: the final state
     per key must equal this plain grouped aggregate."""

@@ -113,3 +113,26 @@ def test_late_rows_dropped_past_watermark(spark, sf_smoke, tmp_path):
         .count()
     )
     assert dups == 0
+
+
+def test_stateful_running_totals_tws_parity(spark, sf_smoke, tmp_path):
+    """Same parity on PySpark 4's transformWithStateInPandas; skipped
+    where the protobuf dependency is absent (the gated import)."""
+    import pytest
+
+    if not core.tws_available():
+        with pytest.raises(ImportError):
+            core.stateful_running_totals_tws(core.stream_events(spark, sf_smoke))
+        pytest.skip("protobuf not available: transformWithState gated off")
+    stream = core.stateful_running_totals_tws(core.stream_events(spark, sf_smoke))
+    sink = _drain(spark, stream, tmp_path, "update")
+    latest = (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value", "n_events").alias("sum_value"),
+        )
+    )
+    batch = core.batch_running_totals(core.batch_events(spark, sf_smoke))
+    assert _rows(latest) == _rows(batch)
