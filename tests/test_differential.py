@@ -1,0 +1,118 @@
+"""Randomized differential testing (SURVEY §5 extension): generate
+filter/group/aggregate query specs, run each through BOTH the DataFrame
+API and a mirrored ANSI-SQL string on DuckDB, and require identical
+results.
+
+This covers the combinational space the hand-written oracle catalog
+cannot: the fixed queries pin one predicate/agg shape each, while this
+fuzzes the cross product (predicate subsets × group-key subsets × agg
+subsets) over the same parquet fixtures. Sums/averages round to 4
+decimals on both sides — double accumulation order differs across
+engines, and 1e-8-relative drift on ~1e8 sums is expected, not a bug.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from stock_market_etl_spark.io import load_table
+from tests.conftest import SF_SMOKE
+
+#: predicate pool: (name, spark lambda, sql fragment)
+PREDICATES = [
+    ("qty_lo", lambda d: d.filter(F.col("l_quantity") > 25), "l_quantity > 25"),
+    ("qty_hi", lambda d: d.filter(F.col("l_quantity") <= 40), "l_quantity <= 40"),
+    (
+        "flag_eq",
+        lambda d: d.filter(F.col("l_returnflag") == "R"),
+        "l_returnflag = 'R'",
+    ),
+    (
+        "disc_band",
+        lambda d: d.filter(F.col("l_discount").between(0.02, 0.08)),
+        "l_discount BETWEEN 0.02 AND 0.08",
+    ),
+    (
+        "ship_after",
+        lambda d: d.filter(F.col("l_shipdate") >= "1995-01-01"),
+        "l_shipdate >= TIMESTAMP '1995-01-01'",
+    ),
+]
+
+GROUP_KEYS = ["l_returnflag", "l_linestatus"]
+
+#: agg pool: (alias, spark column builder, sql expression) — builders
+#: are lazy because Column construction needs an active session
+AGGS = [
+    ("n_rows", lambda: F.count("*"), "count(*)"),
+    (
+        "sum_qty",
+        lambda: F.round(F.sum("l_quantity"), 4),
+        "round(sum(l_quantity), 4)",
+    ),
+    (
+        "avg_price",
+        lambda: F.round(F.avg("l_extendedprice"), 4),
+        "round(avg(l_extendedprice), 4)",
+    ),
+    ("min_disc", lambda: F.min("l_discount"), "min(l_discount)"),
+    ("max_tax", lambda: F.max("l_tax"), "max(l_tax)"),
+]
+
+
+@pytest.fixture(scope="module")
+def smoke_con():
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/lineitem.parquet')"
+    )
+    yield con
+    con.close()
+
+
+spec = st.tuples(
+    st.lists(st.sampled_from(range(len(PREDICATES))), unique=True, max_size=3),
+    st.lists(st.sampled_from(GROUP_KEYS), unique=True, max_size=2),
+    st.lists(
+        st.sampled_from(range(len(AGGS))), unique=True, min_size=1, max_size=3
+    ),
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=spec)
+def test_random_query_matches_duckdb(spark, smoke_con, spec):
+    pred_idx, keys, agg_idx = spec
+    df = load_table(spark, SF_SMOKE, "lineitem")
+    where = []
+    for i in pred_idx:
+        _, fn, sql_frag = PREDICATES[i]
+        df = fn(df)
+        where.append(sql_frag)
+    aggs = [AGGS[i][1]().alias(AGGS[i][0]) for i in agg_idx]
+    sql_aggs = [f"{AGGS[i][2]} AS {AGGS[i][0]}" for i in agg_idx]
+    if keys:
+        res = df.groupBy(*keys).agg(*aggs)
+        sql = (
+            f"SELECT {', '.join(keys + sql_aggs)} FROM lineitem"
+            + (f" WHERE {' AND '.join(where)}" if where else "")
+            + f" GROUP BY {', '.join(keys)}"
+        )
+    else:
+        res = df.agg(*aggs)
+        sql = (
+            f"SELECT {', '.join(sql_aggs)} FROM lineitem"
+            + (f" WHERE {' AND '.join(where)}" if where else "")
+        )
+    got = sorted(map(tuple, res.collect()))
+    want = sorted(map(tuple, smoke_con.sql(sql).fetchall()))
+    assert got == want, f"mismatch for spec={spec}\nsql={sql}"
