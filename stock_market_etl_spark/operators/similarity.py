@@ -300,25 +300,22 @@ def embedding_near_dup_lsh(
     )
 
 
-def ivf_topk(
+def ivf_index(
     df: DataFrame,
-    query_id: int,
-    k: int = 10,
     n_lists: int = 16,
-    n_probe: int = 4,
     seed: int = 42,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF (inverted-file) approximate nearest neighbours — the
-    clustered alternative to hyperplane LSH: a seeded k-means coarse
-    quantizer assigns every vector to one of ``n_lists`` cells; a query
-    probes only its ``n_probe`` closest cells and exact-reranks inside.
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index: a seeded k-means coarse quantizer assigns
+    every vector to one of ``n_lists`` cells. Returns
+    ``(assigned, centers)`` — the input with a ``__cell`` column, and
+    the tiny (n_lists)-row centroid table.
 
-    At 100 TB the assignment pass is one scan + a broadcast of the
-    centroid table, and the cell id becomes the lake partition key so a
-    query touches ~n_probe/n_lists of the data. Recall/probe trade-off
-    is tested against `cosine_topk` (tests/test_extensions.py).
+    At 100 TB this is the offline indexing pass (one scan + a broadcast
+    of the centroid table); ``assigned`` is then persisted partitioned
+    by cell (`io.write_partitioned(..., ("__cell",))`) so probes
+    partition-prune to ~n_probe/n_lists of the lake — asserted in
+    tests/test_plans.py.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -327,14 +324,30 @@ def ivf_topk(
     km = KMeans(k=n_lists, seed=seed, featuresCol="__vec", predictionCol="__cell")
     model = km.fit(feats)
     assigned = model.transform(feats).drop("__vec")
-
-    # the query's n_probe nearest centroids, ranked by cosine distance
     centers = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
     centers_df = df.sparkSession.createDataFrame(
         centers, "cell int, centroid array<double>"
     )
+    return assigned, centers_df
+
+
+def ivf_probe(
+    assigned: DataFrame,
+    centers_df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query side of IVF: rank centroids against the query vector,
+    probe the ``n_probe`` closest cells, exact-rerank inside. The cell
+    filter is a plain equality predicate on the index's partition
+    column, so over a cell-partitioned index it prunes at the file
+    listing — the scan never touches the other cells.
+    """
     q = assigned.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("q_vec")
     )
@@ -369,3 +382,22 @@ def ivf_topk(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate nearest neighbours, index + probe in one call —
+    the clustered alternative to hyperplane LSH. Recall/probe trade-off
+    is tested against `cosine_topk` (tests/test_extensions.py); the
+    split form (`ivf_index` offline / `ivf_probe` online) is the 100 TB
+    deployment shape."""
+    assigned, centers_df = ivf_index(df, n_lists, seed, vec_col)
+    return ivf_probe(assigned, centers_df, query_id, k, n_probe, id_col, vec_col)

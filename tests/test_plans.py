@@ -174,3 +174,25 @@ def test_bucketed_join_has_no_exchange(spark, sf_smoke):
         for t in ("li_bucketed", "od_bucketed"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
             shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+
+def test_ivf_index_partition_pruning(spark, sf_smoke, tmp_path):
+    """An IVF probe over a cell-partitioned index must prune at file
+    listing (PartitionFilters on the cell column) and return the same
+    candidates as probing the in-memory assignment."""
+    from stock_market_etl_spark.operators import similarity
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    assigned, centers = similarity.ivf_index(emb, n_lists=8)
+    path = str(tmp_path / "ivf_index")
+    assigned.write.partitionBy("__cell").parquet(path)
+    reloaded = spark.read.parquet(path)
+    pruned = reloaded.filter(F.col("__cell").isin([1, 3]))
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan
+    assert "__cell" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    direct = similarity.ivf_probe(assigned, centers, query_id=0, n_probe=4)
+    via_lake = similarity.ivf_probe(reloaded, centers, query_id=0, n_probe=4)
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, via_lake.collect())
+    )
