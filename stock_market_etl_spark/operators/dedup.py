@@ -203,9 +203,12 @@ def minhash_lsh_pairs(
         F.col(id_col),
         word_ngram_hashes(F.col("__tokens")).alias("__shingles"),
     )
+    # posexplode_OUTER, not posexplode: the inner form makes Catalyst
+    # infer a size()>0 filter on the UDF result and push it below the
+    # projection — running the signature UDF twice per row
     bands = sh.select(
         F.col(id_col),
-        F.posexplode(signature(F.col("__shingles"))).alias(
+        F.posexplode_outer(signature(F.col("__shingles"))).alias(
             "band_idx", "band_val"
         ),
     )

@@ -130,11 +130,16 @@ def hyperplane_lsh_buckets(
         )  # (n, n_tables)
         return pd.Series(list(buckets))
 
+    # posexplode_OUTER: identical rows (the array always has n_tables
+    # entries) but no inferred size()>0 filter — Catalyst pushes that
+    # filter below the repartition and re-runs the UDF once per row
+    # (visible as a second ArrowEvalPython under the Exchange)
     return (
         spread(df)
         .withColumn("__buckets", bucket_ids(F.col(vec_col)))
         .select(
-            "*", F.posexplode("__buckets").alias("lsh_table", "lsh_bucket")
+            "*",
+            F.posexplode_outer("__buckets").alias("lsh_table", "lsh_bucket"),
         )
         .drop("__buckets")
     )
