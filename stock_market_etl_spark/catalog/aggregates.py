@@ -259,3 +259,25 @@ def e14_avg_min_max_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("count_order"),
         )
     )
+
+
+@_q(
+    "e15_percentiles",
+    """SELECT l_returnflag,
+              round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+              round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def e15_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15 (superset): exact interpolated percentiles per group.
+    Spark's `percentile` and DuckDB's `quantile_cont` both linearly
+    interpolate, so this hash-matches exactly — unlike
+    `approx_percentile` (t-digest, engine-specific; the scale path for
+    when a full sort-by-group is too expensive)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias(
+            "p90_price"
+        ),
+    )
