@@ -386,3 +386,14 @@ def x20_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bpe_tokens"
         ),
     )
+
+
+@_q("x21_pq_topk")
+def x21_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py pq_index /
+    pq_topk): vectors compressed to m small codes, ADC scan over the
+    code column only, exact cosine re-rank of the shortlist. Codebooks
+    are sample-trained → engine-specific → rows-only; recall vs x8
+    asserted in tests/test_extensions.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(emb, query_id=0, k=10)

@@ -406,3 +406,151 @@ def ivf_topk(
     deployment shape."""
     assigned, centers_df = ivf_index(df, n_lists, seed, vec_col)
     return ivf_probe(assigned, centers_df, query_id, k, n_probe, id_col, vec_col)
+
+
+def _pq_train(sample: np.ndarray, m: int, k: int, seed: int, iters: int = 10):
+    """Per-subspace Lloyd k-means on a driver-side sample → codebooks of
+    shape (m, k, dim/m). Codebook training is O(sample), an offline step
+    even at 100 TB (train on a bounded sample, broadcast the codebooks);
+    seeded numpy keeps it deterministic."""
+    rng = np.random.RandomState(seed)
+    n, dim = sample.shape
+    dsub = dim // m
+    books = np.empty((m, k, dsub))
+    for j in range(m):
+        x = sample[:, j * dsub : (j + 1) * dsub]
+        cent = x[rng.choice(n, size=k, replace=n < k)]
+        for _ in range(iters):
+            d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(k):
+                pts = x[assign == c]
+                if len(pts):
+                    cent[c] = pts.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_index(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Product-quantization index (Jégou et al., TPAMI 2011): split each
+    vector into ``m`` subvectors, k-means each subspace on a bounded
+    driver-side sample, store each vector as ``m`` small codes
+    (m·log2(k) bits ≈ 4 B here vs 256 B raw — the compression that makes
+    a 100 TB embedding corpus scannable from memory).
+
+    Returns ``(codes_df, codebooks)``: the input ids with an
+    ``array<int>`` code column (encoded distributed, one numpy argmin
+    per Arrow batch, codebooks riding the UDF closure), and the numpy
+    codebooks for query-side ADC.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    sample = np.array(
+        [
+            r[0]
+            for r in df.select(_as_double(F.col(vec_col)))
+            .limit(sample_size)
+            .collect()
+        ]
+    )
+    books = _pq_train(sample, m, k, seed)
+    dsub = sample.shape[1] // m
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            sub = x[:, j * dsub : (j + 1) * dsub]  # (n, dsub)
+            d = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    codes_df = spread(df.select(F.col(id_col), F.col(vec_col))).select(
+        F.col(id_col), encode(F.col(vec_col)).alias("pq_code")
+    )
+    return codes_df, books
+
+
+def pq_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    m: int = 8,
+    n_centroids: int = 16,
+    rerank: int = 50,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ approximate nearest neighbours with asymmetric distance
+    computation (ADC): the query stays exact, each candidate's distance
+    is the sum of m table lookups (table = query-subvector → centroid
+    distances, built once driver-side and shipped in the UDF closure).
+    The ADC scan reads only the 4-byte codes; the raw vectors are
+    touched just for the exact re-rank of the best ``rerank``
+    candidates — at 100 TB that is the difference between scanning the
+    code column (~GBs) and the embedding column (~TBs).
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    codes_df, books = pq_index(
+        df, m, n_centroids, seed, id_col=id_col, vec_col=vec_col
+    )
+    q = np.array(
+        df.filter(F.col(id_col) == query_id)
+        .select(_as_double(F.col(vec_col)))
+        .first()[0]
+    )
+    dsub = len(q) // m
+    # ADC table: (m, k) squared L2 from each query subvector to each centroid
+    table = np.stack(
+        [
+            ((books[j] - q[j * dsub : (j + 1) * dsub][None, :]) ** 2).sum(
+                axis=1
+            )
+            for j in range(m)
+        ]
+    )
+
+    @pandas_udf(DoubleType())
+    def adc(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype=float)
+        c = np.stack(codes.to_numpy())  # (n, m)
+        return pd.Series(table[np.arange(m)[None, :], c].sum(axis=1))
+
+    shortlist = (
+        codes_df.filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), adc(F.col("pq_code")).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(rerank)
+        .select(id_col)
+    )
+    # exact cosine re-rank of the shortlist only
+    qn = (
+        df.filter(F.col(id_col) == query_id)
+        .select(_as_double(F.col(vec_col)).alias("q_vec"))
+        .withColumn("q_norm", l2_norm(F.col("q_vec")))
+    )
+    cand = shortlist.join(df.select(F.col(id_col), F.col(vec_col)), id_col)
+    v = _as_double(F.col(vec_col))
+    sim = dot(v, F.col("q_vec")) / (l2_norm(v) * F.col("q_norm"))
+    return (
+        cand.crossJoin(F.broadcast(qn))
+        .select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

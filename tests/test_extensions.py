@@ -217,3 +217,20 @@ def test_frame_sampling_fanout(spark, sf_smoke):
         n_frames = (len(b) + 63) // 64
         expect = (n_frames + 1) // 2
         assert seen.get(aid, 0) == expect, aid
+
+
+def test_pq_topk_recall(spark, sf_smoke):
+    """PQ+ADC with exact re-rank must overlap the exact cosine top-k
+    strongly (the shortlist is 5x k, so ADC only has to rank true
+    neighbours into the top-50 of 1000)."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    exact = [
+        r.vec_id
+        for r in similarity.cosine_topk(emb, query_id=0, k=10).collect()
+    ]
+    rows = similarity.pq_topk(emb, query_id=0, k=10, rerank=50).collect()
+    assert len(rows) == 10
+    sims = [r.cosine_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    overlap = len(set(exact) & {r.vec_id for r in rows})
+    assert overlap >= 5, f"PQ overlap with exact top-10 = {overlap}"
