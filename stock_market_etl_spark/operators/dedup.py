@@ -65,7 +65,7 @@ def jaccard_pairs(
         *[F.col(c) for c in block_cols],
         F.col(length_col),
         char_shingles(F.col(text_col), shingle_n).alias("shingles"),
-    )
+    ).persist()  # both self-join sides read it — shingle once, not twice
     a = sh.select(
         *[F.col(c).alias(f"a_{c}") for c in sh.columns]
     )
@@ -197,12 +197,19 @@ def minhash_lsh_pairs(
     # inputs). No emptiness filter: the gram sequence always yields ≥1
     # element, and a filter on the shingle column would get pushed
     # through the projection and re-evaluate the whole expression.
+    # persist(): the shingle table feeds three consumers (the band
+    # explode plus both re-attach joins) and the band table feeds both
+    # sides of the self-join — without materialization Catalyst plans
+    # each consumer as its own scan and the tokenize/shingle/signature
+    # work runs 4×/2× (verified in the optimized plan). At 100 TB the
+    # same move is writing the signature table to the lake once and
+    # joining against it; MEMORY_AND_DISK is the single-job analogue.
     sh = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), word_tokens(F.col(text_col)).alias("__tokens")
     ).select(
         F.col(id_col),
         word_ngram_hashes(F.col("__tokens")).alias("__shingles"),
-    )
+    ).persist()
     # posexplode_OUTER, not posexplode: the inner form makes Catalyst
     # infer a size()>0 filter on the UDF result and push it below the
     # projection — running the signature UDF twice per row
@@ -211,7 +218,7 @@ def minhash_lsh_pairs(
         F.posexplode_outer(signature(F.col("__shingles"))).alias(
             "band_idx", "band_val"
         ),
-    )
+    ).persist()
     a_side = bands.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_val"
     )
@@ -310,7 +317,9 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "simhash", "bk.band", "bk.key")
+    ).select(id_col, "simhash", "bk.band", "bk.key").persist()
+    # ^ the signature agg (explode + 64-bit-vote groupBy) feeds both
+    # self-join sides; materialize it once
     a = bands.select(
         F.col(id_col).alias("id_a"),
         F.col("simhash").alias("sig_a"),

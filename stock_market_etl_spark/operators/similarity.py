@@ -160,9 +160,11 @@ def ann_lsh(
     LSH table bucket with the query (union over tables), then exact
     cosine re-rank of the candidate set only. Recall vs `cosine_topk`
     is tested at small scale (tests/test_extensions.py)."""
+    # both the query probe and the candidate side read the bucketed
+    # table — persist so the scan + bucket UDF run once, not twice
     bucketed = hyperplane_lsh_buckets(
         df, dim, n_planes, n_tables, seed, vec_col
-    )
+    ).persist()
     q = bucketed.filter(F.col(id_col) == query_id).select(
         _as_double(F.col(vec_col)).alias("q_vec"),
         l2_norm(_as_double(F.col(vec_col))).alias("q_norm"),
@@ -214,7 +216,8 @@ def embedding_near_dup_pairs(
     # projection — same float ops in the same order, 3× fewer folds.
     v = spread(df.select(F.col(id_col), F.col(vec_col))).select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
-    ).withColumn("__n", l2_norm(F.col("__v")))
+    ).withColumn("__n", l2_norm(F.col("__v"))).persist()
+    # ^ both self-join sides read it — cast + norm-fold once per vector
     a = v.select(
         F.col(id_col).alias("id_a"),
         F.col("__v").alias("__va"),
@@ -239,7 +242,7 @@ def embedding_near_dup_lsh(
     df: DataFrame,
     dim: int,
     threshold: float = 0.4,
-    n_planes: int = 3,
+    n_planes: int = 4,
     n_tables: int = 16,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -256,7 +259,14 @@ def embedding_near_dup_lsh(
     recall vs `embedding_near_dup_pairs` is asserted at small scale
     (tests/test_extensions.py).
     """
-    bucketed = hyperplane_lsh_buckets(df, dim, n_planes, n_tables, seed, vec_col)
+    # persist(): the bucketed table feeds both self-join sides and the
+    # norm table feeds both re-attach joins — materialize each once
+    # instead of re-running the scan + bucket UDF / norm folds per
+    # consumer. The 100 TB shape is the same: signatures land in the
+    # lake once (cf. ivf_index), consumers join against them.
+    bucketed = hyperplane_lsh_buckets(
+        df, dim, n_planes, n_tables, seed, vec_col
+    ).persist()
     # Candidate generation moves ONLY (id, table, bucket) — 24 B/row —
     # through the bucket join and the pair dedup; vectors are re-attached
     # by id afterwards. Shipping the 64-double arrays through the O(pairs)
@@ -281,7 +291,7 @@ def embedding_near_dup_lsh(
     # O(pairs) candidate set; sim itself is the only per-pair fold.
     v = df.select(
         F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
-    ).withColumn("__n", l2_norm(F.col("__v")))
+    ).withColumn("__n", l2_norm(F.col("__v"))).persist()
     cand = pairs.join(
         v.select(
             F.col("__id").alias("id_a"),
