@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from stock_market_etl_spark.io import load_table
-from stock_market_etl_spark.operators import dedup, multimodal, similarity
+from stock_market_etl_spark.operators import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+)
 from stock_market_etl_spark.operators import text as text_ops
 from stock_market_etl_spark.operators.text import (
     LANG_PROFILES,
@@ -397,3 +402,88 @@ def x21_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests/test_extensions.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.pq_topk(emb, query_id=0, k=10)
+
+
+@_q(
+    "x22_deterministic_split",
+    """SELECT doc_id, lang,
+              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'split-v1'), 1, 4)
+                        < 'e666' THEN 'train'
+                   WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'split-v1'), 1, 4)
+                        < 'f333' THEN 'val'
+                   ELSE 'test' END AS split
+       FROM documents""",
+)
+def x22_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic 90/5/5 train/val/test split
+    (operators/sampling.py deterministic_split): md5-prefix bucketing,
+    stable under re-runs / repartitioning / data growth — unlike
+    randomSplit, an id keeps its split forever. 0.9*65536 = 0xe666,
+    0.95*65536 = 0xf333."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.deterministic_split(
+        docs,
+        {"train": 0.90, "val": 0.05, "test": 0.05},
+        salt="split-v1",
+    ).select("doc_id", "lang", "split")
+
+
+@_q(
+    "x23_stratified_sample",
+    """SELECT doc_id, lang
+       FROM documents
+       WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'mix-v1'), 1, 4) <
+             CASE lang WHEN 'en' THEN '4000' WHEN 'zh' THEN 'c000'
+                       ELSE '8000' END""",
+)
+def x23_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling for dataset mixing
+    (operators/sampling.py stratified_sample): keep 25% of en, 75% of
+    zh, 50% elsewhere — a pure scan-side filter (no shuffle, no RNG),
+    monotone in the fraction so mix ablations nest. Thresholds:
+    0.25*65536 = 0x4000, 0.75*65536 = 0xc000, 0.5*65536 = 0x8000."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs,
+        {"en": 0.25, "zh": 0.75},
+        default_fraction=0.5,
+        salt="mix-v1",
+    ).select("doc_id", "lang")
+
+
+@_q(
+    "x24_sequence_pack",
+    """SELECT doc_id, lang, n_chars,
+              CAST(FLOOR(COALESCE(SUM(n_chars) OVER (
+                  PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ), 0) / 4096) AS BIGINT) AS bin_id
+       FROM documents""",
+)
+def x24_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing (operators/sampling.py pack_sequences):
+    per-language contiguous bins of ~4096 chars via one exclusive
+    prefix-sum window — the distributed, deterministic stand-in for
+    sequential first-fit packing (each bin overshoots by at most one
+    document)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.pack_sequences(docs, budget=4096).select(
+        "doc_id", "lang", "n_chars", "bin_id"
+    )
+
+
+@_q(
+    "x25_quota_cap",
+    """SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+                  ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                      AS rn
+           FROM documents) WHERE rn <= 15""",
+)
+def x25_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota (operators/sampling.py quota_cap):
+    keep at most 15 docs per source, lowest ids first — domain
+    balancing as a ranking window, the quota twin of latest-per-key
+    (C7/F4)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.quota_cap(docs, cap=15).select("doc_id", "source")

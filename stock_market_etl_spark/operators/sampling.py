@@ -1,0 +1,145 @@
+"""Deterministic sampling, splitting, packing, and quota operators for
+training-data pipelines (SURVEY §2.O extension surface).
+
+Every operator here is hash- or window-deterministic — no RNG, no
+dependence on partitioning or cluster size. That is the property a
+100 TB dataset build needs: the same document lands in the same
+split/shard/bin on every re-run and on any cluster, so incremental
+rebuilds, cross-team reproduction, and train/test contamination audits
+all stay exact. Spark's randomized `df.sample`/`sampleBy` trade that
+away (seeded per-partition RNG changes assignment when the partitioning
+changes) for nothing these pipelines need.
+
+The shared primitive is an md5-prefix uniform hash: the first 4 hex
+chars of md5(id || salt) are uniform over [0, 0xffff] and compare
+identically (lowercase-hex lexicographic = numeric) in Spark and ANSI
+SQL — so every operator doubles as a DuckDB-checkable oracle query.
+
+Reference parity note: the reference has no sampling surface at all
+(no `sample`/`train_test_split` anywhere under /root/reference/scripts)
+— this module is part of the driver-mandated LLM-pipeline extension,
+not a port.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _hash_prefix(id_col: Column, salt: str = "") -> Column:
+    """First 4 hex chars of md5(id || salt) — a deterministic uniform
+    draw from 65 536 buckets, engine-portable (same bytes, same hex, in
+    Spark / DuckDB / Python hashlib)."""
+    return F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(salt))), 1, 4)
+
+
+def _hex_threshold(fraction: float) -> str:
+    """Cumulative fraction → 4-hex-char comparison threshold."""
+    return format(min(int(fraction * 65536), 65536), "04x")
+
+
+def deterministic_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test/...) by hash of
+    its id — stable under re-runs, repartitioning, and data growth
+    (a given id keeps its split when new rows arrive, unlike
+    `randomSplit`). Split granularity is 1/65536.
+
+    ``weights`` map split name → fraction; fractions must sum to ~1.
+    ``salt`` decorrelates this draw from other hash-based operators
+    (use a different salt for sampling vs splitting).
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    prefix = _hash_prefix(F.col(id_col), salt)
+    cum = 0.0
+    expr = None
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = prefix < F.lit(_hex_threshold(cum))
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    expr = F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a hash-selected
+    ``fractions[stratum]`` of each stratum (language rebalancing, domain
+    mixing). A narrow filter over the scan — no shuffle, no RNG; the
+    kept set is reproducible and monotone in the fraction (raising a
+    stratum's fraction only ever *adds* documents, so dataset-mix
+    ablations nest instead of resampling)."""
+    prefix = _hash_prefix(F.col(id_col), salt)
+    thr = F.lit(_hex_threshold(default_fraction))
+    for stratum, frac in fractions.items():
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(_hex_threshold(frac))
+        ).otherwise(thr)
+    return df.filter(prefix < thr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    size_col: str = "n_chars",
+    part_col: str = "lang",
+    order_col: str = "doc_id",
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Pack documents into contiguous token-budget bins (context-window
+    packing for LLM pretraining): within each ``part_col`` partition,
+    documents are taken in ``order_col`` order and a new bin starts
+    whenever the running size crosses a multiple of ``budget``.
+
+    bin = floor(exclusive-prefix-sum(size) / budget) — one window
+    aggregation, fully distributed and deterministic. True first-fit
+    bin packing is inherently sequential (each placement depends on all
+    prior bins); this contiguous form is the standard scalable
+    approximation: each bin overshoots ``budget`` by at most one
+    document, and no driver-side loop or stateful pass is needed.
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return df.withColumn(
+        bin_col, F.floor(cum_excl / F.lit(budget)).cast("long")
+    )
+
+
+def quota_cap(
+    df: DataFrame,
+    cap: int,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically by
+    ``order_col`` (domain balancing: stop any one source from dominating
+    the mix). One ranking window per group — the same shape as
+    latest-per-key (SURVEY §2.C7/F4), applied as a quota."""
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

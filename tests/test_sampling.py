@@ -1,0 +1,113 @@
+"""Property tests for the deterministic sampling/splitting/packing
+operators (operators/sampling.py) — the guarantees the oracle hash
+check can't see: stability under repartitioning, nesting monotonicity,
+and the packing invariant.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from stock_market_etl_spark.io import load_table
+from stock_market_etl_spark.operators import sampling
+
+
+def _docs(spark, sf):
+    return load_table(spark, sf, "documents")
+
+
+def test_split_disjoint_exhaustive_and_sized(spark, sf_smoke):
+    docs = _docs(spark, sf_smoke)
+    out = sampling.deterministic_split(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}, salt="split-v1"
+    )
+    n = docs.count()
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == n  # every row gets exactly one split
+    # 500 draws at p=0.9: allow generous binomial tolerance
+    assert 0.82 <= counts.get("train", 0) / n <= 0.97
+
+
+def test_split_stable_under_repartition(spark, sf_smoke):
+    """The same id must land in the same split regardless of physical
+    layout — the reproducibility property randomSplit does not have."""
+    docs = _docs(spark, sf_smoke)
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    a = {
+        r["doc_id"]: r["split"]
+        for r in sampling.deterministic_split(docs, w).select("doc_id", "split").collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in sampling.deterministic_split(docs.repartition(13), w)
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a == b
+
+
+def test_stratified_sample_nests(spark, sf_smoke):
+    """Raising a stratum's fraction only adds documents (mix ablations
+    nest instead of resampling)."""
+    docs = _docs(spark, sf_smoke)
+    small = {
+        r["doc_id"]
+        for r in sampling.stratified_sample(docs, {"en": 0.2}, default_fraction=0.3)
+        .select("doc_id")
+        .collect()
+    }
+    big = {
+        r["doc_id"]
+        for r in sampling.stratified_sample(docs, {"en": 0.6}, default_fraction=0.5)
+        .select("doc_id")
+        .collect()
+    }
+    assert small <= big
+
+
+def test_pack_sequences_bin_invariant(spark, sf_smoke):
+    """bin = floor(exclusive-prefix-sum / budget), recomputed
+    sequentially per partition; and no bin except via a single
+    oversized document exceeds budget + max(doc)."""
+    budget = 2048
+    rows = (
+        sampling.pack_sequences(_docs(spark, sf_smoke), budget=budget)
+        .select("lang", "doc_id", "n_chars", "bin_id")
+        .collect()
+    )
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rs:
+            assert r["bin_id"] == cum // budget, (lang, r["doc_id"])
+            cum += r["n_chars"]
+
+
+def test_quota_cap_bounds_and_determinism(spark, sf_smoke):
+    docs = _docs(spark, sf_smoke)
+    capped = sampling.quota_cap(docs, cap=7)
+    sizes = {
+        r["source"]: r["n"]
+        for r in capped.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    orig = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for src, n in sizes.items():
+        assert n == min(7, orig[src])
+    # kept rows are exactly the lowest ids per source
+    lowest = (
+        docs.groupBy("source").agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .select("source", F.slice("ids", 1, 7).alias("ids"))
+        .collect()
+    )
+    kept_ids = {
+        r["source"]: sorted(rr["doc_id"] for rr in capped.filter(F.col("source") == r["source"]).collect())
+        for r in lowest[:3]  # spot-check three groups to keep the test fast
+    }
+    for r in lowest[:3]:
+        assert kept_ids[r["source"]] == sorted(r["ids"])
