@@ -487,3 +487,37 @@ def x25_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (C7/F4)."""
     docs = load_table(spark, sf_dir, "documents")
     return sampling.quota_cap(docs, cap=15).select("doc_id", "source")
+
+
+@_q(
+    "x26_contamination",
+    r"""WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id, array_to_string(t[i:i+3], ' ') AS g
+          FROM toks,
+               LATERAL unnest(generate_series(1, greatest(len(t)-3, 1)))
+                   AS u(i)),
+        train AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 < 8),
+        eg AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 10 >= 8)
+        SELECT eg.doc_id,
+               COUNT(*) AS n_grams,
+               COALESCE(SUM(CASE WHEN train.g IS NOT NULL THEN 1 END), 0)
+                   AS n_hit,
+               ROUND(COALESCE(SUM(CASE WHEN train.g IS NOT NULL THEN 1 END),
+                              0)::DOUBLE / COUNT(*), 6) AS contamination
+        FROM eg LEFT JOIN train USING (g)
+        GROUP BY eg.doc_id""",
+)
+def x26_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit (operators/text.py
+    contamination_check): per eval document, the fraction of its
+    distinct word 4-grams that occur anywhere in the train corpus
+    (doc_id % 10 < 8 = train, rest = eval). The reference has no such
+    audit; it is core to a training-data engine — planted cross-split
+    duplicates surface as contamination 1.0."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 < 8)
+    ev = docs.filter(F.col("doc_id") % 10 >= 8)
+    return text_ops.contamination_check(train, ev, n=4)

@@ -128,3 +128,73 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def word_grams(tokens_col: Column, n: int = 4) -> Column:
+    """Distinct word ``n``-grams as strings over a MATERIALIZED token
+    array (same lambda-CSE rule as dedup.word_ngram_hashes: pass a plain
+    column ref, never an inline expression). Short documents yield one
+    clipped gram — both Spark `slice` and ANSI list slicing clip past
+    the array end, so the oracle agrees on the edge."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(tokens_col) - (n - 1), F.lit(1))
+            ),
+            lambda i: F.concat_ws(" ", F.slice(tokens_col, i, n)),
+        )
+    )
+
+
+def contamination_check(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination audit: for each eval document, the
+    fraction of its distinct word ``n``-grams that also occur anywhere
+    in the training corpus (Brown et al., GPT-3 appx. C style n-gram
+    overlap). Returns (id, n_grams, n_hit, contamination).
+
+    Scale shape: both sides reduce to (gram, id) pairs before the join —
+    the join key is the gram, so the shuffle moves ~tokens-per-doc small
+    rows and the training side is first collapsed to DISTINCT grams (the
+    heavy-hitter grams dedup map-side via partial aggregation). At
+    100 TB hash grams to 8-byte xxhash64 keys first (exact strings kept
+    here for DuckDB oracle parity); for repeated audits materialize the
+    distinct-train-grams table once and reuse it across eval sets.
+    """
+    from stock_market_etl_spark.operators.parallelism import spread
+
+    def grams_of(df: DataFrame) -> DataFrame:
+        toks = spread(df.select(F.col(id_col), F.col(text_col))).select(
+            F.col(id_col), tokens(F.col(text_col)).alias("__t")
+        )
+        # posexplode_outer: no inferred size()>0 filter re-running the
+        # gram expression (the sequence() above always yields ≥1)
+        return toks.select(
+            F.col(id_col),
+            F.posexplode_outer(word_grams(F.col("__t"), n)).alias("__i", "g"),
+        ).drop("__i")
+
+    train_grams = grams_of(train_df).select("g").distinct()
+    eval_grams = grams_of(eval_df)
+    hit = train_grams.withColumn("__hit", F.lit(1))
+    return (
+        eval_grams.join(hit, "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_hit"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_grams"), 6).alias(
+                "contamination"
+            ),
+        )
+    )

@@ -234,3 +234,19 @@ def test_pq_topk_recall(spark, sf_smoke):
     assert sims == sorted(sims, reverse=True)
     overlap = len(set(exact) & {r.vec_id for r in rows})
     assert overlap >= 5, f"PQ overlap with exact top-10 = {overlap}"
+
+
+def test_contamination_self_overlap_is_total(spark, sf_smoke):
+    """A corpus audited against itself is 100% contaminated; against a
+    disjoint vocabulary it is 0% — the two fixed points of the n-gram
+    overlap audit."""
+    from stock_market_etl_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_smoke, "documents").limit(50)
+    full = text_ops.contamination_check(docs, docs, n=4)
+    assert full.filter(F.col("contamination") < 1.0).count() == 0
+    other = docs.withColumn(
+        "text", F.regexp_replace(F.col("text"), r"\S", "ζ")
+    )  # rewrite every token -> no shared 4-gram
+    none = text_ops.contamination_check(other, docs, n=4)
+    assert none.filter(F.col("contamination") > 0.0).count() == 0
