@@ -109,3 +109,20 @@ def n5_streaming_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
     core.run_available_now(stream, name, ckpt)
     return spark.table(name)
+
+
+@_q(
+    "n6_stream_stream_join",
+    """SELECT v.user_id, v.event_id AS view_id, b.event_id AS buy_id,
+              v.ts AS view_ts, b.ts AS buy_ts,
+              round(b.value, 6) AS buy_value
+       FROM events v JOIN events b
+         ON v.user_id = b.user_id
+        AND v.event_type = 'view' AND b.event_type = 'purchase'
+        AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL '1 hour'""",
+)
+def n6_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N: stream-stream interval join (purchase attributed to preceding
+    views within 1 h), batch twin — the streaming form with bounded
+    join state is parity-tested in tests/test_streaming.py."""
+    return core.view_purchase_join(core.batch_events(spark, sf_dir))

@@ -318,3 +318,48 @@ def upsert_sink(
     )
     q.awaitTermination()
     return q
+
+
+def view_purchase_join(events: DataFrame, max_lag: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join: each purchase matched to every view by
+    the same user in the preceding ``max_lag`` (attribution). The one
+    §N capability with no batch-side analogue in the reference at all —
+    its loader only ever joins a stream to a static watermark table
+    (`scripts/load_stock_metrics.py:77`).
+
+    Both sides carry watermarks and the join condition bounds buy_ts
+    relative to view_ts, so each side's buffered state is evicted once
+    the other side's watermark passes the bound — state stays
+    O(watermark window), not O(stream). On a batch DataFrame
+    `withWatermark` is a no-op and the identical expression is the
+    parity twin (and the DuckDB oracle query).
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    buys = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("buy_user"),
+            F.col("event_id").alias("buy_id"),
+            F.col("ts").alias("buy_ts"),
+            F.round("value", 6).alias("buy_value"),
+        )
+        .withWatermark("buy_ts", "2 hours")
+    )
+    joined = views.join(
+        buys,
+        (F.col("user_id") == F.col("buy_user"))
+        & (F.col("buy_ts") >= F.col("view_ts"))
+        & (F.col("buy_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {max_lag}")),
+        "inner",
+    )
+    return joined.select(
+        "user_id", "view_id", "buy_id", "view_ts", "buy_ts", "buy_value"
+    )

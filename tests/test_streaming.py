@@ -136,3 +136,13 @@ def test_stateful_running_totals_tws_parity(spark, sf_smoke, tmp_path):
     )
     batch = core.batch_running_totals(core.batch_events(spark, sf_smoke))
     assert _rows(latest) == _rows(batch)
+
+
+def test_stream_stream_join_parity(spark, sf_smoke, tmp_path):
+    """Stream-stream interval join drains to the same pairs as the
+    identical batch join — and append mode suffices (inner joins emit
+    matches as they happen; no aggregation state to finalize)."""
+    stream = core.view_purchase_join(core.stream_events(spark, sf_smoke))
+    sink = _drain(spark, stream, tmp_path, "append")
+    batch = core.view_purchase_join(core.batch_events(spark, sf_smoke))
+    assert _rows(spark.table(sink)) == _rows(batch)
