@@ -103,27 +103,65 @@ def pack_sequences(
     part_col: str = "lang",
     order_col: str = "doc_id",
     bin_col: str = "bin_id",
+    chunk_width: int = 1024,
 ) -> DataFrame:
     """Pack documents into contiguous token-budget bins (context-window
     packing for LLM pretraining): within each ``part_col`` partition,
     documents are taken in ``order_col`` order and a new bin starts
     whenever the running size crosses a multiple of ``budget``.
 
-    bin = floor(exclusive-prefix-sum(size) / budget) — one window
-    aggregation, fully distributed and deterministic. True first-fit
-    bin packing is inherently sequential (each placement depends on all
-    prior bins); this contiguous form is the standard scalable
-    approximation: each bin overshoots ``budget`` by at most one
-    document, and no driver-side loop or stateful pass is needed.
+    bin = floor(exclusive-prefix-sum(size) / budget), deterministic and
+    order-exact. True first-fit bin packing is inherently sequential
+    (each placement depends on all prior bins); this contiguous form is
+    the standard scalable approximation: each bin overshoots ``budget``
+    by at most one document, and no driver-side loop or stateful pass
+    is needed.
+
+    The prefix sum is computed in two phases rather than one
+    ``Window.partitionBy(part_col)`` — the naive window funnels every
+    row of a stratum into ONE task (a 20 TB 'en' stratum = one hot
+    executor; the classic window-skew failure). Phase 1 cumsums within
+    (stratum, chunk) where chunk = floor(order / chunk_width) — an
+    order-monotone, purely arithmetic sub-key, so no dependence on
+    physical partition ids or range-sampler boundaries (both of which
+    would make correctness hostage to two shuffles agreeing). Phase 2
+    closes the gap with a per-(stratum, chunk) totals table —
+    map-side-combined to O(strata × chunks) rows, window-scanned at
+    that tiny size, broadcast back. Bin assignment is bit-identical to
+    the naive form (long addition is associative) while the widest
+    task holds one chunk, set by ``chunk_width``, not one stratum.
     """
-    w = (
-        Window.partitionBy(part_col)
+    chunk = (F.col(order_col) / F.lit(chunk_width)).cast("long")
+    d = df.withColumn("__chunk", chunk)
+    w_local = (
+        Window.partitionBy(part_col, "__chunk")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum_excl = F.coalesce(F.sum(size_col).over(w), F.lit(0))
-    return df.withColumn(
-        bin_col, F.floor(cum_excl / F.lit(budget)).cast("long")
+    local = d.withColumn(
+        "__local", F.coalesce(F.sum(size_col).over(w_local), F.lit(0))
+    )
+    offsets = (
+        d.groupBy(part_col, "__chunk")
+        .agg(F.sum(size_col).alias("__tot"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__tot").over(
+                    Window.partitionBy(part_col)
+                    .orderBy("__chunk")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(part_col, "__chunk", "__offset")
+    )
+    cum_excl = F.col("__local") + F.col("__offset")
+    return (
+        local.join(F.broadcast(offsets), [part_col, "__chunk"])
+        .withColumn(bin_col, F.floor(cum_excl / F.lit(budget)).cast("long"))
+        .drop("__chunk", "__local", "__offset")
     )
 
 
