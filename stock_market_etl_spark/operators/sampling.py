@@ -170,14 +170,47 @@ def quota_cap(
     cap: int,
     group_col: str = "source",
     order_col: str = "doc_id",
+    chunk_width: int = 1024,
 ) -> DataFrame:
     """Keep at most ``cap`` rows per group, chosen deterministically by
     ``order_col`` (domain balancing: stop any one source from dominating
-    the mix). One ranking window per group — the same shape as
-    latest-per-key (SURVEY §2.C7/F4), applied as a quota."""
+    the mix).
+
+    The ranking window is pre-pruned so it never ranks a whole skewed
+    group in one task: per-(group, order-chunk) counts (map-side
+    combined, O(groups × chunks) rows) locate each group's cutoff chunk
+    — the first whose cumulative count reaches ``cap`` — and chunks
+    past it are dropped *before* the `row_number` window. Rows excluded
+    this way all rank > cap (every row of an earlier chunk precedes
+    them), so the result is identical to the naive grouped ranking
+    while the per-group window input is bounded by
+    cap + rows-in-cutoff-chunk instead of the group's full size."""
+    chunk = (F.col(order_col) / F.lit(chunk_width)).cast("long")
+    d = df.withColumn("__chunk", chunk)
+    cum = F.sum("__n").over(
+        Window.partitionBy(group_col)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cutoffs = (
+        d.groupBy(group_col, "__chunk")
+        .agg(F.count("*").alias("__n"))
+        .withColumn("__cum", cum)
+        # first chunk reaching cap; groups under cap keep all chunks
+        .groupBy(group_col)
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("__cum") >= cap, F.col("__chunk"))),
+                F.max("__chunk"),
+            ).alias("__cutoff")
+        )
+    )
+    survivors = d.join(F.broadcast(cutoffs), group_col).filter(
+        F.col("__chunk") <= F.col("__cutoff")
+    )
     w = Window.partitionBy(group_col).orderBy(order_col)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        survivors.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= cap)
-        .drop("__rn")
+        .select(*df.columns)  # original column order (join moved the key)
     )

@@ -111,3 +111,27 @@ def test_quota_cap_bounds_and_determinism(spark, sf_smoke):
     }
     for r in lowest[:3]:
         assert kept_ids[r["source"]] == sorted(r["ids"])
+
+
+def test_quota_cap_pruned_equals_naive(spark, sf_smoke):
+    """Chunk-pruned quota must equal the plain grouped row_number form,
+    including when chunks are tiny (pruning actually fires) and when a
+    group never reaches the cap."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_smoke)
+    naive = (
+        docs.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("__rn") <= 7)
+        .drop("__rn")
+    )
+    for width in (8, 100000):  # many chunks / one chunk per group
+        pruned = sampling.quota_cap(docs, cap=7, chunk_width=width)
+        assert sorted(map(tuple, pruned.collect())) == sorted(
+            map(tuple, naive.collect())
+        ), width
