@@ -43,6 +43,10 @@ BENCH_QUERIES = [
     "x10_minhash_lsh_pairs",
     "x17_embedding_near_dup_lsh",
     "d10_range_join_pairs",
+    # dataset-build ops: two-phase prefix-sum packing, train/eval
+    # n-gram contamination audit.
+    "x24_sequence_pack",
+    "x26_contamination",
 ]
 
 
