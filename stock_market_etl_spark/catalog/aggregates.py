@@ -281,3 +281,25 @@ def e15_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_price"
         ),
     )
+
+
+@_q("e16_approx_percentiles")
+def e16_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16 (superset): sketch-based percentiles per group — the scale
+    path paired with e15's exact form, as x17 is to x16. Spark's
+    `approx_percentile` (KLL/GK-style summary, `accuracy=10000`) gives
+    bounded rank error with one partial-aggregable pass: at 100 TB the
+    exact interpolated percentile needs the full value multiset per
+    group (a sort-by-group), while the sketch merges map-side like any
+    other agg. Engine-specific sketch → rows-only for the driver;
+    bounded error vs e15 is asserted in tests/test_catalog_oracle.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)), 6
+        ).alias("median_qty"),
+        F.round(
+            F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000)),
+            6,
+        ).alias("p90_price"),
+    )

@@ -31,3 +31,19 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert len(df.schema.fields) > 0
+
+
+def test_approx_percentiles_bounded_error(spark):
+    """e16's sketch percentiles track e15's exact ones within ~1% of
+    the per-group value range (accuracy=10000 ⇒ rank error ≤ 1e-4; a
+    loose value-space bound keeps the test robust to distribution)."""
+    from stock_market_etl_spark.catalog import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.01"
+    exact = {r["l_returnflag"]: r for r in qs["e15_percentiles"](spark, sf).collect()}
+    approx = {r["l_returnflag"]: r for r in qs["e16_approx_percentiles"](spark, sf).collect()}
+    assert exact.keys() == approx.keys()
+    for k in exact:
+        for col, scale in (("median_qty", 50.0), ("p90_price", 100000.0)):
+            assert abs(exact[k][col] - approx[k][col]) <= 0.01 * scale, (k, col)
