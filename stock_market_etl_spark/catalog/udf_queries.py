@@ -107,3 +107,37 @@ def m3_udtf_ohlc_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM __m3_bars b,
                 LATERAL ohlc_unpivot(b.open, b.high, b.low, b.close) t"""
     )
+
+
+@_q(
+    "m4_grouped_map_zscore",
+    """SELECT event_id, user_id,
+              round((value - avg(value) OVER (PARTITION BY user_id))
+                    / stddev_samp(value) OVER (PARTITION BY user_id),
+                    6) AS zscore
+       FROM events""",
+)
+def m4_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M (surface): grouped-map Pandas UDF via `applyInPandas` — the
+    whole-group-at-once extension API (each user's events arrive as ONE
+    pandas frame; the per-group normalization is then plain numpy).
+    Chosen deliberately as something built-ins CAN express (the window
+    form is the oracle) so the API demo stays hash-checkable; real uses
+    are per-group model fits and other non-SQL group logic. Scale note:
+    one shuffle on the group key, group must fit one executor's memory
+    — for skewed groups prefer built-in windows or chunked forms
+    (cf. operators/sampling.py two-phase prefix sum)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def zscore(pdf):
+        import numpy as np
+
+        v = pdf["value"].to_numpy()
+        sd = v.std(ddof=1) if len(v) > 1 else float("nan")
+        out = pdf[["event_id", "user_id"]].copy()
+        out["zscore"] = np.round((v - v.mean()) / sd, 6)
+        return out
+
+    return ev.select("event_id", "user_id", "value").groupBy(
+        "user_id"
+    ).applyInPandas(zscore, "event_id long, user_id long, zscore double")
