@@ -79,6 +79,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        # operators persist() at diamond points; dead cache entries from
+        # the previous query otherwise add memory pressure and timing
+        # noise to later ones
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         _force(queries[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
