@@ -141,3 +141,38 @@ def load_jdbc(
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = (),
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Small-files-controlled parquet write: the AQE REBALANCE hint
+    inserts a shuffle whose output partitions are coalesced/split to
+    ~spark.sql.adaptive.advisoryPartitionSizeInBytes at runtime, so the
+    file count tracks data volume instead of upstream task count.
+
+    The failure this prevents at 100 TB is structural: a filtered or
+    exploded stage keeps its parent's partition count, so a 10 000-task
+    job writing a 1 GB result emits 10 000 tiny files — and every later
+    scan pays listing + open cost per file (the classic small-files
+    problem; compaction jobs exist to undo it after the fact). With
+    ``partition_cols`` the rebalance keys on them, so each Hive
+    partition is written by as few tasks as its size needs;
+    ``max_records_per_file`` bounds the opposite failure (one giant
+    file no scan can split... parquet row groups aside).
+    """
+    hinted = (
+        df.hint("rebalance", *[F.col(c) for c in partition_cols])
+        if partition_cols
+        else df.hint("rebalance")
+    )
+    writer = hinted.write.mode(mode)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)

@@ -47,3 +47,35 @@ def test_csv_snapshot_roundtrip(spark, sf_smoke, tmp_path):
     back = spark.read.option("header", "true").csv(path)
     assert back.count() == dim.count()
     assert set(back.columns) == set(dim.columns)
+
+
+def test_write_compacted_bounds_file_count(spark, sf_smoke, tmp_path):
+    """A deliberately over-partitioned tiny frame must land in few
+    files under REBALANCE (AQE coalesces the shuffle output), while the
+    plain write emits one file per task."""
+    import glob
+
+    from stock_market_etl_spark import io as eio
+
+    ev = load_table(spark, sf_smoke, "events").repartition(64)
+    naive = str(tmp_path / "naive")
+    ev.write.mode("overwrite").parquet(naive)
+    n_naive = len(glob.glob(naive + "/*.parquet"))
+    compacted = str(tmp_path / "compacted")
+    eio.write_compacted(ev, compacted)
+    n_comp = len(glob.glob(compacted + "/*.parquet"))
+    assert n_naive >= 32  # the failure mode is real
+    assert n_comp <= 4, n_comp  # ~1 MB of data -> a handful of files
+
+    # partitioned form: rebalance keyed on the partition column
+    parted = str(tmp_path / "parted")
+    eio.write_compacted(
+        ev.withColumn("etype", F.col("event_type")),
+        parted,
+        partition_cols=("etype",),
+    )
+    per_dir = {
+        d: len(glob.glob(d + "/*.parquet"))
+        for d in glob.glob(parted + "/etype=*")
+    }
+    assert per_dir and all(n <= 2 for n in per_dir.values()), per_dir
