@@ -36,9 +36,11 @@ def format_direction_pandas(dr: pd.Series) -> pd.Series:
 
 
 @udf(T.StringType())
-def format_direction_rowwise(dr: float | None) -> str:
+def format_direction_rowwise(dr):
     """Row-at-a-time twin of M1 — exists to document the API surface;
-    never used in catalog queries (UDFs are the slow path)."""
+    never used in catalog queries (UDFs are the slow path). No type
+    hints: a ``float | None`` union makes PySpark's eval-type inference
+    warn on every import."""
     if dr is None or dr == 0:
         return "FLAT"
     return "UP" if dr > 0 else "DOWN"

@@ -116,3 +116,80 @@ def test_random_query_matches_duckdb(spark, smoke_con, spec):
     got = sorted(map(tuple, res.collect()))
     want = sorted(map(tuple, smoke_con.sql(sql).fetchall()))
     assert got == want, f"mismatch for spec={spec}\nsql={sql}"
+
+
+@pytest.fixture(scope="module")
+def docs_con():
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    frac=st.integers(min_value=1, max_value=65535),
+    salt=st.sampled_from(["", "a", "v2"]),
+)
+def test_random_hash_sample_matches_duckdb(spark, docs_con, frac, salt):
+    """The md5-prefix draw must agree with ANSI SQL for ANY fraction
+    and salt — the engine-portability contract every sampling op rests
+    on (operators/sampling.py)."""
+    from stock_market_etl_spark.operators.sampling import _hash_prefix
+
+    thr = format(frac, "04x")
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = sorted(
+        r["doc_id"]
+        for r in docs.filter(
+            _hash_prefix(F.col("doc_id"), salt) < F.lit(thr)
+        ).select("doc_id").collect()
+    )
+    want = sorted(
+        r[0]
+        for r in docs_con.sql(
+            "SELECT doc_id FROM documents WHERE "
+            f"substr(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 4) < '{thr}'"
+        ).fetchall()
+    )
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    budget=st.integers(min_value=64, max_value=8192),
+    chunk_width=st.sampled_from([16, 128, 4096]),
+)
+def test_random_pack_matches_duckdb(spark, docs_con, budget, chunk_width):
+    """Two-phase packing equals the single-window SQL prefix sum for
+    any budget and chunk width."""
+    from stock_market_etl_spark.operators.sampling import pack_sequences
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = sorted(
+        (r["doc_id"], r["bin_id"])
+        for r in pack_sequences(
+            docs, budget=budget, chunk_width=chunk_width
+        ).select("doc_id", "bin_id").collect()
+    )
+    want = sorted(
+        (r[0], r[1])
+        for r in docs_con.sql(
+            f"""SELECT doc_id, CAST(FLOOR(COALESCE(SUM(n_chars) OVER (
+                    PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) / {budget}) AS BIGINT) FROM documents"""
+        ).fetchall()
+    )
+    assert got == want
