@@ -521,3 +521,22 @@ def x26_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 10 < 8)
     ev = docs.filter(F.col("doc_id") % 10 >= 8)
     return text_ops.contamination_check(train, ev, n=4)
+
+
+@_q(
+    "x27_deterministic_shuffle",
+    """SELECT doc_id,
+              ROW_NUMBER() OVER (
+                  ORDER BY md5(CAST(doc_id AS VARCHAR) || 'epoch-1'), doc_id
+              ) AS shuffle_pos
+       FROM documents""",
+)
+def x27_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible epoch shuffle (operators/sampling.py
+    deterministic_shuffle): dense global positions in md5(id||epoch)
+    order, computed as chunked parallel ranks + a 256-row offset table
+    instead of the single-task global window the oracle SQL names."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.deterministic_shuffle(docs, salt="epoch-1").select(
+        "doc_id", "shuffle_pos"
+    )

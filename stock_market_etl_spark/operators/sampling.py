@@ -214,3 +214,53 @@ def quota_cap(
         .filter(F.col("__rn") <= cap)
         .select(*df.columns)  # original column order (join moved the key)
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    salt: str = "epoch-0",
+    id_col: str = "doc_id",
+    pos_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Epoch-keyed global shuffle order for pretraining: every row gets
+    a dense 1-based position in the order of md5(id || salt) — a new
+    salt is a new, fully reshuffled but exactly reproducible epoch
+    permutation (any worker can re-derive it; no RNG state to ship).
+
+    A naive ``row_number() OVER (ORDER BY hash)`` is a GLOBAL window —
+    one task ranks the whole dataset. Here the hash's first two hex
+    chars give 256 order-contiguous chunks (the hash is uniform, so
+    chunks are balanced *by construction* — no sampling step): rank
+    within chunk in parallel, then add per-chunk offsets from a
+    256-row count table. Dense, gap-free, and identical to the naive
+    form; the same two-phase shape as `pack_sequences`.
+    """
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    d = df.withColumn("__h", h).withColumn(
+        "__chunk", F.substring(F.col("__h"), 1, 2)
+    )
+    w_local = Window.partitionBy("__chunk").orderBy("__h", id_col)
+    local = d.withColumn("__local", F.row_number().over(w_local))
+    offsets = (
+        d.groupBy("__chunk")
+        .agg(F.count("*").alias("__n"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__chunk").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__chunk", "__offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__chunk")
+        .withColumn(
+            pos_col, (F.col("__local") + F.col("__offset")).cast("long")
+        )
+        .select(*df.columns, pos_col)
+    )

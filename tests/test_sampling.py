@@ -135,3 +135,32 @@ def test_quota_cap_pruned_equals_naive(spark, sf_smoke):
         assert sorted(map(tuple, pruned.collect())) == sorted(
             map(tuple, naive.collect())
         ), width
+
+
+def test_deterministic_shuffle_is_permutation(spark, sf_smoke):
+    """Positions are a dense 1..n permutation; a different epoch salt
+    reorders; the same salt is stable under repartitioning."""
+    docs = _docs(spark, sf_smoke)
+    n = docs.count()
+    a = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in sampling.deterministic_shuffle(docs, "epoch-0")
+        .select("doc_id", "shuffle_pos")
+        .collect()
+    }
+    assert sorted(a.values()) == list(range(1, n + 1))
+    b = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in sampling.deterministic_shuffle(docs.repartition(17), "epoch-0")
+        .select("doc_id", "shuffle_pos")
+        .collect()
+    }
+    assert a == b
+    c = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in sampling.deterministic_shuffle(docs, "epoch-1")
+        .select("doc_id", "shuffle_pos")
+        .collect()
+    }
+    assert sorted(c.values()) == list(range(1, n + 1))
+    assert c != a  # a new epoch is a new permutation
