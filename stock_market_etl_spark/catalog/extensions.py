@@ -540,3 +540,48 @@ def x27_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.deterministic_shuffle(docs, salt="epoch-1").select(
         "doc_id", "shuffle_pos"
     )
+
+
+@_q(
+    "x28_dataset_build",
+    """WITH mixed AS (
+         SELECT * FROM documents
+         WHERE n_chars >= 200
+           AND substr(md5(CAST(doc_id AS VARCHAR) || 'mix-v1'), 1, 4) <
+               CASE lang WHEN 'en' THEN '8000' ELSE 'c000' END
+       ),
+       uniq AS (
+         SELECT * FROM (
+           SELECT *, sha256(text) AS content_hash,
+                  min(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id
+           FROM mixed)
+         WHERE doc_id = keep_id
+       ),
+       holdout AS (
+         SELECT DISTINCT sha256(text) AS h
+         FROM documents WHERE doc_id % 10 >= 8
+       ),
+       train AS (
+         SELECT u.* FROM uniq u
+         WHERE NOT EXISTS (
+                 SELECT 1 FROM holdout WHERE holdout.h = u.content_hash)
+           AND substr(md5(CAST(u.doc_id AS VARCHAR) || 'split-v1'), 1, 4)
+               < 'e666'
+       )
+       SELECT doc_id, lang, n_chars,
+              CAST(FLOOR(COALESCE(SUM(n_chars) OVER (
+                  PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / 4096) AS BIGINT) AS bin_id
+       FROM train""",
+)
+def x28_dataset_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset operators composed end-to-end (plans/dataset.py
+    build_training_set): quality floor → deterministic language mix →
+    exact dedup → content-hash decontamination vs the held-out pool →
+    train split → context-window packing, all one lazy Catalyst plan,
+    hash-checked as one CTE query."""
+    from stock_market_etl_spark.plans.dataset import build_training_set
+
+    docs = load_table(spark, sf_dir, "documents")
+    return build_training_set(docs)
