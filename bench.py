@@ -44,9 +44,10 @@ BENCH_QUERIES = [
     "x17_embedding_near_dup_lsh",
     "d10_range_join_pairs",
     # dataset-build ops: two-phase prefix-sum packing, train/eval
-    # n-gram contamination audit.
+    # n-gram contamination audit, and the composed end-to-end build.
     "x24_sequence_pack",
     "x26_contamination",
+    "x28_dataset_build",
 ]
 
 
