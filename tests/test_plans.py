@@ -196,3 +196,30 @@ def test_ivf_index_partition_pruning(spark, sf_smoke, tmp_path):
     assert sorted(map(tuple, direct.collect())) == sorted(
         map(tuple, via_lake.collect())
     )
+
+
+def test_pack_and_shuffle_avoid_whole_stratum_windows(spark, sf_smoke):
+    """The two-phase operators must keep their full-data window keyed
+    on the chunk column — a regression to a per-stratum or global
+    window would re-create the hot-task bottleneck the designs exist to
+    avoid — and must close the gap via a broadcast offsets table."""
+    qs = all_queries()
+    pack_plan = _plan(qs["x24_sequence_pack"](spark, sf_smoke))
+    assert "__chunk" in pack_plan  # chunked window key survived
+    assert "BroadcastExchange" in pack_plan  # offsets ride a broadcast
+
+    shuf_plan = _plan(qs["x27_deterministic_shuffle"](spark, sf_smoke))
+    assert "__chunk" in shuf_plan
+    assert "BroadcastExchange" in shuf_plan
+    # the only SinglePartition exchange allowed is the 256-row offsets
+    # aggregate, which sits under the broadcast side
+    main_side = shuf_plan.split("BroadcastExchange")[0]
+    assert "SinglePartition" not in main_side
+
+
+def test_dataset_build_decontamination_is_broadcast_anti(spark, sf_smoke):
+    """x28's decontamination must broadcast the held-out hash set and
+    anti-join — a shuffled anti-join would move the corpus for a
+    dimension-sized filter."""
+    plan = _plan(all_queries()["x28_dataset_build"](spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
