@@ -126,3 +126,20 @@ def n6_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     views within 1 h), batch twin — the streaming form with bounded
     join state is parity-tested in tests/test_streaming.py."""
     return core.view_purchase_join(core.batch_events(spark, sf_dir))
+
+
+@_q(
+    "n7_stream_stream_left_join",
+    """SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+              b.event_id AS buy_id, b.ts AS buy_ts
+       FROM (SELECT * FROM events WHERE event_type = 'view') v
+       LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+         ON v.user_id = b.user_id
+        AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL '1 hour'""",
+)
+def n7_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N: left-outer stream-stream interval join (views with their
+    purchase or null = abandonment), batch twin. The streaming form's
+    null-match emission is watermark-gated; parity over the decided
+    region is asserted in tests/test_streaming.py."""
+    return core.view_purchase_left_join(core.batch_events(spark, sf_dir))

@@ -363,3 +363,42 @@ def view_purchase_join(events: DataFrame, max_lag: str = "1 hour") -> DataFrame:
     return joined.select(
         "user_id", "view_id", "buy_id", "view_ts", "buy_ts", "buy_value"
     )
+
+
+def view_purchase_left_join(events: DataFrame, max_lag: str = "1 hour") -> DataFrame:
+    """Left-outer stream-stream join: every view, with its attributed
+    purchase columns null when no same-user purchase follows within
+    ``max_lag`` (abandonment detection). The outer semantics are where
+    watermarks stop being an optimization and become part of the
+    MEANING: a null match can only be emitted once the purchase-side
+    watermark proves no match can still arrive, so unmatched rows
+    stream out with exactly that delay — and rows inside the final
+    horizon at shutdown are still undecided (the parity test compares
+    the watermark-decided region).
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    buys = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("buy_user"),
+            F.col("event_id").alias("buy_id"),
+            F.col("ts").alias("buy_ts"),
+        )
+        .withWatermark("buy_ts", "2 hours")
+    )
+    joined = views.join(
+        buys,
+        (F.col("user_id") == F.col("buy_user"))
+        & (F.col("buy_ts") >= F.col("view_ts"))
+        & (F.col("buy_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {max_lag}")),
+        "left_outer",
+    )
+    return joined.select("user_id", "view_id", "view_ts", "buy_id", "buy_ts")

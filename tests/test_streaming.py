@@ -146,3 +146,39 @@ def test_stream_stream_join_parity(spark, sf_smoke, tmp_path):
     sink = _drain(spark, stream, tmp_path, "append")
     batch = core.view_purchase_join(core.batch_events(spark, sf_smoke))
     assert _rows(spark.table(sink)) == _rows(batch)
+
+
+def test_stream_stream_left_join_decided_region_parity(spark, sf_smoke, tmp_path):
+    """Inner matches emit eagerly and must match the batch twin
+    exactly; null (abandoned) rows emit only when the watermark proves
+    no match can arrive, so they are compared on the watermark-decided
+    region and must never exceed the batch null set."""
+    stream = core.view_purchase_left_join(core.stream_events(spark, sf_smoke))
+    sink = _drain(spark, stream, tmp_path, "append")
+    got = spark.table(sink).collect()
+    want = core.view_purchase_left_join(
+        core.batch_events(spark, sf_smoke)
+    ).collect()
+
+    def key(r):
+        return (r["user_id"], r["view_id"], r["buy_id"])
+
+    got_matched = sorted(key(r) for r in got if r["buy_id"] is not None)
+    want_matched = sorted(key(r) for r in want if r["buy_id"] is not None)
+    assert got_matched == want_matched
+
+    got_null = {r["view_id"] for r in got if r["buy_id"] is None}
+    want_null = {r["view_id"] for r in want if r["buy_id"] is None}
+    assert got_null <= want_null  # stream never invents an abandonment
+    # decided region: views older than max_ts - watermark - lag are
+    # fully resolved at shutdown and must all have been emitted
+    import datetime
+
+    max_ts = max(r["view_ts"] for r in want)
+    horizon = max_ts - datetime.timedelta(hours=3)
+    want_decided = {
+        r["view_id"]
+        for r in want
+        if r["buy_id"] is None and r["view_ts"] < horizon
+    }
+    assert want_decided <= got_null
