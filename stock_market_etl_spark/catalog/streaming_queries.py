@@ -143,3 +143,21 @@ def n7_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     null-match emission is watermark-gated; parity over the decided
     region is asserted in tests/test_streaming.py."""
     return core.view_purchase_left_join(core.batch_events(spark, sf_dir))
+
+
+@_q(
+    "n8_chained_join_window",
+    """SELECT time_bucket(INTERVAL '1 hour', b.ts) AS win_start,
+              v.user_id, count(*) AS n_attributed
+       FROM (SELECT * FROM events WHERE event_type = 'view') v
+       JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+         ON v.user_id = b.user_id
+        AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL '1 hour'
+       GROUP BY 1, 2""",
+)
+def n8_chained_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N: chained stateful operators — tumbling count of attributed
+    pairs downstream of the stream-stream join, batch twin (the
+    streaming form holds join + window state in one query; parity in
+    tests/test_streaming.py)."""
+    return core.attributed_purchases_hourly(core.batch_events(spark, sf_dir))

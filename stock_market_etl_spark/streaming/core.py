@@ -402,3 +402,26 @@ def view_purchase_left_join(events: DataFrame, max_lag: str = "1 hour") -> DataF
         "left_outer",
     )
     return joined.select("user_id", "view_id", "view_ts", "buy_id", "buy_ts")
+
+
+def attributed_purchases_hourly(events: DataFrame) -> DataFrame:
+    """Chained stateful operators: a tumbling-window count DOWNSTREAM
+    of the stream-stream attribution join — two stateful stages in one
+    streaming query (join state + window state), which Spark only
+    supports with watermarks propagating through the join. The payoff
+    is fusing what would otherwise be two jobs with an intermediate
+    topic/table into one exactly-once pipeline.
+
+    Counts attributed (view→purchase) pairs per user per purchase
+    hour; identical expression runs in batch as the oracle twin.
+    """
+    j = view_purchase_join(events)
+    return (
+        j.groupBy(F.window("buy_ts", "1 hour"), F.col("user_id"))
+        .agg(F.count("*").alias("n_attributed"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "user_id",
+            "n_attributed",
+        )
+    )

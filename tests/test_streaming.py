@@ -182,3 +182,29 @@ def test_stream_stream_left_join_decided_region_parity(spark, sf_smoke, tmp_path
         if r["buy_id"] is None and r["view_ts"] < horizon
     }
     assert want_decided <= got_null
+
+
+def test_chained_join_window_parity(spark, sf_smoke, tmp_path):
+    """Two chained stateful operators drain correctly: every emitted
+    window matches the batch twin, and all windows closed by the final
+    watermark must have been emitted."""
+    import datetime
+
+    stream = core.attributed_purchases_hourly(core.stream_events(spark, sf_smoke))
+    sink = _drain(spark, stream, tmp_path, "append")
+    got = {
+        (r["win_start"], r["user_id"]): r["n_attributed"]
+        for r in spark.table(sink).collect()
+    }
+    batch_rows = core.attributed_purchases_hourly(
+        core.batch_events(spark, sf_smoke)
+    ).collect()
+    want = {(r["win_start"], r["user_id"]): r["n_attributed"] for r in batch_rows}
+    assert set(got) <= set(want)
+    for k, v in got.items():
+        assert v == want[k], k
+    # windows fully closed before the final watermark must all emit
+    max_start = max(k[0] for k in want)
+    horizon = max_start - datetime.timedelta(hours=4)
+    decided = {k for k in want if k[0] < horizon}
+    assert decided <= set(got)
