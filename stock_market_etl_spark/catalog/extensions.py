@@ -585,3 +585,61 @@ def x28_dataset_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return build_training_set(docs)
+
+
+@_q(
+    "x29_pii_redact",
+    r"""SELECT doc_id,
+              CAST(len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0))
+                + len(regexp_extract_all(text,
+                  '\+?[0-9][0-9 -]{7,}[0-9]', 0)) AS BIGINT) AS n_pii,
+              md5(regexp_replace(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g'),
+                  '\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g'))
+                  AS redacted_hash
+       FROM documents""",
+)
+def x29_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/text.py pii_redact): emails/phones →
+    typed placeholders, with an audit count. Scan-side projection, no
+    shuffle; regex parity with RE2 is part of the oracle check (the
+    fixture corpus is PII-free, so redaction behavior itself is
+    unit-tested on injected rows in tests/test_extensions.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text_ops.pii_count(F.col("text")).cast("long").alias("n_pii"),
+        F.md5(text_ops.pii_redact(F.col("text"))).alias("redacted_hash"),
+    )
+
+
+@_q(
+    "x30_repetition_ratio",
+    r"""SELECT doc_id,
+              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                  AS n_tokens,
+              CAST(len(list_distinct(string_split_regex(trim(text), '\s+')))
+                  AS BIGINT) AS n_distinct,
+              round(1.0 - len(list_distinct(string_split_regex(trim(text),
+                  '\s+')))::DOUBLE
+                  / len(string_split_regex(trim(text), '\s+')), 6)
+                  AS rep_ratio
+       FROM documents""",
+)
+def x30_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal (operators/text.py repetition_ratio):
+    1 − distinct/total tokens per document — the Gopher-rule flag for
+    boilerplate and looped spam, next to x3's length/punct/stopword
+    score."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", text_ops.tokens(F.col("text")).alias("__t")
+    )
+    return toks.select(
+        "doc_id",
+        F.size("__t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("__t")).cast("long").alias("n_distinct"),
+        F.round(text_ops.repetition_ratio(F.col("__t")), 6).alias("rep_ratio"),
+    )

@@ -198,3 +198,34 @@ def contamination_check(
             ),
         )
     )
+
+
+#: lookahead-free so Spark's Java regex and DuckDB's RE2 agree
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9 -]{7,}[0-9]"
+
+
+def pii_redact(text_col: Column) -> Column:
+    """C4-style PII scrub: emails then phone-shaped digit runs replaced
+    with typed placeholder tokens. Pure JVM regex — a scan-side
+    projection with no shuffle, which is what lets it run inline in a
+    100 TB ingest pass rather than as its own job."""
+    return F.regexp_replace(
+        F.regexp_replace(text_col, EMAIL_RE, "<EMAIL>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+
+
+def pii_count(text_col: Column) -> Column:
+    """Redaction audit count (emails + phones) for quality dashboards."""
+    return F.size(F.regexp_extract_all(text_col, F.lit(EMAIL_RE), 0)) + F.size(
+        F.regexp_extract_all(text_col, F.lit(PHONE_RE), 0)
+    )
+
+
+def repetition_ratio(tokens_col: Column) -> Column:
+    """Gopher-style repetition signal: 1 − distinct/total tokens.
+    ``tokens_col`` must be a materialized token array (lambda-CSE
+    rule). High values flag boilerplate/spam for quality filtering."""
+    return 1.0 - F.size(F.array_distinct(tokens_col)) / F.size(tokens_col)

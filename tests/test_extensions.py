@@ -250,3 +250,27 @@ def test_contamination_self_overlap_is_total(spark, sf_smoke):
     )  # rewrite every token -> no shared 4-gram
     none = text_ops.contamination_check(other, docs, n=4)
     assert none.filter(F.col("contamination") > 0.0).count() == 0
+
+
+def test_pii_redaction_on_injected_rows(spark):
+    """The fixture corpus is PII-free, so redaction behavior is proven
+    on injected rows: emails and phone-shaped runs become typed
+    placeholders, counts match, clean text is untouched."""
+    from stock_market_etl_spark.operators import text as text_ops
+
+    rows = [
+        (1, "contact bob.smith+x@ex-ample.co.uk for details"),
+        (2, "call +1 555-123 4567 or 555 987 6543 now"),
+        (3, "no personal data here at all"),
+        (4, "mix: a@b.io and 12345678901 together"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id",
+        text_ops.pii_redact(F.col("text")).alias("red"),
+        text_ops.pii_count(F.col("text")).alias("n"),
+    )
+    got = {r["doc_id"]: (r["red"], r["n"]) for r in df.collect()}
+    assert got[1] == ("contact <EMAIL> for details", 1)
+    assert got[2] == ("call <PHONE> or <PHONE> now", 2)
+    assert got[3] == ("no personal data here at all", 0)
+    assert got[4] == ("mix: <EMAIL> and <PHONE> together", 2)
