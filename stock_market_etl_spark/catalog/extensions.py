@@ -592,7 +592,9 @@ def x28_dataset_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""SELECT doc_id,
               CAST(len(regexp_extract_all(text,
                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0))
-                + len(regexp_extract_all(text,
+                + len(regexp_extract_all(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g'),
                   '\+?[0-9][0-9 -]{7,}[0-9]', 0)) AS BIGINT) AS n_pii,
               md5(regexp_replace(regexp_replace(text,
                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',

@@ -113,7 +113,8 @@ def m3_udtf_ohlc_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "m4_grouped_map_zscore",
     """SELECT event_id, user_id,
               round((value - avg(value) OVER (PARTITION BY user_id))
-                    / stddev_samp(value) OVER (PARTITION BY user_id),
+                    / NULLIF(stddev_samp(value)
+                             OVER (PARTITION BY user_id), 0),
                     6) AS zscore
        FROM events""",
 )
@@ -133,11 +134,20 @@ def m4_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         v = pdf["value"].to_numpy()
-        sd = v.std(ddof=1) if len(v) > 1 else float("nan")
         out = pdf[["event_id", "user_id"]].copy()
-        out["zscore"] = np.round((v - v.mean()) / sd, 6)
+        # singleton / zero-variance groups → NULL (not NaN/inf): SQL's
+        # stddev_samp of one row is NULL and the oracle NULLIFs a zero
+        # stddev, so the Python path must agree
+        sd = v.std(ddof=1) if len(v) > 1 else 0.0
+        out["zscore"] = (v - v.mean()) / sd if sd > 0 else None
         return out
 
-    return ev.select("event_id", "user_id", "value").groupBy(
-        "user_id"
-    ).applyInPandas(zscore, "event_id long, user_id long, zscore double")
+    # rounding happens Spark-side: F.round is HALF_UP (away from zero)
+    # like DuckDB's round, while np.round is banker's — a .xxxxxx5
+    # boundary value would hash-mismatch if rounded in numpy
+    return (
+        ev.select("event_id", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(zscore, "event_id long, user_id long, zscore double")
+        .select("event_id", "user_id", F.round("zscore", 6).alias("zscore"))
+    )

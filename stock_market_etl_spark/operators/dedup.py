@@ -1,6 +1,15 @@
 """Deduplication operators for training-data pipelines (SURVEY §2.O):
 exact (hash-groupBy), n-gram Jaccard near-dup, MinHash LSH, SimHash.
 
+Cache lifecycle note: the LSH operators persist() their signature/band
+tables (diamond-shaped plans — each table feeds 2-4 consumers and
+would otherwise recompute per consumer). Spark offers no
+release-on-last-action hook, so the entries live until the session
+LRU-evicts them or the CALLER runs `spark.catalog.clearCache()` /
+`df.unpersist()` between batches (bench.py does; long-lived services
+should too). At 100 TB the same tables are materialized to the lake
+instead, which makes the lifecycle explicit.
+
 Scale design:
 - exact dedup is a single hash aggregation on a 256-bit content hash —
   shuffles only (hash, doc_id) pairs, never the documents;

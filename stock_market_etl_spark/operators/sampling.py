@@ -34,8 +34,15 @@ def _hash_prefix(id_col: Column, salt: str = "") -> Column:
 
 
 def _hex_threshold(fraction: float) -> str:
-    """Cumulative fraction → 4-hex-char comparison threshold."""
-    return format(min(int(fraction * 65536), 65536), "04x")
+    """Cumulative fraction → comparison threshold for the 4-hex-char
+    prefix. Fraction 1.0 must dominate EVERY prefix: format(65536)
+    would be the 5-char '10000', which sorts lexicographically BELOW
+    'ffff' (by first char) and would silently keep ~6% instead of all —
+    so saturation returns 'g', one past the hex alphabet."""
+    n = int(fraction * 65536)
+    if n >= 65536:
+        return "g"
+    return format(n, "04x")
 
 
 def deterministic_split(
@@ -157,11 +164,23 @@ def pack_sequences(
         )
         .select(part_col, "__chunk", "__offset")
     )
+    # eqNullSafe: a NULL stratum is a legitimate group (groupBy and the
+    # naive window both treat it as one) — a plain equi-join would
+    # silently drop those rows
+    off = offsets.select(
+        F.col(part_col).alias("__p2"),
+        F.col("__chunk").alias("__c2"),
+        "__offset",
+    )
     cum_excl = F.col("__local") + F.col("__offset")
     return (
-        local.join(F.broadcast(offsets), [part_col, "__chunk"])
+        local.join(
+            F.broadcast(off),
+            F.col(part_col).eqNullSafe(F.col("__p2"))
+            & F.col("__chunk").eqNullSafe(F.col("__c2")),
+        )
         .withColumn(bin_col, F.floor(cum_excl / F.lit(budget)).cast("long"))
-        .drop("__chunk", "__local", "__offset")
+        .drop("__chunk", "__local", "__offset", "__p2", "__c2")
     )
 
 
@@ -205,14 +224,17 @@ def quota_cap(
             ).alias("__cutoff")
         )
     )
-    survivors = d.join(F.broadcast(cutoffs), group_col).filter(
-        F.col("__chunk") <= F.col("__cutoff")
-    )
+    # eqNullSafe keeps the NULL group (capped like any other) instead
+    # of silently dropping it in the equi-join
+    cut = cutoffs.select(F.col(group_col).alias("__g2"), "__cutoff")
+    survivors = d.join(
+        F.broadcast(cut), F.col(group_col).eqNullSafe(F.col("__g2"))
+    ).filter(F.col("__chunk") <= F.col("__cutoff"))
     w = Window.partitionBy(group_col).orderBy(order_col)
     return (
         survivors.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= cap)
-        .select(*df.columns)  # original column order (join moved the key)
+        .select(*df.columns)  # original columns only (drops helpers)
     )
 
 
@@ -235,7 +257,14 @@ def deterministic_shuffle(
     256-row count table. Dense, gap-free, and identical to the naive
     form; the same two-phase shape as `pack_sequences`.
     """
-    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    # coalesce: a NULL id still deserves a defined position (md5 of
+    # NULL is NULL → NULL chunk → the row would fall out of the join)
+    h = F.md5(
+        F.concat(
+            F.coalesce(F.col(id_col).cast("string"), F.lit("<null-id>")),
+            F.lit(salt),
+        )
+    )
     d = df.withColumn("__h", h).withColumn(
         "__chunk", F.substring(F.col("__h"), 1, 2)
     )

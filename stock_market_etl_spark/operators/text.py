@@ -218,9 +218,14 @@ def pii_redact(text_col: Column) -> Column:
 
 
 def pii_count(text_col: Column) -> Column:
-    """Redaction audit count (emails + phones) for quality dashboards."""
+    """Redaction audit count — exactly the number of placeholders
+    `pii_redact` inserts. Phones are counted on the email-redacted
+    text, not the original: a digit run INSIDE an email address (e.g.
+    ``123456789@example.com``) matches both patterns but produces one
+    placeholder, so counting both on the raw text would overstate."""
+    after_email = F.regexp_replace(text_col, EMAIL_RE, "<EMAIL>")
     return F.size(F.regexp_extract_all(text_col, F.lit(EMAIL_RE), 0)) + F.size(
-        F.regexp_extract_all(text_col, F.lit(PHONE_RE), 0)
+        F.regexp_extract_all(after_email, F.lit(PHONE_RE), 0)
     )
 
 

@@ -164,3 +164,41 @@ def test_deterministic_shuffle_is_permutation(spark, sf_smoke):
     }
     assert sorted(c.values()) == list(range(1, n + 1))
     assert c != a  # a new epoch is a new permutation
+
+
+def test_fraction_one_keeps_everything(spark, sf_smoke):
+    """fraction=1.0 must keep ALL rows of the stratum: the threshold
+    for 65536 must dominate every 4-char hex prefix ('10000' would
+    sort below 'ffff' lexicographically and silently keep ~6%)."""
+    docs = _docs(spark, sf_smoke)
+    n_zh = docs.filter(F.col("lang") == "zh").count()
+    kept = sampling.stratified_sample(
+        docs, {"zh": 1.0}, default_fraction=0.0
+    )
+    assert kept.count() == n_zh
+    # and a zero-weight tail split must receive nothing
+    split = sampling.deterministic_split(
+        docs, {"train": 0.95, "val": 0.05, "test": 0.0}
+    )
+    assert split.filter(F.col("split") == "test").count() == 0
+
+
+def test_null_keys_survive_two_phase_ops(spark):
+    """NULL stratum/group keys are legitimate groups — the two-phase
+    joins must keep them (eqNullSafe), matching the naive window forms
+    that treat NULL as its own partition."""
+    rows = [
+        (1, None, 10), (2, None, 20), (3, "en", 5),
+        (4, "en", 6), (5, None, 30), (6, "de", 7),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    packed = sampling.pack_sequences(df, budget=25, chunk_width=2)
+    assert packed.count() == 6  # no silent row loss
+    null_bins = {
+        r["doc_id"]: r["bin_id"]
+        for r in packed.filter(F.col("lang").isNull()).collect()
+    }
+    assert null_bins == {1: 0, 2: 0, 5: 1}  # cum 0,10,30 over budget 25
+    capped = sampling.quota_cap(df, cap=2, group_col="lang")
+    assert capped.count() == 5  # NULL group capped like any other
+    assert capped.filter(F.col("lang").isNull()).count() == 2
