@@ -55,6 +55,40 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+_UNITS = {"B": 1, "KiB": 1 << 10, "MiB": 1 << 20, "GiB": 1 << 30, "TiB": 1 << 40}
+
+
+def _parse_bytes(s: str) -> float:
+    parts = s.strip().split()
+    try:
+        return float(parts[0]) * _UNITS.get(parts[1] if len(parts) > 1 else "B", 1)
+    except (ValueError, IndexError):
+        return 0.0
+
+
+def _last_exec_shuffle_mb(spark) -> float | None:
+    """Sum of 'shuffle bytes written' across the last SQL execution's
+    exchange nodes, from the SQL status store — measured evidence for
+    the shuffle-economy claims in SCALE.md/PLANS.md. Best-effort: any
+    py4j/version drift degrades to None, never breaks the bench."""
+    try:
+        store = spark._jsparkSession.sharedState().statusStore()
+        execs = store.executionsList()
+        last = execs.apply(execs.size() - 1)
+        vals = store.executionMetrics(last.executionId())
+        total = 0.0
+        it = last.metrics().iterator()
+        while it.hasNext():
+            m = it.next()
+            if m.name() == "shuffle bytes written":
+                v = vals.get(m.accumulatorId())
+                if v.isDefined():
+                    total += _parse_bytes(v.get())
+        return round(total / (1 << 20), 3)
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -79,6 +113,7 @@ def main() -> None:
         _force(queries[name](spark, sf_dir))
 
     timings: dict[str, float] = {}
+    shuffle_mb: dict[str, float] = {}
     for name in BENCH_QUERIES:
         # operators persist() at diamond points; dead cache entries from
         # the previous query otherwise add memory pressure and timing
@@ -87,6 +122,9 @@ def main() -> None:
         t0 = time.perf_counter()
         _force(queries[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        mb = _last_exec_shuffle_mb(spark)
+        if mb is not None:
+            shuffle_mb[name] = mb
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -97,6 +135,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "shuffle_mb": shuffle_mb,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

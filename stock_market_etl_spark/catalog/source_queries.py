@@ -152,3 +152,55 @@ def b2_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = ev.filter(F.col("event_id") <= mid)
     new = ev.filter(F.col("event_id") > mid * 0.5)  # overlaps existing
     return merge_increment(existing, new, keys=("event_id",))
+
+
+@_q(
+    "b7_csv_roundtrip",
+    """SELECT event_id, user_id, event_type, round(value, 6) AS value
+       FROM events""",
+)
+def b7_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6/A (superset): CSV write + schema-declared read back (the
+    reference's dormant dimension-snapshot path,
+    `scripts/ingest_backfill_sp500.py:35-39`, made lossless). CSV has
+    no types, so the read declares an explicit schema instead of
+    double-scanning with inferSchema — the only scale-sane way to read
+    text formats."""
+    import tempfile
+
+    from stock_market_etl_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+    path = tempfile.mkdtemp(prefix="lake_b7_")
+    ev.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string, value double"
+    ).option("header", True).csv(path)
+    return back
+
+
+@_q(
+    "b8_json_roundtrip",
+    """SELECT event_id, user_id, event_type, round(value, 6) AS value
+       FROM events""",
+)
+def b8_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B (superset): JSON-lines write + schema-declared read back —
+    the interchange format the reference's REST sources (A3) would
+    land as. Same explicit-schema discipline as b7 (schema inference
+    on JSON is a full extra pass at 100 TB)."""
+    import tempfile
+
+    from stock_market_etl_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+    path = tempfile.mkdtemp(prefix="lake_b8_")
+    ev.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string, value double"
+    ).json(path)
+    return back
