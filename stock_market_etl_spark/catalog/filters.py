@@ -402,3 +402,29 @@ def i10_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("k").alias("k"),
         (parsed.getField("k") % 10).alias("k_bucket"),
     )
+
+
+@_q(
+    "i11_map_entries",
+    """SELECT k AS key, count(*) AS n_entries,
+              CAST(sum(CAST(json_extract(e.props, '$.' || k) AS INT))
+                   AS BIGINT) AS sum_value
+       FROM events e, unnest(json_keys(e.props)) AS t(k)
+       GROUP BY 1""",
+)
+def i11_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I (superset): MapType surface — semi-structured props parsed to
+    map<string,int>, exploded to (key, value) entries, aggregated per
+    key. The map-column idiom for sparse/ragged attributes at scale
+    (schema stays fixed while keys vary per row); the only nested type
+    the reference lacks entirely."""
+    ev = load_table(spark, sf_dir, "events")
+    entries = ev.select(
+        F.explode(F.from_json("props", "map<string,int>")).alias(
+            "key", "value"
+        )
+    )
+    return entries.groupBy("key").agg(
+        F.count("*").alias("n_entries"),
+        F.sum("value").cast("long").alias("sum_value"),
+    )
