@@ -114,9 +114,9 @@ def e6_dedup_on_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "e7_null_count_audit",
-    """SELECT sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS nulls_user_id,
-              sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS nulls_ts,
-              sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nulls_value
+    """SELECT CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_user_id,
+              CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_ts,
+              CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_value
        FROM events""",
 )
 def e7_null_count_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,12 +214,33 @@ def e12_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("e13_approx_count_distinct")  # no oracle: HLL++ estimate is engine-specific
 def e13_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E13 (superset): approx_count_distinct (HLL++). Estimates differ
-    across engines, so no value oracle; tests assert ≤5% error vs exact
-    (tests/test_operators.py)."""
+    across engines, so no value oracle; the bounded-error gate vs the
+    exact twin (e13b) is tests/test_catalog_oracle.py::
+    test_approx_count_distinct_bounded_error, and e13b gives the
+    operator row its hash-checked entry."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+
+
+@_q(
+    "e13b_exact_count_distinct",
+    """SELECT count(DISTINCT l_orderkey) AS n_orders,
+              count(DISTINCT l_partkey) AS n_parts
+       FROM lineitem""",
+)
+def e13b_exact_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13 exact twin: count(distinct) with a hash oracle — the ground
+    truth e13's HLL++ sketch approximates (and the bounded-error gate's
+    reference). At 100 TB the exact form is the expensive path (distinct
+    expands before it contracts); e13 is the one-pass mergeable
+    sketch."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
     )
 
 

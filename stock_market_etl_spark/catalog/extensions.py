@@ -503,8 +503,8 @@ def x25_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         eg AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 10 >= 8)
         SELECT eg.doc_id,
                COUNT(*) AS n_grams,
-               COALESCE(SUM(CASE WHEN train.g IS NOT NULL THEN 1 END), 0)
-                   AS n_hit,
+               CAST(COALESCE(SUM(CASE WHEN train.g IS NOT NULL THEN 1 END),
+                             0) AS BIGINT) AS n_hit,
                ROUND(COALESCE(SUM(CASE WHEN train.g IS NOT NULL THEN 1 END),
                               0)::DOUBLE / COUNT(*), 6) AS contamination
         FROM eg LEFT JOIN train USING (g)

@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.types import LongType
 
 from stock_market_etl_spark.operators.parallelism import spread
 from stock_market_etl_spark.operators.text import char_shingles
@@ -264,36 +265,49 @@ def minhash_lsh_pairs(
     )
 
 
+@F.pandas_udf(LongType())  # DataType instance: no session needed at import
+def _simhash_vote(hashes: pd.Series) -> pd.Series:
+    """Bit-majority vote over a row's token hashes, vectorized in numpy.
+    Equivalent to 64 sum(±1) aggregates per document (the form this
+    replaced — identical signatures asserted in
+    tests/test_extensions.py::test_simhash_matches_aggregate_form) but
+    one Arrow batch instead of a 64-expression Catalyst tree."""
+    shifts = np.arange(64, dtype=np.uint64)
+    out = np.zeros(len(hashes), dtype=np.int64)
+    for i, arr in enumerate(hashes):
+        a = np.asarray(arr, dtype=np.int64).view(np.uint64)
+        # count of set bits per position; vote = 2*count - n > 0
+        counts = ((a[:, None] >> shifts) & np.uint64(1)).sum(
+            axis=0, dtype=np.int64
+        )
+        sig_bits = (2 * counts - len(a) > 0).astype(np.uint64)
+        out[i] = (sig_bits << shifts).sum(dtype=np.uint64).view(np.int64)
+    return pd.Series(out)
+
+
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """SimHash signatures: per-token 64-bit hashes, bit-majority vote.
 
-    Pure built-in expressions: explode tokens → xxhash64 → per-bit sign
-    aggregation → reassemble signature. One shuffle on the doc id.
+    A document's tokens all come from its own row, so the signature
+    needs NO aggregation across rows: tokens are hashed JVM-side inside
+    a higher-order ``transform`` (xxhash64 per element, no Python in
+    the tokenize/hash path), and the 64-way majority vote runs as one
+    Arrow-batched numpy kernel per row. Entirely narrow — zero
+    shuffles, where the previous explode → groupBy(64 sum aggregates)
+    form paid one shuffle AND seconds of Catalyst analysis on the
+    64-expression tree (see SCALE.md on interpreted-tree cost).
     """
-    toks = spread(df.select(F.col(id_col), F.col(text_col))).select(
+    hashed = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
-    bit_cols = [
-        F.sum(
-            F.when(
-                F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i))
-                != 0,
-                1,
-            ).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(bits)
-    ]
-    votes = toks.groupBy(id_col).agg(*bit_cols)
-    sig = None
-    for i in range(bits):
-        bit = F.when(
-            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
-        sig = bit if sig is None else sig.bitwiseOR(bit)
-    return votes.select(F.col(id_col), sig.alias("simhash"))
+        F.expr(
+            rf"transform(split(trim({text_col}), '\\s+'), t -> xxhash64(t))"
+        ).alias("__hs"),
+    )
+    return hashed.filter(F.col("__hs").isNotNull()).select(
+        F.col(id_col), _simhash_vote("__hs").alias("simhash")
+    )
 
 
 def simhash_near_pairs(

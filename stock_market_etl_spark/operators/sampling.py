@@ -203,8 +203,16 @@ def quota_cap(
     this way all rank > cap (every row of an earlier chunk precedes
     them), so the result is identical to the naive grouped ranking
     while the per-group window input is bounded by
-    cap + rows-in-cutoff-chunk instead of the group's full size."""
-    chunk = (F.col(order_col) / F.lit(chunk_width)).cast("long")
+    cap + rows-in-cutoff-chunk instead of the group's full size.
+
+    A NULL order key maps to the Long.MIN sentinel chunk so those rows
+    rank first — exactly where the naive ranking puts them (Spark's
+    default ORDER BY is NULLS FIRST), instead of NULL failing the
+    cutoff comparison and silently dropping the row."""
+    chunk = F.coalesce(
+        (F.col(order_col) / F.lit(chunk_width)).cast("long"),
+        F.lit(-(1 << 63)).cast("long"),
+    )
     d = df.withColumn("__chunk", chunk)
     cum = F.sum("__n").over(
         Window.partitionBy(group_col)

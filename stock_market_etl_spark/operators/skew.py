@@ -33,7 +33,15 @@ def salted_join(
     to replicate but too big / ineligible to broadcast). Salt is derived
     from a hash of the skewed row's full column set — deterministic, no
     rand() in the plan.
+
+    Only join types where replicated-but-unmatched right rows never
+    reach the output are allowed: right/full-outer would emit each
+    unmatched right row once per salt.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}"
+        )
     salt = F.pmod(
         F.hash(*[F.col(c) for c in skewed.columns]), F.lit(n_salts)
     ).cast("int")
@@ -70,6 +78,18 @@ def two_phase_agg(
     combiners = []
     for name, expr in aggs.items():
         fn_name = expr._jc.toString().lower()
+        # countDistinct/sum_distinct stringify without the DISTINCT flag
+        # and would slip through the count/sum branch, but summing
+        # per-salt distinct aggregates double-counts values seen under
+        # several salts — reject via the expression node's isDistinct.
+        node = getattr(expr._jc, "node", lambda: None)()
+        if (
+            node is not None
+            and getattr(node, "isDistinct", lambda: False)()
+        ) or "distinct" in fn_name:
+            raise ValueError(
+                f"non-decomposable aggregate for two_phase_agg: {name}"
+            )
         if fn_name.startswith(("count", "sum")):
             combiners.append(F.sum(name).alias(name))
         elif fn_name.startswith("min"):

@@ -58,16 +58,17 @@ def cumulative_product(
     """F3: cumulative product per partition (growth curve).
 
     Reference: ``cumprod(1 + daily_return)`` (`scripts/app.py:46-52`).
-    Implemented as exp(sum(log(x))) over a running frame — valid because
-    the factor ``1 + r`` is positive after null-fill; sign-safe inputs
-    could use F.product (Spark ≥3.2) identically.
+    Uses ``F.product`` (Spark ≥3.2) directly — unlike the
+    exp(sum(log(x))) identity it is exact for zero and negative
+    factors (log(x≤0) is NULL, which sum() skips, silently treating
+    the factor as 1).
     """
     w = (
         Window.partitionBy(part_col)
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return F.exp(F.sum(F.log(F.col(value_col))).over(w))
+    return F.product(F.col(value_col)).over(w)
 
 
 def latest_row_per_key(

@@ -83,6 +83,22 @@ def latest_year(serving: DataFrame) -> int | None:
     return row.y
 
 
+def pruned_history(
+    spark: SparkSession, lake_path: str, new_raw: DataFrame
+) -> DataFrame:
+    """Read only the lake partitions whose ticker appears in the new
+    batch: broadcast left-semi join against the batch's distinct keys.
+    No driver-side collect — the prune holds at arbitrary key
+    cardinality, and the broadcast side drives dynamic partition
+    pruning on a ticker=-partitioned lake."""
+    touched = new_raw.select("ticker").distinct()
+    return (
+        spark.read.parquet(lake_path)
+        .join(F.broadcast(touched), "ticker", "left_semi")
+        .select(*new_raw.columns)
+    )
+
+
 def backfill(raw: DataFrame, lake_path: str) -> DataFrame:
     """§3.2: full-history backfill — enrich, gate, write the whole lake
     partitioned on (year, ticker) (B1, reference
@@ -100,18 +116,16 @@ def run_increment(
     lake partitions they touch, re-enrich those series, gate, rewrite.
 
     Window metrics need each series' trailing history, so the re-read is
-    pruned to the touched tickers (partition pruning on the lake's
-    ticker= directories; at 100 TB this is the difference between
-    scanning ~500 partitions and the whole lake). Dynamic partition
-    overwrite (session conf) makes the rewrite idempotent — re-running
-    the same batch converges to the same lake state (O7).
+    pruned to the touched tickers via a broadcast left-semi join against
+    the batch's distinct keys — no driver round-trip, so the prune holds
+    at arbitrary key cardinality, and on the ticker=-partitioned lake
+    the broadcast side drives dynamic partition pruning (at 100 TB this
+    is the difference between scanning ~500 partitions and the whole
+    lake). Dynamic partition overwrite (session conf) makes the rewrite
+    idempotent — re-running the same batch converges to the same lake
+    state (O7).
     """
-    tickers = [r.ticker for r in new_raw.select("ticker").distinct().collect()]
-    existing = (
-        spark.read.parquet(lake_path)
-        .filter(F.col("ticker").isin(tickers))
-        .select(*new_raw.columns)
-    )
+    existing = pruned_history(spark, lake_path, new_raw)
     merged = merge_increment(existing, new_raw)
     metrics = validate(enrich(merged))
     # The rewrite targets the same path the merge reads, so the plan's

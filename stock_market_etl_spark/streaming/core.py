@@ -297,11 +297,21 @@ def upsert_sink(
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # Only a missing lake may fall through to the bootstrap write.
+        # Any other read failure (corrupt file, FS hiccup) must re-raise
+        # so the micro-batch retries — falling through would overwrite
+        # the whole lake with one batch.
+        from pyspark.errors import AnalysisException
+
         try:
             existing = spark.read.parquet(lake_path).select(
                 *batch_df.columns
             )
-        except Exception:
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in (
+                getattr(exc, "getErrorClass", lambda: "")() or str(exc)
+            ) and "Path does not exist" not in str(exc):
+                raise
             existing = None
         if existing is not None:
             merged = merge_increment(existing, batch_df, keys)

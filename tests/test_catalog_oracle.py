@@ -33,6 +33,24 @@ def test_entry_smoke(spark):
     assert len(df.schema.fields) > 0
 
 
+def test_approx_count_distinct_bounded_error(spark):
+    """e13's HLL++ estimates track the exact counts (e13b) within 5%
+    (default rsd is 0.05; both fixture cardinalities are far above the
+    small-cardinality exact regime, so the rsd band is the right
+    bound)."""
+    from stock_market_etl_spark.catalog import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.01"
+    approx = qs["e13_approx_count_distinct"](spark, sf).collect()[0]
+    exact = qs["e13b_exact_count_distinct"](spark, sf).collect()[0]
+    for a, e in (
+        (approx["approx_orders"], exact["n_orders"]),
+        (approx["approx_parts"], exact["n_parts"]),
+    ):
+        assert abs(a - e) <= 0.05 * e, (a, e)
+
+
 def test_approx_percentiles_bounded_error(spark):
     """e16's sketch percentiles track e15's exact ones within ~1% of
     the per-group value range (accuracy=10000 ⇒ rank error ≤ 1e-4; a

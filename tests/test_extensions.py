@@ -95,6 +95,45 @@ def test_simhash_properties(spark, sf_smoke):
     assert joined.filter(F.col("n_sigs") > 1).count() == 0
 
 
+def test_simhash_matches_aggregate_form(spark, sf_smoke):
+    """Differential: the Arrow-batched vote must reproduce, bit for
+    bit, the signatures of the reference 64-sum-aggregate form it
+    replaced (explode tokens → xxhash64 → per-bit ±1 sums)."""
+    docs = load_table(spark, sf_smoke, "documents")
+    fast = {
+        r.doc_id: r.simhash for r in dedup.simhash(docs).collect()
+    }
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("h").bitwiseAND(
+                        F.shiftleft(F.lit(1).cast("long"), i)
+                    )
+                    != 0,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sig = None
+    for i in range(64):
+        bit = F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    slow = {
+        r.doc_id: r.simhash
+        for r in votes.select("doc_id", sig.alias("simhash")).collect()
+    }
+    assert fast == slow
+
+
 def test_simhash_near_pairs_verified(spark, sf_smoke):
     """Every banded candidate pair that survives must truly be within
     the Hamming bound (the verify step is exact)."""

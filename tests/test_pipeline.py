@@ -72,6 +72,20 @@ def _merged_raw(spark, lake, new_batch):
     return new_batch
 
 
+def test_increment_prune_is_broadcast_semi_join(spark, sf_smoke, tmp_path):
+    """The trailing-history prune must compile to a broadcast left-semi
+    join (no driver-side ticker collect, no shuffle of the lake)."""
+    lake = str(tmp_path / "lake")
+    raw = _raw_prices(spark, sf_smoke)
+    pipeline.backfill(raw, lake)
+    pruned = pipeline.pruned_history(
+        spark, lake, raw.filter(F.col("ticker") == "T1")
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_increment_prunes_untouched_tickers(spark, sf_smoke, tmp_path):
     """A batch touching one ticker must not rewrite other tickers'
     partitions (partition-pruned incremental, L4/O1)."""

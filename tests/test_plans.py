@@ -8,6 +8,7 @@ global sort).
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from stock_market_etl_spark.catalog import all_queries
@@ -116,6 +117,20 @@ def test_two_phase_agg_equals_plain_agg(spark, sf_smoke):
     a = sorted((r.event_type, r.n, round(r.s, 6), r.mx) for r in plain.collect())
     b = sorted((r.event_type, r.n, round(r.s, 6), r.mx) for r in salted.collect())
     assert a == b
+
+
+def test_skew_ops_reject_unsound_forms(spark, sf_smoke):
+    """salted_join must refuse join types where the replicated right
+    side leaks unmatched rows once per salt; two_phase_agg must refuse
+    countDistinct (summing per-salt distinct counts double-counts)."""
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "user_id")
+    dim = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    with pytest.raises(ValueError, match="salted_join supports"):
+        skew.salted_join(ev, dim, ["user_id"], how="full_outer")
+    with pytest.raises(ValueError, match="non-decomposable"):
+        skew.two_phase_agg(
+            ev, ["user_id"], {"nd": F.countDistinct("event_id")}
+        )
 
 
 def test_range_join_is_equality_not_cartesian(spark, sf_smoke):

@@ -202,3 +202,25 @@ def test_null_keys_survive_two_phase_ops(spark):
     capped = sampling.quota_cap(df, cap=2, group_col="lang")
     assert capped.count() == 5  # NULL group capped like any other
     assert capped.filter(F.col("lang").isNull()).count() == 2
+
+
+def test_quota_cap_null_order_keys_rank_first(spark):
+    """NULL order keys map to the sentinel chunk and rank FIRST (Spark's
+    default NULLS FIRST), exactly as the naive grouped row_number would —
+    they must not silently fall out of the cutoff comparison."""
+    rows = [
+        (None, "a"), (None, "a"), (1, "a"), (2, "a"),
+        (3, "b"), (None, "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    capped = sampling.quota_cap(df, cap=2, order_col="doc_id")
+    # group a: its two NULLs rank 1-2, displacing ids 1 and 2 entirely;
+    # group b: NULL ranks first, then 3
+    a_rows = capped.filter(F.col("source") == "a").collect()
+    assert len(a_rows) == 2
+    assert all(r["doc_id"] is None for r in a_rows)
+    b_ids = sorted(
+        (r["doc_id"] for r in capped.filter(F.col("source") == "b").collect()),
+        key=lambda x: (x is not None, x),
+    )
+    assert b_ids == [None, 3]
