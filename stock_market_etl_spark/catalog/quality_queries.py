@@ -1,0 +1,225 @@
+"""SURVEY §2 K (quality gates) and §2 L (incremental/upsert/watermark)
+as named, driver-checkable queries.
+
+The K/L machinery itself lives in ``quality.py`` and ``pipeline.py``
+(write barriers, merge helpers) and is exercised end-to-end by
+``tests/test_pipeline.py``; these queries re-express each row as a
+DataFrame so the DuckDB oracle can hash-check the *verdicts* too:
+
+- K1/K2 (schema presence + dtype check, reference
+  `scripts/transform.py:90-101`) audit schema METADATA — the result is
+  data-independent by construction, so its oracle is the pinned
+  expected-verdict literal.
+- K3/K4 (key-null check + gate verdict, reference
+  `scripts/transform.py:104-136`) is one distributed aggregation whose
+  pass/fail bit IS the gate decision.
+- L3 (cross-store dedup before load, reference
+  `scripts/load_stock_metrics.py:76-88`) and L4 (year-range resume,
+  reference `scripts/transform.py:138-148`) compose the pipeline
+  helpers over a serving/batch split of the events fixture.
+
+L1 is covered by e1_global_max_watermark + c4_watermark_filter and L2
+by b2_upsert_merge (see DRIVER_WINDOW.md for the row → query map).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from stock_market_etl_spark.io import load_table
+from stock_market_etl_spark.pipeline import (
+    newer_than_watermark,
+    serving_watermarks,
+)
+from stock_market_etl_spark.quality import dtype_mismatches, missing_columns
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+#: Deliberate contract for the K1/K2 audit: the events table's real
+#: shape plus one missing column (adjusted_close) and one wrong dtype
+#: (value expected string, actually double) so both violation kinds
+#: appear in the audit output.
+_EVENTS_CONTRACT = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("props", T.StringType()),
+        T.StructField("adjusted_close", T.DoubleType()),
+    ]
+)
+
+
+@_q(
+    "k1_schema_contract_audit",
+    """SELECT * FROM (VALUES
+         ('adjusted_close', 'double',    CAST(NULL AS VARCHAR), 'missing'),
+         ('event_id',       'bigint',    'bigint',              'ok'),
+         ('event_type',     'string',    'string',              'ok'),
+         ('props',          'string',    'string',              'ok'),
+         ('ts',             'timestamp', 'timestamp',           'ok'),
+         ('user_id',        'bigint',    'bigint',              'ok'),
+         ('value',          'string',    'double',              'type_mismatch')
+       ) AS t(col_name, expected_type, actual_type, status)""",
+)
+def k1_schema_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1+K2: schema-presence and dtype audit of events against a
+    contract with one missing column and one type drift (reference
+    ``data_quality_checks``, `scripts/transform.py:90-101`).
+
+    Schema audits read table METADATA, not rows — the per-column
+    verdict frame is computed from ``df.schema`` on the driver (the
+    only honest place; there is no distributed work in a schema
+    check) and the oracle pins the expected verdicts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    missing = set(missing_columns(ev, _EVENTS_CONTRACT))
+    drift = dtype_mismatches(ev, _EVENTS_CONTRACT)
+    actual = {f.name: f.dataType.simpleString() for f in ev.schema.fields}
+    rows = []
+    for field in _EVENTS_CONTRACT.fields:
+        name = field.name
+        if name in missing:
+            status, act = "missing", None
+        elif name in drift:
+            status, act = "type_mismatch", drift[name][0]
+        else:
+            status, act = "ok", actual[name]
+        rows.append((name, field.dataType.simpleString(), act, status))
+    schema = T.StructType(
+        [
+            T.StructField("col_name", T.StringType(), False),
+            T.StructField("expected_type", T.StringType(), False),
+            T.StructField("actual_type", T.StringType(), True),
+            T.StructField("status", T.StringType(), False),
+        ]
+    )
+    return spark.createDataFrame(sorted(rows), schema)
+
+
+@_q(
+    "k3_k4_quality_gate",
+    """WITH gated AS (
+         SELECT user_id, ts,
+                CASE WHEN value > 0 THEN value END AS value_checked
+         FROM events
+       )
+       SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_user_id,
+              CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_ts,
+              CAST(sum(CASE WHEN value_checked IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_value_checked,
+              (sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) = 0
+               AND sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) = 0) AS gate_pass
+       FROM gated""",
+)
+def k3_k4_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3+K4: the key-null audit as ONE aggregation whose boolean IS
+    the gate verdict (reference `scripts/transform.py:104-136`; the
+    raising form is ``quality.validate``, tests/test_pipeline.py).
+
+    ``value_checked`` (null where value ≤ 0) adds a genuinely nullable
+    audited column so the null counters are exercised on real nulls,
+    not a constant-zero frame. One job, map-side combined — the same
+    single-aggregation shape ``quality.null_key_counts`` runs.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.when(F.col("value") > 0, F.col("value")).alias("value_checked"),
+    )
+    nulls = {
+        c: F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+        for c in ("user_id", "ts", "value_checked")
+    }
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"), *nulls.values()
+    ).withColumn(
+        "gate_pass",
+        (F.col("nulls_user_id") == 0) & (F.col("nulls_ts") == 0),
+    )
+
+
+@_q(
+    "l3_cross_store_dedup",
+    """WITH base AS (
+         SELECT CAST(user_id AS VARCHAR) AS ticker,
+                CAST(ts AS DATE) AS date, event_id
+         FROM events
+       ),
+       serving AS (SELECT ticker, date FROM base WHERE event_id % 2 = 0),
+       batch   AS (SELECT ticker, date FROM base WHERE event_id % 3 = 0),
+       wm AS (SELECT ticker, max(date) AS latest_date
+              FROM serving GROUP BY ticker)
+       SELECT DISTINCT b.ticker, b.date
+       FROM batch b LEFT JOIN wm ON b.ticker = wm.ticker
+       WHERE wm.latest_date IS NULL OR b.date > wm.latest_date""",
+)
+def l3_cross_store_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: cross-store dedup before serving load — broadcast the
+    per-key watermark table, keep strictly-newer rows, dedup on the key
+    (reference `scripts/load_stock_metrics.py:76-88`; D1+C4+E6
+    composition via ``pipeline.newer_than_watermark``).
+
+    Serving store = even event_ids, incoming batch = every third
+    event_id — overlapping stores so both branches (never-loaded key,
+    newer-than-watermark row) occur. Only key columns are carried, so
+    the dedup is deterministic. The watermark table is one row per key
+    (≤ distinct user_ids) → always broadcast; the batch side never
+    shuffles.
+    """
+    base = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("ticker"),
+        F.to_date("ts").alias("date"),
+        "event_id",
+    )
+    serving = base.filter(F.col("event_id") % 2 == 0).select("ticker", "date")
+    batch = base.filter(F.col("event_id") % 3 == 0).select("ticker", "date")
+    wm = serving_watermarks(serving)
+    return newer_than_watermark(batch, wm).select("ticker", "date")
+
+
+@_q(
+    "l4_year_range_resume",
+    """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders
+       WHERE EXTRACT(year FROM o_orderdate) >= (
+         SELECT CAST(EXTRACT(year FROM max(o_orderdate)) AS INT)
+         FROM orders WHERE EXTRACT(year FROM o_orderdate) <= 1999
+       )""",
+)
+def l4_year_range_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: year-range resume — recompute only years ≥ the serving
+    store's watermark year (reference `scripts/transform.py:138-148`,
+    `scripts/load_stock_metrics.py:100-106`).
+
+    The serving store is simulated as orders loaded through 1999, so
+    the resume filter genuinely prunes (keeps 1999–2001 of the
+    fixture's 1995–2001 span). The watermark is a 1-row aggregate
+    broadcast into the filter; on a year=-partitioned lake
+    (``io.write_partitioned``) the comparison is against the partition
+    column, so the scan is partition-pruned to the resumed years — the
+    100 TB point of L4.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    resume = (
+        orders.filter(F.year("o_orderdate") <= 1999)
+        .agg(F.year(F.max("o_orderdate")).cast("int").alias("resume_year"))
+    )
+    return (
+        orders.join(F.broadcast(resume))
+        .filter(F.year("o_orderdate") >= F.col("resume_year"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    )
