@@ -28,20 +28,61 @@ TABLE_NAMES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table as a DataFrame with engine-canonical types.
+def canon_events_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to session-TZ ``TimestampType``
+    regardless of the physical shape Spark's parquet reader produced.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS, false); Spark has no
-    nanosecond timestamp, so it is read as raw nanos
-    (``nanosAsLong=true``) and truncated to microseconds — identical to
-    what DuckDB's parquet reader does on the oracle side (ns → µs
-    truncation).
+    The fixture's ``events.ts`` is parquet TIMESTAMP(NANOS, false), a
+    type whose Spark mapping has drifted across releases; this is the
+    ONE place all three observed shapes converge on the engine-canonical
+    dtype (asserted by tests/test_env_canary.py):
+
+    - ``bigint`` (legacy ``nanosAsLong=true`` path): raw nanos →
+      truncate to micros, identical to DuckDB's ns→µs truncation on the
+      oracle side.
+    - ``timestamp_ntz`` (Spark 4.1.x default for parquet nanos): cast
+      to TIMESTAMP — value-preserving because the session timezone is
+      pinned UTC (session.py).
+    - ``timestamp``: already canonical.
     """
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        df = df.withColumn(
+            col, F.timestamp_micros(F.expr(f"{col} div 1000"))
+        )
+    elif dt == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def canon_timestamps(df: DataFrame) -> DataFrame:
+    """Cast every ``TIMESTAMP_NTZ`` column to session-TZ ``TIMESTAMP``.
+
+    The fixtures store event/date columns as parquet ``timestamp``
+    with ``isAdjustedToUTC=false``, which Spark 4.1 maps to
+    ``TIMESTAMP_NTZ`` while older readers (and DuckDB on the oracle
+    side) produce plain ``TIMESTAMP`` — the same naive values either
+    way. Under the engine's pinned-UTC session the cast is
+    value-preserving, and downstream code gets ONE dtype to reason
+    about (``unix_micros``, watermarks, and streaming all require
+    ``TIMESTAMP``).
+    """
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table as a DataFrame with engine-canonical
+    types: ``events.ts`` via :func:`canon_events_ts` (handles the
+    bigint-nanos legacy shape too), every other NTZ column via
+    :func:`canon_timestamps`."""
     prepare_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    if name == "events":
+        df = canon_events_ts(df)
+    return canon_timestamps(df)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -126,18 +167,20 @@ def load_jdbc(
     exercisable in this container (no database) — the self-contained
     engine serves the same role via ``spark.table`` on registered views.
     """
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("query", query)
-    )
+    reader = spark.read.format("jdbc").option("url", url)
     if partition_column is not None:
+        # Spark rejects query+partitionColumn together: a partitioned
+        # scan must go through dbtable (each task wraps it in its own
+        # range-predicated SELECT), so wrap the query as a derived table.
         reader = (
-            reader.option("partitionColumn", partition_column)
+            reader.option("dbtable", f"({query}) spark_subq")
+            .option("partitionColumn", partition_column)
             .option("numPartitions", str(num_partitions))
             .option("lowerBound", str(lower_bound))
             .option("upperBound", str(upper_bound))
         )
+    else:
+        reader = reader.option("query", query)
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     return reader.load()

@@ -21,10 +21,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def _micros(ts_col: Column) -> Column:
+    # unix_micros accepts only TIMESTAMP; the cast makes the operator
+    # total over TIMESTAMP_NTZ inputs too (value-preserving under the
+    # engine's pinned-UTC session) and is a no-op on TIMESTAMP.
+    return F.unix_micros(ts_col.cast("timestamp"))
+
+
 def _bin(ts_col: Column, width_us: int) -> Column:
     # exact integer floor-to-multiple (pmod keeps it correct for
     # pre-epoch timestamps too, where `div`/cast would truncate up)
-    micros = F.unix_micros(ts_col)
+    micros = _micros(ts_col)
     return micros - F.pmod(micros, F.lit(width_us))
 
 
@@ -60,7 +67,7 @@ def binned_range_join(
     )
     rb = right.withColumn("__bin", _bin(F.col(right_ts), width_us))
     exact = (
-        F.abs(F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col(right_ts)))
+        F.abs(_micros(F.col(left_ts)) - _micros(F.col(right_ts)))
         <= F.lit(width_us)
     )
     return (

@@ -22,38 +22,29 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from stock_market_etl_spark.pipeline import merge_increment
 
-#: events parquet schema as the stream source sees it (ts is
-#: TIMESTAMP(NANOS) → read as long under nanosAsLong, converted below).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
-def _canon_ts(df: DataFrame) -> DataFrame:
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
-
-
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture. Source offsets (which
     files have been consumed) are tracked by the engine — the streaming
-    analogue of the reference's MAX(date) watermark read (L1)."""
+    analogue of the reference's MAX(date) watermark read (L1).
+
+    File streams require an explicit schema; it is sniffed from ONE
+    batch read of the same path (a footer read, no data scan) instead
+    of being hardcoded, so the stream sees exactly the physical shape
+    the batch reader sees and ``io.canon_events_ts`` normalizes both
+    identically — parquet-nanos type drift (bigint vs timestamp_ntz vs
+    timestamp) cannot desynchronize the stream from its batch twin.
+    """
+    from stock_market_etl_spark.io import canon_events_ts
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .format("parquet")
         # file streams take a directory; select just the events table
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return _canon_ts(raw)
+    return canon_events_ts(raw)
 
 
 def batch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
