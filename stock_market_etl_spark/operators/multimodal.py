@@ -2,9 +2,13 @@
 ``binary`` columns with typed metadata, processed via Arrow-batched
 ``mapInPandas``.
 
-The decode step itself is STUBBED — image/audio codecs are not in this
-container — behind ``decode_image``; everything Spark-side (schema,
-batch iteration, partitioning, UDF signatures) is real and tested.
+``decode_image`` really decodes the self-describing uncompressed
+formats (BMP 24-bit, PPM P6) in pure Python — no codec library needed —
+and ``resize_images`` resamples real pixel grids for those payloads,
+falling back to a deterministic byte-sample for opaque media.
+Compressed codecs (PNG/JPEG/audio/video) remain out of scope for this
+container; the Spark-side plumbing (schema, Arrow batch iteration,
+partitioning, UDF signatures) is identical for them.
 """
 
 from __future__ import annotations
@@ -39,12 +43,136 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Decode an image payload to pixels. STUB: codec libraries are not
-    available in this environment."""
-    raise NotImplementedError(
-        "image decode requires a codec library not present in this container"
+def decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode an image payload to ``(width, height, rgb)`` — rgb is
+    row-major top-down RGB24 (3 bytes/pixel).
+
+    Pure-Python decoders for the two self-describing uncompressed
+    formats (no codec library in this container, none needed):
+
+    - **BMP** (``BM`` magic): BITMAPINFOHEADER, 24-bit, uncompressed.
+      Rows are 4-byte aligned, stored bottom-up (top-down when the
+      header height is negative), BGR byte order.
+    - **PPM** (``P6`` magic): binary RGB, ``#`` comments allowed,
+      maxval ≤ 255.
+
+    Raises ``ValueError`` on any other payload — callers that accept
+    arbitrary media fall back to opaque-bytes handling (resize_images).
+    """
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    raise ValueError("unsupported image format (BMP 24-bit / PPM P6 only)")
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    import struct
+
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if hdr_size < 40 or planes != 1:
+        raise ValueError("unsupported BMP DIB header")
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    top_down = h < 0
+    h = abs(h)
+    row_stride = (w * 3 + 3) & ~3  # rows padded to 4-byte boundary
+    if len(payload) < data_offset + row_stride * h:
+        raise ValueError("truncated BMP pixel data")
+    out = bytearray(w * h * 3)
+    for row in range(h):
+        src_row = row if top_down else h - 1 - row
+        base = data_offset + src_row * row_stride
+        dst = row * w * 3
+        line = payload[base : base + w * 3]
+        # BGR → RGB
+        out[dst : dst + w * 3 : 3] = line[2::3]
+        out[dst + 1 : dst + w * 3 : 3] = line[1::3]
+        out[dst + 2 : dst + w * 3 : 3] = line[0::3]
+    return w, h, bytes(out)
+
+
+def _decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    # header = magic + 3 whitespace-separated ints, '#' comments allowed
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    rgb = payload[pos : pos + w * h * 3]
+    if len(rgb) != w * h * 3:
+        raise ValueError("truncated PPM pixel data")
+    return w, h, rgb
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode row-major top-down RGB24 pixels as an uncompressed 24-bit
+    BMP (the sink-side twin of :func:`decode_image`; also builds the
+    in-repo decode test fixtures)."""
+    import struct
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+    row_stride = (width * 3 + 3) & ~3
+    pad = b"\x00" * (row_stride - width * 3)
+    body = bytearray()
+    for row in range(height - 1, -1, -1):  # bottom-up
+        line = rgb[row * width * 3 : (row + 1) * width * 3]
+        bgr = bytearray(len(line))
+        bgr[0::3] = line[2::3]
+        bgr[1::3] = line[1::3]
+        bgr[2::3] = line[0::3]
+        body += bgr + pad
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
     )
+    return header + bytes(body)
+
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode RGB24 pixels as binary PPM (P6)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
+def resize_rgb(
+    img: tuple[int, int, bytes], width: int, height: int
+) -> bytes:
+    """Nearest-neighbour resample of decoded RGB24 pixels onto a
+    width×height grid (real 2-D geometry, not byte sampling)."""
+    sw, sh, rgb = img
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        sy = (y * sh) // height
+        row_base = sy * sw * 3
+        dst = y * width * 3
+        for x in range(width):
+            sx = (x * sw) // width
+            src = row_base + sx * 3
+            out[dst : dst + 3] = rgb[src : src + 3]
+            dst += 3
+    return bytes(out)
 
 
 def fake_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -115,8 +243,23 @@ def resize_images(
 ) -> DataFrame:
     """Arrow-batched decode→resize over binary payloads (mapInPandas,
     1 row in → 1 row out, fixed-size binary out). Payload bytes never
-    visit the driver; output width is declared in the schema so the
-    downstream feature pipeline can rely on it."""
+    visit the driver; output geometry is declared in the schema so the
+    downstream feature pipeline can rely on it.
+
+    Decodable payloads (BMP/PPM, see :func:`decode_image`) get a real
+    2-D nearest-neighbour resample to RGB24 (``width*height*3`` bytes);
+    opaque payloads fall back to the deterministic byte-sample
+    (``width*height`` bytes) so the operator is total over mixed-media
+    tables — the dispatch happens per row inside the Arrow batch, never
+    on the driver.
+    """
+
+    def one(p) -> bytes:
+        b = bytes(p)
+        try:
+            return resize_rgb(decode_image(b), width, height)
+        except ValueError:
+            return fake_resize(b, width, height)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -125,9 +268,7 @@ def resize_images(
                     "asset_id": pdf["asset_id"],
                     "width": width,
                     "height": height,
-                    "pixels": pdf["payload"].map(
-                        lambda p: fake_resize(bytes(p), width, height)
-                    ),
+                    "pixels": pdf["payload"].map(one),
                 }
             )
 

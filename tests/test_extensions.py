@@ -174,11 +174,12 @@ def test_multimodal_feature_plumbing(spark, sf_smoke):
     assert rows[0].byte_len == len(one.text.encode("utf-8"))
 
 
-def test_decode_stub_raises():
+def test_decode_unsupported_codec_raises():
     import pytest
 
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+    # compressed formats stay out of scope for the pure-Python decoder
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n")
 
 
 def test_ivf_topk_recall(spark, sf_smoke):
@@ -313,3 +314,92 @@ def test_pii_redaction_on_injected_rows(spark):
     assert got[2] == ("call <PHONE> or <PHONE> now", 2)
     assert got[3] == ("no personal data here at all", 0)
     assert got[4] == ("mix: <EMAIL> and <PHONE> together", 2)
+
+
+# --- real image decode (BMP/PPM) behind resize_images --------------------
+
+
+def _checker_rgb(w, h):
+    """Deterministic 2-colour checkerboard RGB24."""
+    out = bytearray()
+    for y in range(h):
+        for x in range(w):
+            out += b"\xff\x00\x00" if (x + y) % 2 == 0 else b"\x00\x00\xff"
+    return bytes(out)
+
+
+def test_decode_bmp_roundtrip():
+    from stock_market_etl_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+    )
+
+    rgb = _checker_rgb(5, 3)  # odd width exercises BMP row padding
+    w, h, back = decode_image(encode_bmp(5, 3, rgb))
+    assert (w, h) == (5, 3)
+    assert back == rgb
+
+
+def test_decode_ppm_roundtrip_and_comments():
+    from stock_market_etl_spark.operators.multimodal import (
+        decode_image,
+        encode_ppm,
+    )
+
+    rgb = _checker_rgb(4, 4)
+    w, h, back = decode_image(encode_ppm(4, 4, rgb))
+    assert (w, h, back) == (4, 4, rgb)
+    # comment lines in the header are legal PPM
+    commented = b"P6\n# fixture\n4 4\n255\n" + rgb
+    assert decode_image(commented) == (4, 4, rgb)
+
+
+def test_decode_rejects_non_images():
+    import pytest as _pytest
+
+    from stock_market_etl_spark.operators.multimodal import decode_image
+
+    for junk in (b"", b"hello world", b"BMnot-a-real-header"):
+        with _pytest.raises(ValueError):
+            decode_image(junk)
+
+
+def test_resize_rgb_geometry():
+    from stock_market_etl_spark.operators.multimodal import resize_rgb
+
+    rgb = _checker_rgb(8, 8)
+    out = resize_rgb((8, 8, rgb), 4, 4)
+    assert len(out) == 4 * 4 * 3
+    # nearest-neighbour of an even checkerboard at stride 2 samples
+    # only (even, even) source pixels → solid red
+    assert out == b"\xff\x00\x00" * 16
+
+
+def test_resize_images_decodes_real_pixels(spark):
+    """Mixed-media asset table through the Spark mapInPandas path:
+    BMP and PPM rows get a real RGB24 resample (w*h*3 bytes), opaque
+    rows fall back to the byte-sample (w*h bytes)."""
+    from pyspark.sql import functions as F
+
+    from stock_market_etl_spark.operators import multimodal as mm
+
+    bmp = mm.encode_bmp(6, 6, _checker_rgb(6, 6))
+    ppm = mm.encode_ppm(3, 5, _checker_rgb(3, 5))
+    rows = [
+        (1, "image/bmp", bytearray(bmp)),
+        (2, "image/x-portable-pixmap", bytearray(ppm)),
+        (3, "text/plain", bytearray(b"just some opaque bytes")),
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary"
+    )
+    out = {
+        r["asset_id"]: r
+        for r in mm.resize_images(assets, width=4, height=4).collect()
+    }
+    assert len(out[1]["pixels"]) == 4 * 4 * 3
+    assert len(out[2]["pixels"]) == 4 * 4 * 3
+    assert len(out[3]["pixels"]) == 4 * 4
+    # decoded path is deterministic: same image twice → same pixels
+    expect = mm.resize_rgb(mm.decode_image(bmp), 4, 4)
+    assert bytes(out[1]["pixels"]) == expect

@@ -47,17 +47,24 @@ def test_session_parity(spark, sf_smoke, tmp_path):
 
 
 def test_dedup_stream_parity(spark, sf_smoke, tmp_path):
+    """Numeric parity beyond row count: the streaming dedup must keep
+    exactly one row per (user_id, ts) and its surviving KEY SET must
+    equal the batch dropDuplicates key set (which row survives per key
+    is arrival-order-dependent in both engines, so event_id is
+    deliberately excluded from the comparison)."""
     stream = core.dedup_stream(core.stream_events(spark, sf_smoke)).select(
         "event_id", "ts", "user_id"
     )
     sink = _drain(spark, stream, tmp_path)
-    n_stream = spark.table(sink).count()
-    n_batch = (
+    got = spark.table(sink)
+    batch_keys = (
         core.batch_events(spark, sf_smoke)
         .dropDuplicates(["user_id", "ts"])
-        .count()
+        .select("user_id", "ts")
     )
-    assert n_stream == n_batch
+    assert _rows(got.select("user_id", "ts")) == _rows(batch_keys)
+    # and the stream emitted no duplicate keys of its own
+    assert got.count() == got.select("user_id", "ts").distinct().count()
 
 
 def test_foreachbatch_upsert_idempotent(spark, sf_smoke, tmp_path):
