@@ -645,3 +645,73 @@ def x30_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct("__t")).cast("long").alias("n_distinct"),
         F.round(text_ops.repetition_ratio(F.col("__t")), 6).alias("rep_ratio"),
     )
+
+
+@_q(
+    "x31_dup_clusters",
+    """WITH RECURSIVE sh AS (
+         SELECT doc_id, lang, n_chars,
+           list_distinct(list_transform(
+             range(1, greatest(length(text) - 2, 0) + 1),
+             i -> substring(text, i, 3))) AS shingles
+         FROM documents),
+       pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sh a JOIN sh b
+           ON a.lang = b.lang AND a.doc_id < b.doc_id
+          AND abs(a.n_chars - b.n_chars) <= 20
+         WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))) >= 0.6),
+       edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       reach(id, r) AS (
+         SELECT a, a FROM edges
+         UNION
+         SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a)
+       SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id""",
+)
+def x31_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: exact Jaccard pairs ≥ 0.6 chained into
+    connected components by iterative min-label propagation
+    (operators/dedup.py connected_components — Hash-Min CC as two
+    shuffles of (id, label) pairs per round). "Keep one per cluster"
+    is then a filter on doc_id == cluster_rep. The DuckDB oracle walks
+    the same graph with a recursive CTE — transitive closure is fine at
+    oracle scale, while the Spark side carries the 100 TB shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.near_dup_clusters(docs, threshold=0.6)
+
+
+@_q(
+    "x32_audio_decode_meta",
+    """SELECT doc_id AS asset_id,
+              8000 AS sample_rate,
+              1 AS n_channels,
+              CAST(floor(octet_length(encode(text)) / 2) AS BIGINT)
+                  AS n_samples,
+              CAST(floor(floor(octet_length(encode(text)) / 2)
+                         * 1000.0 / 8000) AS BIGINT) AS duration_ms
+       FROM documents
+       WHERE octet_length(encode(text)) >= 2""",
+)
+def x32_audio_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode round-trip (operators/multimodal.py decode_audio):
+    WAV payloads are synthesized JVM-side from the documents fixture
+    (text bytes as PCM16 mono @ 8 kHz behind a canonical RIFF header),
+    then REALLY parsed back by the pure-Python RIFF/PCM decoder inside
+    mapInPandas. The decoded geometry must equal the header arithmetic
+    the oracle computes from text length alone; signal stats (rms/peak)
+    are asserted against numpy in tests/test_extensions.py (not
+    SQL-expressible over reinterpreted bytes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = multimodal.audio_features(
+        multimodal.wav_assets_from_documents(docs, sample_rate=8000)
+    )
+    return feats.select(
+        "asset_id",
+        F.col("sample_rate").cast("int"),
+        F.col("n_channels").cast("int"),
+        "n_samples",
+        "duration_ms",
+    )

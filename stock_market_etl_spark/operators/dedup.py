@@ -365,3 +365,99 @@ def simhash_near_pairs(
     return cand.select(
         "id_a", "id_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair graph → one row per
+    node: ``(id, cluster_rep)`` where ``cluster_rep`` is the minimum id
+    reachable from the node. The dedup use: every near-duplicate pair
+    chains into a cluster, and "keep one doc per cluster" becomes a
+    plain ``filter(id == cluster_rep)``.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbours' labels; converges
+    in O(component diameter) rounds (near-dup clusters are shallow;
+    the cap is a runaway guard, not a tuning knob). This is the
+    DataFrame-native form of the Hash-Min map-reduce CC algorithm;
+    at 100 TB scale each round is two shuffles (a key join and a
+    groupBy-min) on (id, label) pairs only — no payloads — and
+    ``localCheckpoint`` truncates the growing lineage each round so
+    plan size stays constant.
+
+    The reference has no graph/dedup-cluster operator (its dedup is the
+    per-key watermark merge, `scripts/load_stock_metrics.py:76-88`);
+    this is engine superset for training-data pipelines.
+    """
+    spark = pairs.sparkSession
+    # undirected: propagate both ways
+    edges = (
+        pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(pairs.select(F.col(dst_col), F.col(src_col)))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy(edges["a"].alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations — component diameter exceeds the cap"
+        )
+    return labels.select("id", F.col("label").alias("cluster_rep"))
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate clusters: exact Jaccard pairs above ``threshold``
+    chained into connected components. Returns ``(doc_id, cluster_rep)``
+    for every document that participates in at least one near-dup pair;
+    documents absent from the output are singletons.
+
+    At 100 TB the pair source swaps to ``minhash_lsh_pairs`` (banded
+    LSH candidates) with identical downstream clustering — the cluster
+    step only ever sees (id, id) pairs either way.
+    """
+    pairs = jaccard_pairs(df, text_col=text_col, id_col=id_col).filter(
+        F.col("jaccard") >= threshold
+    )
+    return connected_components(pairs).select(
+        F.col("id").alias(id_col), "cluster_rep"
+    )

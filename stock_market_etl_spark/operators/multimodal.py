@@ -2,13 +2,15 @@
 ``binary`` columns with typed metadata, processed via Arrow-batched
 ``mapInPandas``.
 
-``decode_image`` really decodes the self-describing uncompressed
-formats (BMP 24-bit, PPM P6) in pure Python — no codec library needed —
-and ``resize_images`` resamples real pixel grids for those payloads,
-falling back to a deterministic byte-sample for opaque media.
-Compressed codecs (PNG/JPEG/audio/video) remain out of scope for this
-container; the Spark-side plumbing (schema, Arrow batch iteration,
-partitioning, UDF signatures) is identical for them.
+The uncompressed self-describing formats are REALLY decoded in pure
+Python — no codec library needed: ``decode_image`` (BMP 24-bit,
+PPM P6) feeds real pixel grids to ``resize_images``, and
+``decode_audio`` (RIFF/WAVE PCM16) feeds real samples to
+``audio_features``; opaque media falls back to deterministic
+byte-level stand-ins. Compressed codecs (PNG/JPEG/MP3/video) remain
+out of scope for this container; the Spark-side plumbing (schema,
+Arrow batch iteration, partitioning, UDF signatures) is identical for
+them.
 """
 
 from __future__ import annotations
@@ -327,3 +329,184 @@ def extract_features(assets: DataFrame, dim: int = 8) -> DataFrame:
             )
 
     return assets.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+# --- audio: RIFF/WAVE PCM decode (pure Python, no codec library) ---------
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def decode_audio(payload: bytes) -> tuple[int, int, "object"]:
+    """Decode a RIFF/WAVE PCM16 payload to
+    ``(sample_rate, n_channels, samples)`` — samples is a numpy int16
+    array, channel-interleaved as stored.
+
+    Walks the RIFF chunk list (fmt/data chunks may be preceded by
+    LIST/fact chunks), accepts only audio format 1 (integer PCM) at 16
+    bits. Raises ``ValueError`` otherwise — compressed audio stays out
+    of scope like compressed images."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_channels, sample_rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError("only 16-bit integer PCM supported")
+    samples = np.frombuffer(data[: len(data) & ~1], dtype="<i2")
+    return sample_rate, n_channels, samples
+
+
+def encode_wav(
+    sample_rate: int, n_channels: int, samples: "object"
+) -> bytes:
+    """Encode int16 samples (channel-interleaved) as a canonical
+    RIFF/WAVE PCM16 payload — sink-side twin of :func:`decode_audio`."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    block = n_channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, sample_rate * block, block, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+
+
+def audio_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction over WAV payloads
+    (mapInPandas): per asset — sample geometry (rate, channels, count,
+    duration) plus signal stats (RMS, absolute peak), all computed
+    vectorized in numpy inside the batch. Non-WAV payloads are skipped
+    (0 output rows for them), so the operator is total over mixed-media
+    asset tables."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in AUDIO_FEATURE_SCHEMA.fields}
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    rate, ch, samples = decode_audio(bytes(p))
+                except ValueError:
+                    continue
+                n = int(samples.size // ch) if ch else 0
+                x = samples.astype(np.float64)
+                out["asset_id"].append(aid)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(ch)
+                out["n_samples"].append(n)
+                # integer floor, not round(): Python rounds half-to-even
+                # while SQL engines round half-away — floor is the one
+                # cross-engine-stable choice (catalog x32 oracle)
+                out["duration_ms"].append(n * 1000 // rate if rate else 0)
+                out["rms"].append(
+                    round(float(np.sqrt(np.mean(x * x))), 6)
+                    if samples.size
+                    else 0.0
+                )
+                out["peak"].append(
+                    int(np.max(np.abs(x))) if samples.size else 0
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(out["asset_id"], dtype="int64"),
+                    "sample_rate": pd.Series(out["sample_rate"], dtype="int32"),
+                    "n_channels": pd.Series(out["n_channels"], dtype="int32"),
+                    "n_samples": pd.Series(out["n_samples"], dtype="int64"),
+                    "duration_ms": pd.Series(out["duration_ms"], dtype="int64"),
+                    "rms": pd.Series(out["rms"], dtype="float64"),
+                    "peak": pd.Series(out["peak"], dtype="int32"),
+                }
+            )
+
+    return assets.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def wav_assets_from_documents(docs: DataFrame, sample_rate: int = 8000) -> DataFrame:
+    """Derive a WAV asset table from the documents fixture: the UTF-8
+    text bytes reinterpreted as PCM16 mono samples and wrapped in a
+    canonical 44-byte WAV header — deterministic real-codec fixtures at
+    any scale, built JVM-side (concat/encode builtins, no Python in the
+    payload path).
+
+    The geometry is then pure arithmetic on text length (n_samples =
+    floor(octet_length(text)/2)), which is what makes the decode
+    round-trip DuckDB-oracle-checkable (catalog x32)."""
+    # PCM body = text bytes truncated to whole int16 samples
+    pcm = F.expr(
+        "substring(encode(text, 'UTF-8'), 1, "
+        "CAST(2 * floor(octet_length(encode(text, 'UTF-8')) / 2) AS INT))"
+    )
+    n_bytes = F.octet_length(pcm)
+    block = sample_rate * 2
+    header = F.concat(
+        F.lit(b"RIFF"),
+        _le32(n_bytes + 36),
+        F.lit(b"WAVEfmt "),
+        _le32(F.lit(16)),
+        F.lit(
+            (1).to_bytes(2, "little")
+            + (1).to_bytes(2, "little")
+            + sample_rate.to_bytes(4, "little")
+            + block.to_bytes(4, "little")
+            + (2).to_bytes(2, "little")
+            + (16).to_bytes(2, "little")
+        ),
+        F.lit(b"data"),
+        _le32(n_bytes),
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("audio/wav").alias("media_type"),
+        F.concat(header, pcm).alias("payload"),
+    )
+
+
+def _le32(col) -> "F.Column":
+    """Little-endian uint32 bytes of an int column, built JVM-side via
+    unhex of byte-swapped hex (chr/concat on strings would corrupt
+    bytes ≥ 0x80 under UTF-8)."""
+    hexed = F.lpad(F.hex(col.cast("long")), 8, "0")
+    return F.unhex(
+        F.concat(
+            F.substring(hexed, 7, 2),
+            F.substring(hexed, 5, 2),
+            F.substring(hexed, 3, 2),
+            F.substring(hexed, 1, 2),
+        )
+    )

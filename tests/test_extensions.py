@@ -403,3 +403,115 @@ def test_resize_images_decodes_real_pixels(spark):
     # decoded path is deterministic: same image twice → same pixels
     expect = mm.resize_rgb(mm.decode_image(bmp), 4, 4)
     assert bytes(out[1]["pixels"]) == expect
+
+
+# --- near-dup clustering (connected components) --------------------------
+
+
+def test_connected_components_chain(spark):
+    """A 6-node chain (diameter 5) plus an isolated pair must converge
+    to two clusters, each labeled by its minimum id — exercises
+    multi-round label propagation, not just one hop."""
+    from stock_market_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["cluster_rep"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_diameter_cap(spark):
+    import pytest
+
+    from stock_market_etl_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=2)
+
+
+def test_near_dup_clusters_keep_one(spark, sf_smoke):
+    """End-to-end dedup decision: one kept doc per cluster, and kept +
+    dropped partitions the clustered docs."""
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators.dedup import near_dup_clusters
+
+    docs = load_table(spark, sf_smoke, "documents")
+    clusters = near_dup_clusters(docs, threshold=0.6)
+    n_docs = clusters.count()
+    n_clusters = clusters.select("cluster_rep").distinct().count()
+    kept = clusters.filter("doc_id = cluster_rep")
+    assert kept.count() == n_clusters
+    assert 0 < n_clusters < n_docs  # real merging happened
+    # every cluster_rep is a member of its own cluster
+    assert clusters.filter("cluster_rep = doc_id").count() == n_clusters
+
+
+# --- real audio decode (RIFF/WAVE PCM16) ---------------------------------
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    import numpy as np
+
+    sig = (np.sin(np.linspace(0, 40 * np.pi, 1600)) * 12000).astype("<i2")
+    rate, ch, back = multimodal.decode_audio(multimodal.encode_wav(8000, 1, sig))
+    assert (rate, ch) == (8000, 1)
+    assert np.array_equal(back, sig)
+    stereo = np.stack([sig, -sig], axis=1).reshape(-1)
+    rate, ch, back = multimodal.decode_audio(
+        multimodal.encode_wav(44100, 2, stereo)
+    )
+    assert (rate, ch) == (44100, 2)
+    assert np.array_equal(back, stereo)
+
+
+def test_wav_decode_skips_extra_chunks():
+    """RIFF files in the wild carry LIST/fact chunks before data —
+    the chunk walker must skip them."""
+    import struct
+
+    import numpy as np
+
+    sig = np.arange(-50, 50, dtype="<i2")
+    wav = multimodal.encode_wav(8000, 1, sig)
+    # splice a LIST chunk between fmt and data
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 6) + b"INFOab"
+    patched = wav[:fmt_end] + extra + wav[fmt_end:]
+    rate, ch, back = multimodal.decode_audio(patched)
+    assert (rate, ch) == (8000, 1)
+    assert np.array_equal(back, sig)
+
+
+def test_audio_features_against_numpy(spark):
+    """Spark-path audio features must equal numpy computed on the
+    driver from the same samples; non-WAV rows are skipped."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    sig = rng.integers(-20000, 20000, size=4001, dtype=np.int64).astype("<i2")
+    wav = multimodal.encode_wav(16000, 1, sig)
+    rows = [
+        (1, "audio/wav", bytearray(wav)),
+        (2, "text/plain", bytearray(b"not audio at all")),
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary"
+    )
+    out = multimodal.audio_features(assets).collect()
+    assert [r["asset_id"] for r in out] == [1]
+    r = out[0]
+    x = sig.astype(np.float64)
+    assert r["sample_rate"] == 16000
+    assert r["n_channels"] == 1
+    assert r["n_samples"] == 4001
+    assert r["duration_ms"] == 4001 * 1000 // 16000
+    assert r["rms"] == round(float(np.sqrt(np.mean(x * x))), 6)
+    assert r["peak"] == int(np.max(np.abs(x)))
