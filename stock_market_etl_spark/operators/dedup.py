@@ -34,15 +34,25 @@ from stock_market_etl_spark.operators.text import char_shingles
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Exact dedup on content hash, keeping the lowest id per group
-    (deterministic, unlike dropDuplicates)."""
+    """Exact dedup on content hash, keeping the lowest-id row per group
+    (deterministic, unlike dropDuplicates).
+
+    Plan choice: ``min_by(struct(row), id)`` aggregate rather than a
+    window over ``content_hash`` — the aggregate gets a map-side
+    partial combine, so duplicates collapse inside each input
+    partition and the exchange carries ≤ one candidate row per (hash,
+    partition); the window form would shuffle EVERY input row
+    (payload included) to its hash partition first. At 100 TB dedup
+    input that difference is the job. Column order is preserved."""
     hashed = df.withColumn("content_hash", F.sha2(F.col(text_col), 256))
-    w = Window.partitionBy("content_hash")
+    payload = [c for c in hashed.columns if c != "content_hash"]
     return (
-        hashed.withColumn("keep_id", F.min(id_col).over(w))
-        .withColumn("n_copies", F.count("*").over(w))
-        .filter(F.col(id_col) == F.col("keep_id"))
-        .drop("keep_id")
+        hashed.groupBy("content_hash")
+        .agg(
+            F.min_by(F.struct(*payload), F.col(id_col)).alias("__keep"),
+            F.count("*").alias("n_copies"),
+        )
+        .select(*[f"__keep.{c}" for c in payload], "content_hash", "n_copies")
     )
 
 

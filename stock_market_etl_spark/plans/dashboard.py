@@ -123,16 +123,26 @@ def latest_snapshot(
     tiebreak: str,
 ) -> DataFrame:
     """`latest-per-ticker snapshot` (reference `scripts/app.py:75-97`):
-    dimension join + ROW_NUMBER() OVER (PARTITION BY key ORDER BY time
-    DESC) = 1. The dimension side broadcasts (≤503 rows in the
-    reference)."""
-    w = Window.partitionBy(fact_key).orderBy(
-        F.col(time).desc(), F.col(tiebreak).desc()
-    )
+    latest fact row per key joined to the (broadcast) dimension.
+
+    Plan choice: ``max_by(struct(cols), struct(time, tiebreak))``
+    instead of ROW_NUMBER() — the aggregate form gets a map-side
+    partial combine, so the exchange carries ≤ one row per (key,
+    input partition) while the window form must shuffle and SORT the
+    entire fact table first. Same deterministic row (lexicographic
+    struct max ≡ ORDER BY time DESC, tiebreak DESC LIMIT 1); the
+    ROW_NUMBER pattern itself stays demonstrated as §2.F4
+    (catalog/windows.py f4_latest_row_per_key). The dimension side
+    broadcasts (≤503 rows in the reference)."""
+    payload = [c for c in fact.columns if c != fact_key]
     latest = (
-        fact.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        fact.groupBy(fact_key)
+        .agg(
+            F.max_by(
+                F.struct(*payload), F.struct(time, tiebreak)
+            ).alias("__latest")
+        )
+        .select(fact_key, "__latest.*")
     )
     return latest.join(
         F.broadcast(dim), latest[fact_key] == dim[dim_key], "inner"

@@ -238,3 +238,15 @@ def test_dataset_build_decontamination_is_broadcast_anti(spark, sf_smoke):
     dimension-sized filter."""
     plan = _plan(all_queries()["x28_dataset_build"](spark, sf_smoke))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_latest_snapshot_is_partial_agg_not_window(spark, sf_smoke):
+    """q_latest_snapshot must compile to a map-side-combined max_by
+    aggregate (exchange carries ≤ keys×partitions rows) and a broadcast
+    dim join — NOT the ROW_NUMBER window form, which would shuffle and
+    sort the whole fact table (that pattern lives in §2.F4 only)."""
+    plan = _plan(all_queries()["q_latest_snapshot"](spark, sf_smoke))
+    assert "max_by" in plan
+    assert "partial_max_by" in plan or "Partial" in plan  # map-side combine
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
