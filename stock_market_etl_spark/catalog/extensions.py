@@ -715,3 +715,42 @@ def x32_audio_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples",
         "duration_ms",
     )
+
+
+@_q(
+    "x33_tfidf_topk",
+    r"""WITH toks AS (
+         SELECT doc_id,
+                unnest(string_split_regex(trim(text), '\s+')) AS term
+         FROM documents),
+       tc AS (SELECT doc_id, term, count(*) AS tf_count
+              FROM toks GROUP BY doc_id, term),
+       dl AS (SELECT doc_id, sum(tf_count) AS doc_len
+              FROM tc GROUP BY doc_id),
+       dfc AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
+       n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+       scored AS (
+         SELECT tc.doc_id, tc.term,
+                (tf_count / doc_len) * (ln((n_docs + 1) / (df + 1)) + 1)
+                    AS tfidf
+         FROM tc JOIN dl USING (doc_id) JOIN dfc USING (term), n),
+       ranked AS (
+         SELECT doc_id, term, tfidf,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rank
+         FROM scored)
+       SELECT doc_id, CAST(rank AS INT) AS rank, term,
+              round(tfidf, 6) AS tfidf
+       FROM ranked WHERE rank <= 3""",
+)
+def x33_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (operators/text.py tfidf_topk):
+    smoothed idf, deterministic term tiebreak. Corpus statistics stay
+    distributed — term counts combine map-side, the vocabulary df/idf
+    table broadcasts, and N rides a 1-row broadcast — the keyword-
+    extraction shape a 100 TB corpus labeler needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text_ops.tfidf_topk(docs, k=3)
+    return out.select(
+        "doc_id", F.col("rank").cast("int"), "term", "tfidf"
+    )

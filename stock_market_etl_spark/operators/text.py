@@ -234,3 +234,68 @@ def repetition_ratio(tokens_col: Column) -> Column:
     ``tokens_col`` must be a materialized token array (lambda-CSE
     rule). High values flag boilerplate/spam for quality filtering."""
     return 1.0 - F.size(F.array_distinct(tokens_col)) / F.size(tokens_col)
+
+
+def tfidf_topk(
+    docs,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Top-``k`` TF-IDF terms per document.
+
+    tf = term count / doc token count; idf = ln((N+1)/(df+1)) + 1
+    (smoothed, sklearn-style); ties broken by term string so the
+    result is deterministic and oracle-hashable.
+
+    Scale shape: one explode → groupBy(doc, term) with map-side
+    combine; per-doc totals arrive co-partitioned (the groupBy(doc)
+    output reuses the (doc, term) partitioning's prefix); the
+    vocabulary-level df/idf table is dimension-sized and BROADCAST
+    back onto the term stream; final top-k is a bounded per-doc
+    window (rows per doc ≤ distinct terms). No driver-side state —
+    N (corpus size) rides a 1-row broadcast crossJoin.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    term_counts = toks.groupBy(id_col, "term").agg(
+        F.count("*").alias("tf_count")
+    )
+    doc_totals = term_counts.groupBy(id_col).agg(
+        F.sum("tf_count").alias("doc_len")
+    )
+    df_counts = term_counts.groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    n_docs = docs.select(
+        F.count("*").cast("double").alias("n_docs")
+    )
+    scored = (
+        term_counts.join(doc_totals, id_col)
+        .join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("tf_count") / F.col("doc_len"))
+            * (
+                F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+                + F.lit(1.0)
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "rank",
+            "term",
+            F.round("tfidf", 6).alias("tfidf"),
+        )
+    )
