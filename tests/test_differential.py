@@ -193,3 +193,56 @@ def test_random_pack_matches_duckdb(spark, docs_con, budget, chunk_width):
         ).fetchall()
     )
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_nodes=st.integers(min_value=2, max_value=40),
+    n_edges=st.integers(min_value=1, max_value=80),
+)
+def test_random_graph_components_match_duckdb(spark, seed, n_nodes, n_edges):
+    """connected_components on random graphs (cycles, self-loops,
+    multi-edges, star+chain mixes) must agree with DuckDB's
+    recursive-CTE transitive closure — the hand-written tests cover
+    chains; this fuzzes every other topology."""
+    import random
+
+    from stock_market_etl_spark.operators.dedup import connected_components
+
+    rng = random.Random(seed)
+    edges = [
+        (rng.randrange(n_nodes), rng.randrange(n_nodes))
+        for _ in range(n_edges)
+    ]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        (r["id"], r["cluster_rep"])
+        for r in connected_components(pairs, max_iterations=n_nodes + 1).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pairs (id_a BIGINT, id_b BIGINT)")
+    con.executemany("INSERT INTO pairs VALUES (?, ?)", edges)
+    want = set(
+        map(
+            tuple,
+            con.execute(
+                """WITH RECURSIVE
+                 edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                           UNION SELECT id_b, id_a FROM pairs),
+                 reach(id, r) AS (
+                   SELECT a, a FROM edges
+                   UNION
+                   SELECT reach.id, e.b FROM reach JOIN edges e
+                     ON reach.r = e.a)
+               SELECT id, min(r) FROM reach GROUP BY id"""
+            ).fetchall(),
+        )
+    )
+    con.close()
+    assert got == want
