@@ -754,3 +754,37 @@ def x33_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.col("rank").cast("int"), "term", "tfidf"
     )
+
+
+@_q(
+    "x34_bm25_topk",
+    r"""WITH toks AS (
+         SELECT doc_id,
+                unnest(string_split_regex(trim(text), '\s+')) AS term
+         FROM documents),
+       dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       stats AS (SELECT avg(dl) AS avgdl FROM dl),
+       n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term IN ('vector', 'hash', 'spark')
+              GROUP BY doc_id, term),
+       dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       scored AS (
+         SELECT tf.doc_id,
+                ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                * (tf * 2.2)
+                / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+                    AS term_score
+         FROM tf JOIN dl USING (doc_id) JOIN dfc USING (term), stats, n)
+       SELECT doc_id, round(sum(term_score), 6) AS bm25
+       FROM scored GROUP BY doc_id
+       ORDER BY bm25 DESC, doc_id LIMIT 10""",
+)
+def x34_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a fixed bag-of-words query (operators/text.py
+    bm25_topk, k1=1.2 b=0.75, Lucene-smoothed idf): the retrieval
+    workload over the corpus — query-term filter prunes the token
+    stream before any aggregation, corpus stats broadcast, top-k
+    compiles to TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.bm25_topk(docs, ["vector", "hash", "spark"], k=10)

@@ -299,3 +299,67 @@ def tfidf_topk(
             F.round("tfidf", 6).alias("tfidf"),
         )
     )
+
+
+def bm25_topk(
+    docs,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Top-``k`` documents for a bag-of-words query under BM25
+    (Robertson/Okapi; the Lucene-style smoothed idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` so scores stay positive).
+
+    Scale shape: the query-term filter lands directly on the exploded
+    token stream (tiny IN-list → pushed predicate), so only matching
+    tokens are aggregated; per-doc lengths come from one full-corpus
+    count whose join arrives co-partitioned on the doc key; df counts
+    and avgdl are dimension-/scalar-sized broadcasts; the final top-k
+    is a TakeOrderedAndProject, never a global sort.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    doc_len = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    avgdl = doc_len.agg(F.avg("dl").alias("avgdl"))
+    n_docs = docs.select(F.count("*").cast("double").alias("n_docs"))
+
+    q = toks.filter(F.col("term").isin(query_terms))
+    tf = q.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    scored = (
+        tf.join(doc_len, id_col)
+        .join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(avgdl))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+    )
