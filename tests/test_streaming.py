@@ -273,3 +273,59 @@ def test_checkpoint_resume_processes_only_new_files(spark, sf_smoke, tmp_path):
         for r in batch.groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
     assert totals == expect  # no loss, no double-count across the resume
+
+
+def test_multi_microbatch_state_carries(spark, sf_smoke, tmp_path):
+    """State must carry across micro-batches, not just within one:
+    the source is split into three time-ordered files and drained with
+    maxFilesPerTrigger=1, so the tumbling aggregation runs as three
+    successive stateful batches (watermark advancing between them).
+    Time-ordered splits mean nothing arrives late, so the final state
+    must equal the single-batch twin exactly."""
+    import glob
+    import shutil
+    import uuid
+
+    from stock_market_etl_spark.io import canon_events_ts
+
+    batch = core.batch_events(spark, sf_smoke).withColumn(
+        "__us", F.unix_micros("ts")
+    )
+    bounds = batch.approxQuantile("__us", [0.33, 0.66], 0.0)
+    src = tmp_path / "ordered"
+    src.mkdir()
+
+    def land(df, name):
+        stage = tmp_path / f"st_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        shutil.move(
+            glob.glob(str(stage / "part-*.parquet"))[0], str(src / name)
+        )
+
+    land(batch.filter(F.col("__us") <= bounds[0]).drop("__us"), "t0.parquet")
+    land(
+        batch.filter(
+            (F.col("__us") > bounds[0]) & (F.col("__us") <= bounds[1])
+        ).drop("__us"),
+        "t1.parquet",
+    )
+    land(batch.filter(F.col("__us") > bounds[1]).drop("__us"), "t2.parquet")
+
+    schema = spark.read.parquet(str(src / "t0.parquet")).schema
+    stream = core.tumbling_counts(
+        canon_events_ts(
+            spark.readStream.schema(schema)
+            .format("parquet")
+            # one file per micro-batch → three stateful batches; file
+            # source orders by modification time, and the landing order
+            # above is the time order
+            .option("maxFilesPerTrigger", "1")
+            .load(str(src))
+        )
+    )
+    name = f"mb_{uuid.uuid4().hex[:8]}"
+    core.run_available_now(
+        stream, name, str(tmp_path / "mb_ckpt"), output_mode="complete"
+    )
+    want = core.tumbling_counts(batch.drop("__us"))
+    assert _rows(spark.table(name)) == _rows(want)
