@@ -48,6 +48,13 @@ BENCH_QUERIES = [
     "x24_sequence_pack",
     "x26_contamination",
     "x28_dataset_build",
+    # r04 additions: keyword extraction / retrieval, audio decode
+    # round-trip, and LSH-sourced near-dup clustering (the scale path;
+    # the exact x31 twin is quadratic-by-design and stays oracle-only).
+    "x33_tfidf_topk",
+    "x34_bm25_topk",
+    "x32_audio_decode_meta",
+    "x35_dup_clusters_lsh",
 ]
 
 

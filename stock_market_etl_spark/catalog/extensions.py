@@ -788,3 +788,15 @@ def x34_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     compiles to TakeOrderedAndProject."""
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.bm25_topk(docs, ["vector", "hash", "spark"], k=10)
+
+
+@_q("x35_dup_clusters_lsh")
+def x35_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering over banded MinHash LSH candidates — the
+    100 TB path (x31's exact-Jaccard pair source is quadratic within
+    blocks and quarantined as the small-sf oracle, exactly like
+    x7 vs x10). Bucket-equality candidate generation + Hash-Min CC;
+    approximate by the MinHash S-curve → rows-only, cluster-agreement
+    vs the exact form asserted in tests/test_extensions.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.near_dup_clusters(docs, threshold=0.5, source="lsh")

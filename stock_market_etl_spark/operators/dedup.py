@@ -455,19 +455,34 @@ def near_dup_clusters(
     threshold: float = 0.6,
     text_col: str = "text",
     id_col: str = "doc_id",
+    source: str = "exact",
 ) -> DataFrame:
-    """Near-duplicate clusters: exact Jaccard pairs above ``threshold``
-    chained into connected components. Returns ``(doc_id, cluster_rep)``
-    for every document that participates in at least one near-dup pair;
-    documents absent from the output are singletons.
+    """Near-duplicate clusters: near-dup pairs chained into connected
+    components. Returns ``(doc_id, cluster_rep)`` for every document
+    that participates in at least one near-dup pair; documents absent
+    from the output are singletons.
 
-    At 100 TB the pair source swaps to ``minhash_lsh_pairs`` (banded
-    LSH candidates) with identical downstream clustering — the cluster
-    step only ever sees (id, id) pairs either way.
+    ``source`` picks the pair generator — the cluster step only ever
+    sees (id, id) pairs either way:
+
+    - ``"exact"``: blocked char-shingle Jaccard ≥ ``threshold``
+      (quadratic within blocks — the small-scale ground truth and the
+      DuckDB-oracle form, catalog x31).
+    - ``"lsh"``: banded MinHash candidates (``minhash_lsh_pairs``) —
+      the 100 TB path: candidate generation is a bucket-equality join,
+      never an all-pairs scan; recall vs the exact form follows the
+      MinHash S-curve (tests/test_extensions.py).
     """
-    pairs = jaccard_pairs(df, text_col=text_col, id_col=id_col).filter(
-        F.col("jaccard") >= threshold
-    )
+    if source == "exact":
+        pairs = jaccard_pairs(df, text_col=text_col, id_col=id_col).filter(
+            F.col("jaccard") >= threshold
+        )
+    elif source == "lsh":
+        pairs = minhash_lsh_pairs(
+            df, text_col=text_col, id_col=id_col, threshold=threshold
+        )
+    else:
+        raise ValueError(f"unknown pair source: {source!r}")
     return connected_components(pairs).select(
         F.col("id").alias(id_col), "cluster_rep"
     )

@@ -515,3 +515,31 @@ def test_audio_features_against_numpy(spark):
     assert r["duration_ms"] == 4001 * 1000 // 16000
     assert r["rms"] == round(float(np.sqrt(np.mean(x * x))), 6)
     assert r["peak"] == int(np.max(np.abs(x)))
+
+
+def test_dup_clusters_lsh_invariants(spark, sf_smoke):
+    """LSH-sourced clustering (the 100 TB path): deterministic across
+    runs, reps are self-members and per-cluster minima, and real
+    merging happens. Pair-level recall of the MinHash source itself is
+    covered by test_minhash_lsh_recall."""
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators.dedup import near_dup_clusters
+
+    docs = load_table(spark, sf_smoke, "documents")
+    c1 = {
+        (r["doc_id"], r["cluster_rep"])
+        for r in near_dup_clusters(docs, threshold=0.5, source="lsh").collect()
+    }
+    c2 = {
+        (r["doc_id"], r["cluster_rep"])
+        for r in near_dup_clusters(docs, threshold=0.5, source="lsh").collect()
+    }
+    assert c1 == c2  # deterministic (no rand() anywhere in the path)
+    reps = {rep for _, rep in c1}
+    members = {d for d, _ in c1}
+    assert reps <= members  # every rep is a clustered doc itself
+    by_rep = {}
+    for d, rep in c1:
+        by_rep.setdefault(rep, []).append(d)
+    assert all(min(v) == rep for rep, v in by_rep.items())
+    assert any(len(v) > 1 for v in by_rep.values())  # real merging
