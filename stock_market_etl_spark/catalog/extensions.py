@@ -800,3 +800,28 @@ def x35_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs the exact form asserted in tests/test_extensions.py."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.near_dup_clusters(docs, threshold=0.5, source="lsh")
+
+
+@_q(
+    "x36_document_chunks",
+    r"""WITH toks AS (
+         SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+         FROM documents),
+       idx AS (
+         SELECT doc_id, t,
+                generate_subscripts(range(1, greatest(len(t), 1) + 1, 48), 1)
+                    AS chunk_idx,
+                unnest(range(1, greatest(len(t), 1) + 1, 48)) AS s
+         FROM toks)
+       SELECT doc_id, CAST(chunk_idx - 1 AS INT) AS chunk_idx,
+              array_to_string(t[s:s+63], ' ') AS chunk_text,
+              CAST(len(t[s:s+63]) AS BIGINT) AS n_tokens
+       FROM idx""",
+)
+def x36_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window context chunking (operators/text.py
+    chunk_documents): 64-token chunks, 16-token overlap (stride 48).
+    Zero-shuffle fan-out inside the scan stage; the SQL twin drives
+    the identical windows with a stepped range + list slicing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.chunk_documents(docs, chunk_tokens=64, overlap=16)

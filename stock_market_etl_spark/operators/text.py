@@ -363,3 +363,50 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def chunk_documents(
+    docs,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Sliding-window document chunking: split each document into
+    ``chunk_tokens``-token chunks with ``overlap`` tokens of context
+    carried between consecutive chunks (stride = chunk_tokens −
+    overlap) — the RAG / pretraining context-window op.
+
+    Pure JVM higher-order functions: tokenize once, generate chunk
+    start indices with ``sequence`` (step = stride), slice per index,
+    explode. One narrow pass over the corpus — no shuffle at all; the
+    fan-out multiplies rows ~len/stride inside the scan stage. The
+    final (possibly short) chunk is kept iff it starts within the
+    token array; both engines' ``slice``/list slicing clip past the
+    end identically (same edge rule as word_grams).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+    )
+    n = F.size("__t")
+    # start indices 1, 1+stride, ... while start <= n
+    starts = F.sequence(
+        F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride)
+    )
+    chunks = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                starts, lambda s: F.slice(F.col("__t"), s, chunk_tokens)
+            )
+        ).alias("chunk_idx", "__chunk"),
+    )
+    return chunks.select(
+        id_col,
+        "chunk_idx",
+        F.concat_ws(" ", F.col("__chunk")).alias("chunk_text"),
+        F.size("__chunk").cast("long").alias("n_tokens"),
+    )

@@ -543,3 +543,36 @@ def test_dup_clusters_lsh_invariants(spark, sf_smoke):
         by_rep.setdefault(rep, []).append(d)
     assert all(min(v) == rep for rep, v in by_rep.items())
     assert any(len(v) > 1 for v in by_rep.values())  # real merging
+
+
+def test_chunk_documents_overlap_semantics(spark):
+    """Chunks must tile the document with the declared overlap:
+    consecutive chunks share exactly `overlap` tokens, strides
+    reconstruct the document, and short tails are kept."""
+    from stock_market_etl_spark.operators.text import chunk_documents
+
+    words = [f"w{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    out = sorted(
+        chunk_documents(docs, chunk_tokens=4, overlap=2).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    chunks = [r["chunk_text"].split(" ") for r in out]
+    # stride 2 over 10 tokens → starts 1,3,5,7,9 → 5 chunks
+    assert len(chunks) == 5
+    assert chunks[0] == ["w0", "w1", "w2", "w3"]
+    for prev, nxt in zip(chunks, chunks[1:]):
+        assert prev[2:] == nxt[: len(prev[2:])]  # 2-token overlap
+    assert chunks[-1] == ["w8", "w9"]  # short tail kept
+    # stride-prefixes reconstruct the doc
+    rebuilt = []
+    for c in chunks:
+        rebuilt.extend(c[:2])
+    assert [w for w in rebuilt if w][: len(words)] == words
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
