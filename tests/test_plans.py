@@ -250,3 +250,21 @@ def test_latest_snapshot_is_partial_agg_not_window(spark, sf_smoke):
     assert "partial_max_by" in plan or "Partial" in plan  # map-side combine
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+def test_document_chunks_zero_shuffle(spark, sf_smoke):
+    """x36's fan-out must happen inside the scan stage: no Exchange
+    anywhere in the plan (chunking is a narrow transformation)."""
+    plan = _plan(all_queries()["x36_document_chunks"](spark, sf_smoke))
+    assert "Exchange" not in plan
+
+
+def test_tfidf_and_bm25_plan_shapes(spark, sf_smoke):
+    """x33: vocabulary df/idf and corpus N ride broadcasts; x34: the
+    top-k compiles to TakeOrderedAndProject (never a global sort) and
+    corpus stats broadcast."""
+    tfidf = _plan(all_queries()["x33_tfidf_topk"](spark, sf_smoke))
+    assert "BroadcastExchange" in tfidf
+    bm25 = _plan(all_queries()["x34_bm25_topk"](spark, sf_smoke))
+    assert "TakeOrderedAndProject" in bm25
+    assert "BroadcastExchange" in bm25
