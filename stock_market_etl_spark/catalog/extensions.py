@@ -825,3 +825,36 @@ def x36_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical windows with a stepped range + list slicing."""
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+@_q(
+    "x37_bigram_lm_score",
+    r"""WITH toks AS (
+         SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+         FROM documents),
+       big AS (
+         SELECT doc_id,
+                unnest(list_transform(
+                  range(1, greatest(len(t) - 1, 0) + 1),
+                  i -> t[i] || ' ' || t[i + 1])) AS bg
+         FROM toks WHERE len(t) >= 2),
+       bgc AS (SELECT bg, count(*) AS c_bg FROM big GROUP BY bg),
+       uni AS (SELECT unnest(t) AS w FROM toks),
+       unic AS (SELECT w, count(*) AS c_w FROM uni GROUP BY w),
+       v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM uni)
+       SELECT big.doc_id,
+              CAST(count(*) AS BIGINT) AS n_bigrams,
+              round(avg(ln((c_bg + 1) / (c_w + v))), 6) AS avg_logprob
+       FROM big
+       JOIN bgc USING (bg)
+       JOIN unic ON split_part(bg, ' ', 1) = unic.w, v
+       GROUP BY big.doc_id""",
+)
+def x37_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-supervised LM quality scoring (operators/text.py
+    bigram_lm_score): mean log-prob under the corpus's own add-one
+    bigram model — the perplexity-filter shape with the count tables
+    standing in for an external LM. Bigram model joins keyed on the
+    bigram; unigram/vocab stats broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.bigram_lm_score(docs)

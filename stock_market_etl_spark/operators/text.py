@@ -410,3 +410,63 @@ def chunk_documents(
         F.concat_ws(" ", F.col("__chunk")).alias("chunk_text"),
         F.size("__chunk").cast("long").alias("n_tokens"),
     )
+
+
+def bigram_lm_score(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Corpus-statistics language-model scoring: each document's mean
+    log-probability under an add-one-smoothed bigram model trained on
+    the corpus itself — the self-supervised stand-in for
+    perplexity-based quality filtering (no external LM in this
+    container; a real deployment swaps the count tables for KenLM
+    scores with identical Spark plumbing).
+
+    score(d) = avg over bigrams (w1 w2) of ln((C(w1w2)+1) / (C(w1)+V))
+
+    Scale shape: bigram arrays are built per row with higher-order
+    functions (no shuffle), corpus bigram counts aggregate with
+    map-side combine and join back KEYED ON THE BIGRAM (the one honest
+    big shuffle — the model table is corpus-sized); unigram counts and
+    the vocabulary size V are broadcast. Documents with < 2 tokens are
+    excluded (no bigrams to score).
+    """
+    toks = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+    )
+    bigrams_arr = F.transform(
+        F.sequence(F.lit(1), F.size("__t") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("__t", i), F.element_at("__t", i + 1)
+        ),
+    )
+    doc_bigrams = toks.filter(F.size("__t") >= 2).select(
+        F.col(id_col), F.explode(bigrams_arr).alias("bg")
+    )
+    bigram_counts = doc_bigrams.groupBy("bg").agg(
+        F.count("*").alias("c_bg")
+    )
+    unigrams = toks.select(F.explode("__t").alias("w"))
+    unigram_counts = unigrams.groupBy("w").agg(F.count("*").alias("c_w"))
+    vocab = unigrams.agg(
+        F.count_distinct("w").cast("double").alias("v")
+    )
+    scored = (
+        doc_bigrams.join(bigram_counts, "bg")
+        .withColumn("__w1", F.split(F.col("bg"), " ").getItem(0))
+        .join(
+            F.broadcast(unigram_counts.withColumnRenamed("w", "__w1")),
+            "__w1",
+        )
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "__lp",
+            F.log((F.col("c_bg") + 1) / (F.col("c_w") + F.col("v"))),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg("__lp"), 6).alias("avg_logprob"),
+    )

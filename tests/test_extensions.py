@@ -576,3 +576,18 @@ def test_chunk_documents_overlap_semantics(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_bigram_lm_score_prefers_common_phrasing(spark):
+    """In a corpus where one phrase dominates, documents made of the
+    common phrase must out-score a document of rare phrasing, and
+    sub-2-token documents are excluded."""
+    from stock_market_etl_spark.operators.text import bigram_lm_score
+
+    rows = [(i, "the quick brown fox jumps") for i in range(9)]
+    rows += [(100, "zebra quantum pickle walrus drum"), (200, "solo")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["avg_logprob"] for r in bigram_lm_score(docs).collect()}
+    assert 200 not in out  # single-token doc has no bigrams
+    assert out[0] == out[8]  # identical docs, identical score
+    assert out[0] > out[100]  # common phrasing beats rare phrasing
