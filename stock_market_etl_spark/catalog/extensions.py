@@ -858,3 +858,44 @@ def x37_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram; unigram/vocab stats broadcast."""
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.bigram_lm_score(docs)
+
+
+@_q(
+    "x38_incremental_dedup",
+    """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+       batch AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+       no_exact AS (
+         SELECT b.* FROM batch b
+         WHERE sha256(b.text) NOT IN (SELECT sha256(text) FROM corpus)),
+       bsh AS (
+         SELECT doc_id, lang, n_chars,
+           list_distinct(list_transform(
+             range(1, greatest(length(text) - 2, 0) + 1),
+             i -> substring(text, i, 3))) AS sh
+         FROM no_exact),
+       csh AS (
+         SELECT lang, n_chars,
+           list_distinct(list_transform(
+             range(1, greatest(length(text) - 2, 0) + 1),
+             i -> substring(text, i, 3))) AS sh
+         FROM corpus),
+       near AS (
+         SELECT DISTINCT b.doc_id FROM bsh b JOIN csh c
+           ON b.lang = c.lang AND abs(b.n_chars - c.n_chars) <= 20
+         WHERE CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+               / (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh)))
+               >= 0.6)
+       SELECT doc_id, lang, source, n_chars FROM no_exact
+       WHERE doc_id NOT IN (SELECT doc_id FROM near)""",
+)
+def x38_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-corpus dedup (operators/dedup.py
+    incremental_dedup): corpus = even doc_ids, incoming batch = odd;
+    batch docs exact- or near-duplicating any corpus doc are dropped.
+    The content-identity lift of the reference's L3 watermark dedup
+    (`scripts/load_stock_metrics.py:76-88`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    out = dedup.incremental_dedup(corpus, batch, threshold=0.6)
+    return out.select("doc_id", "lang", "source", "n_chars")

@@ -486,3 +486,61 @@ def near_dup_clusters(
     return connected_components(pairs).select(
         F.col("id").alias(id_col), "cluster_rep"
     )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+    length_col: str = "n_chars",
+    length_window: int = 20,
+) -> DataFrame:
+    """Dedup an incoming batch AGAINST an existing corpus: drop batch
+    documents that are exact duplicates (content hash) or near
+    duplicates (blocked char-3-gram Jaccard ≥ ``threshold``) of any
+    corpus document. Batch-internal duplicates are deliberately kept —
+    chain with ``exact_dedup``/``near_dup_clusters`` for those.
+
+    This is the production shape at 100 TB: the corpus is never
+    re-deduped per batch — its content hashes and shingle sets are
+    materialized once (cf. the L3 watermark pattern,
+    `scripts/load_stock_metrics.py:76-88`, lifted from per-key
+    watermarks to content identity), and each batch runs one
+    hash anti-join plus one blocked similarity anti-join against
+    them. Both joins move only (hash) / (id, shingles-in-block) rows,
+    never the corpus text.
+    """
+    c_hash = corpus.select(
+        F.sha2(F.col(text_col), 256).alias("__h")
+    ).distinct()
+    b_hashed = batch.withColumn("__h", F.sha2(F.col(text_col), 256))
+    no_exact = b_hashed.join(c_hash, "__h", "left_anti").drop("__h")
+
+    b_sh = no_exact.select(
+        F.col(id_col).alias("__bid"),
+        *[F.col(c).alias(f"__bb_{c}") for c in block_cols],
+        F.col(length_col).alias("__blen"),
+        char_shingles(F.col(text_col)).alias("__bsh"),
+    )
+    c_sh = corpus.select(
+        *[F.col(c).alias(f"__cb_{c}") for c in block_cols],
+        F.col(length_col).alias("__clen"),
+        char_shingles(F.col(text_col)).alias("__csh"),
+    )
+    cond = (
+        F.abs(F.col("__blen") - F.col("__clen")) <= length_window
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"__bb_{c}") == F.col(f"__cb_{c}"))
+    inter = F.size(F.array_intersect("__bsh", "__csh"))
+    union = F.size("__bsh") + F.size("__csh") - inter
+    near_ids = (
+        b_sh.join(c_sh, cond)
+        .filter((inter.cast("double") / union) >= threshold)
+        .select(F.col("__bid").alias(id_col))
+        .distinct()
+    )
+    return no_exact.join(near_ids, id_col, "left_anti")

@@ -591,3 +591,31 @@ def test_bigram_lm_score_prefers_common_phrasing(spark):
     assert 200 not in out  # single-token doc has no bigrams
     assert out[0] == out[8]  # identical docs, identical score
     assert out[0] > out[100]  # common phrasing beats rare phrasing
+
+
+def test_incremental_dedup_contract(spark):
+    """Batch-vs-corpus semantics: exact corpus dup dropped, near corpus
+    dup dropped, unique batch doc kept, batch-INTERNAL dup kept (by
+    contract — batch self-dedup is a separate chained step)."""
+    from stock_market_etl_spark.operators.dedup import incremental_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    near = "alpha beta gamma delta epsilon zeta eta iota"
+    schema = "doc_id long, text string, lang string, n_chars long"
+    corpus = spark.createDataFrame(
+        [(0, base, "en", len(base))], schema
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, base, "en", len(base)),        # exact dup of corpus
+            (3, near, "en", len(near)),        # near dup of corpus
+            (5, "totally different words here unlike any others", "en", 47),
+            (7, "totally different words here unlike any others", "en", 47),
+        ],
+        schema,
+    )
+    kept = {
+        r["doc_id"]
+        for r in incremental_dedup(corpus, batch, threshold=0.5).collect()
+    }
+    assert kept == {5, 7}
