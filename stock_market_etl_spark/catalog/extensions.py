@@ -708,7 +708,9 @@ def x32_audio_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = multimodal.audio_features(
         multimodal.wav_assets_from_documents(docs, sample_rate=8000)
     )
-    return feats.select(
+    # mirror the oracle's WHERE octet_length(text) >= 2: a doc too
+    # short for one whole int16 sample is excluded on BOTH sides
+    return feats.filter(F.col("n_samples") >= 1).select(
         "asset_id",
         F.col("sample_rate").cast("int"),
         F.col("n_channels").cast("int"),

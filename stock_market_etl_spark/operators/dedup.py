@@ -56,6 +56,36 @@ def exact_dedup(
     )
 
 
+def _block_cond(
+    a_prefix: str,
+    b_prefix: str,
+    block_cols: tuple[str, ...],
+    length_col: str,
+    length_window: int,
+) -> Column:
+    """Shared blocking predicate for the exact-Jaccard joins: equal
+    block keys and |length delta| ≤ window, over ``{prefix}{col}``
+    aliased frames. ONE definition so the self-join (jaccard_pairs)
+    and batch-vs-corpus (incremental_dedup) paths can't drift."""
+    cond = (
+        F.abs(
+            F.col(f"{a_prefix}{length_col}") - F.col(f"{b_prefix}{length_col}")
+        )
+        <= length_window
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"{a_prefix}{c}") == F.col(f"{b_prefix}{c}"))
+    return cond
+
+
+def _jaccard_expr(a_shingles: str, b_shingles: str) -> Column:
+    """Exact set-Jaccard over two shingle-array columns — the single
+    definition of the intersect/union math (incl. its 0/0 edge)."""
+    inter = F.size(F.array_intersect(a_shingles, b_shingles))
+    union = F.size(a_shingles) + F.size(b_shingles) - inter
+    return inter.cast("double") / union
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -92,22 +122,15 @@ def jaccard_pairs(
     b = sh.select(
         *[F.col(c).alias(f"b_{c}") for c in sh.columns]
     )
-    cond = (F.col(f"a_{id_col}") < F.col(f"b_{id_col}")) & (
-        F.abs(F.col(f"a_{length_col}") - F.col(f"b_{length_col}"))
-        <= length_window
-    )
-    for c in block_cols:
-        cond = cond & (F.col(f"a_{c}") == F.col(f"b_{c}"))
-    inter = F.size(F.array_intersect("a_shingles", "b_shingles"))
-    union = (
-        F.size("a_shingles") + F.size("b_shingles") - inter
+    cond = (F.col(f"a_{id_col}") < F.col(f"b_{id_col}")) & _block_cond(
+        "a_", "b_", block_cols, length_col, length_window
     )
     out = (
         a.join(b, cond)
         .select(
             F.col(f"a_{id_col}").alias("id_a"),
             F.col(f"b_{id_col}").alias("id_b"),
-            (inter.cast("double") / union).alias("jaccard"),
+            _jaccard_expr("a_shingles", "b_shingles").alias("jaccard"),
         )
     )
     if threshold > 0:
@@ -474,8 +497,8 @@ def near_dup_clusters(
       MinHash S-curve (tests/test_extensions.py).
     """
     if source == "exact":
-        pairs = jaccard_pairs(df, text_col=text_col, id_col=id_col).filter(
-            F.col("jaccard") >= threshold
+        pairs = jaccard_pairs(
+            df, text_col=text_col, id_col=id_col, threshold=threshold
         )
     elif source == "lsh":
         pairs = minhash_lsh_pairs(
@@ -520,27 +543,23 @@ def incremental_dedup(
     no_exact = b_hashed.join(c_hash, "__h", "left_anti").drop("__h")
 
     b_sh = no_exact.select(
-        F.col(id_col).alias("__bid"),
-        *[F.col(c).alias(f"__bb_{c}") for c in block_cols],
-        F.col(length_col).alias("__blen"),
-        char_shingles(F.col(text_col)).alias("__bsh"),
+        F.col(id_col).alias("b_id"),
+        *[F.col(c).alias(f"b_{c}") for c in block_cols],
+        F.col(length_col).alias(f"b_{length_col}"),
+        char_shingles(F.col(text_col)).alias("b_shingles"),
     )
     c_sh = corpus.select(
-        *[F.col(c).alias(f"__cb_{c}") for c in block_cols],
-        F.col(length_col).alias("__clen"),
-        char_shingles(F.col(text_col)).alias("__csh"),
+        *[F.col(c).alias(f"c_{c}") for c in block_cols],
+        F.col(length_col).alias(f"c_{length_col}"),
+        char_shingles(F.col(text_col)).alias("c_shingles"),
     )
-    cond = (
-        F.abs(F.col("__blen") - F.col("__clen")) <= length_window
-    )
-    for c in block_cols:
-        cond = cond & (F.col(f"__bb_{c}") == F.col(f"__cb_{c}"))
-    inter = F.size(F.array_intersect("__bsh", "__csh"))
-    union = F.size("__bsh") + F.size("__csh") - inter
     near_ids = (
-        b_sh.join(c_sh, cond)
-        .filter((inter.cast("double") / union) >= threshold)
-        .select(F.col("__bid").alias(id_col))
+        b_sh.join(
+            c_sh,
+            _block_cond("b_", "c_", block_cols, length_col, length_window),
+        )
+        .filter(_jaccard_expr("b_shingles", "c_shingles") >= threshold)
+        .select(F.col("b_id").alias(id_col))
         .distinct()
     )
     return no_exact.join(near_ids, id_col, "left_anti")

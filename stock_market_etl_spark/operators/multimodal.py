@@ -164,6 +164,11 @@ def resize_rgb(
     """Nearest-neighbour resample of decoded RGB24 pixels onto a
     width×height grid (real 2-D geometry, not byte sampling)."""
     sw, sh, rgb = img
+    if sw <= 0 or sh <= 0:
+        # degenerate-but-decodable source (e.g. PPM "0 4"): keep the
+        # declared output geometry; slice-assigning empty sources below
+        # would silently SHRINK the bytearray instead
+        return bytes(width * height * 3)
     out = bytearray(width * height * 3)
     for y in range(height):
         sy = (y * sh) // height
@@ -372,6 +377,10 @@ def decode_audio(payload: bytes) -> tuple[int, int, "object"]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    if len(fmt) < 16:
+        # must be ValueError, not struct.error — audio_features'
+        # skip-malformed-rows contract catches ValueError only
+        raise ValueError("truncated fmt chunk")
     audio_fmt, n_channels, sample_rate = struct.unpack_from("<HHI", fmt, 0)
     bits = struct.unpack_from("<H", fmt, 14)[0]
     if audio_fmt != 1 or bits != 16:

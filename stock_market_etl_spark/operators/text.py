@@ -321,8 +321,6 @@ def bm25_topk(
     and avgdl are dimension-/scalar-sized broadcasts; the final top-k
     is a TakeOrderedAndProject, never a global sort.
     """
-    from pyspark.sql import DataFrame  # noqa: F401
-
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )

@@ -619,3 +619,29 @@ def test_incremental_dedup_contract(spark):
         for r in incremental_dedup(corpus, batch, threshold=0.5).collect()
     }
     assert kept == {5, 7}
+
+
+def test_decode_audio_truncated_fmt_is_valueerror():
+    """Malformed fmt chunk must raise ValueError (audio_features'
+    skip-row contract), never struct.error."""
+    import struct
+
+    import pytest as _pytest
+
+    bad = (
+        b"RIFF" + struct.pack("<I", 24) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+        + b"data" + struct.pack("<I", 0)
+    )
+    with _pytest.raises(ValueError):
+        multimodal.decode_audio(bad)
+
+
+def test_resize_rgb_degenerate_source_keeps_geometry():
+    """Zero-width decodable images must still produce the declared
+    w*h*3 output, not a silently shrunken buffer."""
+    out = multimodal.resize_rgb((0, 4, b""), 4, 4)
+    assert out == bytes(4 * 4 * 3)
+    ppm_degenerate = b"P6\n0 4\n255\n"
+    img = multimodal.decode_image(ppm_degenerate)
+    assert len(multimodal.resize_rgb(img, 4, 4)) == 48
