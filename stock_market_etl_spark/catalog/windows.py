@@ -230,3 +230,63 @@ def g4_bottom_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").asc(), "o_orderkey")
         .limit(10)
     )
+
+
+@_q(
+    "f8_sessionize",
+    """WITH flagged AS (
+         SELECT user_id, ts, event_id, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ), numbered AS (
+         SELECT user_id, ts, event_id, value,
+                sum(new_sess) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS sess_id
+         FROM flagged
+       )
+       SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+              min(ts) AS sess_start, max(ts) AS sess_end,
+              CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(value), 6) AS sum_value
+       FROM numbered GROUP BY user_id, sess_id""",
+)
+def f8_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F superset: batch sessionization (gaps-and-islands) — sessions
+    close after 30 min of per-user inactivity; per-session start/end,
+    event count and value sum. The batch-analytic twin of the
+    streaming session window (n3, `session_window`) expressed as the
+    classic two-window composition: the lag flag and its running sum
+    share ONE partitioning (a single exchange of the event rows on
+    user_id); the grouped stats then combine map-side, so the second
+    exchange carries only session-grain partial rows, never the
+    events."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (gap > 30 * 60 * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    numbered = flagged.withColumn(
+        "sess_id", F.sum("new_sess").over(w).cast("long")
+    )
+    return numbered.groupBy("user_id", "sess_id").agg(
+        F.min("ts").alias("sess_start"),
+        F.max("ts").alias("sess_end"),
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
