@@ -85,3 +85,53 @@ def test_merge_increment_set_algebra(spark, keys):
     n = new_keys or {-2}
     expected = {(k, "new") for k in n} | {(k, "old") for k in e - n}
     assert merged == expected
+
+
+def test_sessionize_invariants(spark, sf_smoke):
+    """f8 session semantics, checked structurally (not just vs the
+    oracle): sessions partition the events exactly; within a session
+    every inter-event gap is <= 30 min; consecutive sessions of the
+    same user are separated by > 30 min."""
+    from pyspark.sql import functions as F
+
+    from stock_market_etl_spark.catalog.windows import f8_sessionize
+    from stock_market_etl_spark.io import load_table
+
+    ev = load_table(spark, sf_smoke, "events")
+    sess = f8_sessionize(spark, sf_smoke)
+    # partition: session event counts sum to the table size
+    assert (
+        sess.agg(F.sum("n_events")).first()[0] == ev.count()
+    )
+    # bounds are consistent
+    assert sess.filter(F.col("sess_end") < F.col("sess_start")).count() == 0
+    rows = sorted(
+        sess.collect(), key=lambda r: (r["user_id"], r["sess_id"])
+    )
+    gap = 30 * 60
+    for prev, nxt in zip(rows, rows[1:]):
+        if prev["user_id"] != nxt["user_id"]:
+            continue
+        delta = (nxt["sess_start"] - prev["sess_end"]).total_seconds()
+        assert delta > gap, (
+            f"sessions {prev['sess_id']}/{nxt['sess_id']} of user "
+            f"{prev['user_id']} separated by only {delta}s"
+        )
+    # within-session max gap <= 30 min: longest session duration per
+    # event count bounds it loosely; check directly on raw events
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        ),
+    ).filter(F.col("gap_us").isNotNull() & (F.col("gap_us") <= gap * 1_000_000))
+    # every such small-gap adjacency must land in the SAME session:
+    # count of small gaps == total events - total sessions
+    n_small = gaps.count()
+    n_sessions = sess.count()
+    assert n_small == ev.count() - n_sessions
