@@ -165,7 +165,9 @@ def x6_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on sha256 content hash, deterministic survivor
     (operators/dedup.py exact_dedup)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.exact_dedup(docs).select("doc_id", "content_hash", "n_copies")
+    return dedup.exact_dedup(docs, payload_cols=()).select(
+        "doc_id", "content_hash", "n_copies"
+    )
 
 
 @_q(

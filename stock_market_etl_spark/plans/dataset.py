@@ -43,8 +43,10 @@ def build_training_set(
     mixed = sampling.stratified_sample(
         kept, mix, default_fraction=default_fraction, salt="mix-v1"
     )
-    # 3. exact dedup, deterministic survivor
-    unique = dedup.exact_dedup(mixed)
+    # 3. exact dedup, deterministic survivor — carry only the narrow
+    #    columns the later stages read (lang for the mix audit, n_chars
+    #    for packing); the text payload stays out of the exchange
+    unique = dedup.exact_dedup(mixed, payload_cols=("lang", "n_chars"))
     # 4. decontaminate: drop anything content-identical to the held-out
     #    pool (broadcast anti-join on the DISTINCT hash set)
     holdout_hashes = (
