@@ -37,69 +37,69 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship (F1+F2) — permanent anchor
     "f1_f2_metrics_pipeline",
-    # --- r04 rotation: never-driver-proven pool (DRIVER_WINDOW.md plan)
-    # aggregation superset (E14/E15)
-    "e14_avg_min_max_count",
-    "e15_percentiles",
-    # window superset (F6/F7) + bottom-k (G4)
-    "f6_rank_functions",
-    "f7_range_frame",
-    "g4_bottom_k",
-    # text analysis & fingerprinting (x1–x5, x20, x29, x30)
-    "x1_token_count",
-    "x2_word_freq",
-    "x3_quality_score",
-    "x4_lang_id",
-    "x5_fingerprint",
-    "x20_bpe_token_count",
-    "x29_pii_redact",
-    "x30_repetition_ratio",
-    # similarity & multimodal (x8, x9, x18, x19)
-    "x8_cosine_topk",
-    "x9_multimodal_meta",
-    "x18_multimodal_resize",
-    "x19_frame_sample_counts",
-    # UDF surface (M)
-    "m1_pandas_udf_format",
-    "m2_grouped_agg_pandas_udf",
-    "m3_udtf_ohlc_unpivot",
-    "m4_grouped_map_zscore",
-    # streaming batch-twins (N1–N3, N6–N8)
-    "n1_tumbling_window_agg",
-    "n2_sliding_window_agg",
-    "n3_session_window_agg",
-    "n6_stream_stream_join",
-    "n7_stream_stream_left_join",
-    "n8_chained_join_window",
-    # sources & sinks (A1/A4/A5, B1/B2/B7/B8)
-    "a1_parquet_scan",
-    "a4_html_dimension_parse",
-    "a5_literal_source",
-    "b1_partitioned_write_roundtrip",
-    "b2_upsert_merge",
-    "b7_csv_roundtrip",
-    "b8_json_roundtrip",
-    # --- backfill: re-proof + regression canaries
-    # k1 was the one red r03 row (NTZ drift) — re-prove the fix
+    # --- r05 rotation (DRIVER_WINDOW.md plan): the §2-core r03 set
+    # restored as the steady regression canary, with 8 triple-proven
+    # slots (c2/c3/c5, i2/i5/i6, j2, h1 — green r01+r02+r03) swapped
+    # for the r04-new operators' first proofs. q_latest_snapshot and
+    # x28_dataset_build are re-admitted by the changed-since-proof rule
+    # (rewritten in 5014681 after their last green round).
+    # first proofs: r04-new operators
+    "f8_sessionize",
+    "x31_dup_clusters",
+    "x32_audio_decode_meta",
+    "x33_tfidf_topk",
+    "x34_bm25_topk",
+    "x36_document_chunks",
+    "x37_bigram_lm_score",
+    "x38_incremental_dedup",
+    # windows & sorts (F3–F5, G1, G3)
+    "f1_lag_pct_change",
+    "f3_cumulative_return",
+    "f4_latest_row_per_key",
+    "f5_scale_by_scalar",
+    "g1_multikey_sort",
+    "g3_top_k",
+    # dashboard analytics (§3 q_* library — replaces the Streamlit UI)
+    "q_compute_trends",
+    "q_final_returns",
+    "q_relative_returns",
+    "q_latest_snapshot",
+    "q_top_movers",
+    # core filters / scalar exprs / reshape (C, I, J)
+    "c1_projection",
+    "c4_watermark_filter",
+    "c6_single_eq_filter",
+    "i1_cast",
+    "i4_null_fill",
+    "i9_conditional_format",
+    "j1_unpivot",
+    # joins (D)
+    "d1_broadcast_left_join",
+    "d2_dim_fact_inner_join",
+    "d4_left_anti_join",
+    # aggregations (E)
+    "e1_global_max_watermark",
+    "e3_grouped_max",
+    "e4_grouped_last_max_by",
+    "e6_dedup_on_keys",
+    "e7_null_count_audit",
+    "e8_distinct_list",
+    # quality gates + incremental patterns (K, L)
     "k1_schema_contract_audit",
-    # r03-new K/L rows: single proof each, keep for confirmation
     "k3_k4_quality_gate",
     "l3_cross_store_dedup",
     "l4_year_range_resume",
-    # d10 crashed r03 (unix_micros on NTZ) — prove the fix
-    "d10_range_join_pairs",
-    # i8 semantics under the NTZ fixture (VERDICT r03 flag)
-    "i8_timezone_convert",
-    # core regression canaries (multi-proven, high-value)
-    "q_compute_trends",
-    "q_final_returns",
-    "c4_watermark_filter",
-    "e1_global_max_watermark",
-    "e6_dedup_on_keys",
-    "d1_broadcast_left_join",
+    # LLM-pipeline extensions (hash-checkable x*)
     "x6_exact_dedup",
+    "x7_jaccard_pairs",
     "x16_embedding_near_dup",
+    "x22_deterministic_split",
+    "x23_stratified_sample",
+    "x24_sequence_pack",
+    "x25_quota_cap",
     "x26_contamination",
+    "x27_deterministic_shuffle",
+    "x28_dataset_build",
 )
 
 

@@ -31,3 +31,29 @@ def test_window_queries_all_have_oracles():
 def test_no_duplicate_registrations():
     names = list(all_queries())
     assert len(names) == len(set(names))
+
+
+def test_changed_queries_are_in_window():
+    """Changed-since-proof rule (VERDICT r04 task 3): a driver-proven
+    query whose implementing code (transitive package closure, see
+    tools/proof_ledger.impl_hash) drifts from its ledgered hash MUST be
+    in the current DRIVER_WINDOW for re-proof — the hole that let
+    commit 5014681 rewrite q_latest_snapshot/x28 after their proofs
+    without re-admission. Broad foundational changes go through
+    `python -m tools.proof_ledger accept-local` instead, which
+    downgrades the evidence grade visibly."""
+    from tools.proof_ledger import impl_hash, load_ledger
+
+    queries, oracles = all_queries(), all_oracles()
+    stale = [
+        name
+        for name, entry in load_ledger().items()
+        if name in queries
+        and name not in DRIVER_WINDOW
+        and impl_hash(name, queries, oracles) != entry["impl_hash"]
+    ]
+    assert not stale, (
+        f"changed since last driver proof but not in window: {stale} — "
+        "add to DRIVER_WINDOW for re-proof, or accept-local with "
+        "rationale after a green local oracle run"
+    )

@@ -1,0 +1,155 @@
+"""Changed-since-proof ledger (VERDICT r04 task 3).
+
+Problem this closes: a query can be rewritten AFTER its last
+driver-green round (commit 5014681 did exactly that to
+q_latest_snapshot and x28_dataset_build post-r03), leaving the
+cumulative ledger claiming a proof that no longer covers the shipped
+code. The ledger records, per driver-proven query, a content hash of
+its implementing code at ledger-write time; a CI test
+(tests/test_driver_window.py::test_changed_queries_are_in_window)
+fails when a ledgered query's hash drifts and the query is NOT in the
+current DRIVER_WINDOW — forcing every rewrite to either re-enter the
+window for re-proof or go through an explicit, graded ledger refresh.
+
+Hash closure: the catalog query function's source + its oracle SQL +
+the source of every function/class defined in this package reachable
+from it (transitive, via co_names/globals resolution). Foundational
+modules (io.load_table etc.) are therefore part of most queries'
+hashes ON PURPOSE: an io-layer change really does change every plan.
+For such broad changes the remedy is `accept-local` below, which
+re-hashes entries but downgrades their evidence grade to
+"local-oracle" — visible in the JSON, so driver proof and local-only
+proof are never conflated.
+
+CLI:
+  python -m tools.proof_ledger update CORRECTNESS_r05.json r05
+      refresh hash + proven-round for every green row of that file
+  python -m tools.proof_ledger accept-local name [name ...]
+      re-hash named entries after a foundational change, grading the
+      evidence "local-oracle" (run tests/test_catalog_oracle.py green
+      first; the grade is the audit trail)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import json
+import sys
+import types
+from pathlib import Path
+
+LEDGER_PATH = Path(__file__).resolve().parent / "proof_ledger.json"
+PACKAGE = "stock_market_etl_spark"
+
+
+def _package_callables(fn) -> list:
+    """Functions/classes from our package reachable from ``fn``'s code:
+    direct globals plus one attribute hop through package modules
+    (catalog fns call ``dedup.exact_dedup`` via the module alias)."""
+    out = []
+    code = getattr(fn, "__code__", None)
+    gl = getattr(fn, "__globals__", None)
+    if code is None or gl is None:
+        return out
+    names = set(code.co_names)
+    for name in names:
+        obj = gl.get(name)
+        if obj is None:
+            continue
+        if isinstance(obj, types.ModuleType):
+            if not obj.__name__.startswith(PACKAGE):
+                continue
+            for attr in names:  # co_names holds attribute names too
+                sub = getattr(obj, attr, None)
+                if callable(sub) and getattr(sub, "__module__", "").startswith(
+                    PACKAGE
+                ):
+                    out.append(sub)
+        elif callable(obj) and getattr(obj, "__module__", "").startswith(PACKAGE):
+            out.append(obj)
+    return out
+
+
+def impl_hash(name: str, queries: dict, oracles: dict) -> str:
+    """sha256 over the query fn's source, its oracle SQL, and the
+    transitive closure of package-internal callables it references."""
+    fn = queries[name]
+    seen: set[str] = set()
+    sources: list[str] = [oracles.get(name, "")]
+    stack = [fn]
+    while stack:
+        f = stack.pop()
+        key = f"{getattr(f, '__module__', '')}.{getattr(f, '__qualname__', '')}"
+        if key in seen:
+            continue
+        seen.add(key)
+        try:
+            sources.append(inspect.getsource(f))
+        except (OSError, TypeError):
+            continue
+        stack.extend(_package_callables(f))
+    # order-independent: qualname-sorted so dict/stack order can't drift
+    sources.sort()
+    return hashlib.sha256("\n".join(sources).encode()).hexdigest()[:16]
+
+
+def load_ledger() -> dict:
+    if LEDGER_PATH.exists():
+        return json.loads(LEDGER_PATH.read_text())
+    return {}
+
+
+def save_ledger(ledger: dict) -> None:
+    LEDGER_PATH.write_text(json.dumps(dict(sorted(ledger.items())), indent=1))
+
+
+def _catalog():
+    from stock_market_etl_spark.catalog import all_oracles, all_queries
+
+    return all_queries(), all_oracles()
+
+
+def cmd_update(correctness_file: str, round_tag: str) -> None:
+    queries, oracles = _catalog()
+    results = json.loads(Path(correctness_file).read_text())
+    ledger = load_ledger()
+    refreshed = []
+    for name, row in results.items():
+        green = (
+            row.get("rows_match")
+            and row.get("schema_match")
+            and row.get("hash_match")
+            and row.get("err") is None
+        )
+        if green and name in queries:
+            ledger[name] = {
+                "proven": round_tag,
+                "impl_hash": impl_hash(name, queries, oracles),
+                "evidence": "driver",
+            }
+            refreshed.append(name)
+    save_ledger(ledger)
+    print(f"refreshed {len(refreshed)} entries from {correctness_file}")
+
+
+def cmd_accept_local(names: list[str]) -> None:
+    queries, oracles = _catalog()
+    ledger = load_ledger()
+    for name in names:
+        entry = ledger.get(name)
+        if entry is None:
+            raise SystemExit(f"{name}: not in ledger (never driver-proven)")
+        entry["impl_hash"] = impl_hash(name, queries, oracles)
+        entry["evidence"] = "local-oracle"
+    save_ledger(ledger)
+    print(f"accepted {len(names)} entries at local-oracle grade")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 2 and sys.argv[1] == "update":
+        cmd_update(sys.argv[2], sys.argv[3])
+    elif len(sys.argv) >= 2 and sys.argv[1] == "accept-local":
+        cmd_accept_local(sys.argv[2:])
+    else:
+        raise SystemExit(__doc__)
