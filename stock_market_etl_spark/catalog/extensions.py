@@ -813,9 +813,10 @@ def x35_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
          FROM documents),
        idx AS (
          SELECT doc_id, t,
-                generate_subscripts(range(1, greatest(len(t), 1) + 1, 48), 1)
+                generate_subscripts(
+                    range(1, greatest(len(t) - 16, 1) + 1, 48), 1)
                     AS chunk_idx,
-                unnest(range(1, greatest(len(t), 1) + 1, 48)) AS s
+                unnest(range(1, greatest(len(t) - 16, 1) + 1, 48)) AS s
          FROM toks)
        SELECT doc_id, CAST(chunk_idx - 1 AS INT) AS chunk_idx,
               array_to_string(t[s:s+63], ' ') AS chunk_text,
@@ -824,9 +825,11 @@ def x35_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x36_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window context chunking (operators/text.py
-    chunk_documents): 64-token chunks, 16-token overlap (stride 48).
-    Zero-shuffle fan-out inside the scan stage; the SQL twin drives
-    the identical windows with a stepped range + list slicing."""
+    chunk_documents): 64-token chunks, 16-token overlap (stride 48),
+    no redundant strict-subset tail when a document ends on a chunk
+    boundary (starts stop at len − overlap — both sides). Zero-shuffle
+    fan-out inside the scan stage; the SQL twin drives the identical
+    windows with a stepped range + list slicing."""
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.chunk_documents(docs, chunk_tokens=64, overlap=16)
 
@@ -902,4 +905,20 @@ def x38_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     out = dedup.incremental_dedup(corpus, batch, threshold=0.6)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+@_q("x39_incremental_dedup_lsh")
+def x39_incremental_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus dedup over banded MinHash candidates — the
+    100 TB path for x38 (whose exact blocked-Jaccard near side is
+    quadratic within blocks and stays as the small-sf oracle, exactly
+    like x31 vs x35). Corpus signature tables are seed-stable, so at
+    scale they are materialized once per corpus version and reused
+    per batch; approximate by the MinHash S-curve → rows-only, recall
+    vs the exact form asserted in tests/test_extensions.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    out = dedup.incremental_dedup(corpus, batch, threshold=0.5, source="lsh")
     return out.select("doc_id", "lang", "source", "n_chars")

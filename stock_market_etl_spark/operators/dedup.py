@@ -179,18 +179,23 @@ def word_ngram_hashes(tokens_col: Column, n: int = 3) -> Column:
     return F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g)))
 
 
-def minhash_lsh_pairs(
+def minhash_tables(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 32,
     seed: int = 42,
-    threshold: float = 0.5,
     rows_per_band: int = 2,
-) -> DataFrame:
-    """MinHash LSH near-dup pairs (the 100 TB dedup path):
-    word-3-gram shingle hashes → MinHash signatures → banded bucket
-    equi-join → exact Jaccard re-rank on the candidate set.
+) -> tuple[DataFrame, DataFrame]:
+    """MinHash feature tables for a corpus: returns ``(shingles,
+    bands)`` where ``shingles`` is (id, __shingles: array<long>) and
+    ``bands`` is (id, band_idx, band_val) — the two tables every LSH
+    consumer (self-join pair mining, batch-vs-corpus dedup) joins on.
+    Both are persisted (diamond plans; see module docstring for the
+    cache-lifecycle contract). Same ``seed`` ⇒ same hash family, so
+    tables built in different calls are join-compatible — the basis of
+    the incremental path, where the CORPUS tables are computed once
+    and materialized to the lake while batches come and go.
 
     Standard Broder-style construction with AND/OR amplification:
     ``num_hashes`` universal-hash minima grouped into
@@ -201,15 +206,6 @@ def minhash_lsh_pairs(
     scale: with r=1 any shared shingle makes a candidate with
     probability 1−(1−J)^K, and the exact re-rank drowns in low-J pairs
     (measured ~290 K candidates → ~2 K on this corpus going 1→2).
-
-    Scale shape, same as the embedding LSH path: signatures+bands are
-    one vectorized numpy pass per Arrow batch (flattened shingles +
-    minimum.reduceat — no per-doc Python loop); the candidate join and
-    pair-dedup move only (id, band, value) rows — never shingle sets or
-    text; shingle-hash arrays are re-attached by id for the exact
-    Jaccard filter, which touches O(candidates), not O(n²).
-    Returns (id_a, id_b, jaccard_dist) with jaccard ≥ ``threshold``
-    (distance = 1 − exact set Jaccard).
     """
     import random
 
@@ -280,6 +276,40 @@ def minhash_lsh_pairs(
             "band_idx", "band_val"
         ),
     ).persist()
+    return sh, bands
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    seed: int = 42,
+    threshold: float = 0.5,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """MinHash LSH near-dup pairs (the 100 TB dedup path):
+    word-3-gram shingle hashes → MinHash signatures → banded bucket
+    equi-join → exact Jaccard re-rank on the candidate set.
+    Construction and amplification math: see ``minhash_tables``.
+
+    Scale shape, same as the embedding LSH path: signatures+bands are
+    one vectorized numpy pass per Arrow batch (flattened shingles +
+    minimum.reduceat — no per-doc Python loop); the candidate join and
+    pair-dedup move only (id, band, value) rows — never shingle sets or
+    text; shingle-hash arrays are re-attached by id for the exact
+    Jaccard filter, which touches O(candidates), not O(n²).
+    Returns (id_a, id_b, jaccard_dist) with jaccard ≥ ``threshold``
+    (distance = 1 − exact set Jaccard).
+    """
+    sh, bands = minhash_tables(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        seed=seed,
+        rows_per_band=rows_per_band,
+    )
     a_side = bands.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_val"
     )
@@ -438,13 +468,32 @@ def connected_components(
     at 100 TB scale each round is two shuffles (a key join and a
     groupBy-min) on (id, label) pairs only — no payloads — and
     ``localCheckpoint`` truncates the growing lineage each round so
-    plan size stays constant.
+    plan size stays constant. Each round's checkpoint is explicitly
+    unpersisted once the next round's is materialized (the edges table
+    on return), so storage holds ≤2 label snapshots at any moment
+    instead of one per iteration; the RETURNED labels stay checkpointed
+    under the module's cache-lifecycle contract (caller releases).
+    localCheckpoint trades executor-failure recoverability for speed —
+    long multi-hour jobs should switch to reliable ``checkpoint()``
+    with a checkpoint dir; at this operator's round counts (≤25) the
+    local form is the right default.
 
     The reference has no graph/dedup-cluster operator (its dedup is the
     per-key watermark merge, `scripts/load_stock_metrics.py:76-88`);
     this is engine superset for training-data pipelines.
     """
-    spark = pairs.sparkSession
+    def _release(df: DataFrame) -> None:
+        """Drop a SUPERSEDED localCheckpoint's cached blocks now, not
+        at GC time (25 rounds of retained snapshots is a storage leak
+        at scale). Safe only because the df is never read again —
+        a truncated-lineage checkpoint cannot recompute. Best-effort
+        via the LogicalRDD's backing RDD; py4j/plan-shape drift
+        degrades to the GC-driven ContextCleaner path, never breaks."""
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+
     # undirected: propagate both ways
     edges = (
         pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
@@ -480,6 +529,7 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        _release(labels)  # superseded snapshot: new_labels is material
         labels = new_labels
         if changed == 0:
             break
@@ -488,6 +538,7 @@ def connected_components(
             f"connected_components did not converge in {max_iterations} "
             "iterations — component diameter exceeds the cap"
         )
+    _release(edges)  # the returned labels checkpoint is lineage-free
     return labels.select("id", F.col("label").alias("cluster_rep"))
 
 
@@ -538,20 +589,38 @@ def incremental_dedup(
     block_cols: tuple[str, ...] = ("lang",),
     length_col: str = "n_chars",
     length_window: int = 20,
+    source: str = "exact",
+    num_hashes: int = 32,
+    seed: int = 42,
+    rows_per_band: int = 2,
 ) -> DataFrame:
     """Dedup an incoming batch AGAINST an existing corpus: drop batch
     documents that are exact duplicates (content hash) or near
-    duplicates (blocked char-3-gram Jaccard ≥ ``threshold``) of any
-    corpus document. Batch-internal duplicates are deliberately kept —
-    chain with ``exact_dedup``/``near_dup_clusters`` for those.
+    duplicates (Jaccard ≥ ``threshold``) of any corpus document.
+    Batch-internal duplicates are deliberately kept — chain with
+    ``exact_dedup``/``near_dup_clusters`` for those.
 
-    This is the production shape at 100 TB: the corpus is never
-    re-deduped per batch — its content hashes and shingle sets are
-    materialized once (cf. the L3 watermark pattern,
-    `scripts/load_stock_metrics.py:76-88`, lifted from per-key
-    watermarks to content identity), and each batch runs one
-    hash anti-join plus one blocked similarity anti-join against
-    them. Both joins move only (hash) / (id, shingles-in-block) rows,
+    ``source`` picks the near-dup candidate generator, mirroring
+    ``near_dup_clusters``:
+
+    - ``"exact"``: blocked char-3-gram Jaccard — every batch doc
+      compared against every corpus doc in its (block, length) window.
+      Quadratic in the block size: the small-scale ground truth and
+      the DuckDB-oracle form (catalog x38).
+    - ``"lsh"``: banded MinHash (``minhash_tables``) — the 100 TB
+      path. Corpus band/shingle tables are computed once per corpus
+      version (same ``seed`` ⇒ join-compatible across calls, so at
+      scale they are materialized to the lake next to the content-hash
+      table and REUSED per batch — cf. the L3 watermark pattern,
+      `scripts/load_stock_metrics.py:76-88`, lifted to content
+      identity); each batch then runs a band-bucket equi-join — cost
+      proportional to bucket collisions, not corpus size — and an
+      exact word-3-gram Jaccard re-rank on the candidates only.
+      Recall vs the exact form follows the MinHash s-curve
+      (tests/test_extensions.py::test_incremental_dedup_lsh_recall).
+
+    Both paths keep the same exact tier: one content-hash anti-join.
+    All joins move only (hash) / (id, band) / (id, shingles) rows —
     never the corpus text.
     """
     c_hash = corpus.select(
@@ -559,6 +628,62 @@ def incremental_dedup(
     ).distinct()
     b_hashed = batch.withColumn("__h", F.sha2(F.col(text_col), 256))
     no_exact = b_hashed.join(c_hash, "__h", "left_anti").drop("__h")
+
+    if source == "lsh":
+        c_sh, c_bands = minhash_tables(
+            corpus,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            seed=seed,
+            rows_per_band=rows_per_band,
+        )
+        b_sh, b_bands = minhash_tables(
+            no_exact,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            seed=seed,
+            rows_per_band=rows_per_band,
+        )
+        cand = (
+            b_bands.select(
+                F.col(id_col).alias("b_id"), "band_idx", "band_val"
+            )
+            .join(
+                c_bands.select(
+                    F.col(id_col).alias("c_id"),
+                    F.col("band_idx").alias("__bi"),
+                    F.col("band_val").alias("__bv"),
+                ),
+                (F.col("band_idx") == F.col("__bi"))
+                & (F.col("band_val") == F.col("__bv")),
+            )
+            .select("b_id", "c_id")
+            .dropDuplicates(["b_id", "c_id"])
+        )
+        near_ids = (
+            cand.join(
+                b_sh.select(
+                    F.col(id_col).alias("b_id"),
+                    F.col("__shingles").alias("__sb"),
+                ),
+                "b_id",
+            )
+            .join(
+                c_sh.select(
+                    F.col(id_col).alias("c_id"),
+                    F.col("__shingles").alias("__sc"),
+                ),
+                "c_id",
+            )
+            .filter(_jaccard_expr("__sb", "__sc") >= threshold)
+            .select(F.col("b_id").alias(id_col))
+            .distinct()
+        )
+        return no_exact.join(near_ids, id_col, "left_anti")
+    if source != "exact":
+        raise ValueError(f"unknown near-dup source: {source!r}")
 
     b_sh = no_exact.select(
         F.col(id_col).alias("b_id"),

@@ -509,8 +509,13 @@ def wav_assets_from_documents(docs: DataFrame, sample_rate: int = 8000) -> DataF
 def _le32(col) -> "F.Column":
     """Little-endian uint32 bytes of an int column, built JVM-side via
     unhex of byte-swapped hex (chr/concat on strings would corrupt
-    bytes ≥ 0x80 under UTF-8)."""
-    hexed = F.lpad(F.hex(col.cast("long")), 8, "0")
+    bytes ≥ 0x80 under UTF-8). Masked to 32 bits first: RIFF size
+    fields wrap mod 2^32 by definition, and lpad would otherwise
+    TRUNCATE longer hex keeping the leftmost (high) digits — silently
+    corrupt bytes instead of a defined wrap."""
+    hexed = F.lpad(
+        F.hex(col.cast("long").bitwiseAND(F.lit(0xFFFFFFFF))), 8, "0"
+    )
     return F.unhex(
         F.concat(
             F.substring(hexed, 7, 2),

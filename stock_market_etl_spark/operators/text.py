@@ -250,11 +250,15 @@ def tfidf_topk(
 
     Scale shape: one explode → groupBy(doc, term) with map-side
     combine; per-doc totals arrive co-partitioned (the groupBy(doc)
-    output reuses the (doc, term) partitioning's prefix); the
-    vocabulary-level df/idf table is dimension-sized and BROADCAST
-    back onto the term stream; final top-k is a bounded per-doc
-    window (rows per doc ≤ distinct terms). No driver-side state —
-    N (corpus size) rides a 1-row broadcast crossJoin.
+    output reuses the (doc, term) partitioning's prefix); the df/idf
+    table is VOCABULARY-sized (grows with the corpus — a web-scale
+    vocab is billions of terms), so its join back onto the term
+    stream carries no broadcast hint: AQE broadcasts it when it
+    measures small and falls back to a shuffle join on `term` when it
+    doesn't — a forced hint here is a driver OOM at 100 TB. Final
+    top-k is a bounded per-doc window (rows per doc ≤ distinct
+    terms). No driver-side state — N (corpus size) rides a 1-row
+    broadcast crossJoin (genuinely scalar, so the hint stays).
     """
     from pyspark.sql import Window
 
@@ -275,7 +279,7 @@ def tfidf_topk(
     )
     scored = (
         term_counts.join(doc_totals, id_col)
-        .join(F.broadcast(df_counts), "term")
+        .join(df_counts, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
@@ -378,10 +382,12 @@ def chunk_documents(
     Pure JVM higher-order functions: tokenize once, generate chunk
     start indices with ``sequence`` (step = stride), slice per index,
     explode. One narrow pass over the corpus — no shuffle at all; the
-    fan-out multiplies rows ~len/stride inside the scan stage. The
-    final (possibly short) chunk is kept iff it starts within the
-    token array; both engines' ``slice``/list slicing clip past the
-    end identically (same edge rule as word_grams).
+    fan-out multiplies rows ~len/stride inside the scan stage. A
+    final short chunk is kept iff it contains tokens NOT covered by
+    the previous chunk (starts stop at n − overlap, so a document
+    ending exactly on a chunk boundary emits no redundant
+    strict-subset tail); both engines' ``slice``/list slicing clip
+    past the end identically (same edge rule as word_grams).
     """
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be < chunk_tokens")
@@ -390,9 +396,13 @@ def chunk_documents(
         F.col(id_col), tokens(F.col(text_col)).alias("__t")
     )
     n = F.size("__t")
-    # start indices 1, 1+stride, ... while start <= n
+    # start indices 1, 1+stride, ... while start <= n - overlap: the
+    # last start's chunk always reaches the end (next start > n −
+    # overlap ⇒ this chunk covers past n), and no start begins inside
+    # the final `overlap` tokens, whose chunk would be a strict subset
+    # of its predecessor (duplicated training/RAG text)
     starts = F.sequence(
-        F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride)
+        F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(stride)
     )
     chunks = toks.select(
         F.col(id_col),
@@ -427,8 +437,11 @@ def bigram_lm_score(
     Scale shape: bigram arrays are built per row with higher-order
     functions (no shuffle), corpus bigram counts aggregate with
     map-side combine and join back KEYED ON THE BIGRAM (the one honest
-    big shuffle — the model table is corpus-sized); unigram counts and
-    the vocabulary size V are broadcast. Documents with < 2 tokens are
+    big shuffle — the model table is corpus-sized). The unigram count
+    table is VOCABULARY-sized (grows with the corpus), so its join
+    carries no broadcast hint — AQE broadcasts when measured-small,
+    shuffle-joins on the word otherwise; only the 1-row vocabulary
+    size V keeps a hard broadcast. Documents with < 2 tokens are
     excluded (no bigrams to score).
     """
     toks = docs.select(
@@ -454,10 +467,7 @@ def bigram_lm_score(
     scored = (
         doc_bigrams.join(bigram_counts, "bg")
         .withColumn("__w1", F.split(F.col("bg"), " ").getItem(0))
-        .join(
-            F.broadcast(unigram_counts.withColumnRenamed("w", "__w1")),
-            "__w1",
-        )
+        .join(unigram_counts.withColumnRenamed("w", "__w1"), "__w1")
         .crossJoin(F.broadcast(vocab))
         .withColumn(
             "__lp",

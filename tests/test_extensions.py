@@ -547,8 +547,10 @@ def test_dup_clusters_lsh_invariants(spark, sf_smoke):
 
 def test_chunk_documents_overlap_semantics(spark):
     """Chunks must tile the document with the declared overlap:
-    consecutive chunks share exactly `overlap` tokens, strides
-    reconstruct the document, and short tails are kept."""
+    consecutive chunks share exactly `overlap` tokens, every token is
+    covered, and no chunk is a strict subset of its predecessor (the
+    redundant-tail rule: a doc ending on a chunk boundary emits no
+    duplicate-text tail chunk)."""
     from stock_market_etl_spark.operators.text import chunk_documents
 
     words = [f"w{i}" for i in range(10)]
@@ -560,17 +562,30 @@ def test_chunk_documents_overlap_semantics(spark):
         key=lambda r: r["chunk_idx"],
     )
     chunks = [r["chunk_text"].split(" ") for r in out]
-    # stride 2 over 10 tokens → starts 1,3,5,7,9 → 5 chunks
-    assert len(chunks) == 5
+    # stride 2 over 10 tokens, starts capped at n-overlap=8 → 1,3,5,7:
+    # the would-be start at 9 yields (w8,w9) ⊂ (w6..w9) and is dropped
+    assert len(chunks) == 4
     assert chunks[0] == ["w0", "w1", "w2", "w3"]
     for prev, nxt in zip(chunks, chunks[1:]):
         assert prev[2:] == nxt[: len(prev[2:])]  # 2-token overlap
-    assert chunks[-1] == ["w8", "w9"]  # short tail kept
-    # stride-prefixes reconstruct the doc
-    rebuilt = []
-    for c in chunks:
-        rebuilt.extend(c[:2])
-    assert [w for w in rebuilt if w][: len(words)] == words
+    assert chunks[-1] == ["w6", "w7", "w8", "w9"]  # reaches the end
+    covered = {w for c in chunks for w in c}
+    assert covered == set(words)  # full coverage, no token lost
+
+    # a genuinely short tail (doc NOT on a boundary) is still kept
+    out11 = sorted(
+        chunk_documents(
+            spark.createDataFrame(
+                [(1, " ".join(f"w{i}" for i in range(11)))],
+                "doc_id long, text string",
+            ),
+            chunk_tokens=4,
+            overlap=2,
+        ).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    last = out11[-1]["chunk_text"].split(" ")
+    assert last == ["w8", "w9", "w10"]  # short tail with new content
 
     import pytest
 
@@ -645,3 +660,95 @@ def test_resize_rgb_degenerate_source_keeps_geometry():
     ppm_degenerate = b"P6\n0 4\n255\n"
     img = multimodal.decode_image(ppm_degenerate)
     assert len(multimodal.resize_rgb(img, 4, 4)) == 48
+
+
+def test_incremental_dedup_lsh_recall(spark, sf_smoke):
+    """The LSH near side of incremental_dedup must drop most batch docs
+    that truly near-duplicate a corpus doc (word-3-gram Jaccard >= 0.5
+    ground truth computed exhaustively — the LSH path's own feature
+    space), while never touching the exact content-hash tier."""
+    from stock_market_etl_spark.operators.dedup import (
+        incremental_dedup,
+        word_ngram_hashes,
+        word_tokens,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    kept_lsh = {
+        r.doc_id
+        for r in incremental_dedup(
+            corpus, batch, threshold=0.5, source="lsh"
+        ).select("doc_id").collect()
+    }
+    dropped_lsh = {
+        r.doc_id for r in batch.select("doc_id").collect()
+    } - kept_lsh
+
+    def grams(df, alias):
+        return df.select(
+            F.col("doc_id").alias(f"{alias}_id"),
+            word_tokens(F.col("text")).alias("__t"),
+        ).select(
+            f"{alias}_id", word_ngram_hashes(F.col("__t")).alias(f"{alias}_g")
+        )
+
+    exact_hash_dupes = {
+        r.b_id
+        for r in grams(batch, "b")  # reuse alias frame for the hash join
+        .join(
+            batch.select(
+                F.col("doc_id").alias("b_id"),
+                F.sha2("text", 256).alias("__h"),
+            ),
+            "b_id",
+        )
+        .join(
+            corpus.select(F.sha2("text", 256).alias("__h")).distinct(), "__h"
+        )
+        .select("b_id")
+        .collect()
+    }
+    inter = F.size(F.array_intersect("b_g", "c_g"))
+    union = F.size("b_g") + F.size("c_g") - inter
+    truth_near = {
+        r.b_id
+        for r in grams(batch, "b")
+        .join(grams(corpus, "c"), F.lit(True))
+        .filter((inter.cast("double") / union) >= 0.5)
+        .select("b_id")
+        .distinct()
+        .collect()
+    } - exact_hash_dupes
+    truth_dropped = truth_near | exact_hash_dupes
+    assert exact_hash_dupes <= dropped_lsh  # exact tier is not approximate
+    if truth_near:
+        recall = len(truth_near & dropped_lsh) / len(truth_near)
+        assert recall >= 0.8, f"incremental LSH recall {recall:.2f} < 0.8"
+    # precision guard: everything dropped beyond the exact tier must at
+    # least be a candidate-verified near-dup (Jaccard filter is exact),
+    # so no kept/dropped outside truth beyond the s-curve's false
+    # negatives: dropped is a subset of the exhaustive truth set
+    assert dropped_lsh <= truth_dropped
+
+
+def test_connected_components_releases_superseded_checkpoints(spark):
+    """Each CC round localCheckpoints new labels; superseded rounds'
+    cached blocks (and the edges table on return) must be released
+    eagerly, not left to GC — a storage leak over 25 rounds at scale.
+    Only the returned labels snapshot may stay cached."""
+    jvm_sc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    before = jvm_sc.getPersistentRDDs().size()
+    # a 17-node path graph: diameter forces several propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(16)], "id_a long, id_b long"
+    )
+    out = dedup.connected_components(pairs)
+    assert {r.cluster_rep for r in out.collect()} == {0}
+    after = jvm_sc.getPersistentRDDs().size()
+    assert after - before <= 1, (
+        f"{after - before} cached RDDs retained — superseded CC "
+        "checkpoints are leaking"
+    )

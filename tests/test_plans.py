@@ -260,11 +260,27 @@ def test_document_chunks_zero_shuffle(spark, sf_smoke):
 
 
 def test_tfidf_and_bm25_plan_shapes(spark, sf_smoke):
-    """x33: vocabulary df/idf and corpus N ride broadcasts; x34: the
-    top-k compiles to TakeOrderedAndProject (never a global sort) and
-    corpus stats broadcast."""
-    tfidf = _plan(all_queries()["x33_tfidf_topk"](spark, sf_smoke))
-    assert "BroadcastExchange" in tfidf
+    """x33: the term aggregation map-side-combines and corpus N rides
+    a broadcast; x34: the top-k compiles to TakeOrderedAndProject
+    (never a global sort) and corpus stats broadcast."""
+    tfidf_df = all_queries()["x33_tfidf_topk"](spark, sf_smoke)
+    tfidf = _plan(tfidf_df)
+    assert "BroadcastExchange" in tfidf  # scalar N (AQE may add more)
+    assert "partial_count" in tfidf or "Partial" in tfidf  # map-side combine
     bm25 = _plan(all_queries()["x34_bm25_topk"](spark, sf_smoke))
     assert "TakeOrderedAndProject" in bm25
     assert "BroadcastExchange" in bm25
+
+
+def test_vocabulary_joins_carry_no_forced_broadcast(spark, sf_smoke):
+    """x33's df/idf table and x37's unigram table are VOCABULARY-sized
+    (grow with the corpus): a hard F.broadcast hint on them is a
+    driver OOM at 100 TB. Only the genuinely scalar frames (corpus N,
+    vocab size V) may keep hints — so each optimized logical plan must
+    contain exactly ONE forced broadcast (AQE remains free to
+    broadcast the vocab join when it measures small at runtime)."""
+    for name in ("x33_tfidf_topk", "x37_bigram_lm_score"):
+        df = all_queries()[name](spark, sf_smoke)
+        logical = str(df._jdf.queryExecution().optimizedPlan())
+        forced = logical.count("strategy=broadcast")
+        assert forced == 1, f"{name}: {forced} forced broadcast hints"
