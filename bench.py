@@ -126,6 +126,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     shuffle_mb: dict[str, float] = {}
+    reps: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         # Steady-state wall time = min over REPS timed executions
         # (BASELINE.md's column is steady-state): a single timed run is
@@ -133,8 +134,11 @@ def main() -> None:
         # churns the heap — observed 0.8 s steady-state queries
         # measuring 5+ s on a quiet box. min-of-N is the standard
         # steady-state estimator and stays honest (every rep is a full
-        # end-to-end execution through the noop sink).
-        best = None
+        # end-to-end execution through the noop sink). ALL rep times
+        # ship in the JSON ("reps") so a machine blip — one outlier rep,
+        # min ≪ median — is distinguishable from a plan regression
+        # (all reps slow) without rerunning anything.
+        rep_times: list[float] = []
         for _ in range(3):
             # operators persist() at diamond points; dead cache entries
             # from the previous rep otherwise add memory pressure and
@@ -142,12 +146,12 @@ def main() -> None:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             _force(queries[name](spark, sf_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            rep_times.append(round(time.perf_counter() - t0, 3))
             mb = _last_exec_shuffle_mb(spark)
             if mb is not None:
                 shuffle_mb[name] = mb
-        timings[name] = round(best, 3)
+        reps[name] = rep_times
+        timings[name] = min(rep_times)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -158,6 +162,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "reps": reps,
                 "shuffle_mb": shuffle_mb,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

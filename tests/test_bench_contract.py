@@ -41,3 +41,9 @@ def test_bench_emits_contract_json():
     )
     assert abs(sum(payload["queries"].values()) - payload["value"]) < 0.05
     assert payload["sf"] == 0.001
+    # per-rep evidence: every query ships all rep times, and the
+    # headline number is their min (noise vs regression in one glance)
+    assert set(payload["reps"]) == set(payload["queries"])
+    for name, rep_times in payload["reps"].items():
+        assert len(rep_times) == 3
+        assert min(rep_times) == payload["queries"][name]
