@@ -161,3 +161,30 @@ def n8_chained_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming form holds join + window state in one query; parity in
     tests/test_streaming.py)."""
     return core.attributed_purchases_hourly(core.batch_events(spark, sf_dir))
+
+
+@_q(
+    "n9_stream_dedup_ingest",
+    """SELECT doc_id, text, lang, source, n_chars FROM (
+         SELECT *, min(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id
+         FROM documents)
+       WHERE doc_id = keep_id""",
+)
+def n9_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N: the dedup-on-arrival corpus builder drained end-to-end — a
+    REAL Structured Streaming run (file source → foreachBatch
+    exact-dedup + corpus anti-join → parquet append), then the built
+    corpus read back. The documents fixture arrives as one file ⇒ one
+    micro-batch, so the corpus must equal batch exact dedup (min
+    doc_id per sha256 content hash) — making this the one streaming
+    query with a full hash oracle, not rows-only; multi-batch replay +
+    redelivery idempotence are asserted in tests/test_streaming.py."""
+    import os
+
+    work = tempfile.mkdtemp(prefix="ingest_")
+    corpus_path = os.path.join(work, "corpus")
+    stream = core.stream_documents(spark, sf_dir, glob="documents.parquet")
+    core.dedup_ingest_sink(
+        stream, corpus_path, os.path.join(work, "ckpt")
+    )
+    return spark.read.parquet(corpus_path)

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.types import LongType
 
 from stock_market_etl_spark.operators.parallelism import spread
@@ -580,8 +580,87 @@ def near_dup_clusters(
     )
 
 
-def incremental_dedup(
+def corpus_signatures(
     corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    seed: int = 42,
+    rows_per_band: int = 2,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three corpus-side identity tables ``incremental_dedup``
+    joins arriving batches against: ``(hashes, shingles, bands)`` —
+    ``hashes`` is one `content_hash` (sha2-256) row per distinct
+    document body; ``shingles``/``bands`` are ``minhash_tables``
+    output for the near-dup tier.
+
+    This is the 100 TB "corpus version" artifact: computed ONCE per
+    corpus release, written to the lake (`write_corpus_signatures`),
+    and reused by every arriving batch — each increment then costs a
+    hash anti-join plus a band-bucket join against MATERIALIZED
+    tables, never a rescan of corpus text. Same ``seed`` ⇒ the same
+    hash family, so batch-side signatures computed later are
+    join-compatible (the contract `minhash_tables` documents).
+    """
+    hashes = corpus.select(
+        F.sha2(F.col(text_col), 256).alias("content_hash")
+    ).distinct()
+    shingles, bands = minhash_tables(
+        corpus,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        seed=seed,
+        rows_per_band=rows_per_band,
+    )
+    return hashes, shingles, bands
+
+
+def write_corpus_signatures(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    seed: int = 42,
+    rows_per_band: int = 2,
+) -> None:
+    """Materialize ``corpus_signatures`` to ``path/{hashes,shingles,
+    bands}`` as parquet — the once-per-corpus-version step of the
+    incremental-dedup lifecycle. Shingle arrays are the widest table
+    (~K longs per doc); hashes/bands are fixed-width rows, so the
+    artifact is a small fraction of corpus text size."""
+    hashes, shingles, bands = corpus_signatures(
+        corpus,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        seed=seed,
+        rows_per_band=rows_per_band,
+    )
+    hashes.write.mode("overwrite").parquet(f"{path}/hashes")
+    shingles.write.mode("overwrite").parquet(f"{path}/shingles")
+    bands.write.mode("overwrite").parquet(f"{path}/bands")
+    # minhash_tables persists its outputs for multi-consumer plans;
+    # after a write-through there are no further consumers.
+    for df in (shingles, bands):
+        df.unpersist()
+
+
+def read_corpus_signatures(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Load materialized ``write_corpus_signatures`` output for use as
+    ``incremental_dedup(corpus_sigs=...)``."""
+    return (
+        spark.read.parquet(f"{path}/hashes"),
+        spark.read.parquet(f"{path}/shingles"),
+        spark.read.parquet(f"{path}/bands"),
+    )
+
+
+def incremental_dedup(
+    corpus: DataFrame | None,
     batch: DataFrame,
     threshold: float = 0.6,
     text_col: str = "text",
@@ -593,6 +672,7 @@ def incremental_dedup(
     num_hashes: int = 32,
     seed: int = 42,
     rows_per_band: int = 2,
+    corpus_sigs: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Dedup an incoming batch AGAINST an existing corpus: drop batch
     documents that are exact duplicates (content hash) or near
@@ -622,22 +702,41 @@ def incremental_dedup(
     Both paths keep the same exact tier: one content-hash anti-join.
     All joins move only (hash) / (id, band) / (id, shingles) rows —
     never the corpus text.
+
+    ``corpus_sigs`` (from ``corpus_signatures`` /
+    ``read_corpus_signatures``) supplies the corpus-side tables
+    pre-computed — the materialized 100 TB path: with it the call
+    never touches corpus text at all (``corpus`` may be None for
+    ``source="lsh"``), so per-batch cost is independent of corpus
+    size. They must have been built with the same ``seed`` /
+    ``num_hashes`` / ``rows_per_band``. Identity with the inline path
+    is asserted in tests/test_extensions.py.
     """
-    c_hash = corpus.select(
-        F.sha2(F.col(text_col), 256).alias("__h")
-    ).distinct()
+    if corpus_sigs is not None:
+        c_hash = corpus_sigs[0].select(
+            F.col("content_hash").alias("__h")
+        )
+    elif corpus is not None:
+        c_hash = corpus.select(
+            F.sha2(F.col(text_col), 256).alias("__h")
+        ).distinct()
+    else:
+        raise ValueError("need corpus or corpus_sigs")
     b_hashed = batch.withColumn("__h", F.sha2(F.col(text_col), 256))
     no_exact = b_hashed.join(c_hash, "__h", "left_anti").drop("__h")
 
     if source == "lsh":
-        c_sh, c_bands = minhash_tables(
-            corpus,
-            text_col=text_col,
-            id_col=id_col,
-            num_hashes=num_hashes,
-            seed=seed,
-            rows_per_band=rows_per_band,
-        )
+        if corpus_sigs is not None:
+            _, c_sh, c_bands = corpus_sigs
+        else:
+            c_sh, c_bands = minhash_tables(
+                corpus,
+                text_col=text_col,
+                id_col=id_col,
+                num_hashes=num_hashes,
+                seed=seed,
+                rows_per_band=rows_per_band,
+            )
         b_sh, b_bands = minhash_tables(
             no_exact,
             text_col=text_col,
@@ -684,6 +783,11 @@ def incremental_dedup(
         return no_exact.join(near_ids, id_col, "left_anti")
     if source != "exact":
         raise ValueError(f"unknown near-dup source: {source!r}")
+    if corpus is None:
+        raise ValueError(
+            "source='exact' blocks on corpus text; corpus_sigs carries "
+            "only hashes/signatures — use source='lsh' with it"
+        )
 
     b_sh = no_exact.select(
         F.col(id_col).alias("b_id"),

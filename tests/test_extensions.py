@@ -752,3 +752,47 @@ def test_connected_components_releases_superseded_checkpoints(spark):
         f"{after - before} cached RDDs retained — superseded CC "
         "checkpoints are leaking"
     )
+
+
+def test_incremental_dedup_materialized_signatures(spark, sf_smoke, tmp_path):
+    """The materialized-signature path (corpus_signatures written to
+    parquet, read back, fed via corpus_sigs=) must keep EXACTLY the
+    same batch documents as the inline LSH path — the 100 TB corpus-
+    version artifact is a pure caching decision, never a semantic one."""
+    import pytest
+
+    docs = load_table(spark, sf_smoke, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+
+    inline = {
+        r.doc_id
+        for r in dedup.incremental_dedup(
+            corpus, batch, threshold=0.5, source="lsh"
+        )
+        .select("doc_id")
+        .collect()
+    }
+
+    sig_path = str(tmp_path / "corpus_sigs")
+    dedup.write_corpus_signatures(corpus, sig_path)
+    sigs = dedup.read_corpus_signatures(spark, sig_path)
+    # corpus=None: the materialized path never touches corpus text
+    materialized = {
+        r.doc_id
+        for r in dedup.incremental_dedup(
+            None, batch, threshold=0.5, source="lsh", corpus_sigs=sigs
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert materialized == inline
+
+    # the exact blocked-Jaccard source needs raw corpus text; with only
+    # signatures on hand that is a loud error, not a silent no-op
+    with pytest.raises(ValueError, match="corpus text"):
+        dedup.incremental_dedup(
+            None, batch, threshold=0.5, source="exact", corpus_sigs=sigs
+        )
+    with pytest.raises(ValueError, match="corpus or corpus_sigs"):
+        dedup.incremental_dedup(None, batch, threshold=0.5, source="lsh")

@@ -329,3 +329,100 @@ def test_multi_microbatch_state_carries(spark, sf_smoke, tmp_path):
     )
     want = core.tumbling_counts(batch.drop("__us"))
     assert _rows(spark.table(name)) == _rows(want)
+
+
+def test_dedup_ingest_multibatch_and_redelivery(spark, sf_smoke, tmp_path):
+    """Dedup-on-arrival corpus builder (n9's engine), forced through
+    MULTIPLE micro-batches: the built corpus must carry every distinct
+    content exactly once (arrival order decides which copy survives —
+    content identity, not row identity, is the exactly-once grain),
+    and a full redelivery of the stream (fresh checkpoint, same
+    source) must append NOTHING — the content-hash anti-join makes
+    at-least-once delivery idempotent without transactional writes."""
+    import os
+
+    from stock_market_etl_spark.io import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    src = str(tmp_path / "arrivals")
+    # three arrival files ⇒ three micro-batches under maxFilesPerTrigger=1
+    for k in range(3):
+        docs.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    corpus_path = str(tmp_path / "corpus")
+
+    def run(ckpt: str) -> None:
+        stream = core.stream_documents(
+            spark, src, max_files_per_trigger=1
+        )
+        core.dedup_ingest_sink(
+            stream, corpus_path, os.path.join(str(tmp_path), ckpt)
+        )
+
+    run("ckpt_a")
+    corpus = spark.read.parquet(corpus_path)
+    hashes = corpus.select(F.sha2("text", 256).alias("h"))
+    want = docs.select(F.sha2("text", 256).alias("h")).distinct()
+    # every distinct content exactly once
+    assert corpus.count() == want.count()
+    assert _rows(hashes.distinct()) == _rows(want)
+    assert hashes.count() == hashes.distinct().count()
+
+    # redelivery: same files, fresh checkpoint — nothing may land
+    run("ckpt_b")
+    assert spark.read.parquet(corpus_path).count() == want.count()
+
+
+def test_dedup_ingest_near_dup_tier(spark, sf_smoke, tmp_path):
+    """With threshold set, the ingest sink also drops batch docs that
+    near-duplicate (MinHash-LSH + exact Jaccard re-rank) an
+    already-landed doc: the streamed result must match the same
+    two-tier dedup composed in batch over the same arrival split."""
+    import os
+
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators.dedup import (
+        exact_dedup,
+        incremental_dedup,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").filter(
+        F.col("doc_id") < 400
+    )
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "arrivals")
+    # one file per arrival wave; distinct mtimes pin source file order
+    # (FileStreamSource drains oldest-first under maxFilesPerTrigger)
+    import time
+
+    first.coalesce(1).write.parquet(src + "/w=0")
+    time.sleep(1.2)
+    second.coalesce(1).write.parquet(src + "/w=1")
+
+    stream = core.stream_documents(
+        spark, src, glob="*.parquet", max_files_per_trigger=1
+    )
+    corpus_path = str(tmp_path / "corpus")
+    core.dedup_ingest_sink(
+        stream,
+        corpus_path,
+        str(tmp_path / "ckpt"),
+        threshold=0.5,
+    )
+    got = {
+        r.doc_id
+        for r in spark.read.parquet(corpus_path)
+        .select("doc_id")
+        .collect()
+    }
+
+    cols = docs.columns
+    wave1 = exact_dedup(first).select(*cols)
+    wave2 = incremental_dedup(
+        wave1, exact_dedup(second).select(*cols), threshold=0.5,
+        source="lsh",
+    ).select(*cols)
+    want = {r.doc_id for r in wave1.unionByName(wave2).select("doc_id").collect()}
+    assert got == want
