@@ -922,3 +922,26 @@ def x39_incremental_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     out = dedup.incremental_dedup(corpus, batch, threshold=0.5, source="lsh")
     return out.select("doc_id", "lang", "source", "n_chars")
+
+
+@_q("x40_ivf_topk_lake")
+def x40_ivf_topk_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe over a MATERIALIZED index — the 100 TB deployment
+    shape of x15: `write_ivf_index` lays the cell assignments down as
+    cell-partitioned parquet (one offline k-means + scan), then every
+    online probe reads the artifact back and touches only the
+    n_probe/n_lists probed cells via partition pruning at file listing
+    (plan-asserted in tests/test_plans.py). Same seed/params as x15, so
+    the probe result is identical to the inline form (asserted in
+    tests/test_extensions.py); k-means is engine-specific → rows-only,
+    like x15."""
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centers = similarity.ivf_index(emb, n_lists=16)
+    path = tempfile.mkdtemp(prefix="ivf_lake_")
+    similarity.write_ivf_index(assigned, centers, path)
+    lake_assigned, lake_centers = similarity.read_ivf_index(spark, path)
+    return similarity.ivf_probe(
+        lake_assigned, lake_centers, query_id=0, k=10, n_probe=4
+    )

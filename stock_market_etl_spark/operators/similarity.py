@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.types import DoubleType
 
 from stock_market_etl_spark.operators.parallelism import spread
@@ -362,6 +362,38 @@ def ivf_index(
         centers, "cell int, centroid array<double>"
     )
     return assigned, centers_df
+
+
+def write_ivf_index(
+    assigned: DataFrame,
+    centers_df: DataFrame,
+    path: str,
+) -> None:
+    """Materialize an `ivf_index` result to ``path/{cells,centroids}``
+    — the once-per-index-build step of the ANN lifecycle (the vector
+    analogue of `dedup.write_corpus_signatures`). ``cells`` is written
+    partitioned by ``__cell`` so that `ivf_probe` over the read-back
+    index prunes non-probed cells at the FILE LISTING — a query touches
+    ~n_probe/n_lists of the lake, independent of corpus size (partition
+    pruning asserted in tests/test_plans.py). ``centroids`` is the tiny
+    n_lists-row table every query broadcasts."""
+    assigned.write.mode("overwrite").partitionBy("__cell").parquet(
+        f"{path}/cells"
+    )
+    centers_df.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def read_ivf_index(
+    spark: "SparkSession", path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Load a materialized `write_ivf_index` artifact as the
+    ``(assigned, centers_df)`` pair `ivf_probe` takes. The partition
+    column ``__cell`` comes back from the directory layout, so probe
+    filters prune before any file is opened."""
+    return (
+        spark.read.parquet(f"{path}/cells"),
+        spark.read.parquet(f"{path}/centroids"),
+    )
 
 
 def ivf_probe(

@@ -796,3 +796,16 @@ def test_incremental_dedup_materialized_signatures(spark, sf_smoke, tmp_path):
         )
     with pytest.raises(ValueError, match="corpus or corpus_sigs"):
         dedup.incremental_dedup(None, batch, threshold=0.5, source="lsh")
+
+
+def test_ivf_lake_probe_matches_inline(spark, sf_smoke):
+    """x40 (probe over the materialized, cell-partitioned index) must
+    return exactly x15's inline result — the lake round-trip is a
+    storage decision, never a semantic one (same seed ⇒ same k-means ⇒
+    same cells ⇒ same candidates)."""
+    from stock_market_etl_spark.catalog import all_queries
+
+    qs = all_queries()
+    inline = qs["x15_ivf_topk"](spark, sf_smoke).collect()
+    lake = qs["x40_ivf_topk_lake"](spark, sf_smoke).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, lake))

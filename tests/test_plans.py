@@ -200,17 +200,54 @@ def test_ivf_index_partition_pruning(spark, sf_smoke, tmp_path):
     emb = load_table(spark, sf_smoke, "embeddings")
     assigned, centers = similarity.ivf_index(emb, n_lists=8)
     path = str(tmp_path / "ivf_index")
-    assigned.write.partitionBy("__cell").parquet(path)
-    reloaded = spark.read.parquet(path)
+    similarity.write_ivf_index(assigned, centers, path)
+    reloaded, centers_lake = similarity.read_ivf_index(spark, path)
     pruned = reloaded.filter(F.col("__cell").isin([1, 3]))
     plan = _plan(pruned)
     assert "PartitionFilters" in plan
     assert "__cell" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
     direct = similarity.ivf_probe(assigned, centers, query_id=0, n_probe=4)
-    via_lake = similarity.ivf_probe(reloaded, centers, query_id=0, n_probe=4)
+    via_lake = similarity.ivf_probe(
+        reloaded, centers_lake, query_id=0, n_probe=4
+    )
     assert sorted(map(tuple, direct.collect())) == sorted(
         map(tuple, via_lake.collect())
     )
+
+
+def test_incremental_dedup_corpus_scan_prunes_to_identity_cols(
+    spark, sf_smoke, tmp_path
+):
+    """x39/n9's corpus-side claim: against a parquet corpus, the LSH
+    path's scans must read only identity inputs from corpus files —
+    text (sha2/shingle input) and doc_id (signature key) — never the
+    payload columns (lang/source/n_chars). At 100 TB the corpus side is
+    the big one; with `corpus_sigs` even these scans disappear, but the
+    inline path must already column-prune to the identity set."""
+    from stock_market_etl_spark.io import load_table as _lt
+    from stock_market_etl_spark.operators.dedup import incremental_dedup
+
+    docs = _lt(spark, sf_smoke, "documents")
+    corpus_path = str(tmp_path / "corpus")
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+
+    out = incremental_dedup(corpus, batch, source="lsh", threshold=0.5)
+    plan = _plan(out)
+    corpus_scans = [
+        seg
+        for seg in plan.split("FileScan")[1:]
+        if "corpus" in seg.split("ReadSchema:", 1)[0]
+    ]
+    assert corpus_scans, "corpus parquet scan not found in plan"
+    for seg in corpus_scans:
+        read_schema = seg.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+        assert "text" in read_schema or "doc_id" in read_schema
+        for col in ("lang", "source", "n_chars"):
+            assert col not in read_schema, (
+                f"corpus scan reads payload column {col}: {read_schema}"
+            )
 
 
 def test_pack_and_shuffle_avoid_whole_stratum_windows(spark, sf_smoke):
