@@ -249,16 +249,21 @@ def tfidf_topk(
     result is deterministic and oracle-hashable.
 
     Scale shape: one explode → groupBy(doc, term) with map-side
-    combine; per-doc totals arrive co-partitioned (the groupBy(doc)
-    output reuses the (doc, term) partitioning's prefix); the df/idf
-    table is VOCABULARY-sized (grows with the corpus — a web-scale
-    vocab is billions of terms), so its join back onto the term
-    stream carries no broadcast hint: AQE broadcasts it when it
-    measures small and falls back to a shuffle join on `term` when it
-    doesn't — a forced hint here is a driver OOM at 100 TB. Final
-    top-k is a bounded per-doc window (rows per doc ≤ distinct
-    terms). No driver-side state — N (corpus size) rides a 1-row
-    broadcast crossJoin (genuinely scalar, so the hint stays).
+    combine; the df/idf table is VOCABULARY-sized (grows with the
+    corpus — a web-scale vocab is billions of terms), so its join back
+    onto the term stream carries no broadcast hint: AQE broadcasts it
+    when it measures small and falls back to a shuffle join on `term`
+    when it doesn't — a forced hint here is a driver OOM at 100 TB.
+    df deliberately stays an AGGREGATE + join rather than a
+    count-over-term window: the aggregate collapses a hot term
+    map-side and AQE can split a skewed join partition, while a
+    window would pin every (doc, hot-term) row into one task —
+    a Zipfian-vocabulary skew trap. Per-doc totals and the final
+    top-k, by contrast, ARE windows — both partition by ``id_col``,
+    so doc_len, the tf·idf projection, and the rank sort all ride ONE
+    exchange (doc grain is bounded by doc size — no skew exposure).
+    No driver-side state — N (corpus size) rides a 1-row broadcast
+    crossJoin (genuinely scalar, so the hint stays).
     """
     from pyspark.sql import Window
 
@@ -268,19 +273,17 @@ def tfidf_topk(
     term_counts = toks.groupBy(id_col, "term").agg(
         F.count("*").alias("tf_count")
     )
-    doc_totals = term_counts.groupBy(id_col).agg(
-        F.sum("tf_count").alias("doc_len")
-    )
     df_counts = term_counts.groupBy("term").agg(
         F.count("*").alias("df")
     )
     n_docs = docs.select(
         F.count("*").cast("double").alias("n_docs")
     )
+    w_doc = Window.partitionBy(id_col)
     scored = (
-        term_counts.join(doc_totals, id_col)
-        .join(df_counts, "term")
+        term_counts.join(df_counts, "term")
         .crossJoin(F.broadcast(n_docs))
+        .withColumn("doc_len", F.sum("tf_count").over(w_doc))
         .withColumn(
             "tfidf",
             (F.col("tf_count") / F.col("doc_len"))
