@@ -188,3 +188,33 @@ def n9_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, corpus_path, os.path.join(work, "ckpt")
     )
     return spark.read.parquet(corpus_path)
+
+
+@_q("n10_stream_ann_index_ingest")
+def n10_stream_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N: streaming IVF index maintenance drained end-to-end — a REAL
+    Structured Streaming run (file source over embeddings →
+    foreachBatch id anti-join + zero-shuffle centroid assignment →
+    cell-partitioned parquet append), then a top-k probe over the
+    read-back index. Centroids come from one offline `ivf_index` build
+    (seeded k-means → engine-specific ⇒ rows-only), and
+    `assign_cells` reproduces the k-means assignment rule exactly, so
+    the probe result is identical to x15/x40 over the same fixture —
+    asserted in tests/test_streaming.py along with multi-batch replay
+    and redelivery idempotence."""
+    import os
+
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, centers = similarity.ivf_index(emb, n_lists=16)
+    work = tempfile.mkdtemp(prefix="ann_ingest_")
+    index_path = os.path.join(work, "index")
+    centers.write.parquet(os.path.join(index_path, "centroids"))
+    stream = core.stream_documents(spark, sf_dir, glob="embeddings.parquet")
+    core.ivf_append_sink(stream, index_path, os.path.join(work, "ckpt"))
+    assigned, centers_lake = similarity.read_ivf_index(spark, index_path)
+    return similarity.ivf_probe(
+        assigned, centers_lake, query_id=0, k=10, n_probe=4
+    )

@@ -364,6 +364,49 @@ def ivf_index(
     return assigned, centers_df
 
 
+def assign_cells(
+    df: DataFrame,
+    centers_df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared-euclidean
+    argmin — the k-means assignment rule), WITHOUT re-running k-means:
+    the n_lists-row centroid table broadcasts, distances compute in a
+    JVM `zip_with` fold, and `min_by` on a (distance, cell) struct
+    keeps the choice deterministic under exact ties. This is how new
+    vectors join an EXISTING index — the incremental-maintenance half
+    of the IVF lifecycle (`ivf_index` trains once per index build;
+    this appends forever after).
+
+    Plan shape: ZERO shuffle — the centroid table is index metadata
+    (n_lists rows, bounded by construction, the same table
+    `ivf_probe` collects to rank cells), so it is read once driver-side
+    and inlined as literal arrays; assignment is then one narrow
+    projection per input row (`array_min` over (distance, cell)
+    structs — struct ordering gives the argmin with the cell-id
+    tiebreak), entirely inside the scan stage."""
+    centers = sorted(
+        ((r["cell"], list(r["centroid"])) for r in centers_df.collect()),
+        key=lambda t: t[0],
+    )
+    v = _as_double(F.col(vec_col))
+    choices = []
+    for cell, centroid in centers:
+        lit_c = F.array(*[F.lit(float(x)) for x in centroid])
+        sq_dist = F.aggregate(
+            F.zip_with(v, lit_c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+        choices.append(
+            F.struct(
+                sq_dist.alias("d"), F.lit(int(cell)).alias("cell")
+            )
+        )
+    best = F.array_min(F.array(*choices))
+    return df.withColumn("__cell", best["cell"])
+
+
 def write_ivf_index(
     assigned: DataFrame,
     centers_df: DataFrame,

@@ -327,11 +327,12 @@ def stream_documents(
     glob: str = "*.parquet",
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """File-source stream over a documents directory — the arrival
-    stream for the dedup-on-arrival corpus builder. Schema is sniffed
-    from one batch footer read of the same path (same contract as
-    `stream_events`). ``max_files_per_trigger`` bounds micro-batch
-    size (and in tests forces multi-batch replays)."""
+    """File-source stream over a parquet table directory — the arrival
+    stream for the ingest sinks (documents for `dedup_ingest_sink`,
+    embeddings for `ivf_append_sink`). Schema is sniffed from one batch
+    footer read of the same path (same contract as `stream_events`).
+    ``max_files_per_trigger`` bounds micro-batch size (and in tests
+    forces multi-batch replays)."""
     schema = (
         spark.read.option("pathGlobFilter", glob).parquet(path).schema
     )
@@ -432,6 +433,82 @@ def dedup_ingest_sink(
 
     q = (
         stream_docs.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def ivf_append_sink(
+    stream_vecs: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming IVF index maintenance — the ANN twin of
+    `dedup_ingest_sink`: each arriving embedding micro-batch is
+    assigned to its nearest centroid against the index's FIXED
+    centroid table (`similarity.assign_cells` — a zero-shuffle literal
+    projection; centroids are trained once per index build by
+    `ivf_index`, never re-fit per batch) and APPENDED to the
+    cell-partitioned ``cells`` table, so `ivf_probe` over
+    `read_ivf_index` sees new vectors immediately with unchanged
+    partition pruning.
+
+    Exactly-once at vector-id grain without transactional writes, by
+    the same algebra as the dedup sink: the batch anti-joins on
+    ``id_col`` against the ids already in the index (an id-column scan
+    of ``cells`` — never embeddings), so a redelivered micro-batch
+    lands nothing (replay-tested in tests/test_streaming.py).
+
+    Scale notes: per-batch cost is increment-sized — assignment is
+    |batch| × n_lists JVM folds inside the scan stage, the idempotence
+    guard reads one id column, and the append only adds files under
+    each cell directory, never rewriting existing index files. Index
+    quality drifts as the corpus distribution drifts away from the
+    trained centroids — re-running `ivf_index` periodically is a
+    REBUILD (new index version), deliberately not part of the
+    per-batch path.
+    """
+    from pyspark.errors import AnalysisException
+
+    from stock_market_etl_spark.operators.similarity import assign_cells
+
+    out_cols = list(stream_vecs.columns)
+    spark0 = stream_vecs.sparkSession
+    # static per index version: read once at sink setup, reuse across
+    # micro-batches (the artifact `write_ivf_index` laid down)
+    centers_df = spark0.read.parquet(f"{index_path}/centroids")
+    cells_path = f"{index_path}/cells"
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        fresh = batch_df.dropDuplicates([id_col])
+        # Missing cells table ⇒ bootstrap append; any other read error
+        # must re-raise so the micro-batch retries (same policy as
+        # dedup_ingest_sink).
+        try:
+            existing_ids = spark.read.parquet(cells_path).select(id_col)
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in (
+                getattr(exc, "getErrorClass", lambda: "")() or str(exc)
+            ) and "Path does not exist" not in str(exc):
+                raise
+            existing_ids = None
+        if existing_ids is not None:
+            fresh = fresh.join(existing_ids, id_col, "left_anti")
+        assigned = assign_cells(fresh, centers_df, vec_col=vec_col)
+        assigned.select(*out_cols, "__cell").write.mode(
+            "append"
+        ).partitionBy("__cell").parquet(cells_path)
+
+    q = (
+        stream_vecs.writeStream.foreachBatch(append_batch)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -426,3 +426,67 @@ def test_dedup_ingest_near_dup_tier(spark, sf_smoke, tmp_path):
     ).select(*cols)
     want = {r.doc_id for r in wave1.unionByName(wave2).select("doc_id").collect()}
     assert got == want
+
+
+def test_ivf_append_multibatch_redelivery_and_probe_identity(
+    spark, sf_smoke, tmp_path
+):
+    """Streaming IVF maintenance (n10's engine), forced through
+    multiple micro-batches: the streamed index must hold every vector
+    exactly once with the same cell assignment k-means would give
+    (assign_cells ≡ model.transform), a full redelivery (fresh
+    checkpoint, same source) must append nothing, and a probe over the
+    streamed index must equal the probe over the batch-built index."""
+    import os
+
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators import similarity
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    assigned_batch, centers = similarity.ivf_index(emb, n_lists=8)
+
+    index_path = str(tmp_path / "index")
+    centers.write.parquet(os.path.join(index_path, "centroids"))
+    src = str(tmp_path / "arrivals")
+    # three arrival files ⇒ three micro-batches under maxFilesPerTrigger=1
+    for k in range(3):
+        emb.filter(F.col("vec_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run(ckpt: str) -> None:
+        stream = core.stream_documents(
+            spark, src, max_files_per_trigger=1
+        )
+        core.ivf_append_sink(
+            stream, index_path, os.path.join(str(tmp_path), ckpt)
+        )
+
+    run("ckpt_a")
+    streamed, centers_lake = similarity.read_ivf_index(spark, index_path)
+    want = {
+        (r["vec_id"], r["__cell"])
+        for r in assigned_batch.select("vec_id", "__cell").collect()
+    }
+    got = {
+        (r["vec_id"], r["__cell"])
+        for r in streamed.select("vec_id", "__cell").collect()
+    }
+    assert got == want
+    assert streamed.count() == emb.count()
+
+    # redelivery: same files, fresh checkpoint — nothing may land
+    run("ckpt_b")
+    assert spark.read.parquet(
+        os.path.join(index_path, "cells")
+    ).count() == emb.count()
+
+    p_stream = similarity.ivf_probe(
+        streamed, centers_lake, query_id=0, n_probe=4
+    )
+    p_batch = similarity.ivf_probe(
+        assigned_batch, centers, query_id=0, n_probe=4
+    )
+    assert sorted(map(tuple, p_stream.collect())) == sorted(
+        map(tuple, p_batch.collect())
+    )
