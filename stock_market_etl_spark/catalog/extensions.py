@@ -945,3 +945,89 @@ def x40_ivf_topk_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_probe(
         lake_assigned, lake_centers, query_id=0, k=10, n_probe=4
     )
+
+
+@_q(
+    "x41_leakage_safe_split",
+    """WITH RECURSIVE sh AS (
+         SELECT doc_id, lang, n_chars,
+           list_distinct(list_transform(
+             range(1, greatest(length(text) - 2, 0) + 1),
+             i -> substring(text, i, 3))) AS shingles
+         FROM documents),
+       pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sh a JOIN sh b
+           ON a.lang = b.lang AND a.doc_id < b.doc_id
+          AND abs(a.n_chars - b.n_chars) <= 20
+         WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))) >= 0.6),
+       edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       reach(id, r) AS (
+         SELECT a, a FROM edges
+         UNION
+         SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+       reps AS (SELECT id AS doc_id, min(r) AS cluster_rep
+                FROM reach GROUP BY id),
+       keyed AS (
+         SELECT d.doc_id, d.lang,
+                coalesce(r.cluster_rep, d.doc_id) AS split_key
+         FROM documents d LEFT JOIN reps r USING (doc_id))
+       SELECT doc_id, lang,
+              CASE WHEN substr(md5(CAST(split_key AS VARCHAR) || 'split-v1'),
+                               1, 4) < 'e666' THEN 'train'
+                   WHEN substr(md5(CAST(split_key AS VARCHAR) || 'split-v1'),
+                               1, 4) < 'f333' THEN 'val'
+                   ELSE 'test' END AS split
+       FROM keyed""",
+)
+def x41_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: x22's hash split drawn at
+    NEAR-DUP-CLUSTER grain (operators/sampling.py leakage_safe_split
+    over x31's connected components), so near-identical documents can
+    never straddle train and test — the contamination a doc-grain
+    split cannot rule out. Same weights/salt as x22: singletons keep
+    their x22 split; only clustered docs move (to their rep's draw).
+    Oracle: x31's recursive-CTE transitive closure + the same md5 CASE
+    on the cluster key."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup.near_dup_clusters(docs, threshold=0.6)
+    return sampling.leakage_safe_split(
+        docs,
+        {"train": 0.90, "val": 0.05, "test": 0.05},
+        clusters,
+        salt="split-v1",
+    ).select("doc_id", "lang", "split")
+
+
+@_q(
+    "x42_temperature_mix",
+    """WITH counts AS (
+         SELECT source, count(*) AS n FROM documents GROUP BY source),
+       m AS (SELECT min(n) AS n_min FROM counts),
+       q AS (
+         SELECT source,
+           CASE WHEN pow(n / CAST(n_min AS DOUBLE), -0.5) >= 1.0 THEN 'g'
+                ELSE printf('%04x', CAST(floor(
+                  pow(n / CAST(n_min AS DOUBLE), -0.5) * 65536) AS BIGINT))
+           END AS thr
+         FROM counts, m)
+       SELECT d.doc_id, d.source, d.lang
+       FROM documents d JOIN q USING (source)
+       WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix-temp-v1'), 1, 4)
+             < q.thr""",
+)
+def x42_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source rebalancing (alpha = 0.5): keep rate
+    per source is (n_s/n_min)^(alpha-1), so the smallest source keeps
+    everything and larger sources are deterministically hash-
+    downsampled toward uniform — the standard LLM data-mixture move
+    (operators/sampling.py temperature_sample). Data-derived fractions:
+    one source-grain count aggregate feeds thresholds joined back onto
+    the scan (no broadcast hint — the x33 vocabulary-join rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.temperature_sample(
+        docs, alpha=0.5, strata_col="source", salt="mix-temp-v1"
+    ).select("doc_id", "source", "lang")

@@ -103,6 +103,86 @@ def stratified_sample(
     return df.filter(prefix < thr)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """`deterministic_split` at NEAR-DUP-CLUSTER grain: every document
+    in a near-duplicate cluster draws its split from the cluster
+    representative's hash, singletons from their own id — so two
+    near-identical documents can never straddle train and test, the
+    leakage a doc-grain split cannot rule out (and the reason to split
+    AFTER near-dup detection, not before).
+
+    ``clusters`` is `dedup.near_dup_clusters` output
+    (``(id, cluster_rep)``; absent ids are singletons). The split key
+    is ``coalesce(cluster_rep, id)`` via an id-grain left join — the
+    one shuffle this adds; the hash draw itself stays a narrow
+    projection. At 100 TB the clusters table is the (much smaller)
+    pair-participant set, and the join key is the same id the pair
+    pipeline already partitions by."""
+    rep = F.coalesce(F.col("cluster_rep"), F.col(id_col))
+    grouped = (
+        df.join(clusters.withColumnRenamed("id", id_col), id_col, "left")
+        .withColumn("__split_key", rep)
+        .drop("cluster_rep")
+    )
+    out = deterministic_split(
+        grouped, weights, id_col="__split_key", salt=salt, out_col=out_col
+    )
+    return out.drop("__split_key")
+
+
+def temperature_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-weighted source rebalancing — the standard LLM
+    data-mixture move: sample stratum ``s`` with probability
+    ∝ n_s^alpha (alpha < 1 flattens the source distribution toward
+    uniform; alpha = 1 keeps it; alpha = 0 is fully uniform). The
+    per-document keep rate is ``(n_s / n_min)^(alpha-1)`` — the
+    smallest source keeps everything, larger sources are hash-
+    downsampled toward it — realized as the same md5-prefix draw as
+    `stratified_sample`, so the kept set is deterministic and monotone
+    in alpha.
+
+    Unlike `stratified_sample` the fractions are DATA-DERIVED: one
+    stratum-grain count aggregate (map-side combinable; output rows =
+    #sources) feeds per-stratum thresholds joined back onto the scan.
+    No broadcast hint on that join — source vocabularies can be
+    web-scale (domains), AQE broadcasts when measured-small, exactly
+    the x33 vocabulary-join rule."""
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
+    n_min = counts.agg(F.min("__n").alias("__n_min"))
+    keep = F.pow(
+        F.col("__n") / F.col("__n_min"), F.lit(float(alpha) - 1.0)
+    )
+    # floor, not cast: Spark's double→long cast truncates but DuckDB's
+    # rounds — an explicit floor keeps the two oracle sides identical
+    thr = F.when(keep >= 1.0, F.lit("g")).otherwise(
+        F.lower(
+            F.lpad(F.hex(F.floor(keep * 65536).cast("long")), 4, "0")
+        )
+    )
+    q = counts.crossJoin(F.broadcast(n_min)).select(
+        strata_col, thr.alias("__thr")
+    )
+    return (
+        df.join(q, strata_col)
+        .filter(_hash_prefix(F.col(id_col), salt) < F.col("__thr"))
+        .drop("__thr")
+        .select(*df.columns)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

@@ -809,3 +809,73 @@ def test_ivf_lake_probe_matches_inline(spark, sf_smoke):
     inline = qs["x15_ivf_topk"](spark, sf_smoke).collect()
     lake = qs["x40_ivf_topk_lake"](spark, sf_smoke).collect()
     assert sorted(map(tuple, inline)) == sorted(map(tuple, lake))
+
+
+def test_leakage_safe_split_keeps_pairs_together(spark, sf_smoke):
+    """No near-dup pair may straddle splits (the leakage the operator
+    exists to prevent), and documents outside any cluster must keep
+    exactly the doc-grain x22 split (same weights, same salt ⇒ the two
+    operators agree wherever leakage safety doesn't force a move)."""
+    from stock_market_etl_spark.operators import sampling
+
+    docs = load_table(spark, sf_smoke, "documents")
+    clusters = dedup.near_dup_clusters(docs, threshold=0.6)
+    out = sampling.leakage_safe_split(
+        docs, {"train": 0.90, "val": 0.05, "test": 0.05}, clusters,
+        salt="split-v1",
+    )
+    split_of = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
+    rep_of = {r["doc_id"]: r["cluster_rep"] for r in clusters.collect()}
+    assert rep_of, "fixture has no near-dup clusters; test is vacuous"
+    for doc, rep in rep_of.items():
+        assert split_of[doc] == split_of[rep], (doc, rep)
+
+    doc_grain = sampling.deterministic_split(
+        docs, {"train": 0.90, "val": 0.05, "test": 0.05}, salt="split-v1"
+    )
+    base = {r["doc_id"]: r["split"] for r in doc_grain.select("doc_id", "split").collect()}
+    singletons = set(split_of) - set(rep_of)
+    assert singletons
+    for doc in singletons:
+        assert split_of[doc] == base[doc]
+
+
+def test_temperature_sample_rates_and_limits(spark, sf_smoke):
+    """alpha=1 must keep everything (identity); at alpha<1 the smallest
+    source keeps everything and every source's kept fraction tracks
+    (n_s/n_min)^(alpha-1) within hash-binomial noise; kept sets are
+    monotone in alpha (raising alpha only adds documents)."""
+    from stock_market_etl_spark.operators import sampling
+
+    docs = load_table(spark, sf_smoke, "documents")
+    n_total = docs.count()
+    assert sampling.temperature_sample(docs, alpha=1.0).count() == n_total
+
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    n_min = min(counts.values())
+    half = sampling.temperature_sample(docs, alpha=0.5, salt="t-v1")
+    kept = {
+        r["source"]: r["n"]
+        for r in half.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for src, n in counts.items():
+        want = (n / n_min) ** -0.5
+        got = kept.get(src, 0) / n
+        if n == n_min:
+            assert got == 1.0, src
+        else:
+            # 4σ binomial tolerance on the hash draw
+            tol = 4 * (want * (1 - want) / n) ** 0.5 + 1 / n
+            assert abs(got - want) <= tol, (src, got, want, tol)
+
+    ids_half = {r["doc_id"] for r in half.select("doc_id").collect()}
+    ids_hot = {
+        r["doc_id"]
+        for r in sampling.temperature_sample(docs, alpha=0.8, salt="t-v1")
+        .select("doc_id")
+        .collect()
+    }
+    assert ids_half <= ids_hot
