@@ -1031,3 +1031,22 @@ def x42_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.temperature_sample(
         docs, alpha=0.5, strata_col="source", salt="mix-temp-v1"
     ).select("doc_id", "source", "lang")
+
+
+@_q("x43_pq_topk_lake")
+def x43_pq_topk_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC probe over a MATERIALIZED index — x21's deployment shape
+    (`write_pq_index`/`read_pq_index`): codebooks train once per index
+    build, every online query reads the m-byte code column of the
+    artifact plus `rerank` raw vectors. Same seed/params as x21 ⇒ the
+    probe result is identical to the inline form (asserted in
+    tests/test_extensions.py); sample-trained codebooks → rows-only,
+    like x21."""
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, books = similarity.pq_index(emb)
+    path = tempfile.mkdtemp(prefix="pq_lake_")
+    similarity.write_pq_index(codes, books, path)
+    codes_lake, books_lake = similarity.read_pq_index(spark, path)
+    return similarity.pq_probe(codes_lake, books_lake, emb, query_id=0, k=10)

@@ -584,32 +584,71 @@ def pq_index(
     return codes_df, books
 
 
-def pq_topk(
+def write_pq_index(
+    codes_df: DataFrame,
+    books: "np.ndarray",
+    path: str,
+) -> None:
+    """Materialize a `pq_index` result to ``path/{codes,codebooks}`` —
+    the PQ member of the index-artifact family (`write_ivf_index`,
+    `dedup.write_corpus_signatures`). ``codes`` is the per-vector
+    m-byte code table (the thing the ADC scan reads — a ~64× narrower
+    column than raw embeddings); ``codebooks`` is the tiny
+    (m × n_centroids)-row centroid table every query rebuilds its ADC
+    lookup from. Training (driver-side sampled k-means) happens once
+    per index build; probes over the read-back artifact never touch
+    raw vectors except for the shortlist re-rank."""
+    m, n_c, _ = books.shape
+    codes_df.write.mode("overwrite").parquet(f"{path}/codes")
+    rows = [
+        (j, c, [float(x) for x in books[j][c]])
+        for j in range(m)
+        for c in range(n_c)
+    ]
+    codes_df.sparkSession.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def read_pq_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, "np.ndarray"]:
+    """Load a materialized `write_pq_index` artifact as the
+    ``(codes_df, books)`` pair `pq_probe` takes. The codebook read is a
+    bounded m × n_centroids-row collect (index metadata, like
+    `ivf_probe`'s centroid ranking)."""
+    codes_df = spark.read.parquet(f"{path}/codes")
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = max(r["subspace"] for r in rows) + 1
+    n_c = max(r["code"] for r in rows) + 1
+    dsub = len(rows[0]["centroid"])
+    books = np.zeros((m, n_c, dsub))
+    for r in rows:
+        books[r["subspace"]][r["code"]] = r["centroid"]
+    return codes_df, books
+
+
+def pq_probe(
+    codes_df: DataFrame,
+    books: "np.ndarray",
     df: DataFrame,
     query_id: int,
     k: int = 10,
-    m: int = 8,
-    n_centroids: int = 16,
     rerank: int = 50,
-    seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """PQ approximate nearest neighbours with asymmetric distance
-    computation (ADC): the query stays exact, each candidate's distance
-    is the sum of m table lookups (table = query-subvector → centroid
-    distances, built once driver-side and shipped in the UDF closure).
-    The ADC scan reads only the 4-byte codes; the raw vectors are
-    touched just for the exact re-rank of the best ``rerank``
-    candidates — at 100 TB that is the difference between scanning the
-    code column (~GBs) and the embedding column (~TBs).
-    """
+    """Query side of PQ-ADC over an existing code table: build the
+    (m × n_centroids) query→centroid distance table driver-side, scan
+    ONLY the code column for approximate distances, exact-rerank the
+    best ``rerank`` by cosine against raw vectors fetched by id. The
+    split form of `pq_topk` — at 100 TB ``codes_df``/``books`` come
+    from `read_pq_index` and the raw-vector table is touched for
+    ``rerank`` rows per query, not per candidate."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import DoubleType
 
-    codes_df, books = pq_index(
-        df, m, n_centroids, seed, id_col=id_col, vec_col=vec_col
-    )
+    m = books.shape[0]
     q = np.array(
         df.filter(F.col(id_col) == query_id)
         .select(_as_double(F.col(vec_col)))
@@ -654,4 +693,36 @@ def pq_topk(
         .select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    m: int = 8,
+    n_centroids: int = 16,
+    rerank: int = 50,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ approximate nearest neighbours, index + probe in one call —
+    see `pq_probe` for the ADC mechanics. The split form (`pq_index` +
+    `write_pq_index` offline / `read_pq_index` + `pq_probe` online) is
+    the 100 TB deployment shape: training and encoding happen once per
+    index build, every query after that reads the m-byte code column
+    plus ``rerank`` raw vectors."""
+    codes_df, books = pq_index(
+        df, m, n_centroids, seed, id_col=id_col, vec_col=vec_col
+    )
+    return pq_probe(
+        codes_df,
+        books,
+        df,
+        query_id,
+        k=k,
+        rerank=rerank,
+        id_col=id_col,
+        vec_col=vec_col,
     )

@@ -879,3 +879,15 @@ def test_temperature_sample_rates_and_limits(spark, sf_smoke):
         .collect()
     }
     assert ids_half <= ids_hot
+
+
+def test_pq_lake_probe_matches_inline(spark, sf_smoke):
+    """x43 (probe over the materialized code+codebook artifact) must
+    return exactly x21's inline result — like the IVF lake round-trip,
+    persistence is a storage decision, never a semantic one."""
+    from stock_market_etl_spark.catalog import all_queries
+
+    qs = all_queries()
+    inline = qs["x21_pq_topk"](spark, sf_smoke).collect()
+    lake = qs["x43_pq_topk_lake"](spark, sf_smoke).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, lake))
