@@ -1050,3 +1050,29 @@ def x43_pq_topk_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.write_pq_index(codes, books, path)
     codes_lake, books_lake = similarity.read_pq_index(spark, path)
     return similarity.pq_probe(codes_lake, books_lake, emb, query_id=0, k=10)
+
+
+@_q(
+    "x44_shard_assignment",
+    """SELECT doc_id,
+              pos AS shuffle_pos,
+              CAST(floor((pos - 1) / 512) AS BIGINT) AS shard_id
+       FROM (SELECT doc_id,
+                    ROW_NUMBER() OVER (
+                        ORDER BY md5(CAST(doc_id AS VARCHAR) || 'epoch-1'),
+                                 doc_id
+                    ) AS pos
+             FROM documents)""",
+)
+def x44_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard layout (operators/sampling.py
+    shard_assignment): floor((pos-1)/512) over x27's epoch-shuffle
+    order — every shard except the last holds exactly 512 docs in
+    shuffled order, and the doc→shard map is a pure function of
+    (id, salt, shard size). `write_shards` materializes it as one
+    sorted directory per shard (roundtrip-tested); the assignment
+    itself is the hash-checkable part."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.shard_assignment(docs, 512, salt="epoch-1").select(
+        "doc_id", "shuffle_pos", "shard_id"
+    )

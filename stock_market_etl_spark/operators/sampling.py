@@ -381,3 +381,56 @@ def deterministic_shuffle(
         )
         .select(*df.columns, pos_col)
     )
+
+
+def shard_assignment(
+    df: DataFrame,
+    rows_per_shard: int,
+    salt: str = "epoch-0",
+    id_col: str = "doc_id",
+    pos_col: str = "shuffle_pos",
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Deterministic training-shard layout: shard
+    ``floor((pos-1)/rows_per_shard)`` over the epoch-keyed global
+    shuffle order — every shard except the last holds exactly
+    ``rows_per_shard`` documents, in shuffled order, and the
+    document→shard mapping is a pure function of (id, salt,
+    rows_per_shard): independent of partitioning, cluster size, and
+    re-runs. A new salt re-shards a new epoch; data loaders can
+    address any shard without coordination."""
+    if rows_per_shard <= 0:
+        raise ValueError(f"rows_per_shard must be positive: {rows_per_shard}")
+    out = deterministic_shuffle(df, salt=salt, id_col=id_col, pos_col=pos_col)
+    return out.withColumn(
+        shard_col,
+        F.floor((F.col(pos_col) - 1) / rows_per_shard).cast("long"),
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    rows_per_shard: int,
+    salt: str = "epoch-0",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize `shard_assignment` as one directory per shard
+    (``path/shard_id=K/``), rows inside each shard sorted by their
+    shuffle position — the export format a training job consumes
+    (sequential reads inside a shard ARE the shuffled order; shard
+    set per worker is a directory listing). `repartition(shard_col)`
+    co-locates each shard into one task so each directory holds one
+    sorted file per shard, not one fragment per upstream partition;
+    shard size is the operator's knob, so executor memory bounds it,
+    not data volume."""
+    sharded = shard_assignment(
+        df, rows_per_shard, salt=salt, id_col=id_col
+    )
+    (
+        sharded.repartition(F.col("shard_id"))
+        .sortWithinPartitions("shard_id", "shuffle_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )

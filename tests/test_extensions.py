@@ -891,3 +891,44 @@ def test_pq_lake_probe_matches_inline(spark, sf_smoke):
     inline = qs["x21_pq_topk"](spark, sf_smoke).collect()
     lake = qs["x43_pq_topk_lake"](spark, sf_smoke).collect()
     assert sorted(map(tuple, inline)) == sorted(map(tuple, lake))
+
+
+def test_write_shards_layout_and_roundtrip(spark, sf_smoke, tmp_path):
+    """write_shards must land one directory per shard with exactly
+    rows_per_shard docs each (except the tail), rows inside a shard
+    sorted by shuffle position, and the read-back content must equal
+    the input with the shard_assignment columns attached."""
+    import os
+
+    from stock_market_etl_spark.operators import sampling
+
+    docs = load_table(spark, sf_smoke, "documents")
+    n = docs.count()
+    path = str(tmp_path / "shards")
+    sampling.write_shards(docs, path, rows_per_shard=128, salt="epoch-t")
+
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    sizes = {
+        r["shard_id"]: r["n"]
+        for r in back.groupBy("shard_id").agg(F.count("*").alias("n")).collect()
+    }
+    last = max(sizes)
+    for sid, sz in sizes.items():
+        assert sz == 128 or (sid == last and sz == n - 128 * last), (sid, sz)
+
+    want = sampling.shard_assignment(docs, 128, salt="epoch-t")
+    assert sorted(
+        map(tuple, back.select("doc_id", "shuffle_pos", "shard_id").collect())
+    ) == sorted(
+        map(tuple, want.select("doc_id", "shuffle_pos", "shard_id").collect())
+    )
+    # one sorted data file per shard directory (repartition co-located it)
+    shard0 = os.path.join(path, "shard_id=0")
+    files = [f for f in os.listdir(shard0) if f.endswith(".parquet")]
+    assert len(files) == 1, files
+    pos = [
+        r["shuffle_pos"]
+        for r in spark.read.parquet(os.path.join(shard0, files[0])).collect()
+    ]
+    assert pos == sorted(pos)
