@@ -1076,3 +1076,53 @@ def x44_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.shard_assignment(docs, 512, salt="epoch-1").select(
         "doc_id", "shuffle_pos", "shard_id"
     )
+
+
+@_q(
+    "x45_corpus_report",
+    f"""WITH t AS (
+          SELECT source, lang, n_chars,
+            CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+            0.4 * least(1.0, len({_TOKS}) / 100.0)
+              + 0.3 * (1.0 - CAST(length(regexp_replace(text,
+                    '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))
+              + 0.3 * CAST(len(list_filter({_TOKS},
+                    x -> list_contains({_sql_list(STOPWORDS)}, x)))
+                    AS DOUBLE) / len({_TOKS}) AS q
+          FROM documents)
+        SELECT source, lang,
+               count(*) AS n_docs,
+               sum(n_tokens) AS total_tokens,
+               round(avg(q), 6) AS avg_quality,
+               round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+               round(quantile_cont(n_chars, 0.95), 6) AS p95_chars
+        FROM t GROUP BY source, lang""",
+)
+def x45_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation report — the per-(source, lang) profile a
+    dataset-mix decision reads: volume (docs, tokens), quality (mean
+    x3 score), and length shape (exact interpolated p50/p95). One
+    scan → one grouped aggregate, all map-side combinable except the
+    exact percentiles (whose 100 TB twin is e16's approx_percentile
+    sketch — same trade as e15/e16). The curation counterpart of the
+    reference's dashboard profile queries (`scripts/app.py:54-66`
+    grouped stats), over the documents fixture."""
+    docs = load_table(spark, sf_dir, "documents")
+    # averages run over the UNROUNDED per-doc score: averaging x3's
+    # 6dp-rounded column manufactures exact decimal midpoints that the
+    # two engines' round() then break differently — unrounded doubles
+    # land on midpoints with probability ~0 (same rule as e15)
+    scored = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        text_ops.token_count(F.col("text")).alias("n_tokens"),
+        text_ops.quality_score(F.col("text")).alias("__q"),
+    )
+    return scored.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+        F.round(F.avg("__q"), 6).alias("avg_quality"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("p50_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.95)), 6).alias("p95_chars"),
+    )

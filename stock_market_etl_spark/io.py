@@ -219,3 +219,51 @@ def write_compacted(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
+
+
+def load_evolving(
+    spark: SparkSession,
+    path: str,
+    expected: "StructType | None" = None,
+) -> DataFrame:
+    """Read a parquet lake whose files span SCHEMA VERSIONS — the
+    normal state of a long-lived 100 TB lake (columns get added over
+    releases; old files are never rewritten). ``mergeSchema`` unions
+    the per-file footers so late-added columns surface as NULL for old
+    files instead of silently vanishing (the default reader takes one
+    footer as THE schema — which columns you see would depend on which
+    file got sampled).
+
+    With ``expected`` the result is additionally conformed to a
+    contract schema: missing columns materialize as typed NULLs,
+    extra columns are dropped, and mismatched types are a loud error
+    (a K2-grade violation — silent casts would defer the blast to
+    whoever reads the lake next). Footer merging is metadata-only;
+    the data scan still prunes to the selected columns.
+
+    Reference parity: the reference drops yfinance's `adj close`
+    before load (`scripts/load_stock_metrics.py:82`) and hard-rejects
+    dtype drift (`scripts/transform.py:96-101`) — conform-then-gate at
+    the read boundary is the same contract, lifted to a lake whose
+    files are allowed to disagree.
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if expected is None:
+        return df
+    have = {f.name: f.dataType for f in df.schema.fields}
+    cols = []
+    for field in expected.fields:
+        got = have.get(field.name)
+        if got is None:
+            cols.append(
+                F.lit(None).cast(field.dataType).alias(field.name)
+            )
+        elif got != field.dataType:
+            raise TypeError(
+                f"schema drift on {field.name!r}: lake has {got}, "
+                f"contract wants {field.dataType} — refusing to cast "
+                "silently"
+            )
+        else:
+            cols.append(F.col(field.name))
+    return df.select(*cols)

@@ -147,3 +147,50 @@ def test_jdbc_partitioned_scan_derby(spark, sf_smoke, tmp_path):
     )
     assert back.rdd.getNumPartitions() == 4
     assert back.count() == dim.count()
+
+
+def test_load_evolving_merges_schema_versions(spark, tmp_path):
+    """A lake whose files span schema versions must read as the union
+    schema (old files' late-added columns NULL), and conforming to a
+    contract schema must add missing columns as typed NULLs, drop
+    extras, and refuse type drift loudly."""
+    import pytest
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from stock_market_etl_spark import io as eio
+
+    path = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, name string"
+    ).write.mode("append").parquet(path)
+    # v2 adds a column
+    spark.createDataFrame(
+        [(3, "c", 1.5)], "id bigint, name string, score double"
+    ).write.mode("append").parquet(path)
+
+    merged = eio.load_evolving(spark, path)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows[1] is None and rows[3] == 1.5
+
+    contract = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+            StructField("lang", StringType()),  # not in lake yet
+        ]
+    )
+    conformed = eio.load_evolving(spark, path, expected=contract)
+    assert conformed.columns == ["id", "name", "score", "lang"]
+    assert conformed.filter(F.col("lang").isNotNull()).count() == 0
+
+    drift = StructType([StructField("id", StringType())])
+    with pytest.raises(TypeError, match="schema drift"):
+        eio.load_evolving(spark, path, expected=drift)
