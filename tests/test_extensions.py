@@ -932,3 +932,15 @@ def test_write_shards_layout_and_roundtrip(spark, sf_smoke, tmp_path):
         for r in spark.read.parquet(os.path.join(shard0, files[0])).collect()
     ]
     assert pos == sorted(pos)
+
+
+def test_assign_cells_empty_batch(spark, sf_smoke):
+    """assign_cells over an empty frame must return an empty frame with
+    the __cell column attached (the streaming sink's isEmpty guard makes
+    this unreachable in n10, but the operator is public API)."""
+    from stock_market_etl_spark.io import load_table as _lt
+
+    emb = _lt(spark, sf_smoke, "embeddings")
+    _, centers = similarity.ivf_index(emb, n_lists=4)
+    out = similarity.assign_cells(emb.filter(F.lit(False)), centers)
+    assert out.count() == 0 and "__cell" in out.columns

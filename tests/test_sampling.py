@@ -224,3 +224,38 @@ def test_quota_cap_null_order_keys_rank_first(spark):
         key=lambda x: (x is not None, x),
     )
     assert b_ids == [None, 3]
+
+
+def test_new_sampling_ops_empty_input(spark, sf_smoke):
+    """x41/x42/x44's operators must pass empty frames through (the C8
+    empty-guard rule): no crash, correct columns, zero rows."""
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators import dedup, sampling
+
+    docs = load_table(spark, sf_smoke, "documents")
+    empty = docs.filter(F.lit(False))
+
+    out = sampling.temperature_sample(empty, alpha=0.5)
+    assert out.count() == 0 and out.columns == docs.columns
+
+    out = sampling.shard_assignment(empty, 128)
+    assert out.count() == 0
+    assert out.columns == docs.columns + ["shuffle_pos", "shard_id"]
+
+    clusters = dedup.near_dup_clusters(docs, threshold=0.6)
+    out = sampling.leakage_safe_split(
+        empty, {"train": 0.9, "val": 0.05, "test": 0.05}, clusters
+    )
+    assert out.count() == 0 and "split" in out.columns
+
+    empty_clusters = clusters.filter(F.lit(False))
+    out = sampling.leakage_safe_split(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}, empty_clusters
+    )
+    # no clusters ⇒ identical to the doc-grain split
+    base = sampling.deterministic_split(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    assert sorted(map(tuple, out.select("doc_id", "split").collect())) == sorted(
+        map(tuple, base.select("doc_id", "split").collect())
+    )
