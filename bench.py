@@ -55,6 +55,14 @@ BENCH_QUERIES = [
     "x34_bm25_topk",
     "x32_audio_decode_meta",
     "x35_dup_clusters_lsh",
+    # r05 additions: temperature mixture (data-derived keep rates),
+    # deterministic shard layout (two-phase rank), corpus curation
+    # report (grouped agg + exact percentiles). x41 stays out like x31:
+    # its exact-Jaccard pair source is quadratic-by-design (the oracle
+    # form); its scale path is the same LSH source x35 already times.
+    "x42_temperature_mix",
+    "x44_shard_assignment",
+    "x45_corpus_report",
 ]
 
 
