@@ -218,3 +218,37 @@ def n10_stream_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_probe(
         assigned, centers_lake, query_id=0, k=10, n_probe=4
     )
+
+
+@_q(
+    "n11_stream_static_enrich",
+    """WITH wm AS (
+         SELECT user_id, max(ts) AS latest_signup
+         FROM events WHERE event_type = 'signup' GROUP BY user_id
+       )
+       SELECT e.event_id, e.user_id, e.ts, wm.latest_signup
+       FROM events e LEFT JOIN wm USING (user_id)""",
+)
+def n11_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N: stream–static enrichment drained end-to-end — a REAL
+    Structured Streaming run (file source → broadcast left join against
+    the static signup-watermark dim → memory sink). The STATELESS
+    streaming join: no watermark or join state store (contrast n6/n7's
+    stream-stream interval joins), the stream side never shuffles, and
+    the static side is re-planned per micro-batch (lake-table dim
+    refreshes are picked up live). Enrichment is row-wise ⇒ the drained
+    result equals the batch join exactly — full hash oracle (D1's
+    semantics, streamed)."""
+    dim = (
+        core.batch_events(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("latest_signup"))
+    )
+    stream = core.enrich_with_dim(
+        core.stream_events(spark, sf_dir), dim
+    ).select("event_id", "user_id", "ts", "latest_signup")
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    core.run_available_now(stream, name, ckpt, output_mode="append")
+    return spark.table(name)

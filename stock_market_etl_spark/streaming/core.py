@@ -441,6 +441,21 @@ def dedup_ingest_sink(
     return q
 
 
+def enrich_with_dim(
+    events: DataFrame, dim: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Stream–static broadcast enrichment: each micro-batch left-joins
+    the (bounded) static dimension — the STATELESS streaming join
+    (no watermark, no join state store; contrast `view_purchase_join`,
+    whose both-stream sides must buffer). The broadcast hint keeps the
+    stream side unshuffled; Spark re-plans the static side per
+    micro-batch, so a dim backed by a lake table picks up refreshes
+    between batches without restarting the query. The streaming form
+    of D1's fact ⟕ watermark-dim join (reference
+    `scripts/load_stock_metrics.py:77`)."""
+    return events.join(F.broadcast(dim), key, "left")
+
+
 def ivf_append_sink(
     stream_vecs: DataFrame,
     index_path: str,

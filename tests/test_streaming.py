@@ -490,3 +490,35 @@ def test_ivf_append_multibatch_redelivery_and_probe_identity(
     assert sorted(map(tuple, p_stream.collect())) == sorted(
         map(tuple, p_batch.collect())
     )
+
+
+def test_stream_static_enrich_multibatch_parity(spark, sf_smoke, tmp_path):
+    """Stream-static enrichment (n11's engine) forced through multiple
+    micro-batches must equal the batch join exactly — stateless row-wise
+    enrichment has no window/watermark edge, so full-value parity holds
+    for ANY batch slicing."""
+    import uuid
+
+    ev = core.batch_events(spark, sf_smoke)
+    src = str(tmp_path / "arrivals")
+    for k in range(3):
+        ev.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    dim = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("latest_signup"))
+    )
+    stream = core.enrich_with_dim(
+        core.stream_documents(spark, src, max_files_per_trigger=1), dim
+    ).select("event_id", "user_id", "latest_signup")
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    core.run_available_now(
+        stream, name, str(tmp_path / "ckpt"), output_mode="append"
+    )
+    want = core.enrich_with_dim(ev, dim).select(
+        "event_id", "user_id", "latest_signup"
+    )
+    assert _rows(spark.table(name)) == _rows(want)
