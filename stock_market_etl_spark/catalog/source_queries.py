@@ -204,3 +204,52 @@ def b8_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id long, user_id long, event_type string, value double"
     ).json(path)
     return back
+
+
+@_q(
+    "b9_schema_evolution_read",
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+              CASE WHEN l_orderkey % 2 = 0 THEN NULL
+                   ELSE round(l_extendedprice, 6) END AS price_v2
+       FROM lineitem""",
+)
+def b9_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B/A (superset): schema-evolution lake read (`io.load_evolving`).
+    Two file generations land in one lake directory — v1 files without
+    `price_v2`, v2 files with it — and the merged read must surface the
+    late-added column as NULL for v1 rows while conforming to the v2
+    contract schema. The steady state of a long-lived 100 TB lake:
+    columns are added across releases, old files are never rewritten.
+    Footer merging is metadata-only; the oracle reproduces the merge
+    from the generation rule itself."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from stock_market_etl_spark.io import load_evolving, load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    path = tempfile.mkdtemp(prefix="lake_b9_")
+    li.filter(F.col("l_orderkey") % 2 == 0).drop(
+        "l_extendedprice"
+    ).write.mode("append").parquet(path)
+    li.filter(F.col("l_orderkey") % 2 == 1).withColumn(
+        "price_v2", F.round("l_extendedprice", 6)
+    ).drop("l_extendedprice").write.mode("append").parquet(path)
+    contract = StructType(
+        [
+            StructField("l_orderkey", LongType()),
+            StructField("l_linenumber", IntegerType()),
+            StructField("l_quantity", DoubleType()),
+            StructField("price_v2", DoubleType()),
+        ]
+    )
+    return load_evolving(spark, path, expected=contract)

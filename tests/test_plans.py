@@ -304,6 +304,13 @@ def test_tfidf_and_bm25_plan_shapes(spark, sf_smoke):
     tfidf = _plan(tfidf_df)
     assert "BroadcastExchange" in tfidf  # scalar N (AQE may add more)
     assert "partial_count" in tfidf or "Partial" in tfidf  # map-side combine
+    # doc_len + top-k rank are both doc-grain windows: they must SHARE
+    # one exchange (4 hash exchanges total: (doc,term) agg, df agg,
+    # term join, doc windows) — a 5th would mean the shared
+    # partitioning regressed to a join or separate window shuffle
+    assert tfidf.count("Exchange hashpartitioning") <= 4, tfidf.count(
+        "Exchange hashpartitioning"
+    )
     bm25 = _plan(all_queries()["x34_bm25_topk"](spark, sf_smoke))
     assert "TakeOrderedAndProject" in bm25
     assert "BroadcastExchange" in bm25
