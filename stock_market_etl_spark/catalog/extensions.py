@@ -1126,3 +1126,90 @@ def x45_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("p50_chars"),
         F.round(F.percentile("n_chars", F.lit(0.95)), 6).alias("p95_chars"),
     )
+
+
+@_q(
+    "x46_curation_pipeline",
+    """WITH RECURSIVE kept AS (
+         SELECT * FROM documents WHERE n_chars >= 200),
+       counts AS (
+         SELECT source, count(*) AS n FROM kept GROUP BY source),
+       m AS (SELECT min(n) AS n_min FROM counts),
+       thr AS (
+         SELECT source,
+           CASE WHEN pow(n / CAST(n_min AS DOUBLE), -0.5) >= 1.0 THEN 'g'
+                ELSE printf('%04x', CAST(floor(
+                  pow(n / CAST(n_min AS DOUBLE), -0.5) * 65536) AS BIGINT))
+           END AS t
+         FROM counts, m),
+       mixed AS (
+         SELECT d.* FROM kept d JOIN thr USING (source)
+         WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix-temp-v1'), 1, 4)
+               < thr.t),
+       uniq AS (
+         SELECT * FROM (
+           SELECT *, min(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id
+           FROM mixed)
+         WHERE doc_id = keep_id),
+       sh AS (
+         SELECT doc_id, lang, n_chars,
+           list_distinct(list_transform(
+             range(1, greatest(length(text) - 2, 0) + 1),
+             i -> substring(text, i, 3))) AS shingles
+         FROM uniq),
+       pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sh a JOIN sh b
+           ON a.lang = b.lang AND a.doc_id < b.doc_id
+          AND abs(a.n_chars - b.n_chars) <= 20
+         WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))) >= 0.6),
+       edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       reach(id, r) AS (
+         SELECT a, a FROM edges
+         UNION
+         SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+       reps AS (SELECT id AS doc_id, min(r) AS cluster_rep
+                FROM reach GROUP BY id),
+       keyed AS (
+         SELECT u.doc_id, u.source, u.lang,
+                coalesce(r.cluster_rep, u.doc_id) AS split_key
+         FROM uniq u LEFT JOIN reps r USING (doc_id))
+       SELECT doc_id, source, lang,
+              CASE WHEN substr(md5(CAST(split_key AS VARCHAR) || 'split-v1'),
+                               1, 4) < 'e666' THEN 'train'
+                   WHEN substr(md5(CAST(split_key AS VARCHAR) || 'split-v1'),
+                               1, 4) < 'f333' THEN 'val'
+                   ELSE 'test' END AS split
+       FROM keyed""",
+)
+def x46_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation flagship v2 — the r05 operator set fused into
+    ONE Catalyst plan: quality floor → temperature-weighted source
+    rebalance (x42, data-derived keep rates computed on the filtered
+    set) → exact content dedup (x6) → near-dup clustering over the
+    survivors (x31) → leakage-safe cluster-grain split (x41). The
+    successor to x28's composition: where x28 splits at doc grain
+    after dropping near-dups' exact tier only, this pipeline keeps
+    near-duplicates but pins every cluster to one split — the
+    leakage-safe alternative when fuzzy dedup is too lossy for the
+    domain. All stages stay declarative, so Catalyst sees one tree:
+    scan-side hash filters, one count aggregate, the hash-pair dedup
+    shuffle, the (id, label) CC loop, and one id-grain join — no
+    driver-side state anywhere. Oracle: the same chain as CTEs with
+    x31's recursive-CTE closure in the middle."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(F.col("n_chars") >= 200)
+    mixed = sampling.temperature_sample(
+        kept, alpha=0.5, strata_col="source", salt="mix-temp-v1"
+    )
+    uniq = dedup.exact_dedup(mixed)
+    clusters = dedup.near_dup_clusters(uniq, threshold=0.6)
+    return sampling.leakage_safe_split(
+        uniq,
+        {"train": 0.90, "val": 0.05, "test": 0.05},
+        clusters,
+        salt="split-v1",
+    ).select("doc_id", "source", "lang", "split")
