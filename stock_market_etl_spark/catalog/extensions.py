@@ -1195,11 +1195,16 @@ def x46_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     after dropping near-dups' exact tier only, this pipeline keeps
     near-duplicates but pins every cluster to one split — the
     leakage-safe alternative when fuzzy dedup is too lossy for the
-    domain. All stages stay declarative, so Catalyst sees one tree:
-    scan-side hash filters, one count aggregate, the hash-pair dedup
-    shuffle, the (id, label) CC loop, and one id-grain join — no
-    driver-side state anywhere. Oracle: the same chain as CTEs with
-    x31's recursive-CTE closure in the middle."""
+    domain. Every stage except one is declarative — scan-side hash
+    filters, one count aggregate, the hash-pair dedup shuffle, one
+    id-grain join; the exception is the CC fixpoint (iterative
+    min-label rounds with eager per-round checkpoints — the one
+    operator Catalyst cannot express), whose (id, label) table
+    re-enters the declarative plan for the final split join. No
+    driver-side data state anywhere. At 100 TB the pair source swaps
+    to `source="lsh"` exactly as x31 → x35; the exact blocked-Jaccard
+    form here is what the oracle can replay. Oracle: the same chain
+    as CTEs with x31's recursive-CTE closure in the middle."""
     docs = load_table(spark, sf_dir, "documents")
     kept = docs.filter(F.col("n_chars") >= 200)
     mixed = sampling.temperature_sample(
