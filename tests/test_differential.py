@@ -246,3 +246,89 @@ def test_random_graph_components_match_duckdb(spark, seed, n_nodes, n_edges):
     )
     con.close()
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows_per_shard=st.integers(min_value=1, max_value=1000),
+    salt=st.sampled_from(["epoch-0", "epoch-7", "z"]),
+)
+def test_random_shard_assignment_matches_duckdb(
+    spark, docs_con, rows_per_shard, salt
+):
+    """The two-phase shard layout equals the single-window SQL rank for
+    ANY shard size and epoch salt — shard membership is a pure function
+    of (id, salt, size), which is the whole point."""
+    from stock_market_etl_spark.operators.sampling import shard_assignment
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = sorted(
+        (r["doc_id"], r["shuffle_pos"], r["shard_id"])
+        for r in shard_assignment(docs, rows_per_shard, salt=salt)
+        .select("doc_id", "shuffle_pos", "shard_id")
+        .collect()
+    )
+    want = sorted(
+        (r[0], r[1], r[2])
+        for r in docs_con.sql(
+            f"""SELECT doc_id, pos,
+                       CAST(floor((pos - 1) / {rows_per_shard}) AS BIGINT)
+                FROM (SELECT doc_id, ROW_NUMBER() OVER (
+                        ORDER BY md5(CAST(doc_id AS VARCHAR) || '{salt}'),
+                                 doc_id) AS pos
+                      FROM documents)"""
+        ).fetchall()
+    )
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    alpha=st.sampled_from([0.0, 0.25, 0.5, 0.75, 1.0]),
+    salt=st.sampled_from(["t-v1", "t-v2"]),
+)
+def test_random_temperature_sample_matches_duckdb(
+    spark, docs_con, alpha, salt
+):
+    """Temperature rebalancing equals the SQL form for any alpha in
+    [0, 1]: same count-derived thresholds, same md5 draw. pow() is
+    ≤1-ulp across engines and floor() is pinned on both sides, so the
+    kept sets must be identical, not merely close."""
+    from stock_market_etl_spark.operators.sampling import temperature_sample
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = sorted(
+        r["doc_id"]
+        for r in temperature_sample(docs, alpha=alpha, salt=salt)
+        .select("doc_id")
+        .collect()
+    )
+    want = sorted(
+        r[0]
+        for r in docs_con.sql(
+            f"""WITH counts AS (
+                  SELECT source, count(*) AS n FROM documents GROUP BY source),
+                m AS (SELECT min(n) AS n_min FROM counts),
+                q AS (
+                  SELECT source,
+                    CASE WHEN pow(n / CAST(n_min AS DOUBLE), {alpha} - 1.0)
+                              >= 1.0 THEN 'g'
+                         ELSE printf('%04x', CAST(floor(
+                           pow(n / CAST(n_min AS DOUBLE), {alpha} - 1.0)
+                           * 65536) AS BIGINT))
+                    END AS thr
+                  FROM counts, m)
+                SELECT d.doc_id FROM documents d JOIN q USING (source)
+                WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || '{salt}'), 1, 4)
+                      < q.thr"""
+        ).fetchall()
+    )
+    assert got == want
