@@ -68,3 +68,64 @@ def csv_snapshot(df: DataFrame, path: str) -> None:
     `scripts/ingest_backfill_sp500.py:35-39`). coalesce(1) mirrors the
     reference's single-file expectation — only sane for dims."""
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+
+def jdbc_upsert(
+    df: DataFrame,
+    url: str,
+    table: str,
+    keys: tuple[str, ...],
+    properties: dict | None = None,
+    max_delete_keys: int = 10_000,
+) -> None:
+    """B3+B5 composed: key-grain delete-then-append — the reference's
+    serving load verbatim (`scripts/load_stock_metrics.py:57-61` DELETE
+    today + `:89` insert increment), generalized from `date = :today`
+    to any key tuple. Re-running the same increment first deletes its
+    own earlier rows, so the composition is idempotent at key grain —
+    the JDBC mirror of the L2 lake merge.
+
+    The DELETE runs driver-side over ONE JDBC connection with a
+    prepared statement per distinct key tuple — a bounded CONTROL
+    operation, not a data path: increment key sets are small by
+    construction (one date × ≤503 tickers in the reference).
+    ``max_delete_keys`` enforces that assumption loudly; past it, use
+    a staging table + SQL MERGE instead of row-at-a-time deletes. The
+    append itself writes partition-parallel as `jdbc_append`.
+    """
+    key_rows = df.select(*keys).distinct().collect()
+    if len(key_rows) > max_delete_keys:
+        raise ValueError(
+            f"{len(key_rows)} distinct key tuples exceeds "
+            f"max_delete_keys={max_delete_keys}; stage + MERGE instead"
+        )
+    spark = df.sparkSession
+    jvm = spark._jvm
+    driver = (properties or {}).get("driver")
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        conn.setAutoCommit(False)
+        # Spark's JDBC writer creates ANSI-quoted (case-sensitive)
+        # column names; the delete must quote identically or Derby/
+        # Postgres fold the bare name to the wrong case
+        where = " AND ".join(f'"{k}" = ?' for k in keys)
+        stmt = conn.prepareStatement(
+            f"DELETE FROM {table} WHERE {where}"
+        )
+        try:
+            for row in key_rows:
+                for i, k in enumerate(keys):
+                    stmt.setObject(i + 1, row[k])
+                stmt.addBatch()
+            stmt.executeBatch()
+            conn.commit()
+        finally:
+            stmt.close()
+    except Exception:
+        conn.rollback()
+        raise
+    finally:
+        conn.close()
+    jdbc_append(df, url, table, properties)

@@ -194,3 +194,43 @@ def test_load_evolving_merges_schema_versions(spark, tmp_path):
     drift = StructType([StructField("id", StringType())])
     with pytest.raises(TypeError, match="schema drift"):
         eio.load_evolving(spark, path, expected=drift)
+
+
+def test_jdbc_upsert_idempotent_derby(spark, sf_smoke, tmp_path):
+    """B3+B5 composed (jdbc_upsert) EXECUTED against embedded Derby:
+    re-running the same increment must leave the serving table
+    byte-identical (key-grain delete-then-append = the reference's
+    delete-today + insert load, made idempotent), and upserting
+    changed values must replace, not duplicate."""
+    from stock_market_etl_spark.io import load_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/upsertdb;create=true"
+    dim = load_table(spark, sf_smoke, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    sinks.jdbc_append(dim, url, "nation_up", DERBY_PROPS)
+
+    increment = dim.filter(F.col("n_regionkey") == 1).withColumn(
+        "n_name", F.concat(F.col("n_name"), F.lit("_v2"))
+    )
+    for _ in range(2):  # idempotent under replay
+        sinks.jdbc_upsert(
+            increment, url, "nation_up", ("n_nationkey",), DERBY_PROPS
+        )
+        back = load_jdbc(
+            spark,
+            url,
+            'SELECT "n_nationkey", "n_name", "n_regionkey" FROM nation_up',
+            properties=DERBY_PROPS,
+        )
+        assert back.count() == dim.count()
+        v2 = back.filter(F.col("n_name").endswith("_v2"))
+        assert v2.count() == increment.count()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_delete_keys"):
+        sinks.jdbc_upsert(
+            dim, url, "nation_up", ("n_nationkey",), DERBY_PROPS,
+            max_delete_keys=2,
+        )
