@@ -151,3 +151,48 @@ def m4_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(zscore, "event_id long, user_id long, zscore double")
         .select("event_id", "user_id", F.round("zscore", 6).alias("zscore"))
     )
+
+
+@_q(
+    "m5_map_in_arrow",
+    """SELECT event_id,
+              round(value * 0.01, 6) AS scaled,
+              round(abs(value), 6) AS magnitude
+       FROM events""",
+)
+def m5_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M (surface): `mapInArrow` — the lowest-overhead Python batch API
+    (raw pyarrow RecordBatches, no pandas conversion on either side;
+    PySpark 4's fifth UDF flavor after pandas_udf / grouped-agg / UDTF /
+    applyInPandas). Per-batch compute is pyarrow.compute kernels — C++
+    vectorized, like numpy without the pandas materialization cost.
+    Chosen as something built-ins CAN express so the API demo stays
+    hash-checkable (same rule as m4); real uses are zero-copy handoffs
+    to Arrow-native libs (tokenizers, ONNX, polars). Rounding happens
+    Spark-side (HALF_UP, matching DuckDB; pyarrow.compute.round is
+    half-to-even)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+
+    def batches(it):
+        for batch in it:
+            value = batch.column("value")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("event_id"),
+                    pc.multiply(value, pa.scalar(0.01)),
+                    pc.abs(value),
+                ],
+                names=["event_id", "scaled", "magnitude"],
+            )
+
+    out = ev.mapInArrow(
+        batches, "event_id long, scaled double, magnitude double"
+    )
+    return out.select(
+        "event_id",
+        F.round("scaled", 6).alias("scaled"),
+        F.round("magnitude", 6).alias("magnitude"),
+    )
