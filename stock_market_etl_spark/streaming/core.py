@@ -355,6 +355,7 @@ def dedup_ingest_sink(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float | None = None,
+    transform=None,
 ):
     """Streaming corpus builder with dedup-on-arrival: each micro-batch
     is (1) exact-deduped within itself, (2) anti-joined on content hash
@@ -372,6 +373,15 @@ def dedup_ingest_sink(
     content-keyed idempotence composes to exactly-once corpus state
     (the same algebra `upsert_sink` gets from the L2 merge; asserted by
     replaying the whole stream in tests/test_streaming.py).
+
+    ``transform`` (DataFrame → DataFrame, schema-preserving) is the
+    clean-on-arrival hook, applied to every micro-batch BEFORE dedup —
+    quality filters, PII redaction (`text.pii_redact`), length
+    floors. Cleaning precedes dedup deliberately: redaction changes
+    content, so the corpus's content identity must be the CLEANED
+    text's, or a later redacted duplicate would slip past the hash
+    anti-join. Must be deterministic — a redelivered batch re-runs it
+    and relies on identical output for idempotence.
 
     Scale notes: per-batch cost is increment-sized — the corpus side
     enters only as a hash column scan (or, with ``threshold``,
@@ -392,6 +402,10 @@ def dedup_ingest_sink(
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
+        if transform is not None:
+            batch_df = transform(batch_df)
+            if batch_df.isEmpty():
+                return
         batch_dd = exact_dedup(
             batch_df, text_col=text_col, id_col=id_col
         ).select(*out_cols)

@@ -522,3 +522,54 @@ def test_stream_static_enrich_multibatch_parity(spark, sf_smoke, tmp_path):
         "event_id", "user_id", "latest_signup"
     )
     assert _rows(spark.table(name)) == _rows(want)
+
+
+def test_dedup_ingest_clean_on_arrival(spark, sf_smoke, tmp_path):
+    """The ingest sink's transform hook (clean-on-arrival): every landed
+    doc is cleaned (length floor + PII scrub) BEFORE dedup, and the
+    corpus equals the same clean→exact-dedup composition in batch —
+    including a redelivery that must land nothing."""
+    import os
+
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators.dedup import exact_dedup
+    from stock_market_etl_spark.operators.text import pii_redact
+
+    def clean(df):
+        return df.filter(F.col("n_chars") >= 150).withColumn(
+            "text", pii_redact(F.col("text"))
+        )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    src = str(tmp_path / "arrivals")
+    for k in range(2):
+        docs.filter(F.col("doc_id") % 2 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    corpus_path = str(tmp_path / "corpus")
+
+    def run(ckpt):
+        stream = core.stream_documents(spark, src, max_files_per_trigger=1)
+        core.dedup_ingest_sink(
+            stream, corpus_path, os.path.join(str(tmp_path), ckpt),
+            transform=clean,
+        )
+
+    run("ckpt_a")
+    corpus = spark.read.parquet(corpus_path)
+    cleaned = clean(docs)
+    want_hashes = {
+        r["h"]
+        for r in cleaned.select(F.sha2("text", 256).alias("h")).distinct().collect()
+    }
+    got_hashes = {
+        r["h"]
+        for r in corpus.select(F.sha2("text", 256).alias("h")).collect()
+    }
+    assert got_hashes == want_hashes
+    assert corpus.count() == len(want_hashes)  # exactly once per content
+    # everything landed passed the floor and carries no raw PII
+    assert corpus.filter(F.col("n_chars") < 150).count() == 0
+
+    run("ckpt_b")  # redelivery lands nothing
+    assert spark.read.parquet(corpus_path).count() == len(want_hashes)
