@@ -1,0 +1,67 @@
+"""Scale-up oracle spot-check (opt-in): the heaviest oracle-bearing
+queries re-verified at sf0.1 — 10× the driver's correctness scale
+factor. Gated behind SPARK_GRAFT_SCALE_ORACLE=1 because the DuckDB
+side re-runs every oracle against the 10× fixtures (~30 s total);
+the per-round driver gate stays sf0.01.
+
+Float-rounding caveat, measured: at 100 K rows the flagship shows
+~1e-5 of rows whose `round(x, 6)` differs in the last digit between
+engines — Spark rounds HALF_UP over the double's exact binary
+expansion (BigDecimal), DuckDB rounds via a float multiply, so a
+quotient landing within 1 ulp of a .xxxxxx5 midpoint can break
+differently. That is a property of cross-engine `round`, not of any
+operator (the unrounded doubles are bit-identical IEEE); the
+assertion here is therefore exact-match for integer/hash/string
+queries and mismatch-rate ≤ 1e-4 for float-bearing ones.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.1"
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SCALE_ORACLE") != "1",
+    reason="scale-up oracle pass is opt-in: SPARK_GRAFT_SCALE_ORACLE=1",
+)
+
+#: (query, exact) — exact=True asserts zero mismatches (integer/hash
+#: outputs); exact=False allows the cross-engine round() midpoint rate.
+SCALE_QUERIES = [
+    ("f1_f2_metrics_pipeline", False),
+    ("x28_dataset_build", True),
+    ("x45_corpus_report", False),
+    ("x44_shard_assignment", True),
+    ("x42_temperature_mix", True),
+    ("x46_curation_pipeline", True),
+    ("e14_avg_min_max_count", False),
+    ("d9_star_join_revenue", False),
+    ("x6_exact_dedup", True),
+    ("n11_stream_static_enrich", True),
+]
+
+
+@pytest.mark.parametrize("name,exact", SCALE_QUERIES)
+def test_scale_oracle(spark, name, exact):
+    import __spark_entry__ as E
+    from tests.oracle import duckdb_connect, compare
+
+    con = duckdb_connect(SF_DIR)
+    try:
+        sdf = E.queries()[name](spark, SF_DIR)
+        probs = compare(sdf, con, E.oracle_sql()[name])
+        if exact:
+            assert not probs, probs[:3]
+        elif probs:
+            # tolerate only the documented round()-midpoint class:
+            # a tiny mismatch-rate, never row-count/schema drift
+            assert all("row mismatch" in p or "total mismatching" in p for p in probs), probs[:3]
+            totals = [p for p in probs if "total mismatching" in p]
+            assert totals, probs[:3]
+            bad, total = totals[0].split(":")[1].strip().split("/")
+            assert int(bad) / int(total) <= 1e-4, totals[0]
+    finally:
+        con.close()
