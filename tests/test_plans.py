@@ -328,3 +328,50 @@ def test_vocabulary_joins_carry_no_forced_broadcast(spark, sf_smoke):
         logical = str(df._jdf.queryExecution().optimizedPlan())
         forced = logical.count("strategy=broadcast")
         assert forced == 1, f"{name}: {forced} forced broadcast hints"
+
+
+def test_runtime_bloom_filter_injects_on_engine_join_shape(
+    spark, sf_smoke, tmp_path
+):
+    """The engine's large-large join shapes must be eligible for
+    Spark's runtime bloom-filter pruning (InjectRuntimeFilter): with a
+    selective predicate on the creation side, the application side's
+    scan gets a might_contain pre-filter, so at 100 TB most of the big
+    side drops before the shuffle. Local fixture sizes sit under the
+    default thresholds (creationSideThreshold 10 MB /
+    applicationSideScanSizeThreshold 10 GB — at production sizes the
+    optimizer applies this untouched), so the test lowers them to
+    prove the SHAPE qualifies, and asserts the pruned plan returns
+    exactly the unpruned result (bloom false positives are removed by
+    the exact join; no false negatives exist)."""
+    docs = load_table(spark, sf_smoke, "documents")
+    a_path, b_path = str(tmp_path / "a"), str(tmp_path / "b")
+    docs.write.parquet(a_path)
+    docs.select(F.col("doc_id").alias("k"), "lang").write.parquet(b_path)
+    a = spark.read.parquet(a_path)
+    b = spark.read.parquet(b_path).filter(F.col("lang") == "en")
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        pruned = a.join(b, a.doc_id == b.k)
+        assert "might_contain" in _plan(pruned)
+        got = sorted(r["doc_id"] for r in pruned.select(a.doc_id).collect())
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    want = sorted(
+        r["doc_id"]
+        for r in a.join(b, a.doc_id == b.k).select(a.doc_id).collect()
+    )
+    assert got == want
