@@ -375,3 +375,51 @@ def test_runtime_bloom_filter_injects_on_engine_join_shape(
         for r in a.join(b, a.doc_id == b.k).select(a.doc_id).collect()
     )
     assert got == want
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The engine's skew story is two-tier: AQE's OptimizeSkewedJoin
+    splits a hot key's oversized partition at runtime (this test — the
+    zero-code-change path), and operators/skew.py salting is the manual
+    form for shapes AQE won't touch. Fixture sizes sit under the
+    default skew thresholds, so the test lowers them over a synthetic
+    hot-key join (90% of rows on one key, incompressible payload
+    carried THROUGH the shuffle — a pruned-away payload hides the
+    skew) and asserts the final adaptive plan marks the join skew=true
+    while returning every row."""
+    pad = F.concat(
+        *[
+            F.md5(F.concat(F.col("id").cast("string"), F.lit(str(i))))
+            for i in range(4)
+        ]
+    )
+    fact = spark.range(500_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7))
+        .otherwise(F.col("id") % 1000)
+        .alias("k"),
+        pad.alias("pad"),
+    )
+    other = spark.range(1000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").alias("w")
+    )
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.5",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        slim = fact.join(other, "k").select(
+            "k", "w", F.substring("pad", 1, 2).alias("p2")
+        )
+        rows = slim.collect()
+        plan = _plan(slim)
+        assert "skew=true" in plan
+        assert len(rows) == 500_000
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
