@@ -423,3 +423,26 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+
+def test_dynamic_partition_pruning_on_lake_layout(spark, sf_smoke, tmp_path):
+    """The engine's Hive-partitioned lake layout (io.write_partitioned's
+    year/ticker scheme) must qualify for dynamic partition pruning: a
+    fact ⋈ filtered-dim join on the partition column gets a
+    DynamicPruning subquery on the fact scan, so only the dim-selected
+    partitions' FILES are read — at 100 TB the difference between
+    scanning one year and scanning the lake. (Static pruning covers
+    literal filters; DPP covers the join-derived ones.)"""
+    ev = load_table(spark, sf_smoke, "events")
+    fact_path = str(tmp_path / "fact")
+    ev.withColumn("yr", F.year("ts")).write.partitionBy("yr").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    years = [r["yr"] for r in fact.select("yr").distinct().collect()]
+    dim = spark.createDataFrame(
+        [(y, "keep" if y == min(years) else "drop") for y in years],
+        "yr int, tag string",
+    )
+    j = fact.join(dim.filter(F.col("tag") == "keep"), "yr")
+    assert "dynamicpruning" in _plan(j).lower()
+    want = fact.filter(F.col("yr") == min(years)).count()
+    assert j.count() == want
