@@ -1218,3 +1218,33 @@ def x46_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         clusters,
         salt="split-v1",
     ).select("doc_id", "source", "lang", "split")
+
+
+@_q(
+    "x47_corpus_diff",
+    """WITH o AS (
+         SELECT sha256(text) AS content_hash, count(*) AS old_copies
+         FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1),
+       n AS (
+         SELECT sha256(text) AS content_hash, count(*) AS new_copies
+         FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1)
+       SELECT coalesce(o.content_hash, n.content_hash) AS content_hash,
+              CASE WHEN o.content_hash IS NULL THEN 'added'
+                   WHEN n.content_hash IS NULL THEN 'removed'
+                   ELSE 'kept' END AS status,
+              coalesce(old_copies, 0) AS old_copies,
+              coalesce(new_copies, 0) AS new_copies
+       FROM o FULL OUTER JOIN n USING (content_hash)""",
+)
+def x47_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus release diff at content identity (operators/dedup.py
+    corpus_diff): added/removed/kept per distinct content hash with
+    per-side copy counts — the audit between two corpus versions that
+    incremental builds (x38/n9) are validated against. Two overlapping
+    fixture slices stand in for v1/v2. Hash-grain (hash, count) rows
+    through one full-outer join — never text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.corpus_diff(
+        docs.filter(F.col("doc_id") % 3 != 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+    )

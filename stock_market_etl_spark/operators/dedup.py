@@ -810,3 +810,39 @@ def incremental_dedup(
         .distinct()
     )
     return no_exact.join(near_ids, id_col, "left_anti")
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Release audit between two corpus versions at CONTENT identity:
+    one row per distinct content hash with status ``added`` (only in
+    ``new``), ``removed`` (only in ``old``) or ``kept``, plus each
+    side's copy count. The diff an incremental corpus pipeline (x38/n9
+    appends, near-dup prunes) is validated against — "what did this
+    release actually change" independent of doc ids, file layout, or
+    row order.
+
+    Scale shape: each side collapses to (hash, count) with map-side
+    partial aggregation before the full-outer hash join — the shuffle
+    carries one ~40-byte row per distinct content, never text, and the
+    join key is the hash (uniform, skew-free by construction)."""
+    o = old.groupBy(F.sha2(F.col(text_col), 256).alias("content_hash")).agg(
+        F.count("*").alias("old_copies")
+    )
+    n = new.groupBy(F.sha2(F.col(text_col), 256).alias("content_hash")).agg(
+        F.count("*").alias("new_copies")
+    )
+    status = (
+        F.when(F.col("old_copies").isNull(), F.lit("added"))
+        .when(F.col("new_copies").isNull(), F.lit("removed"))
+        .otherwise(F.lit("kept"))
+    )
+    return o.join(n, "content_hash", "full_outer").select(
+        "content_hash",
+        status.alias("status"),
+        F.coalesce("old_copies", F.lit(0)).alias("old_copies"),
+        F.coalesce("new_copies", F.lit(0)).alias("new_copies"),
+    )

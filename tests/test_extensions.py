@@ -944,3 +944,20 @@ def test_assign_cells_empty_batch(spark, sf_smoke):
     _, centers = similarity.ivf_index(emb, n_lists=4)
     out = similarity.assign_cells(emb.filter(F.lit(False)), centers)
     assert out.count() == 0 and "__cell" in out.columns
+
+
+def test_corpus_diff_invariants(spark, sf_smoke):
+    """corpus_diff sanity: identical corpora diff to all-kept; an
+    append-only release shows added + kept and zero removed; counts
+    reconcile with each side's distinct content count."""
+    docs = load_table(spark, sf_smoke, "documents")
+    same = dedup.corpus_diff(docs, docs)
+    assert same.filter(F.col("status") != "kept").count() == 0
+
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    d = dedup.corpus_diff(old, docs)
+    assert d.filter(F.col("status") == "removed").count() == 0
+    n_old = old.select(F.sha2("text", 256)).distinct().count()
+    n_all = docs.select(F.sha2("text", 256)).distinct().count()
+    assert d.filter(F.col("status") == "kept").count() == n_old
+    assert d.filter(F.col("status") == "added").count() == n_all - n_old
