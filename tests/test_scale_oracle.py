@@ -41,6 +41,18 @@ SCALE_QUERIES = [
     ("d9_star_join_revenue", False),
     ("x6_exact_dedup", True),
     ("n11_stream_static_enrich", True),
+    ("x26_contamination", False),
+    ("x33_tfidf_topk", False),
+    ("x34_bm25_topk", False),
+    ("x36_document_chunks", True),
+    ("x37_bigram_lm_score", False),
+    # x41 deliberately absent: its oracle is the FULL quadratic
+    # closure over every sf0.1 document — x46 covers the same
+    # recursive-CTE machinery on its filtered survivor set
+    ("f8_sessionize", False),
+    ("x47_corpus_diff", True),
+    ("b9_schema_evolution_read", False),
+    ("d10_range_join_pairs", False),
 ]
 
 
