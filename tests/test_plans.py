@@ -446,3 +446,26 @@ def test_dynamic_partition_pruning_on_lake_layout(spark, sf_smoke, tmp_path):
     assert "dynamicpruning" in _plan(j).lower()
     want = fact.filter(F.col("yr") == min(years)).count()
     assert j.count() == want
+
+
+def test_composed_pipelines_have_no_nested_loop_joins(spark, sf_smoke):
+    """x41/x46/x47 compose many joins (pair gen, cluster re-attach,
+    split key, full-outer diff) — none may degenerate to a cartesian /
+    broadcast-nested-loop join (the deliberate O(n²) surface lives only
+    in the quarantined exact-oracle pair generators' blocked
+    equality-join form)."""
+    qs = all_queries()
+    # x46 contains exactly ONE BroadcastNestedLoopJoin by design: the
+    # temperature stage's 1-row n_min scalar rides a broadcast
+    # crossJoin, and a conditionless 1-row cross IS a BNLJ — bounded by
+    # construction, same as x33's n_docs. Anything beyond that count is
+    # a real degeneration.
+    for name, bnlj_allowed in (
+        ("x41_leakage_safe_split", 0),
+        ("x46_curation_pipeline", 1),
+        ("x47_corpus_diff", 0),
+    ):
+        plan = _plan(qs[name](spark, sf_smoke))
+        assert "CartesianProduct" not in plan, name
+        got = plan.count("BroadcastNestedLoopJoin")
+        assert got <= bnlj_allowed, (name, got)
