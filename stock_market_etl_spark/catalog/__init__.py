@@ -37,21 +37,20 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship (F1+F2) — permanent anchor
     "f1_f2_metrics_pipeline",
-    # --- r05 rotation (DRIVER_WINDOW.md plan): the §2-core r03 set
-    # restored as the steady regression canary, with 8 triple-proven
-    # slots (c2/c3/c5, i2/i5/i6, j2, h1 — green r01+r02+r03) swapped
-    # for the r04-new operators' first proofs. q_latest_snapshot and
-    # x28_dataset_build are re-admitted by the changed-since-proof rule
-    # (rewritten in 5014681 after their last green round).
-    # first proofs: r04-new operators
-    "f8_sessionize",
-    "x31_dup_clusters",
-    "x32_audio_decode_meta",
-    "x33_tfidf_topk",
-    "x34_bm25_topk",
-    "x36_document_chunks",
-    "x37_bigram_lm_score",
-    "x38_incremental_dedup",
+    # --- r06 rotation (DRIVER_WINDOW.md plan): the §2-core canary set
+    # held steady; the 8 slots vacated by the r05 first proofs (f8,
+    # x31–x34, x36–x38 — all green in CORRECTNESS_r05) swapped for
+    # first proofs of the oracle-bearing queries added during r05.
+    # x47 and m5 (the 9th/10th candidates) are drafted for r07.
+    # first proofs: r05-new operators
+    "n9_stream_dedup_ingest",
+    "n11_stream_static_enrich",
+    "b9_schema_evolution_read",
+    "x41_leakage_safe_split",
+    "x42_temperature_mix",
+    "x44_shard_assignment",
+    "x45_corpus_report",
+    "x46_curation_pipeline",
     # windows & sorts (F3–F5, G1, G3)
     "f1_lag_pct_change",
     "f3_cumulative_return",
