@@ -92,6 +92,22 @@ def jdbc_upsert(
     ``max_delete_keys`` enforces that assumption loudly; past it, use
     a staging table + SQL MERGE instead of row-at-a-time deletes. The
     append itself writes partition-parallel as `jdbc_append`.
+
+    ATOMICITY: the delete commits in its own transaction before the
+    append starts (the append is a separate, partition-parallel Spark
+    job that cannot share the driver's connection). If the append
+    fails after the delete committed, the key range is absent from
+    the serving table until a retry succeeds — the retry is safe (the
+    delete finds nothing, the append re-inserts) but readers in the
+    gap see missing keys. The reference's load has the same window
+    (`scripts/load_stock_metrics.py:57-89`, separate DELETE + insert
+    transactions). For databases that support it, a staging table +
+    single-transaction MERGE closes the gap.
+
+    Credentials travel in ``properties`` — the standard Spark JDBC
+    channel (``user``/``password``/``driver``) — and are applied to
+    BOTH halves: the delete connection is opened with the full
+    property map, the append passes it to ``df.write.jdbc``.
     """
     key_rows = df.select(*keys).distinct().collect()
     if len(key_rows) > max_delete_keys:
@@ -101,10 +117,17 @@ def jdbc_upsert(
         )
     spark = df.sparkSession
     jvm = spark._jvm
-    driver = (properties or {}).get("driver")
+    props = properties or {}
+    driver = props.get("driver")
     if driver:
         jvm.java.lang.Class.forName(driver)
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    # carry user/password (and any driver-specific keys) to the delete
+    # connection exactly as Spark's writer does for the append half
+    jprops = jvm.java.util.Properties()
+    for k, v in props.items():
+        if k != "driver":
+            jprops.setProperty(k, str(v))
+    conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
     try:
         conn.setAutoCommit(False)
         # Spark's JDBC writer creates ANSI-quoted (case-sensitive)
@@ -117,7 +140,7 @@ def jdbc_upsert(
         try:
             for row in key_rows:
                 for i, k in enumerate(keys):
-                    stmt.setObject(i + 1, row[k])
+                    _bind_key(jvm, stmt, i + 1, row[k])
                 stmt.addBatch()
             stmt.executeBatch()
             conn.commit()
@@ -129,3 +152,25 @@ def jdbc_upsert(
     finally:
         conn.close()
     jdbc_append(df, url, table, properties)
+
+
+def _bind_key(jvm, stmt, pos: int, value) -> None:
+    """Bind one upsert-key value on the delete statement, converting
+    Python types py4j cannot auto-convert (datetime.date/datetime,
+    Decimal — the reference's actual key is a DATE, `date = :today`)
+    to their java.sql/java.math equivalents. int/str/bool/float pass
+    through py4j natively."""
+    import datetime
+    import decimal
+
+    if isinstance(value, datetime.datetime):
+        # Timestamp.valueOf wants "yyyy-[m]m-[d]d hh:mm:ss[.f...]"
+        stmt.setTimestamp(
+            pos, jvm.java.sql.Timestamp.valueOf(value.strftime("%Y-%m-%d %H:%M:%S.%f"))
+        )
+    elif isinstance(value, datetime.date):
+        stmt.setDate(pos, jvm.java.sql.Date.valueOf(value.isoformat()))
+    elif isinstance(value, decimal.Decimal):
+        stmt.setBigDecimal(pos, jvm.java.math.BigDecimal(str(value)))
+    else:
+        stmt.setObject(pos, value)

@@ -234,3 +234,85 @@ def test_jdbc_upsert_idempotent_derby(spark, sf_smoke, tmp_path):
             dim, url, "nation_up", ("n_nationkey",), DERBY_PROPS,
             max_delete_keys=2,
         )
+
+def test_jdbc_upsert_date_key_derby(spark, tmp_path):
+    """The reference's actual upsert key is a DATE (`DELETE FROM
+    stock_metrics WHERE date = :today`). datetime.date cannot cross
+    py4j via setObject — _bind_key must route it through
+    java.sql.Date. Executed against Derby: date-keyed upsert replaces
+    in place and stays idempotent under replay."""
+    import datetime
+
+    from stock_market_etl_spark.io import load_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/datedb;create=true"
+    d1, d2 = datetime.date(2024, 1, 1), datetime.date(2024, 1, 2)
+    base = spark.createDataFrame(
+        [(d1, "AAPL", 1.0), (d2, "AAPL", 2.0)], "trade_date date, ticker string, px double"
+    )
+    sinks.jdbc_append(base, url, "metrics_by_date", DERBY_PROPS)
+
+    increment = spark.createDataFrame(
+        [(d2, "AAPL", 9.0)], "trade_date date, ticker string, px double"
+    )
+    for _ in range(2):
+        sinks.jdbc_upsert(
+            increment, url, "metrics_by_date", ("trade_date",), DERBY_PROPS
+        )
+        back = load_jdbc(
+            spark,
+            url,
+            'SELECT "trade_date", "ticker", "px" FROM metrics_by_date',
+            properties=DERBY_PROPS,
+        ).collect()
+        assert len(back) == 2
+        assert {r["px"] for r in back if r["trade_date"] == d2} == {9.0}
+
+
+def test_jdbc_upsert_authenticated_derby(spark, tmp_path):
+    """jdbc_upsert's DELETE half must open its connection with the
+    same user/password channel the append half uses — against an
+    auth-requiring database a bare getConnection(url) fails. Derby
+    BUILTIN auth is enabled at database grain, then the upsert runs
+    credentialed end-to-end and a credential-less run is refused."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from stock_market_etl_spark.io import load_jdbc
+
+    db = f"{tmp_path}/authdb"
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    conn = jvm.java.sql.DriverManager.getConnection(f"jdbc:derby:{db};create=true")
+    st = conn.createStatement()
+    for k, v in [
+        ("derby.connection.requireAuthentication", "true"),
+        ("derby.authentication.provider", "BUILTIN"),
+        ("derby.user.app", "secret"),
+        # without propertiesOnly, system-wide (unset) properties can
+        # override the database-level ones and auth silently stays off
+        ("derby.database.propertiesOnly", "true"),
+    ]:
+        st.executeUpdate(
+            "CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY('%s', '%s')" % (k, v)
+        )
+    st.close()
+    conn.close()
+    try:  # auth applies from the next boot of the database
+        jvm.java.sql.DriverManager.getConnection(f"jdbc:derby:{db};shutdown=true")
+    except Py4JJavaError:
+        pass  # clean shutdown always raises SQLException 08006
+
+    url = f"jdbc:derby:{db}"
+    props = dict(DERBY_PROPS, user="app", password="secret")
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    sinks.jdbc_append(dim, url, "auth_up", props)
+    inc = spark.createDataFrame([(2, "b2")], "k int, v string")
+    sinks.jdbc_upsert(inc, url, "auth_up", ("k",), props)
+    back = load_jdbc(
+        spark, url, 'SELECT "k", "v" FROM auth_up', properties=props
+    ).collect()
+    assert {(r["k"], r["v"]) for r in back} == {(1, "a"), (2, "b2")}
+
+    with pytest.raises(Py4JJavaError):  # no credentials → refused
+        sinks.jdbc_upsert(inc, url, "auth_up", ("k",), DERBY_PROPS)
