@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from stock_market_etl_spark.catalog import _scratch
 from stock_market_etl_spark.io import load_table
 from stock_market_etl_spark.operators import (
     dedup,
@@ -934,13 +935,16 @@ def x40_ivf_topk_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plan-asserted in tests/test_plans.py). Same seed/params as x15, so
     the probe result is identical to the inline form (asserted in
     tests/test_extensions.py); k-means is engine-specific → rows-only,
-    like x15."""
-    import tempfile
-
+    like x15. The index artifact is built ONCE per (process, sf_dir)
+    and cleaned at exit (_scratch.cached_dir) — the deployment shape
+    is build-once-probe-many, and repeated bench/correctness runs must
+    not re-run k-means or leak temp-dir disk per call."""
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned, centers = similarity.ivf_index(emb, n_lists=16)
-    path = tempfile.mkdtemp(prefix="ivf_lake_")
-    similarity.write_ivf_index(assigned, centers, path)
+    path, built = _scratch.cached_dir("ivf_lake", sf_dir)
+    if not built:
+        assigned, centers = similarity.ivf_index(emb, n_lists=16)
+        similarity.write_ivf_index(assigned, centers, path)
+        _scratch.mark_built(path)
     lake_assigned, lake_centers = similarity.read_ivf_index(spark, path)
     return similarity.ivf_probe(
         lake_assigned, lake_centers, query_id=0, k=10, n_probe=4
@@ -1015,7 +1019,7 @@ def x41_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
            END AS thr
          FROM counts, m)
        SELECT d.doc_id, d.source, d.lang
-       FROM documents d JOIN q USING (source)
+       FROM documents d JOIN q ON d.source IS NOT DISTINCT FROM q.source
        WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix-temp-v1'), 1, 4)
              < q.thr""",
 )
@@ -1041,13 +1045,14 @@ def x43_pq_topk_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact plus `rerank` raw vectors. Same seed/params as x21 ⇒ the
     probe result is identical to the inline form (asserted in
     tests/test_extensions.py); sample-trained codebooks → rows-only,
-    like x21."""
-    import tempfile
-
+    like x21. Build-once-probe-many: the artifact is cached per
+    (process, sf_dir) and cleaned at exit, like x40."""
     emb = load_table(spark, sf_dir, "embeddings")
-    codes, books = similarity.pq_index(emb)
-    path = tempfile.mkdtemp(prefix="pq_lake_")
-    similarity.write_pq_index(codes, books, path)
+    path, built = _scratch.cached_dir("pq_lake", sf_dir)
+    if not built:
+        codes, books = similarity.pq_index(emb)
+        similarity.write_pq_index(codes, books, path)
+        _scratch.mark_built(path)
     codes_lake, books_lake = similarity.read_pq_index(spark, path)
     return similarity.pq_probe(codes_lake, books_lake, emb, query_id=0, k=10)
 
@@ -1143,7 +1148,8 @@ def x45_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            END AS t
          FROM counts, m),
        mixed AS (
-         SELECT d.* FROM kept d JOIN thr USING (source)
+         SELECT d.* FROM kept d
+         JOIN thr ON d.source IS NOT DISTINCT FROM thr.source
          WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix-temp-v1'), 1, 4)
                < thr.t),
        uniq AS (
@@ -1218,6 +1224,118 @@ def x46_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         clusters,
         salt="split-v1",
     ).select("doc_id", "source", "lang", "split")
+
+
+@_q("x48_curation_pipeline_lsh")
+def x48_curation_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x46's 100 TB form: the identical composed curation plan with the
+    near-dup pair source swapped to banded MinHash LSH
+    (`source="lsh"`) — candidate generation is a bucket-equality join,
+    never an all-pairs scan, exactly the x31 → x35 swap. Rows-only by
+    design (LSH bucketing is engine-specific); the hard evidence is
+    x46's full hash oracle on the exact twin plus the
+    cluster-cohesion/agreement invariants in tests/test_extensions.py.
+    This is the benched form: BASELINE.md times it beside x46 so the
+    exact-vs-LSH crossover stays visible as sf grows."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(F.col("n_chars") >= 200)
+    mixed = sampling.temperature_sample(
+        kept, alpha=0.5, strata_col="source", salt="mix-temp-v1"
+    )
+    uniq = dedup.exact_dedup(mixed)
+    clusters = dedup.near_dup_clusters(uniq, threshold=0.6, source="lsh")
+    return sampling.leakage_safe_split(
+        uniq,
+        {"train": 0.90, "val": 0.05, "test": 0.05},
+        clusters,
+        salt="split-v1",
+    ).select("doc_id", "source", "lang", "split")
+
+
+@_q(
+    "x50_session_transcripts",
+    """WITH flagged AS (
+         SELECT user_id, ts, event_id, event_type,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ), numbered AS (
+         SELECT user_id, ts, event_id, event_type,
+                sum(new_sess) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS sess_id
+         FROM flagged
+       )
+       SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+              min(ts) AS sess_start, max(ts) AS sess_end,
+              CAST(count(*) AS BIGINT) AS n_turns,
+              string_agg(event_type, ' ' ORDER BY ts, event_id)
+                  AS transcript
+       FROM numbered GROUP BY user_id, sess_id""",
+)
+def x50_session_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation/thread assembly (operators/sessions.py
+    session_transcripts): interaction logs become one ordered
+    transcript document per 30-min-gap session — the step that turns
+    chat/agent event streams into LLM training documents. One exchange
+    of the events on user_id (sessionize's two windows share it), then
+    a session-grain agg whose deterministic in-session order rides
+    inside array_sort'ed structs — no second sort exchange."""
+    from stock_market_etl_spark.operators import sessions
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessions.session_transcripts(ev, gap_minutes=30)
+
+
+@_q(
+    "x49_paragraph_dedup",
+    r"""WITH toks AS (
+         SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+         FROM documents),
+       idx AS (
+         SELECT doc_id,
+                generate_subscripts(
+                    range(1, greatest(len(t), 1) + 1, 20), 1) AS bi,
+                unnest(range(1, greatest(len(t), 1) + 1, 20)) AS s, t
+         FROM toks),
+       blocks AS (
+         SELECT doc_id, CAST(bi - 1 AS INT) AS idx,
+                array_to_string(t[s:s+19], ' ') AS b
+         FROM idx),
+       firsts AS (
+         SELECT doc_id, idx FROM (
+           SELECT doc_id, idx,
+                  ROW_NUMBER() OVER (PARTITION BY b
+                                     ORDER BY doc_id, idx) AS rn
+           FROM blocks)
+         WHERE rn = 1),
+       agg AS (
+         SELECT bl.doc_id,
+                string_agg(bl.b, ' ' ORDER BY bl.idx) AS kept_text,
+                count(*) AS n_kept
+         FROM blocks bl JOIN firsts USING (doc_id, idx)
+         GROUP BY bl.doc_id),
+       tot AS (
+         SELECT doc_id, count(*) AS n_total FROM blocks GROUP BY doc_id)
+       SELECT t.doc_id,
+              coalesce(a.kept_text, '') AS kept_text,
+              coalesce(a.n_kept, 0) AS n_kept,
+              t.n_total
+       FROM tot t LEFT JOIN agg a USING (doc_id)""",
+)
+def x49_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-grain exact dedup (operators/dedup.py paragraph_dedup):
+    C4/Gopher's "drop repeated spans" at 20-token block grain — keep
+    the globally first occurrence of every distinct block, reassemble
+    each doc from its survivors. Text stays out of the dedup
+    exchanges: the corpus-wide shuffle carries (sha2, doc_id, idx)
+    only, winners collapse to id-grain keep-lists, and docs re-slice
+    their own token arrays locally. The oracle replays the decision by
+    windowing over the block text itself (identical modulo sha2
+    collisions, i.e. identical)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.paragraph_dedup(docs, para_tokens=20)
 
 
 @_q(

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from stock_market_etl_spark.catalog import _scratch
 from stock_market_etl_spark.sources.dimension import (
     SAMPLE_HTML,
     SP500_SCHEMA,
@@ -109,8 +110,6 @@ def b1_partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     discovery (reference's per-(year,ticker) S3 PUT loop,
     `scripts/ingest_backfill_raw.py:49-78`). The oracle checks the round
     trip is lossless including the derived partition column."""
-    import tempfile
-
     from stock_market_etl_spark.io import load_table, write_partitioned
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -120,7 +119,7 @@ def b1_partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         F.round("value", 6).alias("value"),
         "ts",
     )
-    path = tempfile.mkdtemp(prefix="lake_b1_")
+    path = _scratch.fresh_dir("lake_b1")
     write_partitioned(ev, path, partition_cols=("year", "user_id"))
     back = spark.read.parquet(path)
     return back.select(
@@ -166,14 +165,12 @@ def b7_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     no types, so the read declares an explicit schema instead of
     double-scanning with inferSchema — the only scale-sane way to read
     text formats."""
-    import tempfile
-
     from stock_market_etl_spark.io import load_table
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
     )
-    path = tempfile.mkdtemp(prefix="lake_b7_")
+    path = _scratch.fresh_dir("lake_b7")
     ev.write.mode("overwrite").option("header", True).csv(path)
     back = spark.read.schema(
         "event_id long, user_id long, event_type string, value double"
@@ -191,14 +188,12 @@ def b8_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the interchange format the reference's REST sources (A3) would
     land as. Same explicit-schema discipline as b7 (schema inference
     on JSON is a full extra pass at 100 TB)."""
-    import tempfile
-
     from stock_market_etl_spark.io import load_table
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
     )
-    path = tempfile.mkdtemp(prefix="lake_b8_")
+    path = _scratch.fresh_dir("lake_b8")
     ev.write.mode("overwrite").json(path)
     back = spark.read.schema(
         "event_id long, user_id long, event_type string, value double"
@@ -222,8 +217,6 @@ def b9_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns are added across releases, old files are never rewritten.
     Footer merging is metadata-only; the oracle reproduces the merge
     from the generation rule itself."""
-    import tempfile
-
     from pyspark.sql.types import (
         DoubleType,
         IntegerType,
@@ -237,7 +230,7 @@ def b9_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
-    path = tempfile.mkdtemp(prefix="lake_b9_")
+    path = _scratch.fresh_dir("lake_b9")
     li.filter(F.col("l_orderkey") % 2 == 0).drop(
         "l_extendedprice"
     ).write.mode("append").parquet(path)

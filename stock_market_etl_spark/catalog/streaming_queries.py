@@ -8,11 +8,11 @@ Structured Streaming query (rows-only for the driver gate).
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from stock_market_etl_spark.catalog import _scratch
 from stock_market_etl_spark.streaming import core
 
 QUERIES = {}
@@ -92,7 +92,7 @@ def n4_streaming_tumbling_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity with n1 is asserted in tests/test_streaming.py."""
     stream = core.tumbling_counts(core.stream_events(spark, sf_dir))
     name = f"drain_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    ckpt = _scratch.fresh_dir("ckpt")
     core.run_available_now(stream, name, ckpt, output_mode="complete")
     return spark.table(name)
 
@@ -106,7 +106,7 @@ def n5_streaming_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id"
     )
     name = f"dedup_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    ckpt = _scratch.fresh_dir("ckpt")
     core.run_available_now(stream, name, ckpt)
     return spark.table(name)
 
@@ -181,7 +181,7 @@ def n9_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     redelivery idempotence are asserted in tests/test_streaming.py."""
     import os
 
-    work = tempfile.mkdtemp(prefix="ingest_")
+    work = _scratch.fresh_dir("ingest")
     corpus_path = os.path.join(work, "corpus")
     stream = core.stream_documents(spark, sf_dir, glob="documents.parquet")
     core.dedup_ingest_sink(
@@ -209,7 +209,7 @@ def n10_stream_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     _, centers = similarity.ivf_index(emb, n_lists=16)
-    work = tempfile.mkdtemp(prefix="ann_ingest_")
+    work = _scratch.fresh_dir("ann_ingest")
     index_path = os.path.join(work, "index")
     centers.write.parquet(os.path.join(index_path, "centroids"))
     stream = core.stream_documents(spark, sf_dir, glob="embeddings.parquet")
@@ -249,6 +249,6 @@ def n11_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         core.stream_events(spark, sf_dir), dim
     ).select("event_id", "user_id", "ts", "latest_signup")
     name = f"enrich_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    ckpt = _scratch.fresh_dir("ckpt")
     core.run_available_now(stream, name, ckpt, output_mode="append")
     return spark.table(name)

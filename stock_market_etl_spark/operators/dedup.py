@@ -846,3 +846,87 @@ def corpus_diff(
         F.coalesce("old_copies", F.lit(0)).alias("old_copies"),
         F.coalesce("new_copies", F.lit(0)).alias("new_copies"),
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    para_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-grain exact dedup (the C4/Gopher "remove repeated spans"
+    move, word-window form): split each document into non-overlapping
+    ``para_tokens``-token blocks, keep only the globally FIRST
+    occurrence of each distinct block (ordered by (doc_id, block
+    index) — deterministic), and reassemble every document from its
+    surviving blocks in order. Returns one row per input document:
+    ``(doc_id, kept_text, n_kept, n_total)`` — a document whose every
+    block already appeared elsewhere survives with ``kept_text = ''``
+    (the caller's length filter drops it, mirroring C4).
+
+    Scale shape — text never enters the dedup exchanges:
+
+    1. blocks reduce to ``(sha2(block), doc_id, idx)`` inside the scan
+       stage (narrow fan-out, like chunk_documents);
+    2. the first-occurrence decision is a row_number window over the
+       HASH — the only corpus-wide shuffle, ~50 bytes per block;
+    3. winners collapse to an id-grain ``(doc_id, keep_idxs[])`` list
+       (second id-only shuffle, one row per surviving doc);
+    4. documents re-derive their kept text locally by re-slicing their
+       own token array against ``keep_idxs`` — the single exchange
+       that touches text is the doc-grain join, which AQE broadcasts
+       whenever the keep-list side measures small.
+
+    The DuckDB oracle (catalog x49) replays the same decision by
+    windowing over the block text itself — identical up to sha2
+    collisions, i.e. identical.
+    """
+    from stock_market_etl_spark.operators.text import tokens
+
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+    n = F.size("__t")
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(para_tokens))
+    blocks = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                starts, lambda s: F.slice(F.col("__t"), s, para_tokens)
+            )
+        ).alias("__idx", "__b"),
+    ).select(
+        id_col,
+        "__idx",
+        F.sha2(F.concat_ws(" ", F.col("__b")), 256).alias("__h"),
+    )
+    from pyspark.sql import Window
+
+    first = F.row_number().over(
+        Window.partitionBy("__h").orderBy(id_col, "__idx")
+    )
+    kept = (
+        blocks.withColumn("__rn", first)
+        .filter(F.col("__rn") == 1)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__idx")).alias("__keep"))
+    )
+    rebuilt = F.concat_ws(
+        " ",
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("__keep"), F.array().cast("array<int>")),
+                lambda i: F.slice(
+                    F.col("__t"), i * para_tokens + 1, para_tokens
+                ),
+            )
+        ),
+    )
+    return toks.join(kept, id_col, "left").select(
+        id_col,
+        rebuilt.alias("kept_text"),
+        # size(NULL) is -1, not NULL — guard with when, not coalesce
+        F.when(F.col("__keep").isNull(), F.lit(0))
+        .otherwise(F.size("__keep"))
+        .cast("long")
+        .alias("n_kept"),
+        F.size(starts).cast("long").alias("n_total"),
+    )

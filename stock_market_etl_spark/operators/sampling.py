@@ -159,7 +159,15 @@ def temperature_sample(
     #sources) feeds per-stratum thresholds joined back onto the scan.
     No broadcast hint on that join — source vocabularies can be
     web-scale (domains), AQE broadcasts when measured-small, exactly
-    the x33 vocabulary-join rule."""
+    the x33 vocabulary-join rule.
+
+    NULL strata are a real stratum: the threshold join is null-SAFE
+    (`<=>`), so docs with a missing ``strata_col`` are counted,
+    thresholded, and sampled like any other group — at web scale a
+    null `source` column must not silently vanish from the mixture
+    (groupBy already buckets NULLs together; a plain equi-join would
+    then drop them at re-attach). The DuckDB oracles mirror this with
+    ``IS NOT DISTINCT FROM``."""
     counts = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
     n_min = counts.agg(F.min("__n").alias("__n_min"))
     keep = F.pow(
@@ -173,12 +181,11 @@ def temperature_sample(
         )
     )
     q = counts.crossJoin(F.broadcast(n_min)).select(
-        strata_col, thr.alias("__thr")
+        F.col(strata_col).alias("__stratum"), thr.alias("__thr")
     )
     return (
-        df.join(q, strata_col)
+        df.join(q, F.col(strata_col).eqNullSafe(F.col("__stratum")))
         .filter(_hash_prefix(F.col(id_col), salt) < F.col("__thr"))
-        .drop("__thr")
         .select(*df.columns)
     )
 

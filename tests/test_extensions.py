@@ -961,3 +961,98 @@ def test_corpus_diff_invariants(spark, sf_smoke):
     n_all = docs.select(F.sha2("text", 256)).distinct().count()
     assert d.filter(F.col("status") == "kept").count() == n_old
     assert d.filter(F.col("status") == "added").count() == n_all - n_old
+
+def test_curation_pipeline_lsh_invariants(spark, sf_smoke):
+    """x48 (the benched 100 TB form of x46): swapping the pair source
+    to LSH must not change WHICH docs survive (dedup is upstream of
+    the split), must keep every LSH cluster split-cohesive (the
+    leakage-safety contract), and must agree with the exact twin on
+    the overwhelming share of docs (LSH recall only perturbs cluster
+    membership at the margin)."""
+    from stock_market_etl_spark.catalog.extensions import QUERIES
+    from stock_market_etl_spark.operators import sampling
+
+    exact = {
+        r["doc_id"]: r["split"]
+        for r in QUERIES["x46_curation_pipeline"](spark, sf_smoke).collect()
+    }
+    lsh = {
+        r["doc_id"]: r["split"]
+        for r in QUERIES["x48_curation_pipeline_lsh"](spark, sf_smoke).collect()
+    }
+    assert set(exact) == set(lsh)  # identical survivor set
+    agree = sum(exact[d] == lsh[d] for d in exact) / len(exact)
+    assert agree >= 0.9, f"exact-vs-LSH split agreement {agree:.2f} < 0.9"
+
+    # leakage safety: every LSH cluster lands wholly in one split
+    docs = load_table(spark, sf_smoke, "documents")
+    uniq = dedup.exact_dedup(
+        sampling.temperature_sample(
+            docs.filter(F.col("n_chars") >= 200),
+            alpha=0.5, strata_col="source", salt="mix-temp-v1",
+        )
+    )
+    clusters = dedup.near_dup_clusters(uniq, threshold=0.6, source="lsh")
+    for rep, members in _group(clusters.collect()).items():
+        splits = {lsh[d] for d in members if d in lsh}
+        assert len(splits) <= 1, f"cluster {rep} straddles splits {splits}"
+
+
+def _group(cluster_rows):
+    by_rep: dict = {}
+    for r in cluster_rows:
+        by_rep.setdefault(r["cluster_rep"], []).append(r["doc_id"])
+    return by_rep
+
+def test_paragraph_dedup_semantics(spark):
+    """First global occurrence of each 20-token block wins (ordered by
+    doc_id, idx); docs reassemble from surviving blocks in order; a doc
+    whose every block already appeared survives as ('', 0)."""
+    from stock_market_etl_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d x y"), (3, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["kept_text"], r["n_kept"], r["n_total"])
+        for r in paragraph_dedup(df, para_tokens=2).collect()
+    }
+    assert out[1] == ("a b c d e f", 3, 3)  # first doc keeps all
+    assert out[2] == ("x y", 1, 3)  # 'a b'/'c d' seen; order kept
+    assert out[3] == ("", 0, 3)  # fully duplicate doc -> empty
+
+    # deterministic under physical layout changes
+    again = {
+        r["doc_id"]: (r["kept_text"], r["n_kept"], r["n_total"])
+        for r in paragraph_dedup(
+            df.repartition(7), para_tokens=2
+        ).collect()
+    }
+    assert again == out
+
+
+def test_session_transcripts_order_and_gaps(spark):
+    """Transcript order must follow (ts, event_id) regardless of input
+    layout, and a >30-min gap starts a new session/transcript."""
+    import datetime
+
+    from stock_market_etl_spark.operators.sessions import (
+        session_transcripts,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 9, 0, 0)
+
+    def ev(eid, mins, typ):
+        return (eid, t0 + datetime.timedelta(minutes=mins), 1, typ)
+
+    rows = [ev(3, 2, "c"), ev(1, 0, "a"), ev(2, 1, "b"),
+            ev(4, 45, "d"), ev(5, 46, "e")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).repartition(5)
+    out = sorted(
+        (r["sess_id"], r["n_turns"], r["transcript"])
+        for r in session_transcripts(df, gap_minutes=30).collect()
+    )
+    assert out == [(1, 3, "a b c"), (2, 2, "d e")]

@@ -259,3 +259,23 @@ def test_new_sampling_ops_empty_input(spark, sf_smoke):
     assert sorted(map(tuple, out.select("doc_id", "split").collect())) == sorted(
         map(tuple, base.select("doc_id", "split").collect())
     )
+
+def test_temperature_sample_null_stratum_is_a_stratum(spark):
+    """A NULL strata_col value must behave as its own stratum — counted,
+    thresholded, and kept/downsampled like any named source — not
+    silently vanish at the threshold re-attach join (the null-safe-join
+    contract in temperature_sample's docstring)."""
+    rows = [(i, None if i < 40 else "web") for i in range(240)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.temperature_sample(
+        docs, alpha=0.5, strata_col="source", salt="null-stratum"
+    )
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # NULL is the smallest stratum -> keep rate 1.0: all 40 survive
+    assert by_src.get(None) == 40
+    # the larger stratum is hash-downsampled toward it: (200/40)^-0.5
+    # ~= 0.447 keep rate; the md5 draw concentrates around it
+    assert 0 < by_src.get("web", 0) < 200

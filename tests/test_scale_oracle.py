@@ -53,6 +53,15 @@ SCALE_QUERIES = [
     ("x47_corpus_diff", True),
     ("b9_schema_evolution_read", False),
     ("d10_range_join_pairs", False),
+    # r06 additions: the remaining r07 window candidates get their 10×
+    # evidence before their driver proof — m5's Arrow path (float
+    # outputs → midpoint tolerance) and n9's streamed dedup ingest
+    # (hash-grain → exact).
+    ("m5_map_in_arrow", False),
+    ("n9_stream_dedup_ingest", True),
+    # r06-new operators (string/integer outputs → exact)
+    ("x49_paragraph_dedup", True),
+    ("x50_session_transcripts", True),
 ]
 
 
