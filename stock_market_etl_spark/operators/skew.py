@@ -15,7 +15,7 @@ unsalted forms (asserted in tests/test_plans.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
 def salted_join(
@@ -54,50 +54,51 @@ def salted_join(
     return out.drop("__salt")
 
 
+#: fn name → (phase-1 builder, phase-2 combiner). Closed allowlist by
+#: construction: the decompositions hash-aggregate partials support.
+#: count re-combines via SUM; the rest are idempotent under merge.
+_DECOMPOSABLE = {
+    "count": (F.count, F.sum),
+    "sum": (F.sum, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
 def two_phase_agg(
     df: DataFrame,
     keys: list[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, tuple[str, str]],
     n_salts: int = 8,
 ) -> DataFrame:
     """Two-phase aggregation with an explicit salt between phases:
     partial agg on (keys, salt), final combine on keys.
 
-    ``aggs`` maps output column name → a *decomposable* aggregate
-    expression given as the phase-1 expression; phase 2 combines with
-    sum/max/min by convention: pass e.g. ``{"n": F.count("*")}`` and the
-    final value is ``sum(n)``. Only sum/count/min/max decompositions are
-    supported — the same constraint hash-aggregate partials have.
+    ``aggs`` maps output column name → ``(fn, column)`` where ``fn`` is
+    one of ``count | sum | min | max`` — the closed set of aggregates
+    whose per-salt partials merge losslessly (the same constraint
+    hash-aggregate partials have). The spec form makes non-decomposable
+    aggregates (count DISTINCT, avg, percentiles) inexpressible instead
+    of detected: the operator builds BOTH phases itself, so there is no
+    expression surface to smuggle a DISTINCT flag through (the previous
+    form sniffed `expr._jc` — private JVM API, dead under Spark
+    Connect). Example: ``{"n": ("count", "*"), "s": ("sum", "value")}``
+    ⇒ final columns ``n = sum(count per salt)``, ``s = sum(sums)``.
     """
+    partials, combiners = [], []
+    for name, (fn, col) in aggs.items():
+        if fn not in _DECOMPOSABLE:
+            raise ValueError(
+                f"non-decomposable aggregate for two_phase_agg: "
+                f"{name}={fn!r} (allowed: {sorted(_DECOMPOSABLE)})"
+            )
+        phase1, phase2 = _DECOMPOSABLE[fn]
+        partials.append(phase1(col).alias(name))
+        combiners.append(phase2(name).alias(name))
     salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     partial = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")
-        .agg(*[expr.alias(name) for name, expr in aggs.items()])
+        .agg(*partials)
     )
-    combiners = []
-    for name, expr in aggs.items():
-        fn_name = expr._jc.toString().lower()
-        # countDistinct/sum_distinct stringify without the DISTINCT flag
-        # and would slip through the count/sum branch, but summing
-        # per-salt distinct aggregates double-counts values seen under
-        # several salts — reject via the expression node's isDistinct.
-        node = getattr(expr._jc, "node", lambda: None)()
-        if (
-            node is not None
-            and getattr(node, "isDistinct", lambda: False)()
-        ) or "distinct" in fn_name:
-            raise ValueError(
-                f"non-decomposable aggregate for two_phase_agg: {name}"
-            )
-        if fn_name.startswith(("count", "sum")):
-            combiners.append(F.sum(name).alias(name))
-        elif fn_name.startswith("min"):
-            combiners.append(F.min(name).alias(name))
-        elif fn_name.startswith("max"):
-            combiners.append(F.max(name).alias(name))
-        else:
-            raise ValueError(
-                f"non-decomposable aggregate for two_phase_agg: {name}"
-            )
     return partial.groupBy(*keys).agg(*combiners)

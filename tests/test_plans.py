@@ -112,7 +112,7 @@ def test_two_phase_agg_equals_plain_agg(spark, sf_smoke):
     salted = skew.two_phase_agg(
         ev,
         ["event_type"],
-        {"n": F.count("*"), "s": F.sum("value"), "mx": F.max("value")},
+        {"n": ("count", "*"), "s": ("sum", "value"), "mx": ("max", "value")},
     )
     a = sorted((r.event_type, r.n, round(r.s, 6), r.mx) for r in plain.collect())
     b = sorted((r.event_type, r.n, round(r.s, 6), r.mx) for r in salted.collect())
@@ -129,7 +129,7 @@ def test_skew_ops_reject_unsound_forms(spark, sf_smoke):
         skew.salted_join(ev, dim, ["user_id"], how="full_outer")
     with pytest.raises(ValueError, match="non-decomposable"):
         skew.two_phase_agg(
-            ev, ["user_id"], {"nd": F.countDistinct("event_id")}
+            ev, ["user_id"], {"nd": ("count_distinct", "event_id")}
         )
 
 
@@ -463,6 +463,7 @@ def test_composed_pipelines_have_no_nested_loop_joins(spark, sf_smoke):
     for name, bnlj_allowed in (
         ("x41_leakage_safe_split", 0),
         ("x46_curation_pipeline", 1),
+        ("x48_curation_pipeline_lsh", 1),  # same n_min scalar cross
         ("x47_corpus_diff", 0),
     ):
         plan = _plan(qs[name](spark, sf_smoke))
