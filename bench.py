@@ -63,6 +63,18 @@ BENCH_QUERIES = [
     "x42_temperature_mix",
     "x44_shard_assignment",
     "x45_corpus_report",
+    # r06 addition: the composed curation flagship v2 via its LSH pair
+    # source — the 100 TB scale path. The exact twin x46 stays
+    # oracle-only exactly like x31: its blocked-Jaccard pair source is
+    # quadratic-by-design (measured 28.6 s at sf0.1 vs 3.7 s here —
+    # the crossover the x31/x35 split documents), and its correctness
+    # duty is the DuckDB hash oracle, not the clock.
+    "x48_curation_pipeline_lsh",
+    # r06-new operators: span-grain paragraph dedup (text never in the
+    # dedup exchanges) and session transcript assembly (one event
+    # exchange, order rides inside aggregated structs).
+    "x49_paragraph_dedup",
+    "x50_session_transcripts",
 ]
 
 
@@ -163,6 +175,17 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # TWO JSON lines, detail first: the driver's record keeps only the
+    # last ~2 KB of output, so the headline line (metric/value/queries)
+    # must come LAST and stay compact enough to survive the tail
+    # capture whole — per-rep times and shuffle bytes ride the first
+    # (detail) line. r05's single fat line lost its own head.
+    print(
+        json.dumps(
+            {"metric": "bench_detail", "reps": reps, "shuffle_mb": shuffle_mb}
+        )
+    )
     print(
         json.dumps(
             {
@@ -170,9 +193,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "reps": reps,
-                "shuffle_mb": shuffle_mb,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
     )
