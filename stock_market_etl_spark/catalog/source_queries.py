@@ -246,3 +246,75 @@ def b9_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return load_evolving(spark, path, expected=contract)
+
+
+@_q(
+    "b10_orc_roundtrip",
+    """SELECT event_id, user_id, event_type, round(value, 6) AS value
+       FROM events""",
+)
+def b10_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B (superset): ORC write + read back — the third columnar
+    interchange format after parquet (A1/B1) and the row formats
+    (b7/b8). Spark's ORC source carries the same scan machinery as
+    parquet (vectorized decode, predicate pushdown, column pruning),
+    so a lake standardized on ORC loses nothing; the roundtrip proves
+    the engine's sources aren't parquet-shaped by accident."""
+    from stock_market_etl_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+    path = _scratch.fresh_dir("lake_b10")
+    ev.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+@_q(
+    "b11_bucketed_colocated_join",
+    """SELECT o.o_orderkey, o.o_custkey,
+              CAST(count(*) AS BIGINT) AS n_lines,
+              round(sum(l.l_extendedprice), 6) AS revenue
+       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       GROUP BY o.o_orderkey, o.o_custkey""",
+)
+def b11_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B (superset): Hive-bucketed tables + the shuffle-FREE big⋈big
+    join they buy. orders and lineitem are written `bucketBy(8,
+    join key)` + `sortBy` once; every later join on that key reads
+    both sides pre-partitioned — NO Exchange on either side of the
+    SortMergeJoin (plan-asserted in tests/test_plans.py). THE
+    100 TB repeated-join move: a fact table joined on the same key
+    nightly pays the partitioning once at write time instead of
+    shuffling 100 TB per run. Build-once per (process, sf) via
+    _scratch; the MERGE hint pins SMJ so the demonstration can't be
+    silently replaced by an AQE broadcast at small sf."""
+    from stock_market_etl_spark.io import load_table, write_bucketed
+
+    path, built = _scratch.cached_dir("bucketed", sf_dir)
+    suffix = abs(hash(path)) % 10**8
+    o_name, l_name = f"orders_bkt_{suffix}", f"lineitem_bkt_{suffix}"
+    if not built:
+        write_bucketed(
+            load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            o_name, ("o_orderkey",), 8, ("o_orderkey",),
+            path=f"{path}/{o_name}",
+        )
+        write_bucketed(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice"
+            ),
+            l_name, ("l_orderkey",), 8, ("l_orderkey",),
+            path=f"{path}/{l_name}",
+        )
+        _scratch.mark_built(path)
+    o = spark.table(o_name).hint("merge")
+    l = spark.table(l_name)
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 6).alias("revenue"),
+        )
+    )

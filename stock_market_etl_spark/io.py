@@ -121,6 +121,7 @@ def write_bucketed(
     num_buckets: int = 16,
     sort_cols: tuple[str, ...] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Bucketed parquet table layout (SCALE.md Joins): pre-shuffle the
     table ONCE at write time, hashed on its join key into
@@ -131,14 +132,18 @@ def write_bucketed(
     dominates large-large joins (e.g. lineitem⋈orders at 100 TB) is paid
     once at layout time and amortized over every subsequent join.
     ``sort_cols`` additionally pre-sorts within buckets so the SMJ's
-    per-partition sort disappears too. Asserted shuffle-free in
-    tests/test_plans.py.
+    per-partition sort disappears too. ``path`` makes the table
+    external (the lake keeps the bytes; the metastore keeps the bucket
+    spec). Asserted shuffle-free in tests/test_plans.py; the
+    oracle-checked catalog form is b11.
     """
     writer = df.write.mode(mode).format("parquet").bucketBy(
         num_buckets, *bucket_cols
     )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

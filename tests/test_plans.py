@@ -470,3 +470,13 @@ def test_composed_pipelines_have_no_nested_loop_joins(spark, sf_smoke):
         assert "CartesianProduct" not in plan, name
         got = plan.count("BroadcastNestedLoopJoin")
         assert got <= bnlj_allowed, (name, got)
+
+def test_bucketed_join_has_zero_exchanges(spark, sf_smoke):
+    """b11: both sides bucketed on the join key -> the SortMergeJoin
+    AND the downstream group-by run with ZERO exchanges (bucket
+    distribution on o_orderkey satisfies the agg's clustering on
+    (o_orderkey, o_custkey) too). The write-once-join-forever
+    contract bucketing exists for."""
+    plan = _plan(all_queries()["b11_bucketed_colocated_join"](spark, sf_smoke))
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan[:1500]
