@@ -252,3 +252,46 @@ def n11_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _scratch.fresh_dir("ckpt")
     core.run_available_now(stream, name, ckpt, output_mode="append")
     return spark.table(name)
+
+
+@_q(
+    "n12_stream_session_transcripts",
+    """WITH flagged AS (
+         SELECT user_id, ts, event_id, event_type,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ), numbered AS (
+         SELECT user_id, ts, event_id, event_type,
+                sum(new_sess) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS sess_id
+         FROM flagged
+       )
+       SELECT user_id, min(ts) AS sess_start, max(ts) AS sess_end,
+              CAST(count(*) AS BIGINT) AS n_turns,
+              string_agg(event_type, ' ' ORDER BY ts, event_id)
+                  AS transcript
+       FROM numbered GROUP BY user_id, sess_id""",
+)
+def n12_stream_session_transcripts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """N: session transcript assembly drained end-to-end — a REAL
+    stateful Structured Streaming run (file source → session_window
+    groupBy with collect_list state → memory sink, complete mode).
+    The streaming twin of x50: session_window's gap rule IS
+    gaps-and-islands, and the emit-time array_sort makes the
+    transcript independent of within-session arrival interleaving, so
+    the drained result equals the batch operator exactly — full hash
+    oracle (the x50 SQL minus its per-user session numbering).
+    Cross-micro-batch session MERGING is pinned separately in
+    tests/test_streaming.py."""
+    stream = core.session_transcripts_stream(
+        core.stream_events(spark, sf_dir)
+    )
+    name = f"transcripts_{uuid.uuid4().hex[:8]}"
+    ckpt = _scratch.fresh_dir("ckpt")
+    core.run_available_now(stream, name, ckpt, output_mode="complete")
+    return spark.table(name)

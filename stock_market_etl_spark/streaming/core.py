@@ -115,6 +115,44 @@ def session_counts(
     )
 
 
+def session_transcripts_stream(
+    events: DataFrame, watermark: str = "2 hours", gap: str = "30 minutes"
+) -> DataFrame:
+    """Streaming session transcript assembly — the stateful streaming
+    twin of operators/sessions.session_transcripts (catalog x50):
+    every ``gap``-bounded per-user session becomes one ordered
+    transcript document. ``session_window`` carries open sessions in
+    the state store and MERGES them when a later micro-batch extends
+    one (the semantics the multi-batch test pins); the transcript agg
+    is collect_list of (ts, event_id, payload) structs, sorted at emit
+    time — deterministic output regardless of arrival interleaving
+    within the session. The drained result equals the batch operator
+    exactly (session_window's gap rule IS gaps-and-islands), so the
+    catalog form carries a full hash oracle."""
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("ts").alias("t"),
+                F.col("event_id").alias("o"),
+                F.col("event_type").alias("p"),
+            )
+        )
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.min("ts").alias("sess_start"),
+            F.max("ts").alias("sess_end"),
+            F.count("*").cast("long").alias("n_turns"),
+            F.concat_ws(
+                " ", F.transform(ordered, lambda x: x["p"])
+            ).alias("transcript"),
+        )
+        .select("user_id", "sess_start", "sess_end", "n_turns", "transcript")
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Stateful streaming dedup on the natural key — the streaming form
     of E6 (`scripts/load_stock_metrics.py:88`): duplicates arriving

@@ -573,3 +573,82 @@ def test_dedup_ingest_clean_on_arrival(spark, sf_smoke, tmp_path):
 
     run("ckpt_b")  # redelivery lands nothing
     assert spark.read.parquet(corpus_path).count() == len(want_hashes)
+
+
+def test_stream_session_transcripts_parity(spark, sf_smoke, tmp_path):
+    """Drained streaming transcripts (session_window + collect_list
+    state) must equal the batch gaps-and-islands operator exactly,
+    including transcript token order."""
+    from stock_market_etl_spark.operators import sessions
+
+    stream = core.session_transcripts_stream(
+        core.stream_events(spark, sf_smoke)
+    )
+    sink = _drain(spark, stream, tmp_path, "complete")
+    batch = sessions.session_transcripts(
+        core.batch_events(spark, sf_smoke), gap_minutes=30
+    ).select("user_id", "sess_start", "sess_end", "n_turns", "transcript")
+    assert _rows(spark.table(sink)) == _rows(batch)
+
+
+def test_stream_session_transcripts_merge_across_batches(
+    spark, sf_smoke, tmp_path
+):
+    """Sessions OPEN at a micro-batch boundary must merge with their
+    continuation in the next batch (session_window state-merge).
+    Synthetic source, straddling by construction: user 1's first
+    session spans files t0/t1 (9:05 → 9:20, gap < 30 min across the
+    boundary) and user 2's second spans t1/t2. Drained one file per
+    micro-batch, the result must equal the single-batch twin — if the
+    state store failed to merge, the straddling sessions would emit
+    split in two."""
+    import datetime
+    import glob
+    import shutil
+    import uuid
+
+    from stock_market_etl_spark.operators import sessions
+
+    t0 = datetime.datetime(2024, 3, 1, 9, 0, 0)
+
+    def ev(eid, mins, uid, typ):
+        return (eid, t0 + datetime.timedelta(minutes=mins), uid, typ)
+
+    files = [
+        [ev(1, 0, 1, "view"), ev(2, 5, 1, "click"), ev(3, 0, 2, "view")],
+        [ev(4, 20, 1, "buy"), ev(5, 90, 2, "view")],
+        [ev(6, 180, 1, "view"), ev(7, 100, 2, "buy")],
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    src = tmp_path / "sess_ordered"
+    src.mkdir()
+    for i, rows in enumerate(files):
+        stage = tmp_path / f"sess_st_{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        shutil.move(
+            glob.glob(str(stage / "part-*.parquet"))[0],
+            str(src / f"t{i}.parquet"),
+        )
+
+    stream = core.session_transcripts_stream(
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    name = f"sessmb_{uuid.uuid4().hex[:8]}"
+    core.run_available_now(
+        stream, name, str(tmp_path / "sessmb_ckpt"), output_mode="complete"
+    )
+    all_rows = [r for rows in files for r in rows]
+    want = sessions.session_transcripts(
+        spark.createDataFrame(all_rows, schema), gap_minutes=30
+    ).select("user_id", "sess_start", "sess_end", "n_turns", "transcript")
+    got = _rows(spark.table(name))
+    assert got == _rows(want)
+    # the straddling sessions really did merge across batches
+    merged = {(r[0], r[3], r[4]) for r in got}
+    assert (1, 3, "view click buy") in merged  # u1 spans t0/t1
+    assert (2, 2, "view buy") in merged  # u2 spans t1/t2
