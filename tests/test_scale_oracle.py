@@ -62,6 +62,9 @@ SCALE_QUERIES = [
     # r06-new operators (string/integer outputs → exact)
     ("x49_paragraph_dedup", True),
     ("x50_session_transcripts", True),
+    ("n12_stream_session_transcripts", True),
+    ("b10_orc_roundtrip", False),
+    ("b11_bucketed_colocated_join", False),
 ]
 
 
