@@ -37,20 +37,29 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship (F1+F2) — permanent anchor
     "f1_f2_metrics_pipeline",
-    # --- r06 rotation (DRIVER_WINDOW.md plan): the §2-core canary set
-    # held steady; the 8 slots vacated by the r05 first proofs (f8,
-    # x31–x34, x36–x38 — all green in CORRECTNESS_r05) swapped for
-    # first proofs of the oracle-bearing queries added during r05.
-    # x47 and m5 (the 9th/10th candidates) are drafted for r07.
-    # first proofs: r05-new operators
-    "n9_stream_dedup_ingest",
-    "n11_stream_static_enrich",
-    "b9_schema_evolution_read",
-    "x41_leakage_safe_split",
-    "x42_temperature_mix",
-    "x44_shard_assignment",
+    # --- r07 rotation (DRIVER_WINDOW.md plan): the 7 green r06 first
+    # proofs (n9, n11, b9, x41, x42, x44, x46 — CORRECTNESS_r06)
+    # vacated their slots for the last 7 never-driver-proven
+    # oracle-bearing queries; after this window EVERY oracle-bearing
+    # catalog query has ≥1 driver-green round. x45 stays for its
+    # re-proof (r06's only red row — oracle HUGEINT typing, fixed).
+    # Three triple-proven x* canaries (x6, x16, x26) additionally
+    # vacated for the b1/b7/b8 changed-since-proof re-admits (their
+    # impls changed in r06's _scratch refactor; ledgered local-oracle
+    # grade upgrades back to driver on green).
     "x45_corpus_report",
-    "x46_curation_pipeline",
+    # first proofs: r05/r06-new operators
+    "x47_corpus_diff",
+    "m5_map_in_arrow",
+    "x49_paragraph_dedup",
+    "x50_session_transcripts",
+    "n12_stream_session_transcripts",
+    "b10_orc_roundtrip",
+    "b11_bucketed_colocated_join",
+    # changed-since-proof re-admits (r06 _scratch refactor)
+    "b1_partitioned_write_roundtrip",
+    "b7_csv_roundtrip",
+    "b8_json_roundtrip",
     # windows & sorts (F3–F5, G1, G3)
     "f1_lag_pct_change",
     "f3_cumulative_return",
@@ -88,15 +97,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "k3_k4_quality_gate",
     "l3_cross_store_dedup",
     "l4_year_range_resume",
-    # LLM-pipeline extensions (hash-checkable x*)
-    "x6_exact_dedup",
+    # LLM-pipeline extensions (hash-checkable x*; x6/x16/x26 rotated
+    # out r07 — triple-proven r04+r05+r06 canaries, pool candidates)
     "x7_jaccard_pairs",
-    "x16_embedding_near_dup",
     "x22_deterministic_split",
     "x23_stratified_sample",
     "x24_sequence_pack",
     "x25_quota_cap",
-    "x26_contamination",
     "x27_deterministic_shuffle",
     "x28_dataset_build",
 )

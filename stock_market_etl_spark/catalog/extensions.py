@@ -1097,7 +1097,7 @@ def x44_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM documents)
         SELECT source, lang,
                count(*) AS n_docs,
-               sum(n_tokens) AS total_tokens,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                round(avg(q), 6) AS avg_quality,
                round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
                round(quantile_cont(n_chars, 0.95), 6) AS p95_chars

@@ -27,6 +27,57 @@ def test_query_matches_oracle(name, spark, oracle_con, sf_correct):
     assert not problems, f"{name}:\n" + "\n".join(problems)
 
 
+#: DuckDB output types the driver's typed (Arrow) hash can represent
+#: identically to Spark's. HUGEINT (int128, what an uncast sum() over
+#: BIGINT produces) and DECIMAL are deliberately absent: they
+#: hash-diverge from Spark's BIGINT/DOUBLE even when every value is
+#: equal — the exact failure x45 hit in round 6.
+_ALLOWED_ORACLE_TYPES = {
+    "BIGINT",
+    "INTEGER",
+    "DOUBLE",
+    "FLOAT",
+    "VARCHAR",
+    "TIMESTAMP",
+    "DATE",
+    "BOOLEAN",
+}
+
+
+def _oracle_type_ok(type_str: str) -> bool:
+    base = type_str.split("(")[0]
+    if base.endswith("[]"):  # list of an allowed element type
+        base = base[:-2]
+    return base in _ALLOWED_ORACLE_TYPES
+
+
+def test_oracle_output_types_hashable(oracle_con):
+    """Every oracle relation must bind to driver-hash-safe DuckDB types.
+
+    Guards the whole class of x45's round-6 failure: DuckDB widens an
+    uncast integer sum() to HUGEINT (int128), which value-compares
+    equal to Spark's BIGINT but diverges under a typed hash. Binding
+    the relation is enough — DuckDB resolves output types without
+    executing, so this covers all 131 oracles in milliseconds.
+    """
+    oracles = entry_mod.oracle_sql()
+    offenders = []
+    for name, sql in oracles.items():
+        rel = oracle_con.sql(sql)
+        for col, typ in zip(rel.columns, rel.types):
+            if not _oracle_type_ok(str(typ)):
+                offenders.append(f"{name}.{col}: {typ}")
+    assert not offenders, "non-hash-safe oracle output types:\n" + "\n".join(offenders)
+
+
+def test_oracle_type_guard_catches_uncast_sum(oracle_con):
+    """Self-check: the guard actually goes red on the bug class it
+    exists for — an uncast sum() over a BIGINT column is HUGEINT."""
+    rel = oracle_con.sql("SELECT sum(n_chars) AS t FROM documents")
+    assert not _oracle_type_ok(str(rel.types[0]))
+    assert _oracle_type_ok("BIGINT") and _oracle_type_ok("VARCHAR[]")
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
