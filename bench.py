@@ -75,6 +75,13 @@ BENCH_QUERIES = [
     # exchange, order rides inside aggregated structs).
     "x49_paragraph_dedup",
     "x50_session_transcripts",
+    # r07 addition: x50's streaming twin timed as a REAL drain — the
+    # catalog callable runs the availableNow session_window stream to
+    # a memory sink internally, so its timing is the end-to-end drain
+    # at sf0.1 events (the noop write after it re-reads the drained
+    # table, trivially). Its shuffle_mb row reflects only that final
+    # re-read, not the drain — state-store traffic isn't an exchange.
+    "n12_stream_session_transcripts",
 ]
 
 

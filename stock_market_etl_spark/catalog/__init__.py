@@ -60,6 +60,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "b1_partitioned_write_roundtrip",
     "b7_csv_roundtrip",
     "b8_json_roundtrip",
+    # changed-since-proof re-admits (r07 spread()/_compat refactor —
+    # width-estimation + checkpoint-release change, behavior-neutral
+    # for deterministic results but the rule is strict by design; six
+    # quadruple-proven canaries c1/i1/i9/j1/e7/e8 vacated for these)
+    "x8_cosine_topk",
+    "x16_embedding_near_dup",
+    "x31_dup_clusters",
+    "x38_incremental_dedup",
+    "x41_leakage_safe_split",
+    "x46_curation_pipeline",
     # windows & sorts (F3–F5, G1, G3)
     "f1_lag_pct_change",
     "f3_cumulative_return",
@@ -73,14 +83,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_relative_returns",
     "q_latest_snapshot",
     "q_top_movers",
-    # core filters / scalar exprs / reshape (C, I, J)
-    "c1_projection",
+    # core filters / scalar exprs / reshape (C, I, J; c1/i1/i9/j1
+    # rotated out r07 — quadruple-proven, vacated for re-admits)
     "c4_watermark_filter",
     "c6_single_eq_filter",
-    "i1_cast",
     "i4_null_fill",
-    "i9_conditional_format",
-    "j1_unpivot",
     # joins (D)
     "d1_broadcast_left_join",
     "d2_dim_fact_inner_join",
@@ -90,8 +97,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "e3_grouped_max",
     "e4_grouped_last_max_by",
     "e6_dedup_on_keys",
-    "e7_null_count_audit",
-    "e8_distinct_list",
     # quality gates + incremental patterns (K, L)
     "k1_schema_contract_audit",
     "k3_k4_quality_gate",

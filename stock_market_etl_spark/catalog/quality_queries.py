@@ -223,3 +223,54 @@ def l4_year_range_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.year("o_orderdate") >= F.col("resume_year"))
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
     )
+
+
+@_q(
+    "k5_observed_write_metrics",
+    """WITH t AS (
+         SELECT user_id,
+                CASE WHEN value < 5.0 THEN NULL ELSE value END AS value,
+                ts
+         FROM events)
+       SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS null_user_id,
+              CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS null_value,
+              max(ts) AS max_ts
+       FROM t""",
+)
+def k5_observed_write_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K superset: single-pass observed audit — the K3 null audit and
+    L1 high-watermark max computed by the SAME job that performs the
+    write (``quality.observe_audit`` + Spark's ``Observation`` API),
+    not by a second scan. The query runs the observed noop write (the
+    engine's write-barrier discipline), then surfaces the observed
+    metric row for the hash oracle; DuckDB recomputes the identical
+    audit with a plain aggregate. At 100 TB this is the difference
+    between auditing for free (accumulators riding the write's tasks)
+    and doubling the pipeline's scan cost — the reference audits with
+    separate queries (`scripts/transform.py:104-109`).
+
+    The ``value < 5.0 → NULL`` rewrite simulates the feed's
+    missing-quote sentinel so the observed null count is non-zero and
+    data-dependent (real hash signal), mirrored exactly in the oracle.
+    """
+    from stock_market_etl_spark import quality
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(F.col("value") < 5.0, None).otherwise(F.col("value")).alias(
+            "value"
+        ),
+        "ts",
+    )
+    observed, obs = quality.observe_audit(
+        ev, keys=("user_id", "value"), watermark_col="ts"
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["null_user_id"], m["null_value"], m["max_ts"])],
+        "n_rows long, null_user_id long, null_value long, max_ts timestamp",
+    )

@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.types import LongType
 
+from stock_market_etl_spark.operators import _compat
 from stock_market_etl_spark.operators.parallelism import spread
 from stock_market_etl_spark.operators.text import char_shingles
 
@@ -482,17 +483,10 @@ def connected_components(
     per-key watermark merge, `scripts/load_stock_metrics.py:76-88`);
     this is engine superset for training-data pipelines.
     """
-    def _release(df: DataFrame) -> None:
-        """Drop a SUPERSEDED localCheckpoint's cached blocks now, not
-        at GC time (25 rounds of retained snapshots is a storage leak
-        at scale). Safe only because the df is never read again —
-        a truncated-lineage checkpoint cannot recompute. Best-effort
-        via the LogicalRDD's backing RDD; py4j/plan-shape drift
-        degrades to the GC-driven ContextCleaner path, never breaks."""
-        try:
-            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            pass
+    # superseded-snapshot release is the deployment-gated best-effort
+    # helper (no-op under Spark Connect / plan-shape drift, where the
+    # ContextCleaner releases at GC time instead)
+    _release = _compat.release_local_checkpoint
 
     # undirected: propagate both ways
     edges = (

@@ -19,13 +19,28 @@ from pyspark.sql import DataFrame
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition up to ``min_partitions`` (default:
-    ``sparkContext.defaultParallelism``) — only when the input is
-    narrower than that; wide inputs pass through untouched."""
-    target = (
-        min_partitions
-        if min_partitions is not None
-        else df.sparkSession.sparkContext.defaultParallelism
-    )
-    if df.rdd.getNumPartitions() >= target:
+    ``spark.sql.shuffle.partitions``) — only when the input is
+    narrower than that; wide inputs pass through untouched.
+
+    Width is estimated from ``df.inputFiles()`` (public API, works
+    under Spark Connect — unlike ``df.rdd``, which forces a plan→RDD
+    conversion and is Connect-incompatible). File count undercounts
+    splits when a file holds several row groups, so the check is
+    conservative: it may round-robin a projection that was already
+    wide enough, which costs one narrow shuffle of the few columns the
+    compute-bound caller reads — while at scale (files ≥ cores) it is
+    a guaranteed no-op. Non-file sources (in-memory test frames,
+    streaming micro-batches) report zero files and always spread.
+    """
+    spark = df.sparkSession
+    if min_partitions is not None:
+        target = min_partitions
+    else:
+        target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        width = len(df.inputFiles())
+    except Exception:  # non-file source / analysis barrier
+        width = 0
+    if width >= target:
         return df
     return df.repartition(target)

@@ -89,3 +89,37 @@ def validate(
     if nulls:
         raise DataQualityError(f"nulls in key columns: {nulls}")
     return df
+
+
+def observe_audit(
+    df: DataFrame,
+    keys: tuple[str, ...] = KEY_COLUMNS,
+    watermark_col: str | None = None,
+):
+    """Single-pass audit rider (K3/L1 at scale): attach the quality
+    metrics — row count, per-key null counts, optional high-watermark
+    max — to ``df`` as an ``Observation`` so they are computed by the
+    SAME job that consumes the frame (typically the write). At 100 TB
+    this halves the audit cost: ``null_key_counts``/``e1`` run a
+    second full scan + aggregation, while observed metrics ride the
+    write's tasks as accumulators and cost nothing extra.
+
+    Returns ``(observed_df, observation)`` — run any action on
+    ``observed_df`` (e.g. the write barrier), then read
+    ``observation.get`` for the metric dict. The trade against the
+    separate-audit gate (``validate``): observed metrics arrive AFTER
+    the action, so they suit post-write verification and watermark
+    bookkeeping, not pre-write refusal — ``validate`` stays the K4
+    gate for must-not-persist batches.
+    """
+    from pyspark.sql import Observation
+
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in keys:
+        metrics.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}")
+        )
+    if watermark_col is not None:
+        metrics.append(F.max(watermark_col).alias(f"max_{watermark_col}"))
+    obs = Observation()
+    return df.observe(obs, *metrics), obs

@@ -689,3 +689,28 @@ def attributed_purchases_hourly(events: DataFrame) -> DataFrame:
             "n_attributed",
         )
     )
+
+
+def observe_stream_audit(
+    stream_df: DataFrame,
+    keys: tuple[str, ...],
+    watermark_col: str | None = None,
+    name: str = "audit",
+) -> DataFrame:
+    """Streaming twin of ``quality.observe_audit``: attach the K3/L1
+    audit metrics to a stream by NAME (the ``Observation`` handle class
+    is batch-only; named observations are the streaming API). Each
+    micro-batch's metrics arrive in its ``StreamingQueryProgress.
+    observedMetrics[name]`` — counters are per-batch and additive, the
+    watermark max is a running per-batch max — so an ingest pipeline
+    gets its audit trail from the SAME job that ingests, with no
+    second pass over the stream (the 100 TB rule k5 proves in batch).
+    """
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in keys:
+        metrics.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}")
+        )
+    if watermark_col is not None:
+        metrics.append(F.max(watermark_col).alias(f"max_{watermark_col}"))
+    return stream_df.observe(name, *metrics)

@@ -163,3 +163,29 @@ def test_latest_year_watermark(spark, sf_smoke):
     y = pipeline.latest_year(pipeline.enrich(raw))
     max_date = raw.agg(F.max("date")).collect()[0][0]
     assert y == max_date.year
+
+
+def test_observe_audit_matches_separate_scan(spark, sf_smoke):
+    """observe_audit's single-pass metrics (riding the write job as
+    accumulators) must equal the two-scan audit they replace
+    (null_key_counts + count + max watermark)."""
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.quality import null_key_counts, observe_audit
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "user_id",
+        F.when(F.col("value") < 5.0, None).otherwise(F.col("value")).alias(
+            "value"
+        ),
+        "ts",
+    )
+    observed, obs = observe_audit(
+        ev, keys=("user_id", "value"), watermark_col="ts"
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    expected_nulls = null_key_counts(ev, ("user_id", "value"))
+    assert m["n_rows"] == ev.count()
+    assert m["null_user_id"] == expected_nulls["user_id"]
+    assert m["null_value"] == expected_nulls["value"]
+    assert m["max_ts"] == ev.agg(F.max("ts")).collect()[0][0]

@@ -480,3 +480,18 @@ def test_bucketed_join_has_zero_exchanges(spark, sf_smoke):
     plan = _plan(all_queries()["b11_bucketed_colocated_join"](spark, sf_smoke))
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan, plan[:1500]
+
+
+def test_observed_audit_single_scan_with_collect_metrics(spark, sf_smoke):
+    """k5's claim is structural: the audit must RIDE the consuming job,
+    not add a pass. The observed frame's physical plan carries a
+    CollectMetrics node and exactly ONE scan of the events table — the
+    metrics are accumulator-style, computed by the same tasks that
+    produce the output."""
+    from stock_market_etl_spark.quality import observe_audit
+
+    ev = load_table(spark, sf_smoke, "events").select("user_id", "value", "ts")
+    observed, _ = observe_audit(ev, keys=("user_id",), watermark_col="ts")
+    plan = _plan(observed)
+    assert "CollectMetrics" in plan
+    assert plan.count("Scan parquet") == 1

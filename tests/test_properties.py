@@ -135,3 +135,50 @@ def test_sessionize_invariants(spark, sf_smoke):
     n_small = gaps.count()
     n_sessions = sess.count()
     assert n_small == ev.count() - n_sessions
+
+
+_block_words = st.sampled_from(["a", "b", "ab"])
+_block_doc = st.lists(_block_words, min_size=0, max_size=25)
+_block_corpus = st.lists(_block_doc, min_size=1, max_size=6)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(corpus=_block_corpus, pt=st.integers(min_value=1, max_value=7))
+def test_paragraph_dedup_matches_reference(spark, corpus, pt):
+    """paragraph_dedup against a direct Python re-implementation at
+    arbitrary block sizes (the x49 oracle pins only para_tokens=20):
+    non-overlapping pt-token blocks, global first occurrence by
+    (doc_id, block idx), in-order reassembly from surviving blocks.
+    The tiny vocabulary forces cross-document block collisions."""
+    import re
+    from collections import defaultdict
+
+    from stock_market_etl_spark.operators.dedup import paragraph_dedup
+
+    docs = [(f"d{i}", " ".join(toks)) for i, toks in enumerate(corpus)]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df, para_tokens=pt).collect()}
+    assert len(out) == len(docs)
+
+    per_doc: dict[str, tuple[list[str], int]] = {}
+    blocks: list[tuple[str, int, str]] = []
+    for doc_id, text in docs:
+        toks = re.split(r"\s+", text.strip())  # mirrors text.tokens()
+        starts = list(range(1, max(len(toks), 1) + 1, pt))
+        per_doc[doc_id] = (toks, len(starts))
+        for idx, s in enumerate(starts):
+            blocks.append((doc_id, idx, " ".join(toks[s - 1 : s - 1 + pt])))
+    winners: dict[str, tuple[str, int]] = {}
+    for doc_id, idx, blk in blocks:
+        if blk not in winners or (doc_id, idx) < winners[blk]:
+            winners[blk] = (doc_id, idx)
+    keep = defaultdict(list)
+    for blk, (doc_id, idx) in winners.items():
+        keep[doc_id].append(idx)
+    for doc_id, (toks, n_total) in per_doc.items():
+        ks = sorted(keep.get(doc_id, []))
+        rebuilt = " ".join(w for i in ks for w in toks[i * pt : i * pt + pt])
+        r = out[doc_id]
+        assert r["kept_text"] == rebuilt, (doc_id, pt)
+        assert r["n_kept"] == len(ks), (doc_id, pt)
+        assert r["n_total"] == n_total, (doc_id, pt)

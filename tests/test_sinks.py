@@ -269,6 +269,40 @@ def test_jdbc_upsert_date_key_derby(spark, tmp_path):
         assert {r["px"] for r in back if r["trade_date"] == d2} == {9.0}
 
 
+def test_jdbc_upsert_decimal_key_derby(spark, tmp_path):
+    """_bind_key's last untested branch: decimal.Decimal (a DECIMAL
+    strike-price key) cannot cross py4j via setObject — it must route
+    through java.math.BigDecimal. Executed against Derby: the
+    decimal-keyed upsert replaces in place and stays idempotent."""
+    from decimal import Decimal
+
+    from stock_market_etl_spark.io import load_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/decdb;create=true"
+    k1, k2 = Decimal("100.50"), Decimal("102.25")
+    base = spark.createDataFrame(
+        [(k1, "AAPL", 10), (k2, "AAPL", 20)],
+        "strike decimal(10,2), ticker string, oi int",
+    )
+    sinks.jdbc_append(base, url, "oi_by_strike", DERBY_PROPS)
+
+    increment = spark.createDataFrame(
+        [(k2, "AAPL", 99)], "strike decimal(10,2), ticker string, oi int"
+    )
+    for _ in range(2):
+        sinks.jdbc_upsert(
+            increment, url, "oi_by_strike", ("strike",), DERBY_PROPS
+        )
+        back = load_jdbc(
+            spark,
+            url,
+            'SELECT "strike", "ticker", "oi" FROM oi_by_strike',
+            properties=DERBY_PROPS,
+        ).collect()
+        assert len(back) == 2
+        assert {r["oi"] for r in back if r["strike"] == k2} == {99}
+
+
 def test_jdbc_upsert_authenticated_derby(spark, tmp_path):
     """jdbc_upsert's DELETE half must open its connection with the
     same user/password channel the append half uses — against an

@@ -652,3 +652,84 @@ def test_stream_session_transcripts_merge_across_batches(
     merged = {(r[0], r[3], r[4]) for r in got}
     assert (1, 3, "view click buy") in merged  # u1 spans t0/t1
     assert (2, 2, "view buy") in merged  # u2 spans t1/t2
+
+
+def test_observed_stream_audit_sums_across_batches(spark, sf_smoke, tmp_path):
+    """Streaming observed audit (core.observe_stream_audit): per-batch
+    metrics from StreamingQueryProgress.observedMetrics must reconstruct
+    the batch audit exactly — counters sum across micro-batches, the
+    watermark is the running max. Three time-ordered files drained with
+    maxFilesPerTrigger=1 force three observed batches. The watermark
+    metric audits unix_micros(ts) (a LONG) so the progress-JSON round
+    trip is exact."""
+    import glob
+    import shutil
+    import uuid
+
+    from stock_market_etl_spark.io import canon_events_ts
+
+    batch = core.batch_events(spark, sf_smoke).select(
+        "user_id",
+        F.when(F.col("value") < 5.0, None).otherwise(F.col("value")).alias(
+            "value"
+        ),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    src = tmp_path / "obs_ordered"
+    src.mkdir()
+
+    def land(df, name):
+        stage = tmp_path / f"obs_st_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        shutil.move(
+            glob.glob(str(stage / "part-*.parquet"))[0], str(src / name)
+        )
+
+    bounds = batch.approxQuantile("ts_us", [0.33, 0.66], 0.0)
+    land(batch.filter(F.col("ts_us") <= bounds[0]), "t0.parquet")
+    land(
+        batch.filter(
+            (F.col("ts_us") > bounds[0]) & (F.col("ts_us") <= bounds[1])
+        ),
+        "t1.parquet",
+    )
+    land(batch.filter(F.col("ts_us") > bounds[1]), "t2.parquet")
+
+    schema = spark.read.parquet(str(src / "t0.parquet")).schema
+    stream = core.observe_stream_audit(
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src)),
+        keys=("user_id", "value"),
+        watermark_col="ts_us",
+    )
+    name = f"obs_{uuid.uuid4().hex[:8]}"
+    q = core.run_available_now(stream, name, str(tmp_path / "obs_ckpt"))
+
+    observed = [
+        p["observedMetrics"]["audit"]
+        for p in q.recentProgress
+        if p.get("observedMetrics", {}).get("audit")
+    ]
+    assert len(observed) == 3, [p.get("batchId") for p in q.recentProgress]
+    totals = {
+        "n_rows": sum(m["n_rows"] for m in observed),
+        "null_user_id": sum(m["null_user_id"] for m in observed),
+        "null_value": sum(m["null_value"] for m in observed),
+        "max_ts_us": max(m["max_ts_us"] for m in observed),
+    }
+    want = batch.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("null_user_id"),
+        F.sum(F.col("value").isNull().cast("long")).alias("null_value"),
+        F.max("ts_us").alias("max_ts_us"),
+    ).collect()[0]
+    assert totals == {
+        "n_rows": want["n_rows"],
+        "null_user_id": want["null_user_id"],
+        "null_value": want["null_value"],
+        "max_ts_us": want["max_ts_us"],
+    }
+    # and the sink saw every row exactly once
+    assert spark.table(name).count() == want["n_rows"]
