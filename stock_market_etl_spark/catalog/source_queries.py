@@ -318,3 +318,46 @@ def b11_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 6).alias("revenue"),
         )
     )
+
+
+@_q(
+    "b12_clustered_scan_prune",
+    """SELECT event_id, user_id, ts, round(value, 6) AS value
+       FROM events
+       WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+         AND ts <  TIMESTAMP '2024-01-06 00:00:00'""",
+)
+def b12_clustered_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B (superset): range-clustered lake layout + the file-skipping
+    scan it buys (``io.write_clustered`` — the 1-D Z-order move).
+    events is written once range-partitioned + sorted on ts, so each
+    parquet file's footer carries a narrow ts band; the one-day range
+    read then prunes to the ~1/30 of files whose band intersects,
+    before decoding a row. The oracle proves the clustered layout is
+    LOSSLESS under the pruned read (same rows as filtering the
+    original table); footer-band disjointness and the pushed filter
+    are asserted in tests/test_sinks.py and tests/test_plans.py.
+    Build-once per (process, sf) via _scratch, like b11's buckets."""
+    from stock_market_etl_spark.io import load_table, write_clustered
+
+    path, built = _scratch.cached_dir("clustered_events", sf_dir)
+    lake = f"{path}/events_by_ts"
+    if not built:
+        write_clustered(
+            load_table(spark, sf_dir, "events").select(
+                "event_id", "user_id", "ts", "value"
+            ),
+            lake,
+            ("ts",),
+            num_files=16,
+        )
+        _scratch.mark_built(path)
+    lo = F.lit("2024-01-05 00:00:00").cast("timestamp")
+    hi = F.lit("2024-01-06 00:00:00").cast("timestamp")
+    return (
+        spark.read.parquet(lake)
+        .filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .select(
+            "event_id", "user_id", "ts", F.round("value", 6).alias("value")
+        )
+    )

@@ -226,6 +226,44 @@ def write_compacted(
     writer.parquet(path)
 
 
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: tuple[str, ...],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet write — the 1-D Z-order move for scan
+    pruning. ``repartitionByRange`` sends each value range of the
+    cluster columns to ONE output task (range boundaries from a
+    reservoir sample of the data) and ``sortWithinPartitions`` orders
+    rows inside it, so every produced file's parquet footer carries a
+    NARROW, near-disjoint min/max band for those columns.
+
+    Why it matters at 100 TB: parquet predicate pushdown skips row
+    groups whose footer stats exclude the predicate. Over an
+    unclustered layout every file spans the full value range and
+    nothing skips; over this layout a point/range predicate touches
+    only the files whose band intersects it — a time-range dashboard
+    query over a ts-clustered events lake reads ~(range/total) of the
+    data instead of all of it, before a single row is decoded. The
+    write costs one range shuffle (sampled boundaries keep it
+    balanced, no skew pin like hash-on-few-values); reads need no new
+    API — the pruning is the ordinary scan's PushedFilters against
+    better stats. Footer-band disjointness is asserted directly from
+    the files in tests/test_sinks.py.
+    """
+    n = num_files or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    (
+        df.repartitionByRange(n, *[F.col(c) for c in cluster_cols])
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def load_evolving(
     spark: SparkSession,
     path: str,

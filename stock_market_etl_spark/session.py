@@ -44,6 +44,12 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     # Arrow for any pandas_udf / toPandas edge
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # write timestamps as INT64 micros, not legacy INT96: INT96 carries
+    # NO parquet min/max statistics, so every ts-predicate scan over an
+    # engine-written lake would decode row groups that footer stats
+    # should have skipped (io.write_clustered's pruning depends on
+    # this), and INT96 is deprecated in the parquet spec besides
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

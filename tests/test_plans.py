@@ -495,3 +495,15 @@ def test_observed_audit_single_scan_with_collect_metrics(spark, sf_smoke):
     plan = _plan(observed)
     assert "CollectMetrics" in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_clustered_scan_pushes_ts_range_to_parquet(spark, sf_smoke):
+    """b12's pruning path is only real if the ts range reaches the
+    parquet reader as PushedFilters — against the clustered layout's
+    narrow footer bands those filters skip whole row groups before
+    decode. (Footer-band disjointness itself is asserted in
+    tests/test_sinks.py.)"""
+    df = all_queries()["b12_clustered_scan_prune"](spark, sf_smoke)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(ts" in plan and "LessThan(ts" in plan

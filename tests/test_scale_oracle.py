@@ -65,6 +65,12 @@ SCALE_QUERIES = [
     ("n12_stream_session_transcripts", True),
     ("b10_orc_roundtrip", False),
     ("b11_bucketed_colocated_join", False),
+    # r07 addition: the single-pass observed audit (integer counts +
+    # µs-canonical watermark → exact)
+    ("k5_observed_write_metrics", True),
+    # r07 addition: the range-clustered lake's pruned read (float value
+    # column → midpoint tolerance)
+    ("b12_clustered_scan_prune", False),
 ]
 
 

@@ -350,3 +350,46 @@ def test_jdbc_upsert_authenticated_derby(spark, tmp_path):
 
     with pytest.raises(Py4JJavaError):  # no credentials → refused
         sinks.jdbc_upsert(inc, url, "auth_up", ("k",), DERBY_PROPS)
+
+
+def test_write_clustered_footer_bands_disjoint(spark, sf_smoke, tmp_path):
+    """write_clustered's pruning claim, verified on the files
+    themselves: every output file's parquet footer must carry a
+    NARROW ts band, and the bands must be pairwise disjoint
+    (repartitionByRange gives each file one contiguous value range).
+    That is exactly the property parquet predicate pushdown skips on
+    — an unclustered write makes every file span the full range and
+    nothing ever skips."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from stock_market_etl_spark.io import load_table, write_clustered
+
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "ts", "value")
+    path = str(tmp_path / "clustered")
+    write_clustered(ev, path, ("ts",), num_files=8)
+
+    bands = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        cols = {
+            md.row_group(0).column(j).path_in_schema: j
+            for j in range(md.row_group(0).num_columns)
+        }
+        mins, maxs = [], []
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(cols["ts"]).statistics
+            assert st is not None and st.has_min_max
+            mins.append(st.min)
+            maxs.append(st.max)
+        bands.append((min(mins), max(maxs)))
+    assert len(bands) >= 4  # range partitioner may merge tiny ranges
+    bands.sort()
+    span = max(b[1] for b in bands) - min(b[0] for b in bands)
+    for (lo1, hi1), (lo2, _) in zip(bands, bands[1:]):
+        assert hi1 <= lo2, "file ts bands overlap — clustering broken"
+    # narrowness: with 8 range files each band must cover well under
+    # half the full span (unclustered files would each cover ~all)
+    for lo, hi in bands:
+        assert (hi - lo) <= span / 2
