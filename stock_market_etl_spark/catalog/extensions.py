@@ -1366,3 +1366,62 @@ def x47_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 3 != 0),
         docs.filter(F.col("doc_id") % 5 != 0),
     )
+
+
+@_q(
+    "x51_gopher_rules",
+    f"""WITH t AS (
+          SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+        m AS (
+          SELECT doc_id,
+            round(CAST(list_sum(list_transform(toks, x -> length(x)))
+                       AS DOUBLE) / len(toks), 6) AS mean_word_len,
+            round((length(text) - length(replace(text, '#', ''))
+                   + (length(text) - length(replace(text, '...', ''))) / 3.0)
+                  / len(toks), 6) AS symbol_word_ratio,
+            round(CAST(len(list_filter(toks,
+                       x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                  / len(toks), 6) AS alpha_word_frac,
+            CAST(len(list_filter(toks,
+                 x -> list_contains({_sql_list(STOPWORDS)}, x)))
+                 AS BIGINT) AS n_stopword_hits
+          FROM t)
+        SELECT doc_id, mean_word_len, symbol_word_ratio, alpha_word_frac,
+               n_stopword_hits,
+               (mean_word_len BETWEEN 3.0 AND 10.0
+                AND symbol_word_ratio <= 0.1
+                AND alpha_word_frac >= 0.8
+                AND n_stopword_hits >= 2) AS keep
+        FROM m""",
+)
+def x51_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule filter (Rae et al. 2021 §A1.1, the
+    word-grain rules; the reference has no quality classifier — this
+    is training-data superset like x3/x30): per-document mean word
+    length, symbol-to-word ratio, alphabetic-word fraction, stopword
+    hits, and the composed keep decision. One scan, pure array
+    expressions (no UDF, no shuffle at all — embarrassingly parallel
+    at 100 TB); the keep column is evaluated on the rounded metrics so
+    both engines compare identical numbers. Complements x3's composite
+    score (soft ranking) with hard accept/reject gates — the C4/Gopher
+    pipeline stage that precedes dedup in a real corpus build."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = text_ops.gopher_metrics(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        m["mean_word_len"].alias("mean_word_len"),
+        m["symbol_word_ratio"].alias("symbol_word_ratio"),
+        m["alpha_word_frac"].alias("alpha_word_frac"),
+        m["n_stopword_hits"].alias("n_stopword_hits"),
+    )
+    return scored.withColumn(
+        "keep",
+        text_ops.gopher_keep(
+            {
+                "mean_word_len": F.col("mean_word_len"),
+                "symbol_word_ratio": F.col("symbol_word_ratio"),
+                "alpha_word_frac": F.col("alpha_word_frac"),
+                "n_stopword_hits": F.col("n_stopword_hits"),
+            }
+        ),
+    )

@@ -70,6 +70,58 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def gopher_metrics(text: Column) -> dict[str, Column]:
+    """Gopher-style document-quality rule metrics (Rae et al. 2021,
+    §A1.1 repetition/quality filters — the word-grain subset that
+    needs no line structure): mean word length, symbol-to-word ratio
+    ('#' chars and '…'-as-'...' occurrences per word), fraction of
+    words containing an alphabetic character, and stopword hit count.
+    All four are single-scan array expressions over the whitespace
+    tokenization — no UDFs, fully whole-stage-codegen, and exactly
+    replayable in the SQL oracle. Doubles round to 6dp HERE so the
+    downstream keep-decision compares the same numbers both engines
+    hash."""
+    toks = tokens(text)
+    n = F.size(toks).cast("double")
+    total_chars = F.aggregate(
+        F.transform(toks, F.length),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    hash_chars = F.length(text) - F.length(
+        F.replace(text, F.lit("#"), F.lit(""))
+    )
+    ellipses = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3.0)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return {
+        "mean_word_len": F.round(total_chars.cast("double") / n, 6),
+        "symbol_word_ratio": F.round((hash_chars + ellipses) / n, 6),
+        "alpha_word_frac": F.round(
+            F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("double")
+            / n,
+            6,
+        ),
+        "n_stopword_hits": F.size(
+            F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+        ).cast("long"),
+    }
+
+
+def gopher_keep(m: dict[str, Column]) -> Column:
+    """The composed Gopher keep decision over ``gopher_metrics``:
+    3 ≤ mean word length ≤ 10, symbol-to-word ratio ≤ 0.1, ≥ 80% of
+    words alphabetic, ≥ 2 stopword hits. Evaluated on the ROUNDED
+    metrics so the boundary comparisons are engine-stable."""
+    return (
+        m["mean_word_len"].between(3.0, 10.0)
+        & (m["symbol_word_ratio"] <= 0.1)
+        & (m["alpha_word_frac"] >= 0.8)
+        & (m["n_stopword_hits"] >= 2)
+    )
+
+
 def lang_id(text: Column) -> Column:
     """Heuristic language ID: token overlap against per-language
     stopword profiles, deterministic priority order on ties."""

@@ -71,6 +71,9 @@ SCALE_QUERIES = [
     # r07 addition: the range-clustered lake's pruned read (float value
     # column → midpoint tolerance)
     ("b12_clustered_scan_prune", False),
+    # r07 addition: Gopher hard quality gates (rounded doubles +
+    # boolean keep → midpoint tolerance)
+    ("x51_gopher_rules", False),
 ]
 
 
