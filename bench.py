@@ -82,6 +82,9 @@ BENCH_QUERIES = [
     # table, trivially). Its shuffle_mb row reflects only that final
     # re-read, not the drain — state-store traffic isn't an exchange.
     "n12_stream_session_transcripts",
+    # r07 addition: Gopher hard quality gates — zero-shuffle scan op,
+    # the corpus build's first stage.
+    "x51_gopher_rules",
 ]
 
 

@@ -507,3 +507,13 @@ def test_clustered_scan_pushes_ts_range_to_parquet(spark, sf_smoke):
     plan = _plan(df)
     assert "PushedFilters: [" in plan
     assert "GreaterThanOrEqual(ts" in plan and "LessThan(ts" in plan
+
+
+def test_gopher_rules_zero_shuffle(spark, sf_smoke):
+    """x51 is a pure per-row scan op — its plan must contain NO
+    Exchange at all (embarrassingly parallel at 100 TB) and prune the
+    documents scan to the two columns it reads."""
+    df = all_queries()["x51_gopher_rules"](spark, sf_smoke)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "n_chars" not in plan  # column pruning held
