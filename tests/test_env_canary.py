@@ -107,3 +107,31 @@ def test_stream_schema_matches_batch(spark, tmp_path):
     stream_df = stream_events(spark, SF_SMOKE)
     batch_df = batch_events(spark, SF_SMOKE)
     assert stream_df.schema == batch_df.schema
+
+
+def test_written_timestamps_are_int64_micros_with_stats(spark, tmp_path):
+    """Write-side canary for the r07 session contract
+    (spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS): an
+    engine-written timestamp column must land as INT64 µs — never
+    legacy INT96, which carries NO parquet min/max statistics and
+    silently disables the footer pruning b12/write_clustered depend
+    on. Asserted on the physical file: column type AND present stats."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from stock_market_etl_spark.io import load_table
+
+    path = str(tmp_path / "ts_canary")
+    load_table(spark, SF_SMOKE, "events").select("event_id", "ts").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+    md = pq.ParquetFile(glob.glob(f"{path}/part-*.parquet")[0]).metadata
+    rg = md.row_group(0)
+    col = next(
+        rg.column(j)
+        for j in range(rg.num_columns)
+        if rg.column(j).path_in_schema == "ts"
+    )
+    assert col.physical_type == "INT64", col.physical_type
+    assert col.statistics is not None and col.statistics.has_min_max
