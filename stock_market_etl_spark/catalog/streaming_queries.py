@@ -295,3 +295,56 @@ def n12_stream_session_transcripts(
     ckpt = _scratch.fresh_dir("ckpt")
     core.run_available_now(stream, name, ckpt, output_mode="complete")
     return spark.table(name)
+
+
+def _gopher_gate(df: DataFrame) -> DataFrame:
+    """The n13 clean-on-arrival transform: x51's hard Gopher gates
+    applied to a micro-batch before dedup. Deterministic pure
+    expressions, so a redelivered batch re-derives the identical
+    survivor set (the idempotence contract of dedup_ingest_sink's
+    transform hook)."""
+    from stock_market_etl_spark.operators import text as text_ops
+
+    return df.filter(text_ops.gopher_keep(text_ops.gopher_metrics(F.col("text"))))
+
+
+def _n13_oracle() -> str:
+    from stock_market_etl_spark.catalog.extensions import ORACLES
+
+    x51 = ORACLES["x51_gopher_rules"]
+    return f"""WITH x51 AS ({x51}),
+       gated AS (
+         SELECT d.* FROM documents d
+         JOIN x51 USING (doc_id) WHERE x51.keep)
+       SELECT doc_id, text, lang, source, n_chars FROM (
+         SELECT *, min(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id
+         FROM gated)
+       WHERE doc_id = keep_id"""
+
+
+@_q("n13_stream_gated_ingest", _n13_oracle())
+def n13_stream_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N: quality-gated dedup-on-arrival corpus ingest drained
+    end-to-end — n9's REAL streaming run with x51's Gopher hard gates
+    as the clean-on-arrival transform (gate → within-batch exact dedup
+    → corpus anti-join → append): the full first stage of a streaming
+    corpus build. Gating precedes dedup deliberately (content identity
+    must be the surviving text's). Single-file source ⇒ one
+    micro-batch ⇒ the built corpus equals batch gate + exact dedup —
+    full hash oracle (x51's keep CTE composed with n9's dedup SQL);
+    multi-batch and redelivery semantics are the same
+    dedup_ingest_sink machinery n9's tests pin, and the gated
+    multi-batch drain is asserted against the batch twin in
+    tests/test_streaming.py."""
+    import os
+
+    work = _scratch.fresh_dir("gated_ingest")
+    corpus_path = os.path.join(work, "corpus")
+    stream = core.stream_documents(spark, sf_dir, glob="documents.parquet")
+    core.dedup_ingest_sink(
+        stream,
+        corpus_path,
+        os.path.join(work, "ckpt"),
+        transform=_gopher_gate,
+    )
+    return spark.read.parquet(corpus_path)

@@ -74,6 +74,9 @@ SCALE_QUERIES = [
     # r07 addition: Gopher hard quality gates (rounded doubles +
     # boolean keep → midpoint tolerance)
     ("x51_gopher_rules", False),
+    # r07 addition: gated streaming ingest (hash-grain survivor set →
+    # exact; keep decision rides rounded metrics like x51's oracle)
+    ("n13_stream_gated_ingest", True),
 ]
 
 

@@ -733,3 +733,38 @@ def test_observed_stream_audit_sums_across_batches(spark, sf_smoke, tmp_path):
     }
     # and the sink saw every row exactly once
     assert spark.table(name).count() == want["n_rows"]
+
+
+def test_gated_ingest_multibatch_matches_batch_twin(spark, sf_smoke, tmp_path):
+    """n13's gate composes with the multi-batch ingest machinery: a
+    3-batch gated drain must land exactly the batch twin's survivor
+    set — x51 keep filter, then one copy per distinct surviving
+    content (arrival order decides the copy; content set is what is
+    pinned) — and never a gated-out doc."""
+    import os
+
+    from stock_market_etl_spark.catalog.streaming_queries import _gopher_gate
+    from stock_market_etl_spark.io import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    src = str(tmp_path / "gated_arrivals")
+    for k in range(3):
+        docs.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    corpus_path = str(tmp_path / "gated_corpus")
+    stream = core.stream_documents(spark, src, max_files_per_trigger=1)
+    core.dedup_ingest_sink(
+        stream,
+        corpus_path,
+        os.path.join(str(tmp_path), "gated_ckpt"),
+        transform=_gopher_gate,
+    )
+    corpus = spark.read.parquet(corpus_path)
+    want = _gopher_gate(docs)
+    want_hashes = want.select(F.sha2("text", 256).alias("h")).distinct()
+    got_hashes = corpus.select(F.sha2("text", 256).alias("h"))
+    assert _rows(got_hashes.distinct()) == _rows(want_hashes)
+    assert got_hashes.count() == want_hashes.count()  # exactly once
+    # no gated-out doc slipped in
+    assert corpus.join(want, "doc_id", "left_anti").count() == 0
