@@ -290,3 +290,102 @@ def f8_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_events"),
         F.round(F.sum("value"), 6).alias("sum_value"),
     )
+
+
+@_q(
+    "f9_rsi",
+    f"""SELECT event_id, user_id,
+          round(CASE WHEN cnt = 14 AND gain_sum + loss_sum <> 0
+                THEN 100.0 * gain_sum / (gain_sum + loss_sum) END, 6) AS rsi_14
+        FROM (
+          SELECT event_id, user_id,
+            sum(CASE WHEN diff > 0 THEN diff ELSE 0 END) OVER wr AS gain_sum,
+            sum(CASE WHEN diff < 0 THEN -diff ELSE 0 END) OVER wr AS loss_sum,
+            count(diff) OVER wr AS cnt
+          FROM (
+            SELECT event_id, ts, user_id,
+                   value - lag(value) OVER w AS diff
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          WINDOW wr AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))""",
+)
+def f9_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F superset: 14-period RSI (Wilder's simple-average form) — the
+    momentum oscillator a stock dashboard pairs with the reference's
+    rolling volatility (`scripts/transform.py:71-79` is the same
+    window shape). Written as 100·Σgain/(Σgain+Σloss), algebraically
+    equal to 100−100/(1+RS) but with a single division whose
+    denominator is zero only when all 14 diffs are zero (then NULL,
+    guarded identically in the oracle — avoids the engines' different
+    x/0 conventions). Rows with fewer than 14 preceding diffs are NULL
+    (the F2 count-guard rule). Scale shape: both windows share the one
+    (user_id) hash partitioning — a single exchange, like the
+    flagship."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = w.rowsBetween(-13, 0)
+    diff = F.col("value") - F.lag("value").over(w)
+    d = ev.withColumn("diff", diff)
+    gain_sum = F.sum(
+        F.when(F.col("diff") > 0, F.col("diff")).otherwise(0.0)
+    ).over(wr)
+    loss_sum = F.sum(
+        F.when(F.col("diff") < 0, -F.col("diff")).otherwise(0.0)
+    ).over(wr)
+    cnt = F.count("diff").over(wr)
+    rsi = F.when(
+        (cnt == 14) & (gain_sum + loss_sum != 0),
+        100.0 * gain_sum / (gain_sum + loss_sum),
+    )
+    return d.select("event_id", "user_id", F.round(rsi, 6).alias("rsi_14"))
+
+
+#: finite 10-tap EMA kernel — identical double literals on BOTH sides
+#: (generated once; same literal string ⇒ same IEEE double in Spark
+#: and DuckDB, so the left-associative weighted sum rounds identically)
+_EMA_WEIGHTS = (
+    "1.0",
+    "0.8181818181818181",
+    "0.6694214876033057",
+    "0.5477084898572501",
+    "0.44812512806502275",
+    "0.3666478320532004",
+    "0.2999845898617094",
+    "0.2454419371595804",
+    "0.20081613040329305",
+    "0.16430410669360337",
+)
+_EMA_NORM = "4.760631519878784"
+
+
+@_q(
+    "f10_ema",
+    f"""SELECT event_id, user_id,
+          round(({' + '.join(f'lag(value, {k}) OVER w * {wk}' for k, wk in enumerate(_EMA_WEIGHTS))})
+                / {_EMA_NORM}, 6) AS ema_10
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
+def f10_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F superset: exponentially weighted moving average with a finite
+    10-tap kernel (span 10, α=2/11) — the EMA line of a crossover
+    dashboard, truncated to 10 lags so it is EXACTLY expressible as a
+    window expression in both engines (the infinite-memory recursive
+    EMA is not; the dropped tail's weight is (1−α)^10 ≈ 13%, constant
+    and documented). Rows with fewer than 10 preceding values are NULL
+    (lag(value, 9) missing ⇒ the sum is NULL — same count-guard
+    outcome as F2/f9, for free). Ten lags over ONE window spec compile
+    to a single exchange + sort, the flagship's plan shape."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    for k, wk in enumerate(_EMA_WEIGHTS):
+        term = F.lag("value", k).over(w) * float(wk)
+        num = term if num is None else num + term
+    ema = num / float(_EMA_NORM)
+    return ev.select("event_id", "user_id", F.round(ema, 6).alias("ema_10"))

@@ -517,3 +517,13 @@ def test_gopher_rules_zero_shuffle(spark, sf_smoke):
     plan = _plan(df)
     assert "Exchange" not in plan
     assert "n_chars" not in plan  # column pruning held
+
+
+def test_rsi_and_ema_single_exchange(spark, sf_smoke):
+    """f9's two window specs and f10's ten lags all share the one
+    (user_id) partitioning — each query must compile to exactly one
+    hash exchange, the flagship's plan shape."""
+    for name in ("f9_rsi", "f10_ema"):
+        df = all_queries()[name](spark, sf_smoke)
+        plan = _plan(df)
+        assert plan.count("Exchange hashpartitioning") == 1, name

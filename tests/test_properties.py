@@ -182,3 +182,39 @@ def test_paragraph_dedup_matches_reference(spark, corpus, pt):
         assert r["kept_text"] == rebuilt, (doc_id, pt)
         assert r["n_kept"] == len(ks), (doc_id, pt)
         assert r["n_total"] == n_total, (doc_id, pt)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(series=_prices)
+def test_rsi_matches_pandas(spark, series):
+    """f9's windowed-sum RSI must match an independent pandas
+    computation (Wilder simple-average form) on arbitrary series,
+    including the <14-diff null guard."""
+    from pyspark.sql import Window
+
+    rows = [(i, i, 0, float(p)) for i, p in enumerate(series)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, value double"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = w.rowsBetween(-13, 0)
+    diff = F.col("value") - F.lag("value").over(w)
+    d = df.withColumn("diff", diff)
+    gain = F.sum(F.when(F.col("diff") > 0, F.col("diff")).otherwise(0.0)).over(wr)
+    loss = F.sum(F.when(F.col("diff") < 0, -F.col("diff")).otherwise(0.0)).over(wr)
+    cnt = F.count("diff").over(wr)
+    rsi = F.when((cnt == 14) & (gain + loss != 0), 100.0 * gain / (gain + loss))
+    out = [
+        r["rsi"]
+        for r in d.select(rsi.alias("rsi")).orderBy("event_id").collect()
+    ]
+    s = pd.Series(series, dtype="float64")
+    dd = s.diff()
+    g = dd.clip(lower=0).rolling(14, min_periods=14).sum()
+    l = (-dd.clip(upper=0)).rolling(14, min_periods=14).sum()
+    for i in range(len(series)):
+        if pd.isna(g.iloc[i]) or (g.iloc[i] + l.iloc[i]) == 0:
+            assert out[i] is None, i
+        else:
+            want = 100.0 * g.iloc[i] / (g.iloc[i] + l.iloc[i])
+            assert math.isclose(out[i], want, rel_tol=1e-9, abs_tol=1e-9), i

@@ -77,6 +77,10 @@ SCALE_QUERIES = [
     # r07 addition: gated streaming ingest (hash-grain survivor set →
     # exact; keep decision rides rounded metrics like x51's oracle)
     ("n13_stream_gated_ingest", True),
+    # r07 additions: finance window superset (rounded doubles →
+    # midpoint tolerance)
+    ("f9_rsi", False),
+    ("f10_ema", False),
 ]
 
 
