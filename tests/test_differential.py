@@ -332,3 +332,82 @@ def test_random_temperature_sample_matches_duckdb(
         ).fetchall()
     )
     assert got == want
+
+
+@pytest.fixture(scope="module")
+def events_con():
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet')"
+    )
+    yield con
+    con.close()
+
+
+#: window agg pool: (alias, spark builder over a WindowSpec, sql fn)
+WIN_AGGS = [
+    ("w_sum", lambda w: F.round(F.sum("value").over(w), 4), "round(sum(value) OVER w, 4)"),
+    ("w_avg", lambda w: F.round(F.avg("value").over(w), 4), "round(avg(value) OVER w, 4)"),
+    ("w_min", lambda w: F.min("value").over(w), "min(value) OVER w"),
+    ("w_max", lambda w: F.max("value").over(w), "max(value) OVER w"),
+    ("w_cnt", lambda w: F.count("value").over(w).cast("long"), "CAST(count(value) OVER w AS BIGINT)"),
+]
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    preceding=st.integers(min_value=0, max_value=30),
+    following=st.integers(min_value=0, max_value=3),
+    agg_idx=st.integers(min_value=0, max_value=len(WIN_AGGS) - 1),
+)
+def test_random_window_frame_matches_duckdb(
+    spark, events_con, preceding, following, agg_idx
+):
+    """Window-frame fuzz: the catalog's F queries pin fixed frames
+    (30-row vol, 14-row RSI, 10-tap EMA); this samples the ROWS
+    BETWEEN space — arbitrary preceding/following widths × agg
+    function over the canonical (user_id | ts, event_id) spec — and
+    requires Spark and DuckDB to agree exactly."""
+    from pyspark.sql import Window
+
+    alias, build, sql_fn = WIN_AGGS[agg_idx]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-preceding, following)
+    )
+    df = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", build(w).alias(alias)
+    )
+    sql = (
+        f"SELECT event_id, {sql_fn} AS {alias} FROM events "
+        f"WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        f"ROWS BETWEEN {preceding} PRECEDING AND {following} FOLLOWING)"
+    )
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, events_con.sql(sql).fetchall()))
+    assert len(got) == len(want)
+    if alias in ("w_min", "w_max", "w_cnt"):
+        # order statistics / counts: bit-exact across engines
+        assert got == want, f"frame=({preceding},{following}) agg={alias}"
+    else:
+        # sum/avg: sliding-window accumulation order differs (running
+        # sum vs segment tree), so a value within 1 ulp of a 4dp round
+        # midpoint can round apart — allow exactly that one-step gap
+        # (observed: avg over an 8-row frame, 66.55375 → .5537/.5538)
+        for (gid, gv), (wid, wv) in zip(got, want):
+            assert gid == wid
+            same = (gv is None and wv is None) or (
+                gv is not None
+                and wv is not None
+                and abs(gv - wv) <= 1.0001e-4
+            )
+            assert same, (
+                f"frame=({preceding},{following}) agg={alias} "
+                f"id={gid}: {gv} vs {wv}"
+            )
