@@ -389,3 +389,41 @@ def f10_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         num = term if num is None else num + term
     ema = num / float(_EMA_NORM)
     return ev.select("event_id", "user_id", F.round(ema, 6).alias("ema_10"))
+
+
+@_q(
+    "f11_sliding_distinct",
+    """SELECT event_id, user_id,
+         CAST(count(DISTINCT event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS distinct_types_10
+       FROM events""",
+)
+def f11_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F superset: sliding distinct count — how many distinct event
+    types each user produced over their last 10 events (an engagement-
+    diversity signal; same shape as "distinct symbols traded in the
+    last N fills"). Spark's window aggregates take no DISTINCT
+    modifier, so the exact form is collect_list → array_distinct →
+    size over the frame — correct because dedup-then-count is
+    insensitive to the list's intra-frame order, and cheap because
+    state is bounded by the FRAME (≤10 values/row), not the partition.
+    For unbounded/range frames at 100 TB the same query swaps to an
+    HLL sketch (e13's trade); the bounded-frame exact form needs no
+    such trade. One exchange like every F query."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.array_distinct(F.collect_list("event_type").over(wr)))
+        .cast("long")
+        .alias("distinct_types_10"),
+    )

@@ -81,6 +81,8 @@ SCALE_QUERIES = [
     # midpoint tolerance)
     ("f9_rsi", False),
     ("f10_ema", False),
+    # r07 addition: frame-bounded exact distinct (integer → exact)
+    ("f11_sliding_distinct", True),
 ]
 
 
