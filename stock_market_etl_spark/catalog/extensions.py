@@ -1425,3 +1425,43 @@ def x51_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         ),
     )
+
+
+@_q(
+    "x52_paragraph_contamination",
+    r"""WITH toks AS (
+         SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+         FROM documents),
+       idx AS (
+         SELECT doc_id,
+                unnest(range(1, greatest(len(t), 1) + 1, 20)) AS s, t
+         FROM toks),
+       blocks AS (
+         SELECT doc_id, array_to_string(t[s:s+19], ' ') AS b FROM idx),
+       train AS (SELECT DISTINCT b FROM blocks WHERE doc_id % 10 < 8),
+       eb AS (SELECT doc_id, b FROM blocks WHERE doc_id % 10 >= 8)
+       SELECT eb.doc_id,
+              CAST(count(*) AS BIGINT) AS n_blocks,
+              CAST(coalesce(sum(CASE WHEN train.b IS NOT NULL THEN 1 END),
+                            0) AS BIGINT) AS n_hit,
+              round(coalesce(sum(CASE WHEN train.b IS NOT NULL THEN 1 END),
+                             0)::DOUBLE / count(*), 6) AS contamination
+       FROM eb LEFT JOIN train USING (b)
+       GROUP BY eb.doc_id""",
+)
+def x52_paragraph_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-grain decontamination audit (operators/text.py
+    paragraph_contamination): per eval document, the fraction of its
+    non-overlapping 20-token blocks (x49's block rule) found verbatim
+    in the train corpus (doc_id % 10 split, like x26). x26's
+    overlapping 4-grams catch partial-span leakage at n× row cost;
+    this is the linear-cost tier that catches wholesale paragraph
+    copies — real decontamination pipelines run block-grain first,
+    gram-grain on survivors. Hash-grain exchanges only (the oracle
+    replays over block text; identical modulo sha2 collisions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.paragraph_contamination(
+        docs.filter(F.col("doc_id") % 10 < 8),
+        docs.filter(F.col("doc_id") % 10 >= 8),
+        para_tokens=20,
+    )

@@ -533,3 +533,70 @@ def bigram_lm_score(
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(F.avg("__lp"), 6).alias("avg_logprob"),
     )
+
+
+def paragraph_contamination(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    para_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Block-grain decontamination audit: for each eval document, the
+    fraction of its non-overlapping ``para_tokens``-token blocks (the
+    x49 block rule) that occur VERBATIM anywhere in the training
+    corpus. The paragraph-grain complement of ``contamination_check``:
+    overlapping n-grams catch partial-span leakage but cost n rows per
+    token; non-overlapping blocks cost 1/para_tokens rows per token —
+    linear in corpus size — and catch the wholesale paragraph copies
+    that dominate real benchmark leakage. Returns
+    (id, n_blocks, n_hit, contamination).
+
+    Scale shape mirrors paragraph_dedup: blocks reduce to sha2 hashes
+    inside the scan stage, the train side collapses to DISTINCT hashes
+    with map-side partial aggregation, and the audit join shuffles
+    (hash, id) pairs only — text never enters an exchange.
+    """
+    from stock_market_etl_spark.operators.parallelism import spread
+
+    def block_hashes(df: DataFrame) -> DataFrame:
+        toks = spread(df.select(F.col(id_col), F.col(text_col))).select(
+            F.col(id_col), tokens(F.col(text_col)).alias("__t")
+        )
+        n = F.size("__t")
+        starts = F.sequence(
+            F.lit(1), F.greatest(n, F.lit(1)), F.lit(para_tokens)
+        )
+        return toks.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    starts, lambda s: F.slice(F.col("__t"), s, para_tokens)
+                )
+            ).alias("__b"),
+        ).select(
+            id_col, F.sha2(F.concat_ws(" ", F.col("__b")), 256).alias("__h")
+        )
+
+    train_h = (
+        block_hashes(train_df).select("__h").distinct().withColumn(
+            "__hit", F.lit(1)
+        )
+    )
+    evb = block_hashes(eval_df)
+    return (
+        evb.join(train_h, "__h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_blocks"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .select(
+            id_col,
+            "n_blocks",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_blocks"), 6).alias(
+                "contamination"
+            ),
+        )
+    )

@@ -83,6 +83,9 @@ SCALE_QUERIES = [
     ("f10_ema", False),
     # r07 addition: frame-bounded exact distinct (integer → exact)
     ("f11_sliding_distinct", True),
+    # r07 addition: block-grain decontamination (counts exact; the
+    # ratio column is a rounded double → midpoint tolerance)
+    ("x52_paragraph_contamination", False),
 ]
 
 
