@@ -82,9 +82,11 @@ BENCH_QUERIES = [
     # table, trivially). Its shuffle_mb row reflects only that final
     # re-read, not the drain — state-store traffic isn't an exchange.
     "n12_stream_session_transcripts",
-    # r07 addition: Gopher hard quality gates — zero-shuffle scan op,
-    # the corpus build's first stage.
+    # r07 additions: Gopher hard quality gates (zero-shuffle scan op,
+    # the corpus build's first stage) and block-grain decontamination
+    # (the linear-cost tier ahead of x26's overlapping grams).
     "x51_gopher_rules",
+    "x52_paragraph_contamination",
 ]
 
 
