@@ -218,3 +218,49 @@ def test_rsi_matches_pandas(spark, series):
         else:
             want = 100.0 * g.iloc[i] / (g.iloc[i] + l.iloc[i])
             assert math.isclose(out[i], want, rel_tol=1e-9, abs_tol=1e-9), i
+
+
+_gopher_words = st.sampled_from(
+    ["the", "a", "cat", "runs", "#tag", "...", "12", "x#", "longishword"]
+)
+_gopher_doc = st.lists(_gopher_words, min_size=1, max_size=30)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(doc=_gopher_doc)
+def test_gopher_metrics_match_reference(spark, doc):
+    """x51's four rule metrics against a direct Python re-implementation
+    on arbitrary token mixes (the oracle pins only the fixture corpus):
+    mean word length, '#'/'...' symbol ratio, alphabetic-word fraction,
+    stopword hits — and the composed keep decision."""
+    from stock_market_etl_spark.operators.text import (
+        STOPWORDS,
+        gopher_keep,
+        gopher_metrics,
+    )
+
+    text = " ".join(doc)
+    df = spark.createDataFrame([(text,)], "text string")
+    m = gopher_metrics(F.col("text"))
+    row = df.select(
+        m["mean_word_len"].alias("mwl"),
+        m["symbol_word_ratio"].alias("swr"),
+        m["alpha_word_frac"].alias("awf"),
+        m["n_stopword_hits"].alias("stops"),
+        gopher_keep(m).alias("keep"),
+    ).collect()[0]
+
+    n = len(doc)
+    mwl = round(sum(len(w) for w in doc) / n, 6)
+    n_hash = text.count("#")
+    n_ell = (len(text) - len(text.replace("...", ""))) / 3.0
+    swr = round((n_hash + n_ell) / n, 6)
+    awf = round(sum(1 for w in doc if any(c.isalpha() and c.islower() for c in w)) / n, 6)
+    stops = sum(1 for w in doc if w in STOPWORDS)
+    keep = (3.0 <= mwl <= 10.0) and swr <= 0.1 and awf >= 0.8 and stops >= 2
+
+    assert math.isclose(row["mwl"], mwl, rel_tol=0, abs_tol=5e-7), (row["mwl"], mwl)
+    assert math.isclose(row["swr"], swr, rel_tol=0, abs_tol=5e-7), (row["swr"], swr)
+    assert math.isclose(row["awf"], awf, rel_tol=0, abs_tol=5e-7), (row["awf"], awf)
+    assert row["stops"] == stops
+    assert row["keep"] == keep, (row, mwl, swr, awf, stops)
