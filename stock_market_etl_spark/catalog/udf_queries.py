@@ -196,3 +196,27 @@ def m5_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("scaled", 6).alias("scaled"),
         F.round("magnitude", 6).alias("magnitude"),
     )
+
+
+@_q(
+    "m6_iter_pandas_udf",
+    """SELECT event_id,
+              round(least(greatest(value, 1.0), 400.0), 6) AS clipped
+       FROM events""",
+)
+def m6_iter_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M (surface): iterator-form scalar pandas UDF — the sixth Python
+    batch API (Iterator[pd.Series] → Iterator[pd.Series]). The body
+    runs once per PARTITION and loops over Arrow batches, so expensive
+    setup (model/tokenizer load) amortizes per task instead of per
+    batch — the canonical shape for inference stages over a 100 TB
+    corpus. The demo computation is winsorization to fixed bounds
+    (something built-ins CAN express) so the API stays hash-checkable,
+    per the m4/m5 rule."""
+    from stock_market_etl_spark.functions.udfs import clip_outliers_iter
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    return ev.select(
+        "event_id",
+        F.round(clip_outliers_iter("value"), 6).alias("clipped"),
+    )

@@ -18,6 +18,8 @@ execution engine.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 
 from pyspark.sql import functions as F, types as T
@@ -66,3 +68,20 @@ class OhlcUnpivotUDTF:
         yield "high", high
         yield "low", low
         yield "close", close
+
+
+@pandas_udf(T.DoubleType())
+def clip_outliers_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """M6: ITERATOR-form scalar pandas UDF (`Iterator[pd.Series] →
+    Iterator[pd.Series]`) — the sixth Python batch API. Its reason to
+    exist is amortized per-partition initialization: the body runs ONCE
+    per partition and the loop consumes every Arrow batch, so an
+    expensive setup (loading a tokenizer/ONNX model, opening a side
+    connection) is paid per task, not per batch — the standard shape
+    for model-inference stages in training-data pipelines. Here the
+    "model" is a deterministic pair of winsorization bounds so the
+    demo stays hash-checkable (same rule as m4/m5): values clip to
+    [1.0, 400.0] exactly like least(greatest(x, 1), 400)."""
+    lo, hi = 1.0, 400.0  # stands in for the once-per-partition load
+    for s in batches:
+        yield s.clip(lo, hi)
