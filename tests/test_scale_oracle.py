@@ -86,6 +86,9 @@ SCALE_QUERIES = [
     # r07 addition: block-grain decontamination (counts exact; the
     # ratio column is a rounded double → midpoint tolerance)
     ("x52_paragraph_contamination", False),
+    # r07 addition: iterator pandas UDF (rounded doubles → tolerance),
+    # completing 10× evidence for every r08 first-proof candidate
+    ("m6_iter_pandas_udf", False),
 ]
 
 
