@@ -324,3 +324,150 @@ def e16_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p90_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E superset: event-sequence analytics (funnel / cohort retention).
+# The reference's dashboard aggregates per-symbol trends
+# (scripts/app.py:31-97); these are the two sequence-grain aggregates a
+# trading-events surface grows next ("how many users who viewed a symbol
+# went on to trade it", "how long do signup cohorts stay active").
+
+_FUNNEL_PREV = """PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"""
+
+
+@_q(
+    "e17_funnel_stages",
+    f"""WITH s1 AS (
+          SELECT user_id, ts, event_id, event_type,
+                 min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER ({_FUNNEL_PREV}) AS rv
+          FROM events
+        ), s2 AS (
+          SELECT user_id, ts, event_id, event_type, rv,
+                 CASE WHEN event_type = 'click' AND rv IS NOT NULL
+                      THEN ts END AS q2ts
+          FROM s1
+        ), s3 AS (
+          SELECT user_id, event_type, rv,
+                 min(q2ts) OVER ({_FUNNEL_PREV}) AS rq2
+          FROM s2
+        ), per_user AS (
+          SELECT user_id,
+                 max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1f,
+                 max(CASE WHEN event_type = 'click' AND rv IS NOT NULL
+                          THEN 1 ELSE 0 END) AS s2f,
+                 max(CASE WHEN event_type = 'purchase' AND rq2 IS NOT NULL
+                          THEN 1 ELSE 0 END) AS s3f
+          FROM s3 GROUP BY user_id
+        )
+        SELECT CAST(sum(s1f) AS BIGINT) AS viewed,
+               CAST(sum(s2f) AS BIGINT) AS clicked_after_view,
+               CAST(sum(s3f) AS BIGINT) AS purchased_after_click
+        FROM per_user""",
+)
+def e17_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E superset: strict ordered funnel (view → click → purchase).
+
+    A user advances a stage only by an event that happens strictly
+    AFTER some event completing the previous stage, so the classic
+    per-stage self-join (events ⋈ events ⋈ events on user_id + ts
+    ranges — quadratic per user) is replaced by running mins over the
+    row-order frame `UNBOUNDED PRECEDING .. 1 PRECEDING`: `rv` = first
+    view before this row, `rq2` = first view-qualified click before
+    this row. Both window passes share one (partition, order) spec, so
+    Catalyst plans ONE exchange + ONE sort with stacked Window nodes;
+    the per-user flag agg reuses the same hash partitioning (no second
+    exchange) and the final single-row sum is map-side partial. Total
+    ordering is (ts, event_id) — event_id is unique, so "strictly
+    before" is deterministic even under ts ties. At 100 TB: state per
+    row is two running scalars; nothing buffers the partition."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s1 = ev.withColumn(
+        "rv",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wprev),
+    )
+    s2 = s1.withColumn(
+        "q2ts",
+        F.when(
+            (F.col("event_type") == "click") & F.col("rv").isNotNull(),
+            F.col("ts"),
+        ),
+    )
+    s3 = s2.withColumn("rq2", F.min("q2ts").over(wprev))
+    per_user = s3.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("s1f"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "click") & F.col("rv").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("s2f"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("rq2").isNotNull(),
+                1,
+            ).otherwise(0)
+        ).alias("s3f"),
+    )
+    return per_user.agg(
+        F.sum("s1f").cast("long").alias("viewed"),
+        F.sum("s2f").cast("long").alias("clicked_after_view"),
+        F.sum("s3f").cast("long").alias("purchased_after_click"),
+    )
+
+
+@_q(
+    "e18_retention_cohorts",
+    """WITH per_user AS (
+         SELECT user_id,
+                min(CAST(ts AS DATE)) AS cohort_day,
+                list(DISTINCT CAST(ts AS DATE)) AS days
+         FROM events GROUP BY user_id
+       )
+       SELECT cohort_day,
+              CAST(datediff('day', cohort_day, d.day) AS BIGINT)
+                AS day_offset,
+              CAST(count(*) AS BIGINT) AS active_users
+       FROM per_user, unnest(days) AS d(day)
+       GROUP BY 1, 2""",
+)
+def e18_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E superset: day-grain cohort retention — for each first-seen
+    day (cohort), how many of its users were active N days later.
+
+    One user-keyed aggregation carries BOTH the cohort assignment
+    (min day) and the user's distinct active-day set, so the whole
+    query costs two exchanges: by user_id (map-side combine folds each
+    partition's days first) and the final tiny (cohort_day, offset)
+    rollup. The collect_set state is bounded by the retention horizon
+    (≤ #days in the observation window — 31 here), NOT by the user's
+    event count, which is what makes this safe at 100 TB where the
+    alternative distinct-(user, day) + join-back plan re-shuffles the
+    fact table twice on different keys. count(*) (not count distinct)
+    is exact because (user, day) pairs are unique after the set
+    explode."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("day").alias("cohort_day"),
+        F.collect_set("day").alias("days"),
+    )
+    exploded = per_user.select(
+        "cohort_day", F.explode("days").alias("day")
+    )
+    return exploded.groupBy(
+        "cohort_day",
+        F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+    ).agg(F.count("*").cast("long").alias("active_users"))

@@ -527,3 +527,25 @@ def test_rsi_and_ema_single_exchange(spark, sf_smoke):
         df = all_queries()[name](spark, sf_smoke)
         plan = _plan(df)
         assert plan.count("Exchange hashpartitioning") == 1, name
+
+
+def test_funnel_single_exchange_no_self_join(spark, sf_smoke):
+    """e17's strict ordered funnel must be the one-exchange window
+    form: both running-min passes and the per-user flag agg share the
+    user_id hash partitioning (the naive per-stage self-join would show
+    3 scans + joins here)."""
+    df = all_queries()["e17_funnel_stages"](spark, sf_smoke)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "Join" not in plan  # running-min funnel, not self-joins
+    assert plan.count("Scan parquet") == 1
+
+
+def test_retention_two_exchanges(spark, sf_smoke):
+    """e18 folds cohort assignment and the active-day set into ONE
+    user-keyed agg, then rolls up to (cohort, offset): exactly two
+    hash exchanges, and the events fact is scanned once."""
+    df = all_queries()["e18_retention_cohorts"](spark, sf_smoke)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:2000]
+    assert plan.count("Scan parquet") == 1

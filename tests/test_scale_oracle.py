@@ -89,6 +89,10 @@ SCALE_QUERIES = [
     # r07 addition: iterator pandas UDF (rounded doubles → tolerance),
     # completing 10× evidence for every r08 first-proof candidate
     ("m6_iter_pandas_udf", False),
+    # r07 additions: event-sequence analytics (BIGINT counts / date
+    # keys → exact)
+    ("e17_funnel_stages", True),
+    ("e18_retention_cohorts", True),
 ]
 
 
