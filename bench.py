@@ -87,6 +87,11 @@ BENCH_QUERIES = [
     # (the linear-cost tier ahead of x26's overlapping grams).
     "x51_gopher_rules",
     "x52_paragraph_contamination",
+    # r07 additions: event-sequence analytics — the one-exchange
+    # running-min funnel (no self-joins) and the two-exchange cohort
+    # retention matrix (user-keyed agg carries cohort + day set).
+    "e17_funnel_stages",
+    "e18_retention_cohorts",
 ]
 
 

@@ -329,3 +329,69 @@ def d10_range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(dt_s, 6).alias("dt_s"))
     )
+
+
+_D11_SESS_SQL = """
+         SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+                min(ts) AS sess_start, max(ts) AS sess_end
+         FROM (
+           SELECT user_id, ts, event_id,
+                  sum(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS sess_id
+           FROM (
+             SELECT user_id, ts, event_id,
+                    CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS new_sess
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           )
+         ) GROUP BY user_id, sess_id
+"""
+
+
+@_q(
+    "d11_interval_overlap_pairs",
+    f"""WITH sess AS ({_D11_SESS_SQL})
+        SELECT a.user_id AS a_user_id, a.sess_id AS a_sess_id,
+               b.user_id AS b_user_id, b.sess_id AS b_sess_id,
+               date_diff('microseconds',
+                         greatest(a.sess_start, b.sess_start),
+                         least(a.sess_end, b.sess_end)) AS overlap_us
+        FROM sess a JOIN sess b
+          ON (a.user_id * 1000000 + a.sess_id)
+             < (b.user_id * 1000000 + b.sess_id)
+         AND a.sess_start <= b.sess_end AND b.sess_start <= a.sess_end""",
+)
+def d11_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11 (superset): interval-overlap self-join — all pairs of
+    concurrent user sessions (f8's gaps-and-islands intervals; same-
+    user sessions are disjoint by construction, so every pair is
+    cross-user concurrency). The oracle is the naive inequality join
+    DuckDB can afford at sf0.01; the engine runs
+    `interval_overlap_pairs` — intervals exploded onto 1-hour time
+    bins, bin-equality shuffle join, anchor-bin dedup (each pair
+    emitted only in the bin of the LATER start) — never a cartesian,
+    asserted in tests/test_plans.py."""
+    from stock_market_etl_spark.catalog.windows import f8_sessionize
+    from stock_market_etl_spark.operators.range_join import (
+        interval_overlap_pairs,
+    )
+
+    sess = f8_sessionize(spark, sf_dir).select(
+        "user_id",
+        "sess_id",
+        "sess_start",
+        "sess_end",
+        (F.col("user_id") * 1_000_000 + F.col("sess_id")).alias("iv_id"),
+    )
+    out = interval_overlap_pairs(
+        sess, "iv_id", "sess_start", "sess_end", bin_s=3600.0
+    )
+    return out.select(
+        "a_user_id",
+        "a_sess_id",
+        "b_user_id",
+        "b_sess_id",
+        "overlap_us",
+    )

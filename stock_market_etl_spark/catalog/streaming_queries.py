@@ -348,3 +348,48 @@ def n13_stream_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         transform=_gopher_gate,
     )
     return spark.read.parquet(corpus_path)
+
+
+@_q(
+    "n14_stream_jdbc_serving",
+    """SELECT user_id, event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 6) AS total_value
+       FROM events GROUP BY 1, 2""",
+)
+def n14_stream_jdbc_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N: streaming → relational serving drained end-to-end — a REAL
+    Structured Streaming run (file source → UPDATE-mode running totals
+    → foreachBatch key-grain JDBC upsert into embedded Derby), then
+    the serving table read back over JDBC. The streaming lift of the
+    reference's serving load (`scripts/load_stock_metrics.py:57-89`):
+    each micro-batch upserts only the keys whose totals changed, and
+    at-least-once delivery + idempotent upsert ⇒ the table converges
+    to stream state (redelivery re-writes identical totals). The
+    events fixture arrives as one file ⇒ one micro-batch ⇒ the table
+    must equal the batch groupBy — full hash oracle; multi-batch
+    convergence and full-redelivery idempotence are asserted in
+    tests/test_streaming.py."""
+    import os
+
+    from stock_market_etl_spark.io import load_jdbc
+
+    work = _scratch.fresh_dir("jdbc_serving")
+    url = f"jdbc:derby:{os.path.join(work, 'servingdb')};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    agg = core.serving_totals(core.stream_events(spark, sf_dir))
+    core.jdbc_serving_sink(
+        agg,
+        url,
+        "user_type_totals",
+        ("user_id", "event_type"),
+        os.path.join(work, "ckpt"),
+        props,
+    )
+    return load_jdbc(
+        spark,
+        url,
+        'SELECT "user_id", "event_type", "n_events", "total_value" '
+        "FROM user_type_totals",
+        properties=props,
+    )

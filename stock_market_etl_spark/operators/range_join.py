@@ -75,3 +75,74 @@ def binned_range_join(
         .filter(exact)
         .drop("__probe_bin", "__bin")
     )
+
+
+def interval_overlap_pairs(
+    intervals: DataFrame,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    bin_s: float,
+) -> DataFrame:
+    """All unordered pairs of OVERLAPPING intervals, each exactly once.
+
+    The variable-length lift of `binned_range_join`: point rows become
+    [start, end] intervals, and the naive form — self-join on
+    `a.start <= b.end AND b.start <= a.end` — is again a cartesian.
+    Scale shape: explode every interval onto the `bin_s`-wide time
+    bins it covers (`sequence(bin(start), bin(end))`), equi-join on
+    the bin, then keep each qualifying pair ONLY in its anchor bin —
+    the bin containing `greatest(a.start, b.start)`. Overlap implies
+    the later start lies inside both intervals, so both sides cover
+    that bin and the pair is emitted exactly once, with no distinct
+    pass over the pair stream.
+
+    Cost is O(n · pairs-per-bin); each interval is replicated
+    ceil(len/bin_s)+1 times BEFORE the shuffle, so pick `bin_s` near
+    the typical interval length (replication ~2×) — a bin much
+    smaller than the longest interval turns that interval into a
+    hot-key fan-out, the documented skew knob. Output: both sides'
+    columns prefixed `a_`/`b_` with `a.id < b.id`, plus
+    `overlap_us` = micros the two intervals share.
+    """
+    width_us = int(bin_s * 1_000_000)
+    binned = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                _bin(F.col(start_col), width_us),
+                _bin(F.col(end_col), width_us),
+                F.lit(width_us),
+            )
+        ),
+    )
+    a = binned.select(
+        F.col("__bin").alias("__bin_a"),
+        *[F.col(c).alias(f"a_{c}") for c in intervals.columns],
+    )
+    b = binned.select(
+        F.col("__bin").alias("__bin_b"),
+        *[F.col(c).alias(f"b_{c}") for c in intervals.columns],
+    )
+    a_id, b_id = F.col(f"a_{id_col}"), F.col(f"b_{id_col}")
+    a_s, a_e = F.col(f"a_{start_col}"), F.col(f"a_{end_col}")
+    b_s, b_e = F.col(f"b_{start_col}"), F.col(f"b_{end_col}")
+    later_start = F.greatest(a_s, b_s)
+    pairs = a.join(
+        b, (F.col("__bin_a") == F.col("__bin_b")) & (a_id < b_id)
+    )
+    return (
+        pairs.filter(
+            (a_s <= b_e)
+            & (b_s <= a_e)
+            # anchor-bin dedup: emit only where the join bin is the
+            # later start's bin
+            & (F.col("__bin_a") == _bin(later_start, width_us))
+        )
+        .withColumn(
+            "overlap_us",
+            F.unix_micros(F.least(a_e, b_e))
+            - F.unix_micros(later_start),
+        )
+        .drop("__bin_a", "__bin_b")
+    )

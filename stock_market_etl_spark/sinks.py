@@ -174,3 +174,35 @@ def _bind_key(jvm, stmt, pos: int, value) -> None:
         stmt.setBigDecimal(pos, jvm.java.math.BigDecimal(str(value)))
     else:
         stmt.setObject(pos, value)
+
+
+def jdbc_table_exists(
+    spark: SparkSession, url: str, table: str, properties: dict | None = None
+) -> bool:
+    """Deterministic JDBC-metadata existence probe (DatabaseMetaData
+    .getTables), case-insensitive on the table name because databases
+    fold unquoted identifiers differently (Derby/Oracle → upper,
+    Postgres → lower). Used by bootstrap-or-upsert sinks: a
+    schema-read probe can't distinguish "table missing" from transient
+    failure, and guessing wrong there would double-append."""
+    jvm = spark._jvm
+    props = properties or {}
+    driver = props.get("driver")
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    jprops = jvm.java.util.Properties()
+    for k, v in props.items():
+        if k != "driver":
+            jprops.setProperty(k, str(v))
+    conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
+    try:
+        rs = conn.getMetaData().getTables(None, None, "%", None)
+        try:
+            while rs.next():
+                if rs.getString("TABLE_NAME").lower() == table.lower():
+                    return True
+            return False
+        finally:
+            rs.close()
+    finally:
+        conn.close()

@@ -714,3 +714,78 @@ def observe_stream_audit(
     if watermark_col is not None:
         metrics.append(F.max(watermark_col).alias(f"max_{watermark_col}"))
     return stream_df.observe(name, *metrics)
+
+
+def serving_totals(events: DataFrame) -> DataFrame:
+    """Per-(user, event_type) running totals — the serving-table shape
+    for `jdbc_serving_sink`. Expressed so the identical transform runs
+    in batch mode (parity contract). No watermark: the serving table
+    covers all time, so every key's state stays live (key cardinality
+    = |users| × |event types|, the serving table's own size — state is
+    as bounded as the table it feeds)."""
+    return events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+def jdbc_serving_sink(
+    stream_agg: DataFrame,
+    url: str,
+    table: str,
+    keys: tuple[str, ...],
+    checkpoint: str,
+    properties: dict | None = None,
+):
+    """Streaming → relational serving: drain an UPDATE-mode aggregated
+    stream into a JDBC table via per-batch key-grain upsert — the
+    streaming lift of the reference's serving load
+    (`scripts/load_stock_metrics.py:57-89`, DELETE today + insert).
+
+    Each micro-batch emits only the keys whose running totals changed
+    (update mode); `jdbc_upsert` delete-then-appends exactly those
+    keys. End-state correctness needs no exactly-once delivery:
+    at-least-once foreachBatch + idempotent key-grain upsert ⇒ the
+    serving table converges to the stream state even across redelivery
+    (a replayed batch re-writes the same totals — the state store, not
+    the batch, owns the numbers). The per-batch key set is an
+    increment (changed keys only), so `jdbc_upsert`'s bounded
+    driver-side DELETE assumption holds by construction."""
+    from stock_market_etl_spark.sinks import jdbc_table_exists, jdbc_upsert
+
+    def serve_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if jdbc_table_exists(spark, url, table, properties):
+            jdbc_upsert(batch_df, url, table, keys, properties)
+        else:
+            # first batch bootstraps the serving table; the metadata
+            # probe (not a read attempt) keeps redelivered batch 0 on
+            # the upsert path — a wrong guess here would double-append.
+            # String KEY columns get explicit VARCHAR DDL: Spark's
+            # default StringType mapping is CLOB on Derby (TEXT-ish
+            # elsewhere), and CLOB cannot sit in the upsert's
+            # `key = ?` comparison.
+            str_keys = [
+                f.name
+                for f in batch_df.schema.fields
+                if f.name in keys and f.dataType.typeName() == "string"
+            ]
+            writer = batch_df.write.mode("append")
+            if str_keys:
+                writer = writer.option(
+                    "createTableColumnTypes",
+                    ", ".join(f"{k} VARCHAR(512)" for k in str_keys),
+                )
+            writer.jdbc(url, table, properties=properties or {})
+
+    q = (
+        stream_agg.writeStream.foreachBatch(serve_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

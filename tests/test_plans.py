@@ -549,3 +549,12 @@ def test_retention_two_exchanges(spark, sf_smoke):
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") == 2, plan[:2000]
     assert plan.count("Scan parquet") == 1
+
+
+def test_interval_overlap_join_is_binned_equality(spark, sf_smoke):
+    """d11's interval-overlap join must compile to a bin-equality join
+    (shuffle-partitionable), never the cartesian the naive
+    `a.start <= b.end AND b.start <= a.end` self-join plans as."""
+    plan = _plan(all_queries()["d11_interval_overlap_pairs"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -93,6 +93,11 @@ SCALE_QUERIES = [
     # keys → exact)
     ("e17_funnel_stages", True),
     ("e18_retention_cohorts", True),
+    # r07 addition: streaming → JDBC serving drain (rounded double
+    # totals → midpoint tolerance)
+    ("n14_stream_jdbc_serving", False),
+    # r07 addition: interval-overlap join (BIGINT ids/micros → exact)
+    ("d11_interval_overlap_pairs", True),
 ]
 
 

@@ -768,3 +768,58 @@ def test_gated_ingest_multibatch_matches_batch_twin(spark, sf_smoke, tmp_path):
     assert got_hashes.count() == want_hashes.count()  # exactly once
     # no gated-out doc slipped in
     assert corpus.join(want, "doc_id", "left_anti").count() == 0
+
+
+def test_jdbc_serving_multibatch_and_redelivery(spark, sf_smoke, tmp_path):
+    """n14's engine forced through MULTIPLE micro-batches: the Derby
+    serving table must converge to the batch groupBy (update-mode
+    state owns the running totals; each batch upserts only changed
+    keys), and a full redelivery (fresh checkpoint, same source) must
+    leave the table bit-identical — at-least-once delivery +
+    idempotent key-grain upsert, no transactional sink needed."""
+    import os
+
+    from stock_market_etl_spark.io import load_jdbc, load_table
+
+    ev = load_table(spark, sf_smoke, "events")
+    src = str(tmp_path / "arrivals")
+    # three arrival files ⇒ three micro-batches under maxFilesPerTrigger=1
+    for k in range(3):
+        ev.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    url = f"jdbc:derby:{tmp_path}/servedb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    def run(ckpt: str) -> None:
+        from stock_market_etl_spark.io import canon_events_ts
+
+        stream = canon_events_ts(
+            core.stream_documents(spark, src, max_files_per_trigger=1)
+        )
+        core.jdbc_serving_sink(
+            core.serving_totals(stream),
+            url,
+            "user_type_totals",
+            ("user_id", "event_type"),
+            os.path.join(str(tmp_path), ckpt),
+            props,
+        )
+
+    def served():
+        return load_jdbc(
+            spark,
+            url,
+            'SELECT "user_id", "event_type", "n_events", "total_value" '
+            "FROM user_type_totals",
+            properties=props,
+        )
+
+    run("ckpt_a")
+    want = _rows(core.serving_totals(ev))
+    assert _rows(served()) == want
+
+    # full redelivery: fresh checkpoint rebuilds state from scratch;
+    # every intermediate upsert is overwritten by the converged totals
+    run("ckpt_b")
+    assert _rows(served()) == want
