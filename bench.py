@@ -92,6 +92,9 @@ BENCH_QUERIES = [
     # retention matrix (user-keyed agg carries cohort + day set).
     "e17_funnel_stages",
     "e18_retention_cohorts",
+    # r07 addition: interval-overlap join — sessions exploded onto
+    # time bins, bin-equality join, anchor-bin dedup (never cartesian).
+    "d11_interval_overlap_pairs",
 ]
 
 
