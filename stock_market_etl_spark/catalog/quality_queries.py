@@ -274,3 +274,98 @@ def k5_observed_write_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["null_user_id"], m["null_value"], m["max_ts"])],
         "n_rows long, null_user_id long, null_value long, max_ts timestamp",
     )
+
+
+@_q(
+    "k6_release_drift_audit",
+    """WITH t AS (
+         SELECT source,
+                CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS in_old,
+                CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END AS in_new,
+                length(text) AS len
+         FROM documents),
+       s AS (
+         SELECT source,
+                CAST(sum(in_old) AS BIGINT) AS old_docs,
+                CAST(sum(in_new) AS BIGINT) AS new_docs,
+                CAST(sum(in_old * len) AS BIGINT) AS old_len,
+                CAST(sum(in_new * len) AS BIGINT) AS new_len
+         FROM t GROUP BY source),
+       sh AS (
+         SELECT source, old_docs, new_docs,
+                CAST(old_docs AS DOUBLE)
+                  / CAST(sum(old_docs) OVER () AS DOUBLE) AS old_share,
+                CAST(new_docs AS DOUBLE)
+                  / CAST(sum(new_docs) OVER () AS DOUBLE) AS new_share,
+                CASE WHEN old_docs > 0
+                     THEN CAST(old_len AS DOUBLE) / old_docs END AS mlo,
+                CASE WHEN new_docs > 0
+                     THEN CAST(new_len AS DOUBLE) / new_docs END AS mln
+         FROM s)
+       SELECT source, old_docs, new_docs,
+              round(old_share, 6) AS old_share,
+              round(new_share, 6) AS new_share,
+              round(abs(old_share - new_share), 6) AS share_drift,
+              round(mlo, 6) AS mean_len_old,
+              round(mln, 6) AS mean_len_new,
+              (abs(old_share - new_share) > 0.005
+               OR abs(mln - mlo) / mlo > 0.05) AS drifted
+       FROM sh""",
+)
+def k6_release_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K superset: corpus release drift audit — per-source volume,
+    corpus-share and mean-length movement between two releases (the
+    same v1/v2 slices x47 diffs at content grain), with a drift flag
+    (share moved > 0.5pp, or mean length moved > 5% relative). x47
+    answers "which documents changed"; k6 is the release gate a
+    training-data pipeline runs FIRST — "did the source mix shift
+    enough to invalidate the sampling weights" (the x42 temperature
+    mix is a direct consumer of these shares).
+
+    Scale shape: ONE scan of the corpus tags each row with membership
+    in both releases and conditionally aggregates counts and length
+    sums per source — no self-join of releases, no second scan, and
+    text never leaves the scan stage (only (source, 4 longs) rows
+    enter the exchange, map-side partial). The share normalization is
+    an unpartitioned window over the per-source aggregate, which is
+    dims-sized (#sources), not data-sized — the single-partition
+    collapse is on ~10 rows by construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "source",
+        F.when(F.col("doc_id") % 3 != 0, 1).otherwise(0).alias("in_old"),
+        F.when(F.col("doc_id") % 5 != 0, 1).otherwise(0).alias("in_new"),
+        F.length("text").alias("len"),
+    )
+    per_src = tagged.groupBy("source").agg(
+        F.sum("in_old").cast("long").alias("old_docs"),
+        F.sum("in_new").cast("long").alias("new_docs"),
+        F.sum(F.col("in_old") * F.col("len")).cast("long").alias("old_len"),
+        F.sum(F.col("in_new") * F.col("len")).cast("long").alias("new_len"),
+    )
+    from pyspark.sql import Window
+
+    tot = Window.partitionBy()
+    old_share = F.col("old_docs") / F.sum("old_docs").over(tot)
+    new_share = F.col("new_docs") / F.sum("new_docs").over(tot)
+    mlo = F.when(
+        F.col("old_docs") > 0, F.col("old_len") / F.col("old_docs")
+    )
+    mln = F.when(
+        F.col("new_docs") > 0, F.col("new_len") / F.col("new_docs")
+    )
+    return per_src.select(
+        "source",
+        "old_docs",
+        "new_docs",
+        F.round(old_share, 6).alias("old_share"),
+        F.round(new_share, 6).alias("new_share"),
+        F.round(F.abs(old_share - new_share), 6).alias("share_drift"),
+        F.round(mlo, 6).alias("mean_len_old"),
+        F.round(mln, 6).alias("mean_len_new"),
+        (
+            (F.abs(old_share - new_share) > 0.005)
+            | (F.abs(mln - mlo) / mlo > 0.05)
+        ).alias("drifted"),
+    )

@@ -98,6 +98,9 @@ SCALE_QUERIES = [
     ("n14_stream_jdbc_serving", False),
     # r07 addition: interval-overlap join (BIGINT ids/micros → exact)
     ("d11_interval_overlap_pairs", True),
+    # r07 addition: release drift audit (rounded share/length doubles
+    # → midpoint tolerance)
+    ("k6_release_drift_audit", False),
 ]
 
 
