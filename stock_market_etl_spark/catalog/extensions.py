@@ -14,6 +14,7 @@ from stock_market_etl_spark.catalog import _scratch
 from stock_market_etl_spark.io import load_table
 from stock_market_etl_spark.operators import (
     dedup,
+    graph,
     multimodal,
     sampling,
     similarity,
@@ -1464,4 +1465,86 @@ def x52_paragraph_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 10 < 8),
         docs.filter(F.col("doc_id") % 10 >= 8),
         para_tokens=20,
+    )
+
+
+def _pagerank_sql(iterations: int, damping: float) -> str:
+    """Unroll x53's fixed-count PageRank power iteration into chained
+    CTEs — one (contribution, dangling-mass, update) triple per round,
+    the SQL replay of operators/graph.py::pagerank's exact semantics."""
+    sql = """WITH seq AS (
+         SELECT user_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev
+         FROM events),
+       edges AS (
+         SELECT prev AS src, event_type AS dst,
+                CAST(count(*) AS DOUBLE) AS w
+         FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+       outw AS (SELECT src, sum(w) AS tw FROM edges GROUP BY src),
+       nodes AS (SELECT src AS v FROM edges
+                 UNION SELECT dst AS v FROM edges),
+       nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       r0 AS (SELECT v, 1.0 / nn.n AS r FROM nodes, nn)"""
+    for k in range(iterations):
+        sql += f""",
+       c{k + 1} AS (
+         SELECT e.dst AS v, sum(r{k}.r * e.w / o.tw) AS contrib
+         FROM edges e
+         JOIN outw o ON e.src = o.src
+         JOIN r{k} ON r{k}.v = e.src
+         GROUP BY e.dst),
+       d{k + 1} AS (
+         SELECT coalesce(sum(r), 0.0) AS dm FROM r{k}
+         WHERE v NOT IN (SELECT src FROM edges)),
+       r{k + 1} AS (
+         SELECT nodes.v,
+                (1.0 - {damping}) / nn.n
+                + {damping} * (coalesce(c{k + 1}.contrib, 0.0)
+                               + d{k + 1}.dm / nn.n) AS r
+         FROM nodes
+         CROSS JOIN nn CROSS JOIN d{k + 1}
+         LEFT JOIN c{k + 1} ON nodes.v = c{k + 1}.v)"""
+    return (
+        sql
+        + f"""
+       SELECT v AS event_type, round(r, 6) AS rank_score
+       FROM r{iterations}"""
+    )
+
+
+@_q("x53_event_pagerank", _pagerank_sql(3, 0.85))
+def x53_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph
+    (operators/graph.py::pagerank, 3 power iterations, d=0.85):
+    consecutive events per user define weighted edges prev→next, and
+    the stationary-visit ranking says which states the session flow
+    concentrates on — the graph twin of e17's funnel (funnel fixes a
+    path, PageRank ranks all states at once). The fixed iteration
+    count makes the result a pure input function, replayed exactly by
+    the oracle's unrolled CTEs.
+
+    Scale shape: the edge build is one lag window + one map-side
+    partial count agg (edge set is |event_types|², dims-sized); each
+    iteration joins node-grain ranks (broadcast at this node count,
+    AQE-co-partitioned on src in the general case) and shuffles only
+    (node, double) pairs. Dangling mass rides a broadcast 1-row agg,
+    not a driver collect."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(wseq).alias("prev")
+    )
+    edges = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    return graph.pagerank(
+        edges, iterations=3, damping=0.85, weight_col="w"
+    ).select(
+        F.col("v").alias("event_type"),
+        F.round("pagerank", 6).alias("rank_score"),
     )

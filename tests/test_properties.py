@@ -264,3 +264,59 @@ def test_gopher_metrics_match_reference(spark, doc):
     assert math.isclose(row["awf"], awf, rel_tol=0, abs_tol=5e-7), (row["awf"], awf)
     assert row["stops"] == stops
     assert row["keep"] == keep, (row, mwl, swr, awf, stops)
+
+
+_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),  # src
+        st.integers(min_value=0, max_value=8),  # dst 8 = dangling-only
+        st.integers(min_value=1, max_value=5),  # weight
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(edges=_edges, iters=st.integers(min_value=1, max_value=4))
+def test_pagerank_matches_reference(spark, edges, iters):
+    """pagerank against a direct Python power iteration on random
+    weighted digraphs (the x53 oracle pins one graph + 3 iterations).
+    src draws from 0-7 while dst reaches 8, so node 8 — whenever it
+    appears — is DANGLING (no out-edges) and exercises the
+    dangling-mass redistribution branch; total mass must stay exactly
+    1 every round by construction."""
+    from collections import defaultdict
+
+    from stock_market_etl_spark.operators.graph import pagerank
+
+    d = 0.85
+    df = spark.createDataFrame(edges, "src int, dst int, w int")
+    got = {
+        r["v"]: r["pagerank"]
+        for r in pagerank(df, iterations=iters, damping=d, weight_col="w")
+        .collect()
+    }
+
+    nodes = sorted({s for s, _, _ in edges} | {t for _, t, _ in edges})
+    n = len(nodes)
+    outw: dict[int, float] = defaultdict(float)
+    adj: dict[tuple[int, int], float] = defaultdict(float)
+    for s, t, w in edges:
+        outw[s] += w
+        adj[(s, t)] += w
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dm = sum(r[v] for v in nodes if v not in outw)
+        contrib: dict[int, float] = defaultdict(float)
+        for (s, t), w in adj.items():
+            contrib[t] += r[s] * w / outw[s]
+        r = {
+            v: (1.0 - d) / n + d * (contrib.get(v, 0.0) + dm / n)
+            for v in nodes
+        }
+
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert math.isclose(got[v], r[v], rel_tol=1e-9, abs_tol=1e-12), v
+    assert math.isclose(sum(got.values()), 1.0, rel_tol=1e-9)

@@ -101,6 +101,9 @@ SCALE_QUERIES = [
     # r07 addition: release drift audit (rounded share/length doubles
     # → midpoint tolerance)
     ("k6_release_drift_audit", False),
+    # r07 addition: fixed-iteration PageRank (rounded double ranks →
+    # midpoint tolerance)
+    ("x53_event_pagerank", False),
 ]
 
 
