@@ -220,3 +220,88 @@ def m6_iter_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(clip_outliers_iter("value"), 6).alias("clipped"),
     )
+
+
+@_q(
+    "m7_cogrouped_map",
+    """WITH t AS (
+         SELECT user_id,
+                CASE WHEN EXTRACT(day FROM ts) <= 15
+                     THEN 1 ELSE 0 END AS early,
+                value
+         FROM events)
+       SELECT user_id,
+              CAST(sum(early) AS BIGINT) AS n_early,
+              CAST(sum(1 - early) AS BIGINT) AS n_late,
+              round(sum(CASE WHEN early = 1 THEN value END), 6)
+                AS sum_early,
+              round(sum(CASE WHEN early = 0 THEN value END), 6)
+                AS sum_late
+       FROM t GROUP BY user_id""",
+)
+def m7_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M (surface): cogrouped-map Pandas UDF —
+    ``a.groupby(k).cogroup(b.groupby(k)).applyInPandas`` — the seventh
+    Python batch API: each key's slices of TWO DataFrames arrive as a
+    pair of pandas frames (either possibly empty), the shape for
+    per-key reconciliation/as-of logic that isn't a plain join. The
+    demo reconciles a user's first-half-of-month events against the
+    second half (counts + side totals — totals, not means: the
+    fixture's 2-decimal values divided by small group counts land
+    exactly on 6th-decimal round midpoints, which HALF_UP and
+    float-multiply engines split); built-ins CAN express it (one
+    conditional aggregation — the oracle), keeping the API demo
+    hash-checkable per the m4/m5/m6 rule. Scale note: one shuffle per
+    side on the group key and each key's two slices must fit one
+    executor's memory together — same contract as applyInPandas, with
+    Arrow batching both directions. Rounding is Spark-side (HALF_UP,
+    matches DuckDB; numpy rounds half-to-even).
+
+    Spark quirk, load-bearing: when BOTH cogroup sides derive from
+    the same scan, the analyzer's attribute dedup silently PRUNES the
+    right side's non-key columns out of the pandas frames (the right
+    frame arrives with only the grouping key). Aliasing the right
+    side's payload column mints a fresh expression id and defeats the
+    collapse — hence ``rvalue``."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value"
+    )
+    early = ev.filter(F.dayofmonth("ts") <= 15).select("user_id", "value")
+    late = ev.filter(F.dayofmonth("ts") > 15).select(
+        "user_id", F.col("value").alias("rvalue")
+    )
+
+    def reconcile(key, left, right):
+        import pandas as pd
+
+        ne, nl = len(left), len(right)
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_early": [ne],
+                "n_late": [nl],
+                "sum_early": [
+                    float(left["value"].sum()) if ne else None
+                ],
+                "sum_late": [
+                    float(right["rvalue"].sum()) if nl else None
+                ],
+            }
+        )
+
+    out = (
+        early.groupBy("user_id")
+        .cogroup(late.groupBy("user_id"))
+        .applyInPandas(
+            reconcile,
+            "user_id long, n_early long, n_late long, "
+            "sum_early double, sum_late double",
+        )
+    )
+    return out.select(
+        "user_id",
+        "n_early",
+        "n_late",
+        F.round("sum_early", 6).alias("sum_early"),
+        F.round("sum_late", 6).alias("sum_late"),
+    )

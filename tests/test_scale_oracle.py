@@ -104,6 +104,9 @@ SCALE_QUERIES = [
     # r07 addition: fixed-iteration PageRank (rounded double ranks →
     # midpoint tolerance)
     ("x53_event_pagerank", False),
+    # r07 addition: cogrouped-map API (2-decimal-grain double sums →
+    # midpoint tolerance)
+    ("m7_cogrouped_map", False),
 ]
 
 
