@@ -23,6 +23,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Weighted PageRank by fixed-count power iteration → one row per
     node ``(v, pagerank)``. Exact textbook semantics, so a SQL engine
@@ -50,7 +51,9 @@ def pagerank(
     scalar is the one-time node count. Each round's ranks are eagerly
     ``localCheckpoint``-ed (constant plan size, same contract as
     connected_components) and the superseded snapshot is released via
-    the gated best-effort helper.
+    the gated best-effort helper. ``checkpoint=False`` disables the
+    truncation so a test can inspect one round's full plan — plan size
+    then grows linearly with iterations, so leave it on in production.
     """
     _release = _compat.release_local_checkpoint
 
@@ -63,17 +66,17 @@ def pagerank(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
     )
     outw = e.groupBy("src").agg(F.sum("w").alias("tw"))
-    norm = (
-        e.join(outw, "src")
-        .select("src", "dst", (F.col("w") / F.col("tw")).alias("p"))
-        .localCheckpoint(eager=True)
+    norm = e.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("tw")).alias("p")
     )
     nodes = (
         e.select(F.col("src").alias("v"))
         .union(e.select(F.col("dst").alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    if checkpoint:
+        norm = norm.localCheckpoint(eager=True)
+        nodes = nodes.localCheckpoint(eager=True)
     n = nodes.count()  # bounded control-plane scalar (node count)
     if n == 0:
         return nodes.select("v", F.lit(0.0).alias("pagerank"))
@@ -103,11 +106,13 @@ def pagerank(
                     )
                 ).alias("r"),
             )
-            .localCheckpoint(eager=True)
         )
-        if prev is not None:
-            _release(prev)  # superseded snapshot: new ranks material
-        prev = ranks
-    _release(norm)
-    _release(nodes)
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+            if prev is not None:
+                _release(prev)  # superseded snapshot: new ranks material
+            prev = ranks
+    if checkpoint:
+        _release(norm)
+        _release(nodes)
     return ranks.select("v", F.col("r").alias("pagerank"))

@@ -558,3 +558,51 @@ def test_interval_overlap_join_is_binned_equality(spark, sf_smoke):
     plan = _plan(all_queries()["d11_interval_overlap_pairs"](spark, sf_smoke))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_release_drift_single_scan(spark, sf_smoke):
+    """k6 compares two releases with ONE conditional-agg scan of the
+    corpus — no self-join of release slices: one parquet scan, one
+    hash exchange (the per-source agg; the share window's
+    SinglePartition exchange sits on the dims-sized aggregate), and
+    the unread lang column pruned out of the scan."""
+    df = all_queries()["k6_release_drift_audit"](spark, sf_smoke)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "lang" not in plan  # column pruning held
+
+
+def test_pagerank_iteration_no_cartesian(spark):
+    """pagerank's per-iteration update joins node-grain ranks and
+    folds the dangling mass in as a broadcast 1-row aggregate — the
+    iteration plan (checkpoint=False exposes it) may never degrade to
+    a cartesian product, and the production form returns
+    checkpoint-truncated ranks (constant plan size per round)."""
+    from stock_market_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 2.0), (3, 1, 1.0), (1, 4, 1.0)],
+        "src int, dst int, w double",
+    )
+    plan = _plan(
+        pagerank(edges, iterations=1, weight_col="w", checkpoint=False)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # dangling mass rides broadcast
+
+    final = _plan(pagerank(edges, iterations=2, weight_col="w"))
+    assert "Scan ExistingRDD" in final  # truncated lineage
+
+
+def test_cogrouped_map_engages_cogroup_node(spark, sf_smoke):
+    """m7 must plan the real cogrouped-map node (not decay to a join),
+    and both sides' payload columns must survive the self-cogroup
+    attribute dedup (the alias workaround documented in the query —
+    without it the right frame arrives key-only and the query
+    crashes)."""
+    df = all_queries()["m7_cogrouped_map"](spark, sf_smoke)
+    plan = _plan(df)
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "rvalue" in plan
