@@ -10,7 +10,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from stock_market_etl_spark.io import load_table
-from stock_market_etl_spark.operators.asof import asof_join
+from stock_market_etl_spark.operators.asof import (
+    asof_join,
+    asof_join_directional,
+)
 from stock_market_etl_spark.operators.range_join import binned_range_join
 
 QUERIES = {}
@@ -394,4 +397,105 @@ def d11_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b_user_id",
         "b_sess_id",
         "overlap_us",
+    )
+
+
+@_q(
+    "d12_asof_forward_tolerance",
+    """WITH l AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'view'),
+         r AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+         j AS (SELECT l.event_id, l.user_id, l.ts,
+                      r.ts AS rts, r.value AS rv
+               FROM l ASOF LEFT JOIN r
+                 ON l.user_id = r.user_id AND l.ts <= r.ts)
+       SELECT event_id, user_id, ts,
+              CASE WHEN rts - ts <= INTERVAL 3 DAY THEN rts END
+                AS ts_right,
+              round(CASE WHEN rts - ts <= INTERVAL 3 DAY THEN rv END, 6)
+                AS value_right
+       FROM j""",
+)
+def d12_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D superset (custom operator): FORWARD as-of join with a
+    tolerance — each view matched to the user's next purchase, but
+    only within 3 days (the time-to-conversion attachment; e17 counts
+    conversions, d12 dates them). pandas merge_asof(direction=
+    'forward', tolerance=...) parity via asof_join_directional
+    (operators/asof.py): same union + ignore-nulls-window form as d8
+    with the sort reversed — one shuffle on user_id, no range join,
+    no Python. The oracle is DuckDB's native ASOF with the
+    inequality flipped plus an interval guard."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join_directional(
+        left,
+        right,
+        on="ts",
+        key="user_id",
+        direction="forward",
+        tolerance=3 * 24 * 3600.0,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "ts_right",
+        F.round("value_right", 6).alias("value_right"),
+    )
+
+
+@_q(
+    "d13_asof_nearest",
+    """WITH l AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'view'),
+         r AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+         b AS (SELECT l.event_id, r.ts AS bts, r.value AS bv
+               FROM l ASOF LEFT JOIN r
+                 ON l.user_id = r.user_id AND l.ts >= r.ts),
+         f AS (SELECT l.event_id, r.ts AS fts, r.value AS fv
+               FROM l ASOF LEFT JOIN r
+                 ON l.user_id = r.user_id AND l.ts <= r.ts)
+       SELECT l.event_id, l.user_id, l.ts,
+              CASE WHEN bts IS NOT NULL
+                        AND (fts IS NULL OR l.ts - bts <= fts - l.ts)
+                   THEN bts ELSE fts END AS ts_right,
+              round(CASE WHEN bts IS NOT NULL
+                              AND (fts IS NULL OR l.ts - bts <= fts - l.ts)
+                         THEN bv ELSE fv END, 6) AS value_right
+       FROM l
+       LEFT JOIN b ON l.event_id = b.event_id
+       LEFT JOIN f ON l.event_id = f.event_id""",
+)
+def d13_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D superset (custom operator): NEAREST as-of join — each view
+    matched to the user's temporally closest purchase on either side,
+    exact ties resolving backward (documented; pandas leaves it
+    unspecified). Both direction passes share ONE user_id exchange
+    (opposite sort orders → two sorts, one partitioning —
+    plan-asserted); the oracle composes DuckDB's two native ASOF
+    directions with the same tie rule."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join_directional(
+        left, right, on="ts", key="user_id", direction="nearest"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "ts_right",
+        F.round("value_right", 6).alias("value_right"),
     )

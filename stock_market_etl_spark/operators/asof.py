@@ -68,3 +68,108 @@ def asof_join(
         .select(*out_cols)
         .withColumnsRenamed({f"__ff_{c}": f"{c}{suffix}" for c in value_cols})
     )
+
+
+def asof_join_directional(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    key: str,
+    suffix: str = "_right",
+    direction: str = "backward",
+    tolerance: float | None = None,
+) -> DataFrame:
+    """pandas ``merge_asof``-parity as-of join: ``direction`` picks
+    which side of the left timestamp the match may sit on —
+    ``backward`` (latest right with right[on] <= left[on], the
+    ``asof_join`` semantics), ``forward`` (earliest right with
+    right[on] >= left[on]) or ``nearest`` (whichever is temporally
+    closer; exact ties resolve backward, documented since pandas
+    leaves it unspecified). ``tolerance`` NULLs any match farther
+    than the bound — in ``on``'s double-cast units, i.e. seconds
+    (with fractional micros) for timestamps, plain units for
+    numerics.
+
+    Kept separate from the proven backward fast path ``asof_join``
+    (same union + ignore-nulls-window construction — no quadratic
+    range join, no Python): one shuffle on ``key`` either way;
+    ``nearest`` reuses that single exchange for BOTH window passes
+    (opposite sort orders → two sorts, one partitioning —
+    plan-asserted in tests/test_plans.py).
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction!r}")
+    value_cols = [c for c in right.columns if c not in (on, key)]
+    l_tag = left.withColumn("__is_left", F.lit(1))
+    r_tag = right.select(
+        key,
+        on,
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    ).withColumn("__is_left", F.lit(0))
+    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+
+    def _side(prefix: str, descending: bool):
+        # right rows sort before left rows at identical timestamps in
+        # BOTH orders (__is_left asc), so an exact-time right row is
+        # visible to the left row under <= and >= alike
+        order = F.col(on).desc() if descending else F.col(on).asc()
+        w = (
+            Window.partitionBy(key)
+            .orderBy(order, F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cols = [
+            F.last(f"{c}{suffix}", ignorenulls=True)
+            .over(w)
+            .alias(f"__{prefix}_{c}")
+            for c in value_cols
+        ]
+        cols.append(
+            F.last(
+                F.when(F.col("__is_left") == 0, F.col(on)),
+                ignorenulls=True,
+            )
+            .over(w)
+            .alias(f"__{prefix}_on")
+        )
+        return cols
+
+    fills = []
+    if direction in ("backward", "nearest"):
+        fills += _side("b", descending=False)
+    if direction in ("forward", "nearest"):
+        fills += _side("f", descending=True)
+    filled = unioned.select("*", *fills).filter(F.col("__is_left") == 1)
+
+    lsec = F.col(on).cast("double")
+
+    def _ok(prefix: str) -> F.Column:
+        mon = F.col(f"__{prefix}_on")
+        if tolerance is None:
+            return mon.isNotNull()
+        delta = (
+            lsec - mon.cast("double")
+            if prefix == "b"
+            else mon.cast("double") - lsec
+        )
+        return mon.isNotNull() & (delta <= F.lit(float(tolerance)))
+
+    if direction == "nearest":
+        use_b = _ok("b") & (
+            ~_ok("f")
+            | ((lsec - F.col("__b_on").cast("double"))
+               <= (F.col("__f_on").cast("double") - lsec))
+        )
+        pick = lambda c: (  # noqa: E731
+            F.when(use_b, F.col(f"__b_{c}"))
+            .when(_ok("f"), F.col(f"__f_{c}"))
+        )
+    else:
+        p = "b" if direction == "backward" else "f"
+        pick = lambda c: F.when(_ok(p), F.col(f"__{p}_{c}"))  # noqa: E731
+
+    return filled.select(
+        *left.columns,
+        pick("on").alias(f"{on}{suffix}"),
+        *[pick(c).alias(f"{c}{suffix}") for c in value_cols],
+    )

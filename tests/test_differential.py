@@ -411,3 +411,70 @@ def test_random_window_frame_matches_duckdb(
                 f"frame=({preceding},{following}) agg={alias} "
                 f"id={gid}: {gv} vs {wv}"
             )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    tolerance=st.sampled_from([None, 7.0, 30.0]),
+)
+def test_random_asof_matches_pandas_merge_asof(
+    spark, seed, direction, tolerance
+):
+    """asof_join_directional against pandas.merge_asof — the reference
+    semantics for direction x tolerance — on random per-key series.
+    Timestamps are distinct integers (exact nearest-ties are resolved
+    differently across libraries and are measure-zero on real micros
+    data; the backward tie rule is pinned in the operator docstring)."""
+    import random
+
+    import pandas as pd
+
+    from stock_market_etl_spark.operators.asof import asof_join_directional
+
+    rng = random.Random(seed)
+    keys = [0, 1, 2]
+    lts = rng.sample(range(0, 400, 2), 30)  # left on even ticks
+    rts = rng.sample(range(1, 401, 2), 20)  # right on odd (no exact ties)
+    left_rows = [(rng.choice(keys), float(t)) for t in lts]
+    right_rows = [
+        (rng.choice(keys), float(t), float(rng.randint(0, 99))) for t in rts
+    ]
+    ldf = spark.createDataFrame(left_rows, "k int, t double")
+    rdf = spark.createDataFrame(right_rows, "k int, t double, val double")
+    got = {
+        (r["k"], r["t"]): (r["t_right"], r["val_right"])
+        for r in asof_join_directional(
+            ldf, rdf, on="t", key="k",
+            direction=direction, tolerance=tolerance,
+        ).collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["k", "t"]).sort_values("t")
+    rp = pd.DataFrame(right_rows, columns=["k", "t", "val"]).sort_values("t")
+    exp = pd.merge_asof(
+        lp, rp, on="t", by="k",
+        direction=direction, tolerance=tolerance,
+        suffixes=("", "_right"),
+    )
+    # pandas keeps the left 't' and adds no matched-timestamp column;
+    # recover it per row by re-matching val — instead compare val only
+    # and check t_right's side/bound directly
+    assert len(got) == len(left_rows)
+    for row in exp.itertuples(index=False):
+        t_right, val_right = got[(row.k, row.t)]
+        pv = None if pd.isna(row.val) else row.val
+        assert val_right == pv, (row.k, row.t, direction, tolerance)
+        if t_right is not None:
+            if direction == "backward":
+                assert t_right <= row.t
+            elif direction == "forward":
+                assert t_right >= row.t
+            if tolerance is not None:
+                assert abs(t_right - row.t) <= tolerance

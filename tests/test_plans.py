@@ -606,3 +606,14 @@ def test_cogrouped_map_engages_cogroup_node(spark, sf_smoke):
     plan = _plan(df)
     assert "FlatMapCoGroupsInPandas" in plan
     assert "rvalue" in plan
+
+
+def test_asof_nearest_single_exchange(spark, sf_smoke):
+    """d13's two direction passes (opposite sort orders) must share
+    ONE user_id hash exchange — the whole nearest as-of costs one
+    shuffle plus two sorts, never a range join or cartesian."""
+    df = all_queries()["d13_asof_nearest"](spark, sf_smoke)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -107,6 +107,10 @@ SCALE_QUERIES = [
     # r07 addition: cogrouped-map API (2-decimal-grain double sums →
     # midpoint tolerance)
     ("m7_cogrouped_map", False),
+    # r07 additions: directional as-of joins (micros timestamps +
+    # passthrough values → exact)
+    ("d12_asof_forward_tolerance", True),
+    ("d13_asof_nearest", True),
 ]
 
 
