@@ -1548,3 +1548,45 @@ def x53_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("event_type"),
         F.round("pagerank", 6).alias("rank_score"),
     )
+
+
+@_q(
+    "x54_epoch_repeat",
+    """WITH d AS (
+         SELECT doc_id, source,
+                CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                            WHEN 'src2' THEN 3 ELSE 1 END
+                + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)
+                                       || 'recipe-v1'), 1, 4)
+                            < CASE source WHEN 'src0' THEN '8000'
+                                          WHEN 'src1' THEN '4000'
+                                          ELSE '0000' END
+                       THEN 1 ELSE 0 END AS n_copies
+         FROM documents)
+       SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies,
+              CAST(g.c AS BIGINT) AS copy_idx
+       FROM d, unnest(generate_series(1, n_copies)) AS g(c)
+       WHERE n_copies > 0""",
+)
+def x54_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-recipe repeat-factor materializer (operators/sampling.py
+    epoch_repeat): src0 upsampled 2.5x, src2 3x, src1 downsampled to
+    0.25x, everything else 1x — floor(f) guaranteed copies plus an
+    md5-prefix draw for the fractional remainder, the UPSAMPLING dual
+    of x42's temperature mix (recipes that weight a rare source ABOVE
+    1 need copies, not a keep rate). Entirely scan-local — zero
+    shuffles (plan-asserted); copy_idx is the epoch-distinct key x27's
+    shuffle and x44's shard layout key on downstream."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.epoch_repeat(
+        docs,
+        factors={"src0": 2.5, "src1": 0.25, "src2": 3.0},
+        strata_col="source",
+        id_col="doc_id",
+        salt="recipe-v1",
+    ).select(
+        "doc_id",
+        "source",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        F.col("copy_idx").cast("long").alias("copy_idx"),
+    )

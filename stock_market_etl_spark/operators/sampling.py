@@ -23,6 +23,8 @@ not a port.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -440,4 +442,70 @@ def write_shards(
         .write.mode("overwrite")
         .partitionBy("shard_id")
         .parquet(path)
+    )
+
+
+def epoch_repeat(
+    df: DataFrame,
+    factors: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "repeat",
+    default_factor: float = 1.0,
+    out_col: str = "copy_idx",
+) -> DataFrame:
+    """Materialize a data recipe's per-stratum repeat factors — the
+    UPSAMPLING dual of ``temperature_sample``: a row whose stratum
+    carries factor ``f`` appears ``floor(f)`` times, plus one more
+    copy iff its md5-prefix draw lands below ``frac(f)`` (the same
+    1/65536-grain deterministic draw every sampling operator here
+    uses, so a given id's copy count is stable under re-runs,
+    repartitioning, and corpus growth). ``f < 1`` degenerates to a
+    plain keep/drop downsample; ``f = 0`` drops the stratum. Output
+    rows carry ``n_copies`` (the row's total) and ``out_col``
+    (1-based copy index — the epoch-distinct key downstream shuffles
+    and shard layouts key on, cf. x27/x44).
+
+    Scale shape: entirely scan-local — the factor lookup is a literal
+    when-chain, the draw is a hash of the row's own id, and the copy
+    fan-out is explode(sequence(1, n)); NO shuffle at any point
+    (plan-asserted zero-Exchange like x51). The materialized fan-out
+    multiplies downstream bytes by design; pipelines that only need
+    the count can stop before the explode.
+    """
+    # factors are literals, so the per-stratum copy base and the
+    # fractional draw threshold are computed in PYTHON at the same
+    # 1/65536 grain every sampling operator uses — both engines then
+    # compare against identical hex literals (cf. x42's oracle note)
+    base_expr = None
+    thr_expr = None
+    for name, f in factors.items():
+        if f < 0:
+            raise ValueError(f"negative repeat factor for {name!r}: {f}")
+        cond = F.col(strata_col) == name
+        nb, th = int(math.floor(f)), _hex_threshold(f - math.floor(f))
+        base_expr = (
+            F.when(cond, F.lit(nb))
+            if base_expr is None
+            else base_expr.when(cond, F.lit(nb))
+        )
+        thr_expr = (
+            F.when(cond, F.lit(th))
+            if thr_expr is None
+            else thr_expr.when(cond, F.lit(th))
+        )
+    dnb = int(math.floor(default_factor))
+    dth = _hex_threshold(default_factor - math.floor(default_factor))
+    base = (
+        F.lit(dnb) if base_expr is None else base_expr.otherwise(F.lit(dnb))
+    )
+    thr = F.lit(dth) if thr_expr is None else thr_expr.otherwise(F.lit(dth))
+    extra = (_hash_prefix(F.col(id_col), salt) < thr).cast("int")
+    n = (base + extra).alias("n_copies")
+    counted = df.select("*", n).filter(F.col("n_copies") > 0)
+    return counted.select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n_copies"), F.lit(1))
+        ).alias(out_col),
     )

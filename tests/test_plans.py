@@ -617,3 +617,12 @@ def test_asof_nearest_single_exchange(spark, sf_smoke):
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_epoch_repeat_zero_shuffle(spark, sf_smoke):
+    """x54's repeat-factor materialization is scan-local (literal
+    when-chain + own-id hash + explode) — the plan must contain NO
+    Exchange; the shuffle belongs to downstream consumers (x27/x44)."""
+    df = all_queries()["x54_epoch_repeat"](spark, sf_smoke)
+    plan = _plan(df)
+    assert "Exchange" not in plan

@@ -279,3 +279,39 @@ def test_temperature_sample_null_stratum_is_a_stratum(spark):
     # the larger stratum is hash-downsampled toward it: (200/40)^-0.5
     # ~= 0.447 keep rate; the md5 draw concentrates around it
     assert 0 < by_src.get("web", 0) < 200
+
+
+def test_epoch_repeat_matches_hash_reference(spark):
+    """epoch_repeat per-row copy counts against a direct hashlib
+    reference: floor(f) guaranteed copies + one iff the md5-prefix
+    draw clears frac(f); factor-0 strata vanish, copy_idx enumerates
+    1..n_copies exactly once each."""
+    import hashlib
+    import math as m
+
+    from stock_market_etl_spark.operators.sampling import (
+        _hex_threshold,
+        epoch_repeat,
+    )
+
+    factors = {"a": 2.5, "b": 0.25, "c": 0.0}
+    rows = [(i, "abcd"[i % 4]) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = epoch_repeat(
+        df, factors, strata_col="source", id_col="doc_id", salt="s1"
+    ).collect()
+
+    got: dict[int, list[int]] = {}
+    ncop: dict[int, int] = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(r["copy_idx"])
+        # n_copies must be identical on every copy of the same doc
+        assert ncop.setdefault(r["doc_id"], r["n_copies"]) == r["n_copies"]
+    for doc_id, src in rows:
+        f = factors.get(src, 1.0)
+        prefix = hashlib.md5(f"{doc_id}s1".encode()).hexdigest()[:4]
+        expect = int(m.floor(f)) + (
+            1 if prefix < _hex_threshold(f - m.floor(f)) else 0
+        )
+        idxs = sorted(got.get(doc_id, []))
+        assert idxs == list(range(1, expect + 1)), (doc_id, src, f)

@@ -111,6 +111,9 @@ SCALE_QUERIES = [
     # passthrough values → exact)
     ("d12_asof_forward_tolerance", True),
     ("d13_asof_nearest", True),
+    # r07 addition: repeat-factor materializer (BIGINT counts/indexes
+    # → exact)
+    ("x54_epoch_repeat", True),
 ]
 
 
