@@ -1590,3 +1590,19 @@ def x54_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_copies").cast("long").alias("n_copies"),
         F.col("copy_idx").cast("long").alias("copy_idx"),
     )
+
+
+@_q("x55_semdedup")
+def x55_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (operators/similarity.py semdedup):
+    k-means-cluster the embeddings, then drop every vector with a
+    lower-id in-cluster neighbor at cosine ≥ 0.4 — cluster-scoped
+    pruning instead of x16's all-pairs scan, the embedding-space
+    third tier after exact (x16) and LSH-blocked (x17). k-means makes
+    the assignment engine-specific → rows-only; hard evidence is the
+    survivor invariant (no two survivors share a cluster at ≥
+    threshold) and the x16-agreement test in tests/test_extensions.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semdedup(emb, n_clusters=8, threshold=0.4).select(
+        "vec_id"
+    )

@@ -726,3 +726,68 @@ def pq_topk(
         id_col=id_col,
         vec_col=vec_col,
     )
+
+
+def semdedup(
+    df: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by CLUSTER-SCOPED cosine pruning — k-means the
+    embeddings (the same seeded coarse quantizer the IVF index uses),
+    then inside each cluster drop every vector that has a LOWER-id
+    neighbor with cosine ≥ ``threshold``. Returns the surviving rows
+    of ``df``. The drop rule is deterministic given the assignment
+    (lowest id in a mutually-similar group always survives), and the
+    invariant it enforces — no two survivors in one cluster with
+    cosine ≥ threshold — is recomputed independently in
+    tests/test_extensions.py.
+
+    Scale shape: the pair comparison is an EQUALITY self-join on the
+    cluster id (shuffle-partitionable, like the LSH bucket joins —
+    O(Σ n_c²) bucket-local work, never the O(n²) corpus scan); the
+    drop set reduces to distinct ids before a hash-grain left-anti
+    join, so full vectors cross the anti-join boundary only for
+    surviving rows. k-means makes the assignment engine-specific →
+    rows-only in the driver gate (same policy as x15/x17/x21), with
+    the invariant + x16-agreement tests as the hard evidence.
+    """
+    assigned, _ = ivf_index(
+        df, n_lists=n_clusters, seed=seed, vec_col=vec_col
+    )
+    v = (
+        assigned.select(
+            F.col(id_col), F.col("__cell"), _as_double(F.col(vec_col)).alias("__v")
+        )
+        .withColumn("__n", l2_norm(F.col("__v")))
+        .persist()
+    )
+    a = v.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__cell").alias("__ca"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__cell").alias("__cb"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    sim = F.round(
+        dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+    )
+    drops = (
+        a.join(
+            b,
+            (F.col("__ca") == F.col("__cb")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(sim >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(drops, id_col, "left_anti")

@@ -1056,3 +1056,57 @@ def test_session_transcripts_order_and_gaps(spark):
         for r in session_transcripts(df, gap_minutes=30).collect()
     )
     assert out == [(1, 3, "a b c"), (2, 2, "d e")]
+
+
+def test_semdedup_invariants_and_x16_agreement(spark, sf_smoke):
+    """semdedup's drop rule, recomputed independently with numpy:
+    (a) survivors are a subset of the input; (b) no two survivors in
+    the same k-means cluster have cosine >= threshold (the SemDeDup
+    guarantee); (c) for every exact x16-style near-dup pair that is
+    CO-CLUSTERED, the higher id is dropped — cluster-scoped agreement
+    with the all-pairs ground truth."""
+    import numpy as np
+
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators import similarity
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    thr = 0.4
+    survivors = {
+        r["vec_id"]
+        for r in similarity.semdedup(
+            emb, n_clusters=8, threshold=thr
+        ).select("vec_id").collect()
+    }
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert survivors <= all_ids and survivors
+
+    # identical seeded k-means on identical input → identical cells
+    assigned, _ = similarity.ivf_index(emb, n_lists=8, seed=42)
+    rows = assigned.select("vec_id", "__cell", "embedding").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    cell = {r["vec_id"]: r["__cell"] for r in rows}
+
+    def cos(a, b):
+        return round(
+            float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))), 6
+        )
+
+    by_cell: dict[int, list[int]] = {}
+    for vid, c in cell.items():
+        by_cell.setdefault(c, []).append(vid)
+    dropped_expect = set()
+    for ids in by_cell.values():
+        for i, vb in enumerate(sorted(ids)):
+            for va in sorted(ids)[:i]:
+                if cos(vecs[va], vecs[vb]) >= thr:
+                    dropped_expect.add(vb)
+                    break
+    assert survivors == all_ids - dropped_expect
+    # (b) and (c) follow from the set equality, but assert (b) directly
+    # so a future rule change can't silently weaken the guarantee
+    for ids in by_cell.values():
+        surv = sorted(set(ids) & survivors)
+        for i, vb in enumerate(surv):
+            for va in surv[:i]:
+                assert cos(vecs[va], vecs[vb]) < thr, (va, vb)
