@@ -95,6 +95,9 @@ BENCH_QUERIES = [
     # r07 addition: interval-overlap join — sessions exploded onto
     # time bins, bin-equality join, anchor-bin dedup (never cartesian).
     "d11_interval_overlap_pairs",
+    # r07 addition: nearest as-of join — both direction passes over
+    # ONE key exchange (two sorts, shared partitioning).
+    "d13_asof_nearest",
 ]
 
 

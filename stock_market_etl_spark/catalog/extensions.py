@@ -1606,3 +1606,73 @@ def x55_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup(emb, n_clusters=8, threshold=0.4).select(
         "vec_id"
     )
+
+
+@_q(
+    "x56_gopher_repetition",
+    rf"""WITH b AS (
+         SELECT doc_id,
+                CAST(length(array_to_string({_TOKS}, ' ')) AS DOUBLE)
+                  AS base,
+                {_TOKS} AS t
+         FROM documents),
+       grams AS (
+         SELECT doc_id, base, 2 AS n,
+                unnest(list_transform(
+                  range(1, greatest(len(t) - 1, 0) + 1),
+                  i -> t[i] || ' ' || t[i + 1])) AS g
+         FROM b WHERE len(t) >= 2
+         UNION ALL
+         SELECT doc_id, base, 3,
+                unnest(list_transform(
+                  range(1, greatest(len(t) - 2, 0) + 1),
+                  i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+         FROM b WHERE len(t) >= 3
+         UNION ALL
+         SELECT doc_id, base, 5,
+                unnest(list_transform(
+                  range(1, greatest(len(t) - 4, 0) + 1),
+                  i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+                       || ' ' || t[i + 3] || ' ' || t[i + 4]))
+         FROM b WHERE len(t) >= 5),
+       gc AS (
+         SELECT doc_id, n, g, any_value(base) AS base, count(*) AS c
+         FROM grams GROUP BY doc_id, n, g),
+       rk AS (
+         SELECT doc_id, n, base, c,
+                CAST(c * length(g) AS DOUBLE) AS cgl,
+                row_number() OVER (
+                  PARTITION BY doc_id, n
+                  ORDER BY c DESC, c * length(g) DESC, g DESC) AS rn
+         FROM gc),
+       pern AS (
+         SELECT doc_id, n, any_value(base) AS base,
+                sum(CASE WHEN rn = 1 THEN cgl ELSE 0 END) AS topcov,
+                sum(CASE WHEN c > 1 THEN cgl ELSE 0 END) AS dupcov
+         FROM rk GROUP BY doc_id, n),
+       pd AS (
+         SELECT doc_id,
+                max(CASE WHEN n = 2 THEN topcov / base END) AS t2,
+                max(CASE WHEN n = 3 THEN topcov / base END) AS t3,
+                max(CASE WHEN n = 5 THEN dupcov / base END) AS d5
+         FROM pern GROUP BY doc_id)
+       SELECT d.doc_id,
+              round(coalesce(t2, 0.0), 6) AS top2_frac,
+              round(coalesce(t3, 0.0), 6) AS top3_frac,
+              round(coalesce(d5, 0.0), 6) AS dup5_frac,
+              (round(coalesce(t2, 0.0), 6) <= 0.20
+               AND round(coalesce(t3, 0.0), 6) <= 0.18
+               AND round(coalesce(d5, 0.0), 6) <= 0.15) AS keep
+       FROM documents d LEFT JOIN pd USING (doc_id)""",
+)
+def x56_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules (operators/text.py repetition_metrics):
+    per-document character coverage of the most common 2-/3-gram and
+    of all duplicate 5-grams, with the paper's keep thresholds — the
+    n-gram half of Gopher's quality gates (x51 is the word-grain
+    half; together they are the full hard-filter stage). Linear-cost
+    gram counting: hash-agg on (doc, n, gram) with map-side partials
+    (doc_id in the key kills corpus-frequent-gram skew), two doc-keyed
+    rollups, no corpus-wide join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.repetition_metrics(docs)

@@ -600,3 +600,89 @@ def paragraph_contamination(
             ),
         )
     )
+
+
+def repetition_metrics(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021 §A1.1, the n-gram
+    half; x51 covers the word-grain half): per document, the fraction
+    of characters covered by the most common 2-gram and 3-gram and by
+    ALL duplicate 5-grams, plus the composed keep decision
+    (top2 ≤ 0.20, top3 ≤ 0.18, dup5 ≤ 0.15 — the paper's thresholds
+    for those rows). Character base is the whitespace-normalized text
+    (tokens re-joined by single spaces); an n-gram occurrence covers
+    ``count * len(gram)`` characters (the paper's naive coverage —
+    overlaps double-count). Documents too short for any gram score
+    0.0 on every metric (nothing repeats).
+
+    Scale shape: gram counting is the LINEAR form — explode to
+    (doc, n, gram) and hash-aggregate with map-side partials (the key
+    embeds doc_id, so corpus-frequent grams cannot skew a reducer),
+    then two doc-keyed rollups; no corpus-wide join, text leaves the
+    scan only as gram strings. The row-local array-functions
+    alternative (filter/size per gram) is O(tokens²) per document and
+    loses at book-length docs, so it is deliberately not used.
+    The top-gram choice is a max over (count, count*len, gram)
+    structs — a deterministic total order mirrored by the oracle's
+    row_number sort.
+    """
+    t = tokens(F.col(text_col))
+    base = F.length(F.concat_ws(" ", t)).cast("double")
+
+    def grams(n: int) -> Column:
+        idx = F.when(
+            F.size(t) >= n,
+            F.sequence(F.lit(1), F.size(t) - (n - 1), F.lit(1)),
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(t, i, n))
+        )
+
+    def tag(n: int):
+        # NB: must be a ONE-parameter lambda — F.transform treats a
+        # two-parameter lambda (e.g. `lambda g, n=n`) as the
+        # (element, index) form and silently passes the array INDEX
+        # into the second slot, clobbering the default
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    tagged = docs.select(
+        F.col(id_col),
+        base.alias("__base"),
+        F.explode(
+            F.concat(*[F.transform(grams(n), tag(n)) for n in (2, 3, 5)])
+        ).alias("__ng"),
+    ).select(
+        id_col, "__base", F.col("__ng.n").alias("n"), F.col("__ng.g").alias("g")
+    )
+    gc = tagged.groupBy(id_col, "n", "g").agg(
+        F.count("*").alias("c"), F.first("__base").alias("__base")
+    )
+    cgl = (F.col("c") * F.length("g")).cast("double")
+    pern = gc.groupBy(id_col, "n").agg(
+        F.max(
+            F.struct(F.col("c"), cgl.alias("cgl"), F.col("g"))
+        )["cgl"].alias("topcov"),
+        F.sum(F.when(F.col("c") > 1, cgl).otherwise(F.lit(0.0))).alias(
+            "dupcov"
+        ),
+        F.first("__base").alias("__base"),
+    )
+    per_doc = pern.groupBy(id_col).agg(
+        F.max(F.when(F.col("n") == 2, F.col("topcov") / F.col("__base"))).alias("__t2"),
+        F.max(F.when(F.col("n") == 3, F.col("topcov") / F.col("__base"))).alias("__t3"),
+        F.max(F.when(F.col("n") == 5, F.col("dupcov") / F.col("__base"))).alias("__d5"),
+    )
+    out = docs.select(F.col(id_col)).join(per_doc, id_col, "left")
+    t2 = F.round(F.coalesce("__t2", F.lit(0.0)), 6)
+    t3 = F.round(F.coalesce("__t3", F.lit(0.0)), 6)
+    d5 = F.round(F.coalesce("__d5", F.lit(0.0)), 6)
+    return out.select(
+        id_col,
+        t2.alias("top2_frac"),
+        t3.alias("top3_frac"),
+        d5.alias("dup5_frac"),
+        ((t2 <= 0.20) & (t3 <= 0.18) & (d5 <= 0.15)).alias("keep"),
+    )

@@ -1110,3 +1110,41 @@ def test_semdedup_invariants_and_x16_agreement(spark, sf_smoke):
         for i, vb in enumerate(surv):
             for va in surv[:i]:
                 assert cos(vecs[va], vecs[vb]) < thr, (va, vb)
+
+
+def test_repetition_metrics_synthetic(spark):
+    """repetition_metrics on hand-built docs: a heavily repeated
+    phrase must trip the Gopher thresholds (keep=false), a clean doc
+    must pass, and a too-short doc scores 0.0 everywhere. Expected
+    values computed by hand from the coverage definition
+    count * len(gram) / len(normalized_text)."""
+    from stock_market_etl_spark.operators.text import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            # "ab cd " x 8 -> top bigram "ab cd" count 8 (overlapping
+            # "cd ab" count 7); base = 47 chars
+            (1, " ".join(["ab cd"] * 8)),
+            # long enough that no single 2-/3-gram covers 20%/18% of
+            # chars (Gopher's coverage rules presume long documents)
+            (2, " ".join(f"w{i:02d}" for i in range(30))),
+            (3, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
+    r1 = out[1]
+    # 16 tokens -> base = len("ab cd "*8) - 1 = 47; top 2-gram covers
+    # 8 * 5 = 40 chars
+    assert r1["top2_frac"] == round(40 / 47, 6)
+    assert r1["keep"] is False
+    assert r1["dup5_frac"] > 0.15
+    r2 = out[2]
+    assert r2["keep"] is True and r2["dup5_frac"] == 0.0
+    r3 = out[3]
+    assert (
+        r3["top2_frac"] == 0.0
+        and r3["top3_frac"] == 0.0
+        and r3["dup5_frac"] == 0.0
+        and r3["keep"] is True
+    )

@@ -114,6 +114,9 @@ SCALE_QUERIES = [
     # r07 addition: repeat-factor materializer (BIGINT counts/indexes
     # → exact)
     ("x54_epoch_repeat", True),
+    # r07 addition: Gopher repetition rules (rounded coverage doubles
+    # + boolean keep → midpoint tolerance)
+    ("x56_gopher_repetition", False),
 ]
 
 
