@@ -427,3 +427,48 @@ def f11_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("distinct_types_10"),
     )
+
+
+@_q(
+    "f12_drawdown",
+    """WITH d AS (
+         SELECT event_id, user_id, ts,
+                value / max(value) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                  AS dd
+         FROM events)
+       SELECT event_id, user_id,
+              round(dd, 6) AS drawdown,
+              round(min(dd) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                AS max_drawdown
+       FROM d""",
+)
+def f12_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F superset: drawdown — each row's distance below its running
+    peak (value / running_max - 1, ≤ 0 by construction) and the
+    running MAXIMUM drawdown so far (the standard risk statistic; the
+    final row per key is the series' max drawdown). Two stacked
+    passes over ONE (user_id, ts, event_id) window spec — the running
+    peak feeds the ratio, a running min over the ratio tracks the
+    worst — so Catalyst plans one exchange + one sort with stacked
+    Window nodes, per-row state two scalars, nothing buffers the
+    partition (the flagship's plan shape, plan-asserted with
+    f9/f10/f11)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = F.col("value") / F.max("value").over(wr) - 1
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(dd, 6).alias("drawdown"),
+        F.round(F.min(dd).over(wr), 6).alias("max_drawdown"),
+    )

@@ -523,7 +523,7 @@ def test_rsi_and_ema_single_exchange(spark, sf_smoke):
     """f9's two window specs and f10's ten lags all share the one
     (user_id) partitioning — each query must compile to exactly one
     hash exchange, the flagship's plan shape."""
-    for name in ("f9_rsi", "f10_ema", "f11_sliding_distinct"):
+    for name in ("f9_rsi", "f10_ema", "f11_sliding_distinct", "f12_drawdown"):
         df = all_queries()[name](spark, sf_smoke)
         plan = _plan(df)
         assert plan.count("Exchange hashpartitioning") == 1, name

@@ -117,6 +117,9 @@ SCALE_QUERIES = [
     # r07 addition: Gopher repetition rules (rounded coverage doubles
     # + boolean keep → midpoint tolerance)
     ("x56_gopher_repetition", False),
+    # r07 addition: drawdown windows (rounded double ratios →
+    # midpoint tolerance)
+    ("f12_drawdown", False),
 ]
 
 
