@@ -361,3 +361,53 @@ def b12_clustered_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "user_id", "ts", F.round("value", 6).alias("value")
         )
     )
+
+
+@_q(
+    "b13_zorder_scan_prune",
+    """SELECT event_id, user_id, ts, round(value, 6) AS value
+       FROM events
+       WHERE user_id BETWEEN 40 AND 80
+         AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+         AND ts <  TIMESTAMP '2024-01-12 00:00:00'""",
+)
+def b13_zorder_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B (superset): Z-order lake layout + the 2-D box scan it buys
+    (``io.write_zordered`` — the Delta/Iceberg OPTIMIZE ZORDER move
+    on open parquet). b12's 1-D range clustering serves ts ranges but
+    leaves user_id spans full-width in every file; the Morton-key
+    layout gives each file a narrow footer BOX in both columns, so a
+    (user range x week) dashboard query skips every file whose box
+    misses it — on either axis — before decoding a row. The oracle
+    proves the layout lossless under the box read; box-intersection
+    file skipping is asserted from the real footers in
+    tests/test_sinks.py and the pushed filter in tests/test_plans.py.
+    Build-once per (process, sf) via _scratch, like b12."""
+    from stock_market_etl_spark.io import load_table, write_zordered
+
+    path, built = _scratch.cached_dir("zordered_events", sf_dir)
+    lake = f"{path}/events_by_user_ts"
+    if not built:
+        write_zordered(
+            load_table(spark, sf_dir, "events").select(
+                "event_id", "user_id", "ts", "value"
+            ),
+            lake,
+            "user_id",
+            "ts",
+            num_files=16,
+        )
+        _scratch.mark_built(path)
+    lo = F.lit("2024-01-05 00:00:00").cast("timestamp")
+    hi = F.lit("2024-01-12 00:00:00").cast("timestamp")
+    return (
+        spark.read.parquet(lake)
+        .filter(
+            F.col("user_id").between(40, 80)
+            & (F.col("ts") >= lo)
+            & (F.col("ts") < hi)
+        )
+        .select(
+            "event_id", "user_id", "ts", F.round("value", 6).alias("value")
+        )
+    )

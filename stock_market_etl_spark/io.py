@@ -310,3 +310,91 @@ def load_evolving(
         else:
             cols.append(F.col(field.name))
     return df.select(*cols)
+
+
+def zorder_key(
+    a: "Column",
+    b: "Column",
+    a_min: float,
+    a_max: float,
+    b_min: float,
+    b_max: float,
+    bits: int = 16,
+) -> "Column":
+    """Morton (Z-order) key for two columns: min-max-normalize each to
+    ``bits`` bits and interleave them, so rows close in BOTH
+    dimensions get close keys. Bounds arrive as plain floats (the
+    caller's one-row stats aggregate — index metadata, not data). A
+    degenerate dimension (min == max) maps to 0 and the key falls
+    back to 1-D ordering on the other column. Pure column arithmetic
+    (cast/floor/shift/or) — whole-stage-codegen'd, no UDF.
+    """
+    def norm(c: "Column", lo: float, hi: float) -> "Column":
+        span = hi - lo
+        if span <= 0:
+            return F.lit(0).cast("long")
+        scaled = (c.cast("double") - F.lit(lo)) / F.lit(span) * F.lit(
+            float((1 << bits) - 1)
+        )
+        clamped = F.least(
+            F.greatest(scaled, F.lit(0.0)), F.lit(float((1 << bits) - 1))
+        )
+        return F.floor(clamped).cast("long")
+
+    na, nb = norm(a, a_min, a_max), norm(b, b_min, b_max)
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_a = F.shiftleft(
+            F.shiftright(na, i).bitwiseAND(F.lit(1).cast("long")), 2 * i
+        )
+        bit_b = F.shiftleft(
+            F.shiftright(nb, i).bitwiseAND(F.lit(1).cast("long")), 2 * i + 1
+        )
+        key = key.bitwiseOR(bit_a).bitwiseOR(bit_b)
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    num_files: int | None = None,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet write — the 2-D extension of
+    ``write_clustered``: files are range-partitioned + sorted on the
+    Morton key of (``col_a``, ``col_b``), so every file's footer
+    carries a narrow min/max BOX in both columns at once and a box
+    predicate (user range × time range) skips every file whose box
+    misses it. 1-D range clustering can only serve one of the two
+    dimensions; Z-order trades a little per-dimension tightness for
+    skippability on both — the Delta/Iceberg OPTIMIZE ZORDER move,
+    here as a plain column expression over open parquet. The column
+    bounds come from one bounded stats aggregate (driver-side index
+    metadata, same class as IVF centroids); the write costs one range
+    shuffle on the key; reads need no new API. Box-intersection file
+    skipping is asserted from the real footers in tests/test_sinks.py.
+    """
+    stats = df.agg(
+        F.min(F.col(col_a).cast("double")),
+        F.max(F.col(col_a).cast("double")),
+        F.min(F.col(col_b).cast("double")),
+        F.max(F.col(col_b).cast("double")),
+    ).collect()[0]
+    a_min, a_max, b_min, b_max = (float(x) for x in stats)
+    key = zorder_key(
+        F.col(col_a), F.col(col_b), a_min, a_max, b_min, b_max, bits
+    )
+    n = num_files or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    (
+        df.withColumn("__zkey", key)
+        .repartitionByRange(n, F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -626,3 +626,20 @@ def test_epoch_repeat_zero_shuffle(spark, sf_smoke):
     df = all_queries()["x54_epoch_repeat"](spark, sf_smoke)
     plan = _plan(df)
     assert "Exchange" not in plan
+
+
+def test_zorder_scan_pushes_box_predicate(spark, sf_smoke):
+    """b13's box read must reach the parquet scan as pushed filters on
+    BOTH dimensions — the stats the Z-order footers make skippable.
+    (Formatted explain: the 6-filter list overflows toString's field
+    truncation.)"""
+    df = all_queries()["b13_zorder_scan_prune"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(user_id" in plan
+    assert "LessThanOrEqual(user_id" in plan
+    assert "GreaterThanOrEqual(ts" in plan and "LessThan(ts" in plan

@@ -120,6 +120,9 @@ SCALE_QUERIES = [
     # r07 addition: drawdown windows (rounded double ratios →
     # midpoint tolerance)
     ("f12_drawdown", False),
+    # r07 addition: Z-order box scan (float value column → midpoint
+    # tolerance, like b12)
+    ("b13_zorder_scan_prune", False),
 ]
 
 

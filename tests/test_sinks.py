@@ -393,3 +393,58 @@ def test_write_clustered_footer_bands_disjoint(spark, sf_smoke, tmp_path):
     # half the full span (unclustered files would each cover ~all)
     for lo, hi in bands:
         assert (hi - lo) <= span / 2
+
+
+def test_write_zordered_box_skipping(spark, sf_smoke, tmp_path):
+    """write_zordered's 2-D pruning claim, verified on the files: each
+    output file's footer must carry a min/max BOX in (user_id, ts)
+    narrow enough that a small query box skips a real fraction of the
+    files ON EITHER AXIS — a 1-D ts-clustered layout can never skip on
+    user_id, and an unclustered layout skips on neither."""
+    import glob
+    from datetime import timedelta
+
+    import pyarrow.parquet as pq
+
+    from stock_market_etl_spark.io import load_table, write_zordered
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    path = str(tmp_path / "zordered")
+    write_zordered(ev, path, "user_id", "ts", num_files=8)
+
+    boxes = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        cols = {
+            md.row_group(0).column(j).path_in_schema: j
+            for j in range(md.row_group(0).num_columns)
+        }
+        ulo = uhi = tlo = thi = None
+        for i in range(md.num_row_groups):
+            su = md.row_group(i).column(cols["user_id"]).statistics
+            st = md.row_group(i).column(cols["ts"]).statistics
+            assert su.has_min_max and st.has_min_max
+            ulo = su.min if ulo is None else min(ulo, su.min)
+            uhi = su.max if uhi is None else max(uhi, su.max)
+            tlo = st.min if tlo is None else min(tlo, st.min)
+            thi = st.max if thi is None else max(thi, st.max)
+        boxes.append((ulo, uhi, tlo, thi))
+    assert len(boxes) >= 4
+
+    u_all = (min(b[0] for b in boxes), max(b[1] for b in boxes))
+    t_all = (min(b[2] for b in boxes), max(b[3] for b in boxes))
+    # query box: bottom quarter of users x first quarter of time
+    u_q = (u_all[0], u_all[0] + (u_all[1] - u_all[0]) // 4)
+    t_span = t_all[1] - t_all[0]
+    t_q = (t_all[0], t_all[0] + timedelta(seconds=t_span.total_seconds() / 4))
+    hit = [
+        b
+        for b in boxes
+        if not (b[1] < u_q[0] or b[0] > u_q[1] or b[3] < t_q[0] or b[2] > t_q[1])
+    ]
+    # a quarter x quarter box over a Morton layout must miss SOME
+    # files (both-axis skipping); 1-D ts clustering would make every
+    # user-range predicate hit every file
+    assert len(hit) < len(boxes), (len(hit), len(boxes))
