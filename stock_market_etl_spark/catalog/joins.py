@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from stock_market_etl_spark.io import load_table
+from stock_market_etl_spark.operators import skew
 from stock_market_etl_spark.operators.asof import (
     asof_join,
     asof_join_directional,
@@ -498,4 +499,37 @@ def d13_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "ts_right",
         F.round("value_right", 6).alias("value_right"),
+    )
+
+
+@_q(
+    "d14_salted_join",
+    """WITH profile AS (
+         SELECT user_id, round(avg(value), 6) AS user_avg
+         FROM events GROUP BY user_id)
+       SELECT e.event_id, e.user_id,
+              round(e.value - p.user_avg, 6) AS dev_from_avg
+       FROM events e JOIN profile p USING (user_id)""",
+)
+def d14_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D superset: SALTED join (operators/skew.py salted_join) — the
+    manual skew-mitigation move for a heavy fact ⋈ per-key profile
+    join where the profile is too large to broadcast and one key
+    dominates the fact: the fact side spreads each key over 8 salt
+    sub-keys, the profile replicates per salt, and no reducer ever
+    sees a hot key's full row set. The oracle is the PLAIN join —
+    salting must be row-identical to it by construction (it changes
+    where rows meet, never which rows match); the salt fan-out and
+    two-key shuffle join are plan-asserted."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    profile = ev.groupBy("user_id").agg(
+        F.round(F.avg("value"), 6).alias("user_avg")
+    )
+    joined = skew.salted_join(ev, profile, on="user_id", n_salts=8)
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.col("user_avg"), 6).alias("dev_from_avg"),
     )

@@ -1148,3 +1148,36 @@ def test_repetition_metrics_synthetic(spark):
         and r3["dup5_frac"] == 0.0
         and r3["keep"] is True
     )
+
+
+def test_salted_join_row_identical_on_skew(spark):
+    """salted_join on a pathologically skewed key distribution (one
+    key holds 90% of the heavy side) must return exactly the plain
+    join's rows, for inner and left (including unmatched-left nulls),
+    and must reject replication-unsafe join types."""
+    import pytest as _pytest
+
+    from stock_market_etl_spark.operators.skew import salted_join
+
+    heavy = spark.createDataFrame(
+        [(1, i) for i in range(900)]
+        + [(k, 1000 + k) for k in range(2, 102)]
+        + [(999, -1)],  # key absent from light
+        "k long, payload long",
+    )
+    light = spark.createDataFrame(
+        [(1, "hot")] + [(k, f"v{k}") for k in range(2, 102)],
+        "k long, tag string",
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            (r["k"], r["payload"], r["tag"])
+            for r in salted_join(heavy, light, on="k", how=how).collect()
+        )
+        exp = sorted(
+            (r["k"], r["payload"], r["tag"])
+            for r in heavy.join(light, "k", how).collect()
+        )
+        assert got == exp, how
+    with _pytest.raises(ValueError):
+        salted_join(heavy, light, on="k", how="full")

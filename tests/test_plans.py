@@ -643,3 +643,15 @@ def test_zorder_scan_pushes_box_predicate(spark, sf_smoke):
     assert "GreaterThanOrEqual(user_id" in plan
     assert "LessThanOrEqual(user_id" in plan
     assert "GreaterThanOrEqual(ts" in plan and "LessThan(ts" in plan
+
+
+def test_salted_join_spreads_key(spark, sf_smoke):
+    """d14's salted join must actually engage the salt mechanism: the
+    light side fans out through an explode (Generate) and the shuffle
+    join keys on (user_id, __salt), so no reducer owns a whole hot
+    key."""
+    df = all_queries()["d14_salted_join"](spark, sf_smoke)
+    plan = _plan(df)
+    assert "Generate explode" in plan
+    assert "__salt" in plan
+    assert "CartesianProduct" not in plan

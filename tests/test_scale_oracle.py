@@ -123,6 +123,9 @@ SCALE_QUERIES = [
     # r07 addition: Z-order box scan (float value column → midpoint
     # tolerance, like b12)
     ("b13_zorder_scan_prune", False),
+    # r07 addition: salted skew join (rounded double deviation →
+    # midpoint tolerance)
+    ("d14_salted_join", False),
 ]
 
 
