@@ -1676,3 +1676,137 @@ def x56_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollups, no corpus-wide join."""
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.repetition_metrics(docs)
+
+
+#: x57's oracle: x51's word gates AND x56's repetition gates, then
+#: x49's first-occurrence block dedup ON THE SURVIVORS, then x22's
+#: hash split — one CTE chain mirroring the single fused Spark plan.
+_X57_SQL = rf"""WITH wordgate AS (
+     SELECT doc_id FROM (
+       SELECT doc_id, text, {_TOKS} AS toks FROM documents) t
+     WHERE round(CAST(list_sum(list_transform(toks, x -> length(x)))
+                      AS DOUBLE) / len(toks), 6) BETWEEN 3.0 AND 10.0
+       AND round((length(text) - length(replace(text, '#', ''))
+                  + (length(text) - length(replace(text, '...', ''))) / 3.0)
+                 / len(toks), 6) <= 0.1
+       AND round(CAST(len(list_filter(toks,
+                      x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                 / len(toks), 6) >= 0.8
+       AND CAST(len(list_filter(toks,
+                 x -> list_contains({_sql_list(STOPWORDS)}, x)))
+                AS BIGINT) >= 2),
+   rb AS (
+     SELECT doc_id,
+            CAST(length(array_to_string({_TOKS}, ' ')) AS DOUBLE) AS base,
+            {_TOKS} AS t
+     FROM documents),
+   rgrams AS (
+     SELECT doc_id, base, 2 AS n,
+            unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                                  i -> t[i] || ' ' || t[i + 1])) AS g
+     FROM rb WHERE len(t) >= 2
+     UNION ALL
+     SELECT doc_id, base, 3,
+            unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+     FROM rb WHERE len(t) >= 3
+     UNION ALL
+     SELECT doc_id, base, 5,
+            unnest(list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+                        || ' ' || t[i + 3] || ' ' || t[i + 4]))
+     FROM rb WHERE len(t) >= 5),
+   rgc AS (
+     SELECT doc_id, n, g, any_value(base) AS base, count(*) AS c
+     FROM rgrams GROUP BY doc_id, n, g),
+   rrk AS (
+     SELECT doc_id, n, base, c, CAST(c * length(g) AS DOUBLE) AS cgl,
+            row_number() OVER (PARTITION BY doc_id, n
+              ORDER BY c DESC, c * length(g) DESC, g DESC) AS rn
+     FROM rgc),
+   rpern AS (
+     SELECT doc_id, n, any_value(base) AS base,
+            sum(CASE WHEN rn = 1 THEN cgl ELSE 0 END) AS topcov,
+            sum(CASE WHEN c > 1 THEN cgl ELSE 0 END) AS dupcov
+     FROM rrk GROUP BY doc_id, n),
+   rpd AS (
+     SELECT doc_id,
+            max(CASE WHEN n = 2 THEN topcov / base END) AS t2,
+            max(CASE WHEN n = 3 THEN topcov / base END) AS t3,
+            max(CASE WHEN n = 5 THEN dupcov / base END) AS d5
+     FROM rpern GROUP BY doc_id),
+   repgate AS (
+     SELECT d.doc_id FROM documents d LEFT JOIN rpd USING (doc_id)
+     WHERE round(coalesce(t2, 0.0), 6) <= 0.20
+       AND round(coalesce(t3, 0.0), 6) <= 0.18
+       AND round(coalesce(d5, 0.0), 6) <= 0.15),
+   gated AS (
+     SELECT d.doc_id, d.text FROM documents d
+     JOIN wordgate USING (doc_id) JOIN repgate USING (doc_id)),
+   toks AS (
+     SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+     FROM gated),
+   idx AS (
+     SELECT doc_id,
+            generate_subscripts(
+                range(1, greatest(len(t), 1) + 1, 20), 1) AS bi,
+            unnest(range(1, greatest(len(t), 1) + 1, 20)) AS s, t
+     FROM toks),
+   blocks AS (
+     SELECT doc_id, CAST(bi - 1 AS INT) AS idx,
+            array_to_string(t[s:s+19], ' ') AS b
+     FROM idx),
+   firsts AS (
+     SELECT doc_id, idx FROM (
+       SELECT doc_id, idx,
+              ROW_NUMBER() OVER (PARTITION BY b
+                                 ORDER BY doc_id, idx) AS rn
+       FROM blocks)
+     WHERE rn = 1),
+   agg AS (
+     SELECT bl.doc_id, count(*) AS n_kept
+     FROM blocks bl JOIN firsts USING (doc_id, idx)
+     GROUP BY bl.doc_id),
+   tot AS (
+     SELECT doc_id, count(*) AS n_total FROM blocks GROUP BY doc_id)
+   SELECT t.doc_id,
+          CAST(a.n_kept AS BIGINT) AS n_kept,
+          CAST(t.n_total AS BIGINT) AS n_total,
+          CASE WHEN substr(md5(CAST(t.doc_id AS VARCHAR) || 'split-v1'),
+                           1, 4) < 'e666' THEN 'train'
+               WHEN substr(md5(CAST(t.doc_id AS VARCHAR) || 'split-v1'),
+                           1, 4) < 'f333' THEN 'val'
+               ELSE 'test' END AS split
+   FROM tot t JOIN agg a USING (doc_id)
+   WHERE a.n_kept > 0"""
+
+
+@_q("x57_gopher_pipeline", _X57_SQL)
+def x57_gopher_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-build flagship v3 — the C4/Gopher text stack
+    fused into ONE Catalyst plan: x51's word-grain gates AND x56's
+    repetition gates filter the raw corpus, x49's first-occurrence
+    paragraph dedup runs on the survivors (dedup AFTER gating — the
+    real pipeline order, so junk never competes for block
+    first-occurrence), empty-after-dedup docs drop (the C4 rule), and
+    x22's hash split labels what remains. Mirrors x46/x48's curation
+    composition for the quality-gate half of the toolbox. Every
+    stage's scale shape is its component's: zero-shuffle gates,
+    hash-grain block exchanges, scan-local split."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = text_ops.gopher_metrics(F.col("text"))
+    word_ok = docs.filter(text_ops.gopher_keep(m)).select("doc_id")
+    rep_ok = (
+        text_ops.repetition_metrics(docs).filter(F.col("keep")).select("doc_id")
+    )
+    gated = (
+        docs.join(word_ok, "doc_id", "semi").join(rep_ok, "doc_id", "semi")
+    )
+    dd = dedup.paragraph_dedup(gated, para_tokens=20)
+    kept = dd.filter(F.col("n_kept") > 0)
+    return sampling.deterministic_split(
+        kept,
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+        id_col="doc_id",
+        salt="split-v1",
+    ).select("doc_id", "n_kept", "n_total", "split")

@@ -126,6 +126,10 @@ SCALE_QUERIES = [
     # r07 addition: salted skew join (rounded double deviation →
     # midpoint tolerance)
     ("d14_salted_join", False),
+    # r07 addition: composed Gopher pipeline (BIGINT counts + split
+    # labels → exact; a gate midpoint flip would show as row drift,
+    # which both modes fail on)
+    ("x57_gopher_pipeline", True),
 ]
 
 
