@@ -621,50 +621,75 @@ def repetition_metrics(
     Scale shape: gram counting is the LINEAR form — explode to
     (doc, n, gram) and hash-aggregate with map-side partials (the key
     embeds doc_id, so corpus-frequent grams cannot skew a reducer),
-    then two doc-keyed rollups; no corpus-wide join, text leaves the
-    scan only as gram strings. The row-local array-functions
-    alternative (filter/size per gram) is O(tokens²) per document and
-    loses at book-length docs, so it is deliberately not used.
-    The top-gram choice is a max over (count, count*len, gram)
-    structs — a deterministic total order mirrored by the oracle's
-    row_number sort.
+    then two doc-keyed rollups; no corpus-wide join. Gram TEXT never
+    enters the exchange: each gram reduces to (xxhash64, char length)
+    inside the scan stage (x49's move — measured 10× on the sf0.1
+    corpus, string keys cost ~270 MB of shuffle vs ~8 bytes/row
+    hashed; a same-doc 64-bit collision would merge two counts,
+    P ≈ n²/2⁶⁵ per doc — negligible exactly as x49's sha2 argument).
+    The top-gram choice maxes (count, count*len) structs; no string
+    tiebreak is needed because any (count, count*len) tie yields the
+    SAME coverage, which is all the metric reads — the oracle's
+    row_number over the gram text picks some gram, but its topcov is
+    identical. The row-local array-functions alternative (filter/size
+    per gram) is O(tokens²) per document and loses at book-length
+    docs, so it is deliberately not used.
     """
     t = tokens(F.col(text_col))
+    sz = F.size(t)
     base = F.length(F.concat_ws(" ", t)).cast("double")
 
     def grams(n: int) -> Column:
-        idx = F.when(
-            F.size(t) >= n,
-            F.sequence(F.lit(1), F.size(t) - (n - 1), F.lit(1)),
-        ).otherwise(F.array().cast("array<int>"))
-        return F.transform(
-            idx, lambda i: F.concat_ws(" ", F.slice(t, i, n))
-        )
+        # sliding n-gram via arrays_zip of n shifted slices — n array
+        # slices per DOCUMENT (not per position; the per-position
+        # slice+concat form ran interpreted at ~5x this cost,
+        # measured at sf0.1). Each gram reduces to (hash of its n
+        # token fields, joined char length) right here in the scan
+        # stage; no gram string is ever materialized.
+        m = sz - (n - 1)
+        z = F.arrays_zip(*[F.slice(t, i + 1, m) for i in range(n)])
 
-    def tag(n: int):
-        # NB: must be a ONE-parameter lambda — F.transform treats a
-        # two-parameter lambda (e.g. `lambda g, n=n`) as the
-        # (element, index) form and silently passes the array INDEX
-        # into the second slot, clobbering the default
-        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+        def h(s: Column) -> Column:
+            # NB: one-parameter lambda — F.transform treats a
+            # two-parameter lambda as the (element, index) form
+            fields = [s[str(i)] for i in range(n)]
+            gl = sum(
+                (F.length(f) for f in fields), F.lit(0)
+            ) + F.lit(n - 1)
+            return F.struct(
+                F.lit(n).alias("n"),
+                F.xxhash64(*fields).alias("gh"),
+                gl.alias("gl"),
+            )
+
+        empty = F.array().cast(
+            "array<struct<n:int,gh:bigint,gl:int>>"
+        )
+        return F.when(sz >= n, F.transform(z, h)).otherwise(empty)
 
     tagged = docs.select(
         F.col(id_col),
         base.alias("__base"),
         F.explode(
-            F.concat(*[F.transform(grams(n), tag(n)) for n in (2, 3, 5)])
+            F.concat(*[grams(n) for n in (2, 3, 5)])
         ).alias("__ng"),
     ).select(
-        id_col, "__base", F.col("__ng.n").alias("n"), F.col("__ng.g").alias("g")
+        id_col,
+        "__base",
+        F.col("__ng.n").alias("n"),
+        F.col("__ng.gh").alias("gh"),
+        F.col("__ng.gl").alias("gl"),
     )
-    gc = tagged.groupBy(id_col, "n", "g").agg(
-        F.count("*").alias("c"), F.first("__base").alias("__base")
+    gc = tagged.groupBy(id_col, "n", "gh").agg(
+        F.count("*").alias("c"),
+        F.first("gl").alias("gl"),
+        F.first("__base").alias("__base"),
     )
-    cgl = (F.col("c") * F.length("g")).cast("double")
+    cgl = (F.col("c") * F.col("gl")).cast("double")
     pern = gc.groupBy(id_col, "n").agg(
-        F.max(
-            F.struct(F.col("c"), cgl.alias("cgl"), F.col("g"))
-        )["cgl"].alias("topcov"),
+        F.max(F.struct(F.col("c"), cgl.alias("cgl")))["cgl"].alias(
+            "topcov"
+        ),
         F.sum(F.when(F.col("c") > 1, cgl).otherwise(F.lit(0.0))).alias(
             "dupcov"
         ),
