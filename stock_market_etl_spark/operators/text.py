@@ -635,9 +635,15 @@ def repetition_metrics(
     per gram) is O(tokens²) per document and loses at book-length
     docs, so it is deliberately not used.
     """
-    t = tokens(F.col(text_col))
+    # Materialize the token array in its OWN projection below the
+    # explode. Generate (explode) nodes get no subexpression
+    # elimination, so referencing tokens() directly in the generator
+    # expression re-runs the regex split per slice bound and per
+    # length guard — ~18 evaluations/row, measured 14.4 s vs 1.3 s at
+    # sf0.1. Generate never collapses into its child Project, so the
+    # split stays single-evaluation.
+    t = F.col("__t")
     sz = F.size(t)
-    base = F.length(F.concat_ws(" ", t)).cast("double")
 
     def grams(n: int) -> Column:
         # sliding n-gram via arrays_zip of n shifted slices — n array
@@ -667,9 +673,20 @@ def repetition_metrics(
         )
         return F.when(sz >= n, F.transform(z, h)).otherwise(empty)
 
-    tagged = docs.select(
+    # __base (normalized char count) is computed HERE too: one level
+    # up it lands in the Project above the Generate and concat_ws
+    # rebuilds the full document string once per GRAM row (~5 s at
+    # sf0.1); here it is once per document, and codegen subexpression
+    # elimination shares the split between __t and __base.
+    toks = tokens(F.col(text_col))
+    tokenized = docs.select(
         F.col(id_col),
-        base.alias("__base"),
+        toks.alias("__t"),
+        F.length(F.concat_ws(" ", toks)).cast("double").alias("__base"),
+    )
+    tagged = tokenized.select(
+        F.col(id_col),
+        F.col("__base"),
         F.explode(
             F.concat(*[grams(n) for n in (2, 3, 5)])
         ).alias("__ng"),
