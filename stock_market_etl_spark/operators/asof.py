@@ -48,25 +48,27 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned.select(
-        "*",
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"__ff_{c}")
-            for c in value_cols
-        ],
-        F.last(
-            F.when(F.col("__is_left") == 0, F.col(on)), ignorenulls=True
-        )
-        .over(w)
-        .alias(f"{on}{suffix}"),
+    # One struct per right row: the matched timestamp and its value
+    # columns travel together through a single ignore-nulls fill, so a
+    # NULL value in the matched right row stays NULL (pandas merge_asof
+    # / DuckDB ASOF parity) instead of back-filling from an older right
+    # row, and the fill is one window expression instead of one per
+    # value column.
+    row = F.when(
+        F.col("__is_left") == 0,
+        F.struct(
+            F.col(on).alias("__on"),
+            *[F.col(f"{c}{suffix}").alias(c) for c in value_cols],
+        ),
     )
-    out_cols = [c for c in left.columns] + [f"{on}{suffix}"] + [
-        f"__ff_{c}" for c in value_cols
-    ]
-    return (
-        filled.filter(F.col("__is_left") == 1)
-        .select(*out_cols)
-        .withColumnsRenamed({f"__ff_{c}": f"{c}{suffix}" for c in value_cols})
+    filled = unioned.select(
+        "*", F.last(row, ignorenulls=True).over(w).alias("__m")
+    )
+    m = F.col("__m")
+    return filled.filter(F.col("__is_left") == 1).select(
+        *left.columns,
+        m["__on"].alias(f"{on}{suffix}"),
+        *[m[c].alias(f"{c}{suffix}") for c in value_cols],
     )
 
 
@@ -111,40 +113,37 @@ def asof_join_directional(
     def _side(prefix: str, descending: bool):
         # right rows sort before left rows at identical timestamps in
         # BOTH orders (__is_left asc), so an exact-time right row is
-        # visible to the left row under <= and >= alike
+        # visible to the left row under <= and >= alike. The whole
+        # right row fills as ONE struct — timestamp and values always
+        # come from the same matched row, so a NULL value column in
+        # the matched row stays NULL (merge_asof parity) rather than
+        # back-filling from an older right row.
         order = F.col(on).desc() if descending else F.col(on).asc()
         w = (
             Window.partitionBy(key)
             .orderBy(order, F.col("__is_left").asc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        cols = [
-            F.last(f"{c}{suffix}", ignorenulls=True)
-            .over(w)
-            .alias(f"__{prefix}_{c}")
-            for c in value_cols
-        ]
-        cols.append(
-            F.last(
-                F.when(F.col("__is_left") == 0, F.col(on)),
-                ignorenulls=True,
-            )
-            .over(w)
-            .alias(f"__{prefix}_on")
+        row = F.when(
+            F.col("__is_left") == 0,
+            F.struct(
+                F.col(on).alias("__on"),
+                *[F.col(f"{c}{suffix}").alias(c) for c in value_cols],
+            ),
         )
-        return cols
+        return F.last(row, ignorenulls=True).over(w).alias(f"__{prefix}")
 
     fills = []
     if direction in ("backward", "nearest"):
-        fills += _side("b", descending=False)
+        fills.append(_side("b", descending=False))
     if direction in ("forward", "nearest"):
-        fills += _side("f", descending=True)
+        fills.append(_side("f", descending=True))
     filled = unioned.select("*", *fills).filter(F.col("__is_left") == 1)
 
     lsec = F.col(on).cast("double")
 
     def _ok(prefix: str) -> F.Column:
-        mon = F.col(f"__{prefix}_on")
+        mon = F.col(f"__{prefix}")["__on"]
         if tolerance is None:
             return mon.isNotNull()
         delta = (
@@ -155,21 +154,21 @@ def asof_join_directional(
         return mon.isNotNull() & (delta <= F.lit(float(tolerance)))
 
     if direction == "nearest":
+        b_on = F.col("__b")["__on"].cast("double")
+        f_on = F.col("__f")["__on"].cast("double")
         use_b = _ok("b") & (
-            ~_ok("f")
-            | ((lsec - F.col("__b_on").cast("double"))
-               <= (F.col("__f_on").cast("double") - lsec))
+            ~_ok("f") | ((lsec - b_on) <= (f_on - lsec))
         )
         pick = lambda c: (  # noqa: E731
-            F.when(use_b, F.col(f"__b_{c}"))
-            .when(_ok("f"), F.col(f"__f_{c}"))
+            F.when(use_b, F.col("__b")[c])
+            .when(_ok("f"), F.col("__f")[c])
         )
     else:
         p = "b" if direction == "backward" else "f"
-        pick = lambda c: F.when(_ok(p), F.col(f"__{p}_{c}"))  # noqa: E731
+        pick = lambda c, p=p: F.when(_ok(p), F.col(f"__{p}")[c])  # noqa: E731
 
     return filled.select(
         *left.columns,
-        pick("on").alias(f"{on}{suffix}"),
+        pick("__on").alias(f"{on}{suffix}"),
         *[pick(c).alias(f"{c}{suffix}") for c in value_cols],
     )

@@ -55,6 +55,8 @@ def pagerank(
     truncation so a test can inspect one round's full plan — plan size
     then grows linearly with iterations, so leave it on in production.
     """
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
     _release = _compat.release_local_checkpoint
 
     w = (
@@ -112,7 +114,11 @@ def pagerank(
             if prev is not None:
                 _release(prev)  # superseded snapshot: new ranks material
             prev = ranks
-    if checkpoint:
+    if checkpoint and iterations > 0:
+        # iterations=0 returns the uniform ranks frame, which still
+        # reads the nodes checkpoint — releasing it would truncate the
+        # lineage out from under the result. After ≥1 round, ranks is
+        # its own eager checkpoint and norm/nodes are safe to drop.
         _release(norm)
         _release(nodes)
     return ranks.select("v", F.col("r").alias("pagerank"))

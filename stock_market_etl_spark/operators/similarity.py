@@ -790,4 +790,10 @@ def semdedup(
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
+    # Materialize the (tiny, id-only) drop set eagerly so the cached
+    # assigned-vector blocks can be unpersisted before returning —
+    # otherwise every call pins the full embedding set for the life of
+    # the session. The returned frame depends only on the checkpoint.
+    drops = drops.localCheckpoint(eager=True)
+    v.unpersist()
     return df.join(drops, id_col, "left_anti")

@@ -196,7 +196,16 @@ def jdbc_table_exists(
             jprops.setProperty(k, str(v))
     conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
     try:
-        rs = conn.getMetaData().getTables(None, None, "%", None)
+        # Scope the probe to the connection's CURRENT schema — the one
+        # unqualified writes/upserts resolve against. An unscoped scan
+        # would match a same-named table in another schema and route
+        # the bootstrap batch to an upsert on a table this connection's
+        # default schema does not have.
+        try:
+            schema = conn.getSchema()
+        except Exception:  # pre-JDBC-4.1 drivers: fall back to global
+            schema = None
+        rs = conn.getMetaData().getTables(None, schema, "%", None)
         try:
             while rs.next():
                 if rs.getString("TABLE_NAME").lower() == table.lower():

@@ -413,6 +413,45 @@ def test_random_window_frame_matches_duckdb(
             )
 
 
+def test_asof_null_right_values_stay_null(spark):
+    """A matched right row holding a NULL value column must surface
+    that NULL — never an older right row's value (ADVICE r07: the
+    per-column ignore-nulls fill silently substituted stale values
+    while reporting the matched row's timestamp). merge_asof and
+    DuckDB ASOF both keep the matched row's NULL."""
+    from stock_market_etl_spark.operators.asof import (
+        asof_join,
+        asof_join_directional,
+    )
+
+    ldf = spark.createDataFrame([(0, 10.0), (0, 20.0)], "k int, t double")
+    rdf = spark.createDataFrame(
+        [(0, 5.0, 1.0), (0, 15.0, None)], "k int, t double, val double"
+    )
+    got = {
+        r["t"]: (r["t_right"], r["val_right"])
+        for r in asof_join(ldf, rdf, on="t", key="k").collect()
+    }
+    assert got[10.0] == (5.0, 1.0)
+    assert got[20.0] == (15.0, None)  # matched row's NULL, not 1.0
+
+    for direction in ("backward", "nearest"):
+        got = {
+            r["t"]: (r["t_right"], r["val_right"])
+            for r in asof_join_directional(
+                ldf, rdf, on="t", key="k", direction=direction
+            ).collect()
+        }
+        assert got[20.0] == (15.0, None), direction
+    got = {
+        r["t"]: (r["t_right"], r["val_right"])
+        for r in asof_join_directional(
+            ldf, rdf, on="t", key="k", direction="forward"
+        ).collect()
+    }
+    assert got[10.0] == (15.0, None)
+
+
 @settings(
     max_examples=8,
     deadline=None,

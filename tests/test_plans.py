@@ -94,7 +94,7 @@ def test_salted_join_equals_plain_join(spark, sf_smoke):
         ev.groupBy("user_id").agg(F.avg("value").alias("avg_v"))
     )
     plain = ev.join(dim, ["user_id"]).select("event_id", "avg_v")
-    salted = skew.salted_join(ev, dim, ["user_id"]).select(
+    salted = skew.salted_join(ev, dim, on="user_id").select(
         "event_id", "avg_v"
     )
     a = sorted(map(tuple, plain.collect()))
@@ -102,35 +102,13 @@ def test_salted_join_equals_plain_join(spark, sf_smoke):
     assert a == b
 
 
-def test_two_phase_agg_equals_plain_agg(spark, sf_smoke):
-    ev = load_table(spark, sf_smoke, "events")
-    plain = ev.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum("value").alias("s"),
-        F.max("value").alias("mx"),
-    )
-    salted = skew.two_phase_agg(
-        ev,
-        ["event_type"],
-        {"n": ("count", "*"), "s": ("sum", "value"), "mx": ("max", "value")},
-    )
-    a = sorted((r.event_type, r.n, round(r.s, 6), r.mx) for r in plain.collect())
-    b = sorted((r.event_type, r.n, round(r.s, 6), r.mx) for r in salted.collect())
-    assert a == b
-
-
 def test_skew_ops_reject_unsound_forms(spark, sf_smoke):
     """salted_join must refuse join types where the replicated right
-    side leaks unmatched rows once per salt; two_phase_agg must refuse
-    countDistinct (summing per-salt distinct counts double-counts)."""
+    side leaks unmatched rows once per salt."""
     ev = load_table(spark, sf_smoke, "events").select("event_id", "user_id")
     dim = ev.groupBy("user_id").agg(F.count("*").alias("n"))
     with pytest.raises(ValueError, match="salted_join supports"):
-        skew.salted_join(ev, dim, ["user_id"], how="full_outer")
-    with pytest.raises(ValueError, match="non-decomposable"):
-        skew.two_phase_agg(
-            ev, ["user_id"], {"nd": ("count_distinct", "event_id")}
-        )
+        skew.salted_join(ev, dim, on="user_id", how="full_outer")
 
 
 def test_range_join_is_equality_not_cartesian(spark, sf_smoke):
