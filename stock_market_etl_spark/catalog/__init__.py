@@ -37,80 +37,77 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship (F1+F2) — permanent anchor
     "f1_f2_metrics_pipeline",
-    # --- r07 rotation (DRIVER_WINDOW.md plan): the 7 green r06 first
-    # proofs (n9, n11, b9, x41, x42, x44, x46 — CORRECTNESS_r06)
-    # vacated their slots for the last 7 never-driver-proven
-    # oracle-bearing queries; after this window EVERY oracle-bearing
-    # catalog query has ≥1 driver-green round. x45 stays for its
-    # re-proof (r06's only red row — oracle HUGEINT typing, fixed).
-    # Three triple-proven x* canaries (x6, x16, x26) additionally
-    # vacated for the b1/b7/b8 changed-since-proof re-admits (their
-    # impls changed in r06's _scratch refactor; ledgered local-oracle
-    # grade upgrades back to driver on green).
-    "x45_corpus_report",
-    # first proofs: r05/r06-new operators
-    "x47_corpus_diff",
-    "m5_map_in_arrow",
-    "x49_paragraph_dedup",
-    "x50_session_transcripts",
-    "n12_stream_session_transcripts",
-    "b10_orc_roundtrip",
-    "b11_bucketed_colocated_join",
-    # changed-since-proof re-admits (r06 _scratch refactor)
-    "b1_partitioned_write_roundtrip",
-    "b7_csv_roundtrip",
-    "b8_json_roundtrip",
-    # changed-since-proof re-admits (r07 spread()/_compat refactor —
-    # width-estimation + checkpoint-release change, behavior-neutral
-    # for deterministic results but the rule is strict by design; six
-    # quadruple-proven canaries c1/i1/i9/j1/e7/e8 vacated for these)
-    "x8_cosine_topk",
-    "x16_embedding_near_dup",
-    "x31_dup_clusters",
-    "x38_incremental_dedup",
-    "x41_leakage_safe_split",
-    "x46_curation_pipeline",
-    # windows & sorts (F3–F5, G1, G3)
-    "f1_lag_pct_change",
-    "f3_cumulative_return",
-    "f4_latest_row_per_key",
-    "f5_scale_by_scalar",
-    "g1_multikey_sort",
-    "g3_top_k",
-    # dashboard analytics (§3 q_* library — replaces the Streamlit UI)
+    # --- r08 rotation (DRIVER_WINDOW.md plan): CORRECTNESS_r07 came
+    # back 50/50 green, so the r07 first-proof / re-admit slots all
+    # vacate. This window gives first driver proofs to the 24
+    # oracle-bearing queries added during r07 (k5/k6, b12/b13, the
+    # f9–f12 window superset, e17/e18 event-sequence aggregates,
+    # d11–d14 joins, m6/m7 Python batch APIs, n13/n14 streaming
+    # drains, and the x51–x57 curation cohort), re-admits d8 (its
+    # as-of fill changed r08 — matched-row struct fill, ADVICE fix),
+    # and spends the remaining slots on VERDICT-r06-task-6 freshness
+    # cycling: every remaining r02-era proof re-proves here.
+    # first proofs: quality / lake-layout
+    "k5_observed_write_metrics",
+    "k6_release_drift_audit",
+    "b12_clustered_scan_prune",
+    "b13_zorder_scan_prune",
+    # first proofs: window superset
+    "f9_rsi",
+    "f10_ema",
+    "f11_sliding_distinct",
+    "f12_drawdown",
+    # first proofs: event-sequence aggregates
+    "e17_funnel_stages",
+    "e18_retention_cohorts",
+    # first proofs: join superset
+    "d11_interval_overlap_pairs",
+    "d12_asof_forward_tolerance",
+    "d13_asof_nearest",
+    "d14_salted_join",
+    # first proofs: Python batch APIs
+    "m6_iter_pandas_udf",
+    "m7_cogrouped_map",
+    # first proofs: streaming drains
+    "n13_stream_gated_ingest",
+    "n14_stream_jdbc_serving",
+    # first proofs: LLM-curation cohort (r07-new)
+    "x51_gopher_rules",
+    "x52_paragraph_contamination",
+    "x53_event_pagerank",
+    "x54_epoch_repeat",
+    "x56_gopher_repetition",
+    "x57_gopher_pipeline",
+    # changed-since-proof re-admit (r08 as-of struct-fill fix) — also
+    # the oldest ledger row (r02), so it doubles as freshness cycling
+    "d8_asof_join",
+    # freshness cycling: the 21 remaining r02-era proofs, oldest-first
+    # (no implementation changes; re-proving per VERDICT r06 task 6)
+    "c7_filter_on_window_result",
+    "c8_empty_guard",
+    "i3_ingest_ts_stamp",
+    "i7_rename_all_columns",
+    "i10_json_extract",
+    "i11_map_entries",
+    "e2_scalar_fn_agg",
+    "e5_distinct_years",
+    "e9_cube",
+    "e10_rollup",
+    "e11_grouping_sets",
+    "e12_pivot",
+    "e13b_exact_count_distinct",
+    "d3_self_join_time_align",
+    "d5_left_semi_join",
+    "d6_cross_join",
+    "d7_full_outer_join",
+    "d9_star_join_revenue",
+    "g2_presentation_sort",
+    "h2_intersect",
+    "h3_except",
+    # core canaries (kept for cross-round continuity)
     "q_compute_trends",
-    "q_final_returns",
-    "q_relative_returns",
-    "q_latest_snapshot",
-    "q_top_movers",
-    # core filters / scalar exprs / reshape (C, I, J; c1/i1/i9/j1
-    # rotated out r07 — quadruple-proven, vacated for re-admits)
     "c4_watermark_filter",
-    "c6_single_eq_filter",
-    "i4_null_fill",
-    # joins (D)
-    "d1_broadcast_left_join",
-    "d2_dim_fact_inner_join",
-    "d4_left_anti_join",
-    # aggregations (E)
     "e1_global_max_watermark",
-    "e3_grouped_max",
-    "e4_grouped_last_max_by",
-    "e6_dedup_on_keys",
-    # quality gates + incremental patterns (K, L)
-    "k1_schema_contract_audit",
-    "k3_k4_quality_gate",
-    "l3_cross_store_dedup",
-    "l4_year_range_resume",
-    # LLM-pipeline extensions (hash-checkable x*; x6/x16/x26 rotated
-    # out r07 — triple-proven r04+r05+r06 canaries, pool candidates)
-    "x7_jaccard_pairs",
-    "x22_deterministic_split",
-    "x23_stratified_sample",
-    "x24_sequence_pack",
-    "x25_quota_cap",
-    "x27_deterministic_shuffle",
-    "x28_dataset_build",
 )
 
 
