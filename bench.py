@@ -98,6 +98,18 @@ BENCH_QUERIES = [
     # r07 addition: nearest as-of join — both direction passes over
     # ONE key exchange (two sorts, shared partitioning).
     "d13_asof_nearest",
+    # r08 additions: DSIR importance weights (bounded 4096-bucket
+    # model, broadcast weight join, one doc-grain exchange) and CCNet
+    # perplexity tiers (x37's LM score + a language-keyed ntile).
+    "x58_dsir_importance",
+    "x59_perplexity_buckets",
+    # r08 addition: rollup-from-partials — daily stats merged from the
+    # hourly continuous aggregate, sharing its user_id partitioning.
+    "e19_hourly_rollup_merge",
+    # r08 addition: the custom stateful operator timed as a REAL
+    # applyInPandasWithState drain (same measurement caveat as n12:
+    # state-store traffic isn't an exchange).
+    "n15_stateful_running_totals",
 ]
 
 

@@ -471,3 +471,46 @@ def e18_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_day",
         F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
     ).agg(F.count("*").cast("long").alias("active_users"))
+
+
+@_q(
+    "e19_hourly_rollup_merge",
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id,
+              CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(value), 6) AS sum_value,
+              round(min(value), 6) AS min_value,
+              round(max(value), 6) AS max_value
+       FROM events GROUP BY 1, 2""",
+)
+def e19_hourly_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E superset: continuous-aggregate rollup — daily stats derived by
+    MERGING hourly partial aggregates, never re-reading raw rows (the
+    timescale/hypertable rollup pattern). count/sum/min/max are
+    decomposable, so re-aggregating (sum of counts, sum of sums, min
+    of mins, max of maxes) equals the direct daily aggregate — which
+    is exactly what the oracle computes from raw events, making the
+    merge step itself the thing under test.
+
+    The 100 TB shape: at scale the hourly grain is a MATERIALIZED
+    incremental table (refreshed per micro-batch or per partition
+    load); daily/weekly/monthly reads then cost |hours| rows, not
+    |events|. Both aggregations here share the user_id hash
+    partitioning — AQE plans the second as a near-free re-aggregation
+    of the first's output."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "user_id"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("s"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return hourly.groupBy(
+        F.to_date("hour").alias("day"), "user_id"
+    ).agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.round(F.sum("s"), 6).alias("sum_value"),
+        F.round(F.min("mn"), 6).alias("min_value"),
+        F.round(F.max("mx"), 6).alias("max_value"),
+    )

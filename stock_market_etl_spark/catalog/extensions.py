@@ -15,6 +15,7 @@ from stock_market_etl_spark.io import load_table
 from stock_market_etl_spark.operators import (
     dedup,
     graph,
+    importance,
     multimodal,
     sampling,
     similarity,
@@ -1810,3 +1811,86 @@ def x57_gopher_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         salt="split-v1",
     ).select("doc_id", "n_kept", "n_total", "split")
+
+
+_X58_SQL = r"""WITH toks AS (
+     SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+     FROM documents),
+   big AS (
+     SELECT doc_id, source,
+            unnest(list_transform(
+              range(1, greatest(len(t) - 1, 0) + 1),
+              i -> t[i] || ' ' || t[i + 1])) AS bg
+     FROM toks WHERE len(t) >= 2),
+   bb AS (
+     SELECT doc_id, source, substring(md5(bg), 1, 3) AS b FROM big),
+   cnt AS (
+     SELECT b,
+            CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                 AS DOUBLE) AS c_t,
+            CAST(sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)
+                 AS DOUBLE) AS c_r
+     FROM bb GROUP BY b),
+   tot AS (SELECT sum(c_t) AS tt, sum(c_r) AS tr FROM cnt),
+   w AS (
+     SELECT b, ln((c_t + 1) / (tt + 4096))
+               - ln((c_r + 1) / (tr + 4096)) AS wt
+     FROM cnt, tot)
+   SELECT bb.doc_id,
+          CAST(count(*) AS BIGINT) AS n_grams,
+          round(sum(wt), 6) AS log_weight
+   FROM bb JOIN w USING (b)
+   WHERE bb.source <> 'src0'
+   GROUP BY bb.doc_id"""
+
+
+@_q("x58_dsir_importance", _X58_SQL)
+def x58_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/importance.py dsir_weights —
+    Xie et al. 2023): every non-src0 document scored by the
+    log-likelihood ratio of two add-one-smoothed hashed-bigram
+    multinomials, target = the src0 slice, raw = the rest. The
+    pretraining-mixture selection move: resampling ∝ exp(weight)
+    shifts the pool toward the target domain. md5-prefix bucketing
+    (4096 buckets) is byte-identical across engines, so the oracle
+    replays the exact feature space; both count tables collapse to
+    ≤ 4096 rows and broadcast — the only corpus-sized exchange is the
+    final doc-grain sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    return importance.dsir_weights(
+        docs.filter(F.col("source") == "src0"),
+        docs.filter(F.col("source") != "src0"),
+        n_buckets=4096,
+    )
+
+
+def _x59_oracle() -> str:
+    x37 = ORACLES["x37_bigram_lm_score"]
+    return f"""WITH x37 AS ({x37}),
+   scored AS (
+     SELECT x37.doc_id, d.lang, x37.avg_logprob
+     FROM x37 JOIN documents d USING (doc_id)),
+   t AS (
+     SELECT *, ntile(3) OVER (PARTITION BY lang
+                              ORDER BY avg_logprob DESC, doc_id ASC)
+               AS tier
+     FROM scored)
+   SELECT doc_id, lang, avg_logprob, CAST(tier AS BIGINT) AS tier,
+          CASE WHEN tier = 1 THEN 'head'
+               WHEN tier = 3 THEN 'tail'
+               ELSE 'middle' END AS bucket
+   FROM t"""
+
+
+@_q("x59_perplexity_buckets", _x59_oracle())
+def x59_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing (operators/text.py
+    perplexity_buckets — Wenzek et al. 2020): x37's corpus-LM score
+    split into per-LANGUAGE head/middle/tail equal-frequency tiers —
+    the paper's key move, since absolute perplexity is not comparable
+    across languages; head+middle is the kept pretraining pool.
+    Deterministic ordering (rounded score DESC, doc_id ASC) makes
+    ntile SQL-replayable; the ranking exchange is on the language key,
+    after the doc-grain score aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.perplexity_buckets(docs, n_buckets=3)

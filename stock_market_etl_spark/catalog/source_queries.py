@@ -411,3 +411,38 @@ def b13_zorder_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "user_id", "ts", F.round("value", 6).alias("value")
         )
     )
+
+
+@_q(
+    "b14_stream_lake_sink",
+    """SELECT event_id, user_id, event_type, round(value, 6) AS value,
+              CAST(ts AS DATE) AS event_date
+       FROM events""",
+)
+def b14_stream_lake_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B superset: exactly-once streaming → partitioned lake drained
+    end-to-end — a REAL Structured Streaming run (file source →
+    foreachBatch per-batch-directory OVERWRITE write, date-partitioned
+    inside each batch dir), then the lake read back. A redelivered
+    batch replaces its own ``batch_id=N`` directory byte-for-byte, so
+    at-least-once delivery yields exactly-once lake state with no
+    lake-wide read-modify-write (the bulk append-only ingest shape;
+    contrast b2/L2's anti-join merge). Single-file source ⇒ one batch
+    ⇒ the lake equals the source projection — full hash oracle;
+    redelivery idempotence is asserted in tests/test_streaming.py."""
+    import os
+
+    from stock_market_etl_spark.streaming import core
+
+    work = _scratch.fresh_dir("stream_lake")
+    lake = os.path.join(work, "lake")
+    core.lake_batch_sink(
+        core.stream_events(spark, sf_dir), lake, os.path.join(work, "ckpt")
+    )
+    return spark.read.parquet(lake).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        "event_date",
+    )

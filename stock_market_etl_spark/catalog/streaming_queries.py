@@ -393,3 +393,43 @@ def n14_stream_jdbc_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM user_type_totals",
         properties=props,
     )
+
+
+@_q(
+    "n15_stateful_running_totals",
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 6) AS sum_value
+       FROM events GROUP BY user_id""",
+)
+def n15_stateful_running_totals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """N: the CUSTOM stateful operator drained end-to-end — a REAL
+    Structured Streaming run of `applyInPandasWithState` (per-user
+    (count, sum) carried in engine-managed GroupState, update-mode
+    emission, Arrow-batched). This is the arbitrary-stateful-logic
+    escape hatch the built-in windows can't express — state is
+    O(keys), not O(rows), and the only shuffle is on the group key.
+    The events fixture arrives as one file ⇒ one micro-batch ⇒ each
+    key's single (here: latest) emission equals the batch groupBy —
+    full hash oracle; multi-batch update semantics and the batch twin
+    are pinned in tests/test_streaming.py. Latest-per-key selection
+    rides on n_events, which strictly increases per emission."""
+    stream = core.stateful_running_totals(core.stream_events(spark, sf_dir))
+    name = f"running_{uuid.uuid4().hex[:8]}"
+    ckpt = _scratch.fresh_dir("ckpt")
+    core.run_available_now(stream, name, ckpt, output_mode="update")
+    latest = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_events", "sum_value"), "n_events"
+            ).alias("__m")
+        )
+    )
+    return latest.select(
+        "user_id",
+        F.col("__m.n_events").alias("n_events"),
+        F.col("__m.sum_value").alias("sum_value"),
+    )

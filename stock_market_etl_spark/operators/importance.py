@@ -1,0 +1,104 @@
+"""Importance-based data selection (DSIR) — hashed n-gram importance
+weights for targeted corpus sampling.
+
+Implements the scoring core of Data Selection via Importance Resampling
+(Xie et al. 2023, arXiv:2302.03169): fit two bag-of-hashed-bigram
+multinomials — one on a small TARGET corpus (the domain you want more
+of), one on the RAW pool — and weight every raw document by its
+log-likelihood ratio. Resampling raw docs ∝ exp(weight) then shifts the
+pool toward the target distribution. The reference engine has no such
+operator; it is core to a training-data pipeline (SURVEY §2.O) and the
+standard pretraining-mixture selection move.
+
+Spark-first shape: the feature space is BOUNDED (``n_buckets`` md5
+buckets), so both count tables collapse to ≤ n_buckets rows with
+map-side partial aggregation and the per-bucket weight table is always
+broadcast-joined back onto the gram stream — at 100 TB the only
+corpus-sized exchange is the final doc-grain sum. Hash-bucketing is the
+paper's own dimensionality reduction, not an approximation shortcut.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from stock_market_etl_spark.operators.text import tokens
+
+
+def _gram_buckets(
+    docs: DataFrame, n_buckets: int, text_col: str, id_col: str, *extra
+) -> DataFrame:
+    """Word bigrams → md5-prefix hash buckets, exploded one row per
+    gram. 16^k buckets for k hex chars — md5 is byte-identical across
+    engines, which is what lets a SQL oracle replay the bucketing
+    (same move as x27's md5 shuffle order)."""
+    hex_chars = {16: 1, 256: 2, 4096: 3, 65536: 4}[n_buckets]
+    t = docs.select(
+        F.col(id_col), *extra, tokens(F.col(text_col)).alias("__t")
+    ).filter(F.size("__t") >= 2)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("__t") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("__t", i), F.element_at("__t", i + 1)
+        ),
+    )
+    buckets = F.transform(
+        bigrams, lambda g: F.substring(F.md5(g), 1, hex_chars)
+    )
+    return t.select(
+        F.col(id_col), *extra, F.explode(buckets).alias("__bucket")
+    )
+
+
+def dsir_weights(
+    target: DataFrame,
+    raw: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-raw-document DSIR importance weight.
+
+    ``log_weight(d) = Σ_grams [ ln p̂_target(bucket) − ln p̂_raw(bucket) ]``
+    with add-one smoothing over the ``n_buckets``-bucket hashed-bigram
+    space: ``p̂(b) = (c_b + 1) / (total + n_buckets)``. Positive means
+    the document looks more target-like than pool-like. Returns
+    (id_col, n_grams, log_weight); raw docs with < 2 tokens carry no
+    grams and are excluded (nothing to score).
+
+    One gram scan covers BOTH corpora (a union with a side tag →
+    conditional aggregation), the ≤ n_buckets weight table broadcasts,
+    and the doc-grain sum is the single data-sized shuffle.
+    """
+    tg = _gram_buckets(target, n_buckets, text_col, id_col).select(
+        F.lit(None).cast("long").alias(id_col),
+        F.lit(1).alias("__is_target"),
+        "__bucket",
+    )
+    rg = _gram_buckets(raw, n_buckets, text_col, id_col).select(
+        F.col(id_col), F.lit(0).alias("__is_target"), "__bucket"
+    )
+    grams = tg.unionByName(rg)
+    counts = grams.groupBy("__bucket").agg(
+        F.sum("__is_target").cast("double").alias("__c_t"),
+        F.sum(1 - F.col("__is_target")).cast("double").alias("__c_r"),
+    )
+    totals = counts.agg(
+        F.sum("__c_t").alias("__tt"), F.sum("__c_r").alias("__tr")
+    )
+    b = float(n_buckets)
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "__bucket",
+        (
+            F.log((F.col("__c_t") + 1) / (F.col("__tt") + b))
+            - F.log((F.col("__c_r") + 1) / (F.col("__tr") + b))
+        ).alias("__w"),
+    )
+    return (
+        rg.join(F.broadcast(weights), "__bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.round(F.sum("__w"), 6).alias("log_weight"),
+        )
+    )

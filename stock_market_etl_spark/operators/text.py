@@ -728,3 +728,46 @@ def repetition_metrics(
         d5.alias("dup5_frac"),
         ((t2 <= 0.20) & (t3 <= 0.18) & (d5 <= 0.15)).alias("keep"),
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): score every document under the corpus LM
+    (`bigram_lm_score` stands in for KenLM — identical plumbing), then
+    split each LANGUAGE into ``n_buckets`` equal-frequency tiers by
+    score: bucket 1 = "head" (most fluent), last = "tail". CCNet keeps
+    head+middle as the pretraining pool; the per-language partition is
+    the paper's key move — absolute perplexity is not comparable
+    across languages.
+
+    Ordering is (rounded score DESC, id ASC) — total and
+    engine-stable, so ntile is deterministic and SQL-replayable. The
+    ranking window partitions by language (dozens of partitions, each
+    corpus-scale): one exchange on the language key after the
+    doc-grain score aggregation.
+    """
+    from pyspark.sql import Window
+
+    scored = bigram_lm_score(docs, text_col=text_col, id_col=id_col).join(
+        docs.select(id_col, lang_col), id_col
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("avg_logprob").desc(), F.col(id_col).asc()
+    )
+    tier = F.ntile(n_buckets).over(w)
+    return scored.select(
+        F.col(id_col),
+        F.col(lang_col),
+        "avg_logprob",
+        tier.cast("long").alias("tier"),
+        F.when(tier == 1, "head")
+        .when(tier == n_buckets, "tail")
+        .otherwise("middle")
+        .alias("bucket"),
+    )

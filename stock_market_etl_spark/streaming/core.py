@@ -18,6 +18,8 @@ DuckDB-oracle-checkable.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from stock_market_etl_spark.pipeline import merge_increment
@@ -789,3 +791,38 @@ def jdbc_serving_sink(
     )
     q.awaitTermination()
     return q
+
+
+def lake_batch_sink(
+    stream_df: DataFrame,
+    lake_path: str,
+    checkpoint: str,
+    date_col: str = "ts",
+) -> None:
+    """Exactly-once streaming → partitioned-lake writer: each
+    micro-batch lands under its own ``batch_id=N`` directory (inner
+    partitioning by event date) with OVERWRITE mode, so a redelivered
+    batch replaces its own prior output byte-for-byte instead of
+    double-appending — exactly-once lake state from at-least-once
+    delivery, with no lake-wide read-modify-write (contrast
+    `upsert_sink`, which pays an anti-join against the whole lake per
+    batch; this sink is the bulk-ingest shape for append-only event
+    feeds at 100 TB). Readers see ``batch_id`` and the date as
+    partition columns; date-range queries prune to matching
+    directories across every batch."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("event_date", F.to_date(date_col))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(os.path.join(lake_path, f"batch_id={batch_id}"))
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

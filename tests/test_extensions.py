@@ -1181,3 +1181,57 @@ def test_salted_join_row_identical_on_skew(spark):
         assert got == exp, how
     with _pytest.raises(ValueError):
         salted_join(heavy, light, on="k", how="full")
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """x58's core property (DSIR): raw documents sharing the target
+    domain's bigrams must score strictly higher than raw documents
+    that share none — the log-likelihood-ratio ordering the resampler
+    depends on. Also pins the support rule: only raw docs with ≥ 2
+    tokens are scored."""
+    from stock_market_etl_spark.operators.importance import dsir_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta alpha beta") for i in range(4)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),       # target-like
+            (1, "alpha beta alpha beta"),        # target-like
+            (2, "zig zag quux corge grault"),    # off-domain
+            (3, "quux corge zig zag plugh"),     # off-domain
+            (4, "solo"),                         # < 2 tokens: unscored
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r.log_weight
+        for r in dsir_weights(target, raw, n_buckets=4096).collect()
+    }
+    assert set(rows) == {0, 1, 2, 3}
+    assert min(rows[0], rows[1]) > max(rows[2], rows[3])
+
+
+def test_perplexity_buckets_balanced_and_ordered(spark, sf_smoke):
+    """x59's CCNet invariants per language: equal-frequency tiers
+    (sizes differ by ≤ 1), labels consistent with tier numbers, and
+    score ordering head ≥ middle ≥ tail (on the rounded scores the
+    ranking is defined over)."""
+    from stock_market_etl_spark.operators.text import perplexity_buckets
+
+    docs = load_table(spark, sf_smoke, "documents")
+    out = perplexity_buckets(docs, n_buckets=3).collect()
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert by_lang
+    for lang, rows in by_lang.items():
+        sizes = [sum(1 for r in rows if r.tier == t) for t in (1, 2, 3)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        for r in rows:
+            want = {1: "head", 3: "tail"}.get(r.tier, "middle")
+            assert r.bucket == want
+        lo = {t: min(r.avg_logprob for r in rows if r.tier == t) for t in (1, 2)}
+        hi = {t: max(r.avg_logprob for r in rows if r.tier == t) for t in (2, 3)}
+        assert lo[1] >= hi[2] and lo[2] >= hi[3], lang

@@ -130,6 +130,18 @@ SCALE_QUERIES = [
     # labels → exact; a gate midpoint flip would show as row drift,
     # which both modes fail on)
     ("x57_gopher_pipeline", True),
+    # r08 additions: DSIR importance weights and CCNet perplexity
+    # tiers (rounded double scores → midpoint tolerance; a tier flip
+    # from a score midpoint would surface as row drift)
+    ("x58_dsir_importance", False),
+    ("x59_perplexity_buckets", False),
+    # r08 addition: rollup-from-partials (rounded double sums →
+    # midpoint tolerance)
+    ("e19_hourly_rollup_merge", False),
+    # r08 additions: custom stateful drain + exactly-once lake sink
+    # (rounded double value columns → midpoint tolerance)
+    ("n15_stateful_running_totals", False),
+    ("b14_stream_lake_sink", False),
 ]
 
 

@@ -823,3 +823,27 @@ def test_jdbc_serving_multibatch_and_redelivery(spark, sf_smoke, tmp_path):
     # every intermediate upsert is overwritten by the converged totals
     run("ckpt_b")
     assert _rows(served()) == want
+
+
+def test_lake_batch_sink_redelivery_idempotent(spark, sf_smoke, tmp_path):
+    """b14's exactly-once contract: redelivering the whole stream (same
+    batch ids, fresh checkpoint) must leave the lake byte-identical —
+    each batch OVERWRITES its own batch_id directory instead of
+    appending a duplicate copy."""
+    lake = str(tmp_path / "lake")
+    core.lake_batch_sink(
+        core.stream_events(spark, sf_smoke), lake, str(tmp_path / "ck1")
+    )
+    first = _rows(spark.read.parquet(lake).select("event_id", "value"))
+
+    # fresh checkpoint → the file source re-delivers everything with
+    # the SAME batch numbering; the sink must converge, not double
+    core.lake_batch_sink(
+        core.stream_events(spark, sf_smoke), lake, str(tmp_path / "ck2")
+    )
+    again = spark.read.parquet(lake)
+    assert _rows(again.select("event_id", "value")) == first
+    # partition layout: batch_id and event_date both discovered
+    assert {"batch_id", "event_date"} <= set(again.columns)
+    n_batch = core.batch_events(spark, sf_smoke).count()
+    assert again.count() == n_batch
