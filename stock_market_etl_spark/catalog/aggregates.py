@@ -494,9 +494,11 @@ def e19_hourly_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 100 TB shape: at scale the hourly grain is a MATERIALIZED
     incremental table (refreshed per micro-batch or per partition
     load); daily/weekly/monthly reads then cost |hours| rows, not
-    |events|. Both aggregations here share the user_id hash
-    partitioning — AQE plans the second as a near-free re-aggregation
-    of the first's output."""
+    |events|. Inline, the plan is two exchanges — but only the FIRST
+    carries event-derived rows (map-side-combined hourly partials);
+    the second re-shuffles the hourly grain itself, |users|×|hours|
+    rows regardless of event volume (plan-asserted in
+    tests/test_plans.py)."""
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "user_id"

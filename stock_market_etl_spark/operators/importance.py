@@ -83,15 +83,23 @@ def dsir_weights(
         F.sum("__is_target").cast("double").alias("__c_t"),
         F.sum(1 - F.col("__is_target")).cast("double").alias("__c_r"),
     )
-    totals = counts.agg(
-        F.sum("__c_t").alias("__tt"), F.sum("__c_r").alias("__tr")
-    )
+    # corpus totals as an empty-frame window sum over the ≤ n_buckets
+    # count rows (one tiny single-partition pass) rather than a
+    # separate 1-row aggregate — a scalar-agg cross join would plan
+    # the bucket aggregation twice, re-running the gram scan
+    from pyspark.sql import Window
+
+    whole = Window.partitionBy()
     b = float(n_buckets)
-    weights = counts.crossJoin(F.broadcast(totals)).select(
+    weights = counts.select(
         "__bucket",
         (
-            F.log((F.col("__c_t") + 1) / (F.col("__tt") + b))
-            - F.log((F.col("__c_r") + 1) / (F.col("__tr") + b))
+            F.log(
+                (F.col("__c_t") + 1) / (F.sum("__c_t").over(whole) + b)
+            )
+            - F.log(
+                (F.col("__c_r") + 1) / (F.sum("__c_r").over(whole) + b)
+            )
         ).alias("__w"),
     )
     return (

@@ -633,3 +633,27 @@ def test_salted_join_spreads_key(spark, sf_smoke):
     assert "Generate explode" in plan
     assert "__salt" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_weight_join_broadcasts(spark, sf_smoke):
+    """x58's per-bucket weight table is bounded (≤ 4096 rows) by
+    construction, so the join back onto the gram stream must always be
+    a broadcast — a SortMergeJoin here would shuffle the whole gram
+    stream by bucket at corpus scale. Two hash exchanges total: the
+    bucket-count aggregation and the final doc-grain sum."""
+    plan = _plan(all_queries()["x58_dsir_importance"](spark, sf_smoke))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_rollup_merge_shuffles_partials_only(spark, sf_smoke):
+    """e19's continuous-aggregate rollup: both aggregations must run
+    with map-side partial aggregation, so the first exchange carries
+    hourly partials (not raw events) and the second carries the hourly
+    grain itself — two hash exchanges, no joins."""
+    plan = _plan(all_queries()["e19_hourly_rollup_merge"](spark, sf_smoke))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+    # partial + final HashAggregate pairs at each grain
+    assert plan.count("HashAggregate") >= 4
