@@ -516,3 +516,34 @@ def e19_hourly_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("mn"), 6).alias("min_value"),
         F.round(F.max("mx"), 6).alias("max_value"),
     )
+
+
+@_q("e20_hll_sketch_rollup")  # no oracle: HLL estimates are engine-specific
+def e20_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E superset: RE-AGGREGATABLE distinct counting — hourly HLL
+    sketches (`hll_sketch_agg`) merged into daily distinct-user
+    estimates (`hll_union_agg` → `hll_sketch_estimate`), the sketch
+    analog of e19's rollup-from-partials. count(DISTINCT) cannot be
+    re-aggregated from partial counts; sketches can — register-wise
+    max is EXACTLY the sketch of the union, so a materialized hourly
+    sketch table rolls up to any coarser grain without re-reading raw
+    rows (the 100 TB distinct-counting pattern).
+
+    Rows-only in the driver gate (estimates are engine-specific, same
+    policy as e13/e16); the hard evidence is two-fold in
+    tests/test_catalog_oracle.py: the merged-from-hourly estimate
+    EQUALS the direct daily sketch estimate exactly (the merge
+    property), and both sit within bounded error of the exact twin."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        hourly.groupBy(F.to_date("hour").alias("day"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("long")
+            .alias("approx_users")
+        )
+        .orderBy("day")
+    )

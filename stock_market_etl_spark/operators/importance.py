@@ -75,9 +75,14 @@ def dsir_weights(
         F.lit(1).alias("__is_target"),
         "__bucket",
     )
+    # persist(): the raw gram stream is a diamond point — it feeds the
+    # bucket-count aggregation AND the scoring join, and without the
+    # cache the tokenize+hash scan runs twice (same lifecycle
+    # convention as the LSH signature tables, operators/dedup.py:4-9:
+    # callers running batch loops clearCache()/unpersist between runs)
     rg = _gram_buckets(raw, n_buckets, text_col, id_col).select(
         F.col(id_col), F.lit(0).alias("__is_target"), "__bucket"
-    )
+    ).persist()
     grams = tg.unionByName(rg)
     counts = grams.groupBy("__bucket").agg(
         F.sum("__is_target").cast("double").alias("__c_t"),

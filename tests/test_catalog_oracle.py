@@ -102,6 +102,46 @@ def test_approx_count_distinct_bounded_error(spark):
         assert abs(a - e) <= 0.05 * e, (a, e)
 
 
+def test_hll_rollup_merge_exact_and_bounded(spark):
+    """e20's two contracts: (1) merging hourly sketches is EXACTLY the
+    sketch of the union — the merged-from-hourly daily estimate equals
+    the direct daily sketch estimate register-for-register; (2) both
+    track the exact daily distinct count within the HLL error band."""
+    from pyspark.sql import functions as F
+
+    from stock_market_etl_spark.catalog import all_queries
+    from stock_market_etl_spark.io import load_table
+
+    sf = "/root/testdata/sf0.01"
+    merged = {
+        r["day"]: r["approx_users"]
+        for r in all_queries()["e20_hll_sketch_rollup"](spark, sf).collect()
+    }
+    ev = load_table(spark, sf, "events")
+    direct = {
+        r["day"]: r["approx_users"]
+        for r in ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+            .cast("long")
+            .alias("approx_users")
+        )
+        .collect()
+    }
+    assert merged == direct  # merge property: union of sketches, exactly
+    exact = {
+        r["day"]: r["n"]
+        for r in ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(merged) == set(exact)
+    for day, est in merged.items():
+        assert abs(est - exact[day]) <= max(0.05 * exact[day], 3), (
+            day, est, exact[day],
+        )
+
+
 def test_approx_percentiles_bounded_error(spark):
     """e16's sketch percentiles track e15's exact ones within ~1% of
     the per-group value range (accuracy=10000 ⇒ rank error ≤ 1e-4; a
