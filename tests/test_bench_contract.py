@@ -77,6 +77,13 @@ SHUFFLE_MB_PINS = {
     "x48_curation_pipeline_lsh": 2.93,
     "x49_paragraph_dedup": 5.49,
     "x50_session_transcripts": 5.18,
+    # r08: x58 shuffles bucket ids + doc-grain partials only (the
+    # 4096-bucket model broadcasts — a payload or SMJ regression would
+    # jump this by orders of magnitude); e19's figure IS the hourly
+    # partial grain (the contract: raw events never shuffle).
+    "x58_dsir_importance": 0.28,
+    "x59_perplexity_buckets": 0.74,
+    "e19_hourly_rollup_merge": 7.79,
 }
 
 

@@ -482,8 +482,15 @@ def test_random_asof_matches_pandas_merge_asof(
     lts = rng.sample(range(0, 400, 2), 30)  # left on even ticks
     rts = rng.sample(range(1, 401, 2), 20)  # right on odd (no exact ties)
     left_rows = [(rng.choice(keys), float(t)) for t in lts]
+    # ~25% NULL right values: the matched row's NULL must come through
+    # as NULL (struct fill), exactly as merge_asof carries NaN
     right_rows = [
-        (rng.choice(keys), float(t), float(rng.randint(0, 99))) for t in rts
+        (
+            rng.choice(keys),
+            float(t),
+            float(rng.randint(0, 99)) if rng.random() > 0.25 else None,
+        )
+        for t in rts
     ]
     ldf = spark.createDataFrame(left_rows, "k int, t double")
     rdf = spark.createDataFrame(right_rows, "k int, t double, val double")
