@@ -369,3 +369,66 @@ def k6_release_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.abs(mln - mlo) / mlo > 0.05)
         ).alias("drifted"),
     )
+
+
+@_q(
+    "k7_volume_anomaly_gate",
+    """WITH d AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM events GROUP BY 1, 2),
+       z AS (
+         SELECT event_type, day, n_events,
+                avg(n_events) OVER w AS mu,
+                stddev_samp(n_events) OVER w AS sd,
+                count(*) OVER w AS n_prior
+         FROM d
+         WINDOW w AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+       SELECT event_type, day, n_events,
+              round(CASE WHEN n_prior >= 3 AND sd > 0
+                         THEN (n_events - mu) / sd END, 6) AS z_score,
+              coalesce(CASE WHEN n_prior >= 3 AND sd > 0
+                            THEN abs((n_events - mu) / sd) > 3.0 END,
+                       FALSE) AS is_anomaly
+       FROM z""",
+)
+def k7_volume_anomaly_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K superset: feed-volume anomaly gate — per (event_type, day)
+    row counts scored against their own trailing 7-day window
+    (z-score; anomaly = |z| > 3 with ≥ 3 prior days and non-degenerate
+    spread). The monitoring gate a production ingest runs BEFORE
+    accepting a day's load: a silently half-delivered feed or a
+    double-delivered batch moves daily volume by many sigma while
+    passing every schema/null check (K1-K4 see nothing).
+
+    Scale shape: the grouped count collapses to the (type, day) grain
+    map-side — the one event-sized stage is the scan; the window then
+    ranks a few-hundred-row frame per type. Thresholds are the
+    conventional 3-sigma; the z-score column is returned so callers
+    can gate at their own level."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    d = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    mu = F.avg("n_events").over(w)
+    sd = F.stddev_samp("n_events").over(w)
+    n_prior = F.count("n_events").over(w)
+    ok = (n_prior >= 3) & (sd > 0)
+    z = (F.col("n_events") - mu) / sd
+    return d.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round(F.when(ok, z), 6).alias("z_score"),
+        F.coalesce(F.when(ok, F.abs(z) > 3.0), F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )

@@ -189,3 +189,48 @@ def test_observe_audit_matches_separate_scan(spark, sf_smoke):
     assert m["null_user_id"] == expected_nulls["user_id"]
     assert m["null_value"] == expected_nulls["value"]
     assert m["max_ts"] == ev.agg(F.max("ts")).collect()[0][0]
+
+
+def test_volume_anomaly_gate_flags_planted_spike(spark):
+    """k7's operator on synthetic volumes: ten stable days (~100
+    events/day) then a 10× spike day — the spike must be the ONLY
+    anomaly, warm-up days (< 3 prior) must carry NULL z-scores and
+    never flag."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from stock_market_etl_spark.catalog.quality_queries import (
+        k7_volume_anomaly_gate,
+    )
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    eid = 0
+    for day in range(11):
+        n = 1000 if day == 10 else 100 + (day % 3)  # mild jitter, then 10x
+        for i in range(n):
+            rows.append(
+                (eid, base + datetime.timedelta(days=day, seconds=i), "click")
+            )
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+
+    import stock_market_etl_spark.catalog.quality_queries as qq
+
+    orig = qq.load_table
+    qq.load_table = lambda spark_, sf_, name: df
+    try:
+        out = {r["day"]: r for r in k7_volume_anomaly_gate(spark, "unused").collect()}
+    finally:
+        qq.load_table = orig
+
+    spike_day = (base + datetime.timedelta(days=10)).date()
+    assert out[spike_day]["is_anomaly"] is True
+    assert out[spike_day]["z_score"] > 3
+    for day, r in out.items():
+        if day != spike_day:
+            assert r["is_anomaly"] is False, (day, r)
+    # warm-up rows (< 3 prior days) are unscored, not flagged
+    for d in range(3):
+        assert out[(base + datetime.timedelta(days=d)).date()]["z_score"] is None

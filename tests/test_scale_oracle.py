@@ -142,6 +142,9 @@ SCALE_QUERIES = [
     # (rounded double value columns → midpoint tolerance)
     ("n15_stateful_running_totals", False),
     ("b14_stream_lake_sink", False),
+    # r08 addition: volume anomaly gate (rounded z doubles + boolean
+    # flag -> midpoint tolerance)
+    ("k7_volume_anomaly_gate", False),
 ]
 
 
