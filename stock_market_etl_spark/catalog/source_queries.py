@@ -446,3 +446,54 @@ def b14_stream_lake_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 6).alias("value"),
         "event_date",
     )
+
+
+@_q(
+    "b15_python_datasource_sink",
+    """SELECT event_id, user_id, event_type, round(value, 6) AS value
+       FROM events""",
+)
+def b15_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B superset: custom Python Data Source WRITER
+    (sources/audit_sink.py JsonlAuditSink) — events written through
+    the Arrow-batched JSONL sink's real two-phase task commit (tmp
+    file per task → driver rename + atomic manifest publish), then
+    read back trusting only the manifest. The sink-side twin of A3's
+    custom reader: failed/speculative task output is never visible,
+    which is the property the roundtrip oracle certifies; the
+    crashed-job and abort paths are separately tested in
+    tests/test_sources.py."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.sources.audit_sink import (
+        JsonlAuditSink,
+        read_jsonl_audit,
+    )
+
+    spark.dataSource.register(JsonlAuditSink)
+    out = os.path.join(_scratch.fresh_dir("audit_sink"), "events")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+        )
+        .write.format("jsonl_audit")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    return read_jsonl_audit(spark, out, schema)

@@ -145,6 +145,9 @@ SCALE_QUERIES = [
     # r08 addition: volume anomaly gate (rounded z doubles + boolean
     # flag -> midpoint tolerance)
     ("k7_volume_anomaly_gate", False),
+    # r08 addition: custom Python DataSource writer roundtrip (rounded
+    # double value column -> midpoint tolerance)
+    ("b15_python_datasource_sink", False),
 ]
 
 
