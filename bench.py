@@ -110,6 +110,26 @@ BENCH_QUERIES = [
     # applyInPandasWithState drain (same measurement caveat as n12:
     # state-store traffic isn't an exchange).
     "n15_stateful_running_totals",
+    # r08 addition: C4 boilerplate removal — every copy of a
+    # cross-doc repeated block dropped; the ban set is a hash-grain
+    # count-distinct, broadcast into the anti-join (text never enters
+    # a corpus-wide exchange, same economy as x49).
+    "x60_boilerplate_prune",
+    # r08 additions: Gopher n-gram repetition gates (single doc-grain
+    # TEXT exchange — the gram stream at ~19× corpus bytes never
+    # shuffles, plan-asserted) and the composed Gopher flagship v3
+    # (word gates AND repetition gates → paragraph dedup → hash
+    # split, one fused plan).
+    "x56_gopher_repetition",
+    "x57_gopher_pipeline",
+    # late-r08 additions: market beta/correlation (the only
+    # event-volume exchange carries map-side (user, day) partials;
+    # the |days|-row market frame broadcasts) and visual near-dup via
+    # banded average-hash (Arrow-batched BMP decode+hash, then
+    # id+hash-only band-bucket self-join — payload bytes never enter
+    # an exchange).
+    "e21_market_beta",
+    "x61_image_near_dup",
 ]
 
 

@@ -103,7 +103,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "d9_star_join_revenue",
     "g2_presentation_sort",
     "h2_intersect",
-    "h3_except",
+    # changed-since-proof re-admit (late-r08 binary-digest block keys:
+    # paragraph_dedup now shuffles 32-byte unhex(sha2) instead of the
+    # 64-char hex — measured 5.49 -> 3.56 MB at sf0.1). Took the slot
+    # drafted for h3_except's freshness re-proof (impl unchanged since
+    # its r02 green; its cycle defers to r09 — the changed-since-proof
+    # rule outranks freshness).
+    "x49_paragraph_dedup",
     # core canaries (kept for cross-round continuity)
     "q_compute_trends",
     "c4_watermark_filter",

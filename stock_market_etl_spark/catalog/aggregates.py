@@ -547,3 +547,67 @@ def e20_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@_q(
+    "e21_market_beta",
+    """WITH daily AS (
+         SELECT user_id, CAST(ts AS DATE) AS day, avg(value) AS px
+         FROM events GROUP BY user_id, CAST(ts AS DATE)),
+       ret AS (
+         SELECT user_id, day,
+                px / lag(px) OVER (PARTITION BY user_id ORDER BY day) - 1
+                  AS r
+         FROM daily),
+       ret2 AS (SELECT user_id, day, r FROM ret WHERE r IS NOT NULL),
+       mkt AS (SELECT day, avg(r) AS rm FROM ret2 GROUP BY day)
+       SELECT r.user_id,
+              CAST(count(*) AS BIGINT) AS n_days,
+              round(CASE WHEN var_pop(m.rm) > 0
+                    THEN covar_pop(r.r, m.rm) / var_pop(m.rm) END, 6)
+                AS beta,
+              round(CASE WHEN var_pop(m.rm) > 0 AND var_pop(r.r) > 0
+                    THEN corr(r.r, m.rm) END, 6) AS corr_mkt
+       FROM ret2 r JOIN mkt m USING (day)
+       GROUP BY r.user_id""",
+)
+def e21_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E superset: per-ticker market beta + correlation — the
+    cross-sectional risk statistic a stock dashboard derives from the
+    reference's per-ticker daily metrics (`scripts/transform.py:65-79`
+    computes per-ticker returns; beta regresses them against the
+    equal-weight market return). Daily price = avg(value) per
+    (user, day); daily return = px/lag(px)−1; market return = the
+    equal-weight cross-ticker mean (index INCLUDES the ticker itself,
+    the classic index convention, same in the oracle); beta =
+    covar_pop/var_pop, corr = Pearson — both NULL-guarded for
+    zero-variance windows exactly as in the oracle SQL.
+
+    Scale shape: the only event-volume exchange carries map-side
+    partial (user, day) aggregates (Catalyst's partial HashAggregate
+    — raw events never shuffle); everything downstream is
+    |users|×|days| grain. The market frame is |days| rows, so its
+    join broadcasts; covar/corr/var are single-pass JVM aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("px")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    ret = daily.select(
+        "user_id",
+        "day",
+        (F.col("px") / F.lag("px").over(w) - 1).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    mkt = ret.groupBy("day").agg(F.avg("r").alias("rm"))
+    j = ret.join(F.broadcast(mkt), "day")
+    var_rm = F.var_pop("rm")
+    return j.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(
+            F.when(var_rm > 0, F.covar_pop("r", "rm") / var_rm), 6
+        ).alias("beta"),
+        F.round(
+            F.when((var_rm > 0) & (F.var_pop("r") > 0), F.corr("r", "rm")),
+            6,
+        ).alias("corr_mkt"),
+    )

@@ -1894,3 +1894,72 @@ def x59_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the doc-grain score aggregation."""
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.perplexity_buckets(docs, n_buckets=3)
+
+
+@_q(
+    "x60_boilerplate_prune",
+    r"""WITH toks AS (
+         SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+         FROM documents),
+       idx AS (
+         SELECT doc_id,
+                generate_subscripts(
+                    range(1, greatest(len(t), 1) + 1, 20), 1) AS bi,
+                unnest(range(1, greatest(len(t), 1) + 1, 20)) AS s, t
+         FROM toks),
+       blocks AS (
+         SELECT doc_id, CAST(bi - 1 AS INT) AS idx,
+                array_to_string(t[s:s+19], ' ') AS b
+         FROM idx),
+       banned AS (
+         SELECT b FROM blocks
+         GROUP BY b HAVING count(DISTINCT doc_id) >= 2),
+       agg AS (
+         SELECT bl.doc_id,
+                string_agg(bl.b, ' ' ORDER BY bl.idx) AS kept_text,
+                count(*) AS n_kept
+         FROM blocks bl ANTI JOIN banned USING (b)
+         GROUP BY bl.doc_id),
+       tot AS (
+         SELECT doc_id, count(*) AS n_total FROM blocks GROUP BY doc_id)
+       SELECT t.doc_id,
+              coalesce(a.kept_text, '') AS kept_text,
+              CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+              t.n_total
+       FROM tot t LEFT JOIN agg a USING (doc_id)""",
+)
+def x60_boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate removal (operators/dedup.py
+    boilerplate_prune): C4's "discard any line occurring in >= 3
+    documents" rule at 20-token block grain — every copy of a
+    cross-document repeated block is dropped (vs x49's keep-first).
+    Registered with min_docs=2 because the sf0.01 fixture repeats
+    blocks mostly pairwise (53 banned blocks vs 4 at the operator's
+    C4-default 3 — stronger gate signal, same code path). Text stays
+    out of the corpus-wide exchanges: the ban set is a hash-grain
+    partial-aggregated count-distinct (~50 B/block), AQE-broadcast
+    into the anti-join; docs re-slice their own token arrays
+    locally."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.boilerplate_prune(docs, para_tokens=20, min_docs=2)
+
+
+@_q("x61_image_near_dup")
+def x61_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs via banded 64-bit average-hash
+    (operators/multimodal.py image_ahash + image_near_dup) — visual
+    dedup as the image twin of the MinHash-LSH text family, run over
+    real 24-bit BMPs synthesized deterministically from the documents
+    fixture (bmp_assets_from_documents, genuine decode path). Banded
+    blocking is EXACT for Hamming ≤ 3 (4×16-bit pigeonhole), so
+    unlike x10/x17 there is no recall curve to trade — but the hash
+    itself is engine-specific (decoder + resample kernel), so the
+    query is rows-only by policy with hard evidence in
+    tests/test_extensions.py: numpy-recomputed hash equality,
+    banded ≡ brute-force pair-set equality, and fixture exact-dup
+    carryover (duplicate texts → Hamming-0 pairs). 8×8 assets tile
+    the first 192 text bytes, so the fixture's shared-prefix docs
+    (13 groups at sf0.001) surface as real Hamming-0 pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.bmp_assets_from_documents(docs, width=8, height=8)
+    return multimodal.image_near_dup(assets, max_hamming=3)

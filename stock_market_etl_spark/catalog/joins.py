@@ -533,3 +533,34 @@ def d14_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.col("value") - F.col("user_avg"), 6).alias("dev_from_avg"),
     )
+
+
+@_q(
+    "h4_union_by_name",
+    """SELECT event_id, user_id, value, event_type FROM (
+         SELECT event_id, user_id, value,
+                CAST(NULL AS VARCHAR) AS event_type
+         FROM events WHERE event_type = 'purchase'
+         UNION ALL BY NAME
+         SELECT event_type, user_id, event_id,
+                CAST(value AS DOUBLE) AS value
+         FROM events WHERE event_type = 'error')""",
+)
+def h4_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H superset: schema-drift union — unionByName with
+    allowMissingColumns, the append that survives two producers
+    emitting the same logical table with different column ORDER and a
+    column one side doesn't have yet (the b9 schema-evolution story
+    at the DataFrame level: positional unionAll would silently pair
+    event_id with event_type here). The missing column null-fills;
+    the oracle replays it with DuckDB's UNION ALL BY NAME."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value"
+    )
+    b = ev.filter(F.col("event_type") == "error").select(
+        "event_type", "user_id", "event_id", "value"
+    )
+    return a.unionByName(b, allowMissingColumns=True).select(
+        "event_id", "user_id", "value", "event_type"
+    )

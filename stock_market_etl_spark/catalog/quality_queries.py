@@ -432,3 +432,180 @@ def k7_volume_anomaly_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+@_q(
+    "k8_column_profile",
+    """SELECT 'event_id' AS col, CAST(count(event_id) AS BIGINT) AS n,
+              CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+              CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+       FROM events
+       UNION ALL
+       SELECT 'ts', CAST(count(ts) AS BIGINT),
+              CAST(count(*) - count(ts) AS BIGINT),
+              CAST(count(DISTINCT ts) AS BIGINT) FROM events
+       UNION ALL
+       SELECT 'user_id', CAST(count(user_id) AS BIGINT),
+              CAST(count(*) - count(user_id) AS BIGINT),
+              CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+       UNION ALL
+       SELECT 'event_type', CAST(count(event_type) AS BIGINT),
+              CAST(count(*) - count(event_type) AS BIGINT),
+              CAST(count(DISTINCT event_type) AS BIGINT) FROM events
+       UNION ALL
+       SELECT 'value', CAST(count(value) AS BIGINT),
+              CAST(count(*) - count(value) AS BIGINT),
+              CAST(count(DISTINCT value) AS BIGINT) FROM events
+       UNION ALL
+       SELECT 'props', CAST(count(props) AS BIGINT),
+              CAST(count(*) - count(props) AS BIGINT),
+              CAST(count(DISTINCT props) AS BIGINT) FROM events""",
+)
+def k8_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K superset: whole-table column profile — per column: non-null
+    count, null count, EXACT distinct count, in ONE pass over the
+    table (the data-profiling audit run before onboarding a feed;
+    e7's null audit is the nulls-only slice of this). The profile
+    row-set is tiny (|columns| rows) regardless of table volume.
+
+    Plan shape: Spark compiles multiple count(DISTINCT col) in one
+    agg via Expand (|columns|+1 streams over the scan) with partial
+    aggregation on each — ONE table scan, no joins of per-column
+    subqueries (the oracle's UNION ALL of six scans is the naive
+    form). At 100 TB the same statement holds; swap exact distinct
+    for approx_count_distinct (e13's sketch path) when ±2% suffices
+    — the query shape is identical."""
+    ev = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    one = ev.agg(
+        *[
+            a
+            for c in cols
+            for a in (
+                F.count(c).cast("long").alias(f"n_{c}"),
+                F.count_distinct(F.col(c)).cast("long").alias(f"d_{c}"),
+                F.count("*").cast("long").alias(f"t_{c}"),
+            )
+        ]
+    )
+    stacked = ", ".join(
+        f"'{c}', n_{c}, t_{c} - n_{c}, d_{c}" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stacked}) AS (col, n, n_null, n_distinct)"
+    )
+
+
+@_q(
+    "l5_scd2_dimension",
+    """WITH cur_open AS (
+         SELECT c_custkey AS custkey, c_mktsegment AS mktsegment,
+                c_nationkey AS nationkey,
+                DATE '2020-01-01' AS valid_from,
+                CAST(NULL AS DATE) AS valid_to
+         FROM customer),
+       hist AS (
+         SELECT c_custkey AS custkey, 'OLD' AS mktsegment,
+                c_nationkey AS nationkey,
+                DATE '2019-01-01' AS valid_from,
+                DATE '2020-01-01' AS valid_to
+         FROM customer WHERE c_custkey % 7 = 0),
+       upd AS (
+         SELECT c_custkey AS k,
+                'SEG_' || CAST(c_custkey % 5 AS VARCHAR) AS seg,
+                c_nationkey AS nat, DATE '2024-06-01' AS eff
+         FROM customer WHERE c_custkey % 3 = 0
+         UNION ALL
+         SELECT c_custkey, c_mktsegment, c_nationkey, DATE '2024-06-01'
+         FROM customer WHERE c_custkey % 3 = 1
+         UNION ALL
+         SELECT c_custkey + 100000, 'NEW', c_nationkey, DATE '2024-06-01'
+         FROM customer WHERE c_custkey % 11 = 0),
+       j AS (
+         SELECT c.custkey AS ck, c.mktsegment AS cseg,
+                c.nationkey AS cnat, c.valid_from AS cfrom,
+                u.k AS uk, u.seg AS useg, u.nat AS unat, u.eff AS ueff,
+                ((u.seg IS DISTINCT FROM c.mktsegment)
+                 OR (u.nat IS DISTINCT FROM c.nationkey)) AS changed
+         FROM cur_open c FULL JOIN upd u ON c.custkey = u.k)
+       SELECT * FROM hist
+       UNION ALL
+       SELECT ck, cseg, cnat, cfrom, CAST(NULL AS DATE)
+       FROM j WHERE uk IS NULL
+       UNION ALL
+       SELECT ck, cseg, cnat, cfrom, CAST(NULL AS DATE)
+       FROM j WHERE ck IS NOT NULL AND uk IS NOT NULL AND NOT changed
+       UNION ALL
+       SELECT ck, cseg, cnat, cfrom, ueff
+       FROM j WHERE ck IS NOT NULL AND uk IS NOT NULL AND changed
+       UNION ALL
+       SELECT uk, useg, unat, ueff, CAST(NULL AS DATE)
+       FROM j WHERE uk IS NOT NULL AND (ck IS NULL OR changed)""",
+)
+def l5_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L superset: SCD TYPE 2 dimension merge (pipeline.scd2_apply) —
+    the history-preserving alternative to the reference's wholesale
+    dimension reload (`scripts/load_stock_metrics.py:40-66`): a
+    changed attribute closes the open row (valid_to = effective date)
+    and inserts a new open version; unchanged updates are no-ops;
+    first-seen keys insert their first version; closed history passes
+    through untouched. The update batch is built deterministically
+    from the customer fixture with all four cases present: changed
+    segments (custkey%3=0), no-op re-deliveries (%3=1), untouched
+    keys (%3=2), brand-new keys (+100000 for %11=0), plus
+    pre-existing closed history (%7=0). The oracle replays the merge
+    with null-safe IS DISTINCT FROM change detection over a FULL
+    JOIN — exactly the operator's one key-grain join."""
+    from stock_market_etl_spark.pipeline import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    d = F.lit(None).cast("date")
+    current = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.to_date(F.lit("2020-01-01")).alias("valid_from"),
+        d.alias("valid_to"),
+    ).unionAll(
+        cust.filter(F.col("c_custkey") % 7 == 0).select(
+            F.col("c_custkey").alias("custkey"),
+            F.lit("OLD").alias("mktsegment"),
+            F.col("c_nationkey").alias("nationkey"),
+            F.to_date(F.lit("2019-01-01")).alias("valid_from"),
+            F.to_date(F.lit("2020-01-01")).alias("valid_to"),
+        )
+    )
+    eff = F.to_date(F.lit("2024-06-01"))
+    updates = (
+        cust.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.concat(
+                F.lit("SEG_"), (F.col("c_custkey") % 5).cast("string")
+            ).alias("mktsegment"),
+            F.col("c_nationkey").alias("nationkey"),
+            eff.alias("eff_date"),
+        )
+        .unionAll(
+            cust.filter(F.col("c_custkey") % 3 == 1).select(
+                F.col("c_custkey").alias("custkey"),
+                F.col("c_mktsegment").alias("mktsegment"),
+                F.col("c_nationkey").alias("nationkey"),
+                eff.alias("eff_date"),
+            )
+        )
+        .unionAll(
+            cust.filter(F.col("c_custkey") % 11 == 0).select(
+                (F.col("c_custkey") + 100000).alias("custkey"),
+                F.lit("NEW").alias("mktsegment"),
+                F.col("c_nationkey").alias("nationkey"),
+                eff.alias("eff_date"),
+            )
+        )
+    )
+    return scd2_apply(
+        current,
+        updates,
+        key="custkey",
+        attrs=("mktsegment", "nationkey"),
+    )

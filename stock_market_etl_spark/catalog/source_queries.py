@@ -497,3 +497,37 @@ def b15_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .save()
     )
     return read_jsonl_audit(spark, out, schema)
+
+
+@_q(
+    "b16_compaction_roundtrip",
+    """SELECT event_id, user_id, ts, round(value, 6) AS value
+       FROM events""",
+)
+def b16_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B superset: after-the-fact small-file compaction — the lake
+    maintenance job that undoes what an over-parallel writer did
+    (reference's per-hour S3 PUT loop `scripts/ingest_hourly.py:89-113`
+    emits one object per hour per ticker; a year of that is the classic
+    small-files lake). A deliberately fragmented copy of events (64
+    writer tasks for ~10 MB of data) is re-read and rewritten through
+    io.write_compacted's AQE REBALANCE hint, so the output file count
+    tracks DATA VOLUME (advisoryPartitionSizeInBytes) instead of the
+    upstream task count — at 100 TB the same plan compacts each
+    partition with as many tasks as its bytes need, no driver-side file
+    listing loop. The oracle checks the double round trip is lossless;
+    the file-count collapse itself (64 task files → a handful) is
+    asserted in
+    tests/test_sinks.py::test_write_compacted_bounds_file_count."""
+    import os
+
+    from stock_market_etl_spark.io import load_table, write_compacted
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", F.round("value", 6).alias("value")
+    )
+    frag = os.path.join(_scratch.fresh_dir("compact_b16"), "frag")
+    ev.repartition(64).write.parquet(frag)
+    dst = os.path.join(os.path.dirname(frag), "compacted")
+    write_compacted(spark.read.parquet(frag), dst)
+    return spark.read.parquet(dst)

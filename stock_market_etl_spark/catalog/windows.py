@@ -472,3 +472,115 @@ def f12_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dd, 6).alias("drawdown"),
         F.round(F.min(dd).over(wr), 6).alias("max_drawdown"),
     )
+
+
+@_q(
+    "f13_bollinger",
+    """SELECT event_id, user_id,
+          round(CASE WHEN cnt = 20 THEN mid END, 6) AS band_mid,
+          round(CASE WHEN cnt = 20 THEN mid + 2 * sd END, 6) AS band_up,
+          round(CASE WHEN cnt = 20 THEN mid - 2 * sd END, 6) AS band_dn,
+          round(CASE WHEN cnt = 20 AND sd <> 0
+                THEN (value - (mid - 2 * sd)) / (4 * sd) END, 6) AS pct_b
+        FROM (
+          SELECT event_id, user_id, value,
+            avg(value) OVER wr AS mid,
+            stddev_samp(value) OVER wr AS sd,
+            count(value) OVER wr AS cnt
+          FROM events
+          WINDOW wr AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))""",
+)
+def f13_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F superset: 20-period Bollinger bands + %B — the mean-reversion
+    overlay a stock dashboard pairs with the reference's rolling
+    volatility (`scripts/transform.py:71-79` computes the same rolling
+    stddev; Bollinger is that stddev re-centered on the rolling mean).
+    band = mean ± 2·stddev_samp over a 20-row frame; %B is the price's
+    position inside the band, written as (value−lower)/(4·sd) — one
+    division whose denominator is zero only for a constant window
+    (then NULL, guarded identically in the oracle). Rows with fewer
+    than 20 values in frame are NULL (the F2 count-guard rule).
+    Scale shape: all four outputs come off ONE (user_id) window spec —
+    a single hash exchange + sort with stacked aggregates, the
+    flagship's plan shape (plan-asserted with f9–f12)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    mid = F.avg("value").over(wr)
+    sd = F.stddev_samp("value").over(wr)
+    cnt = F.count("value").over(wr)
+    full = cnt == 20
+    pct_b = (F.col("value") - (mid - 2 * sd)) / (4 * sd)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.when(full, mid), 6).alias("band_mid"),
+        F.round(F.when(full, mid + 2 * sd), 6).alias("band_up"),
+        F.round(F.when(full, mid - 2 * sd), 6).alias("band_dn"),
+        F.round(F.when(full & (sd != 0), pct_b), 6).alias("pct_b"),
+    )
+
+
+@_q(
+    "f14_vwap",
+    """SELECT event_id, user_id,
+          round(CASE WHEN cnt = 20 AND wsum <> 0
+                THEN pv / wsum END, 6) AS vwap_20,
+          round(CASE WHEN cnt = 20 AND wsum <> 0
+                THEN value - pv / wsum END, 6) AS vwap_dev
+        FROM (
+          SELECT event_id, user_id, value,
+            sum(value * w) OVER wr AS pv,
+            sum(w) OVER wr AS wsum,
+            count(w) OVER wr AS cnt
+          FROM (
+            SELECT event_id, ts, user_id, value,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS w
+            FROM events)
+          WINDOW wr AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))""",
+)
+def f14_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F superset: 20-period rolling VWAP — the execution-quality line
+    of a trading dashboard (value ↔ price, the ``props`` JSON payload's
+    ``k`` ↔ traded size; same FIXTURES.md mapping as i10). Composes the
+    semi-structured extraction (from_json, JVM-side/codegen'd — never
+    a Python JSON loop) with the flagship's window shape: Σ(p·v)/Σv
+    and the price's deviation from it, over ONE (user_id) window spec.
+    The weight sum is zero only when every size in frame is zero (then
+    NULL, guarded identically in the oracle); rows with fewer than 20
+    weights in frame are NULL (the F2 count-guard rule). Scale shape:
+    parse happens inside the scan's codegen stage, then a single hash
+    exchange + sort serves all three window aggregates (plan-asserted
+    with f9–f13)."""
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "value",
+        F.from_json("props", T.StructType([T.StructField("k", T.LongType())]))[
+            "k"
+        ].alias("w"),
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    pv = F.sum(F.col("value") * F.col("w")).over(wr)
+    wsum = F.sum("w").over(wr)
+    ok = (F.count("w").over(wr) == 20) & (wsum != 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.when(ok, pv / wsum), 6).alias("vwap_20"),
+        F.round(F.when(ok, F.col("value") - pv / wsum), 6).alias("vwap_dev"),
+    )

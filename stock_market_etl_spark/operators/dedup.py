@@ -861,9 +861,11 @@ def paragraph_dedup(
     Scale shape — text never enters the dedup exchanges:
 
     1. blocks reduce to ``(sha2(block), doc_id, idx)`` inside the scan
-       stage (narrow fan-out, like chunk_documents);
+       stage (narrow fan-out, like chunk_documents) — the hash is the
+       32-BYTE BINARY digest (unhex), not the 64-char hex string:
+       same collision-free identity, half the exchange bytes;
     2. the first-occurrence decision is a row_number window over the
-       HASH — the only corpus-wide shuffle, ~50 bytes per block;
+       HASH — the only corpus-wide shuffle, ~44 bytes per block;
     3. winners collapse to an id-grain ``(doc_id, keep_idxs[])`` list
        (second id-only shuffle, one row per surviving doc);
     4. documents re-derive their kept text locally by re-slicing their
@@ -890,7 +892,7 @@ def paragraph_dedup(
     ).select(
         id_col,
         "__idx",
-        F.sha2(F.concat_ws(" ", F.col("__b")), 256).alias("__h"),
+        F.unhex(F.sha2(F.concat_ws(" ", F.col("__b")), 256)).alias("__h"),
     )
     from pyspark.sql import Window
 
@@ -900,6 +902,92 @@ def paragraph_dedup(
     kept = (
         blocks.withColumn("__rn", first)
         .filter(F.col("__rn") == 1)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__idx")).alias("__keep"))
+    )
+    rebuilt = F.concat_ws(
+        " ",
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("__keep"), F.array().cast("array<int>")),
+                lambda i: F.slice(
+                    F.col("__t"), i * para_tokens + 1, para_tokens
+                ),
+            )
+        ),
+    )
+    return toks.join(kept, id_col, "left").select(
+        id_col,
+        rebuilt.alias("kept_text"),
+        # size(NULL) is -1, not NULL — guard with when, not coalesce
+        F.when(F.col("__keep").isNull(), F.lit(0))
+        .otherwise(F.size("__keep"))
+        .cast("long")
+        .alias("n_kept"),
+        F.size(starts).cast("long").alias("n_total"),
+    )
+
+
+def boilerplate_prune(
+    docs: DataFrame,
+    para_tokens: int = 20,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide boilerplate removal (the C4 "discard any line that
+    occurs in three or more documents" rule, word-window form): split
+    each document into non-overlapping ``para_tokens``-token blocks,
+    find every block whose text occurs in ``min_docs`` or more
+    DISTINCT documents, and drop ALL copies of those blocks — unlike
+    :func:`paragraph_dedup`, no first occurrence survives (headers,
+    footers, navigation chrome should vanish everywhere). Returns one
+    row per input document: ``(doc_id, kept_text, n_kept, n_total)``.
+
+    Scale shape — text never enters the corpus-wide exchanges:
+
+    1. blocks reduce to ``(sha2(block), doc_id, idx)`` inside the scan
+       stage (same narrow fan-out as paragraph_dedup; same 32-byte
+       binary digest — half the exchange bytes of the hex form);
+    2. the banned set is a hash-grain partial-aggregated
+       ``count(DISTINCT doc_id) >= min_docs`` — the only corpus-wide
+       shuffle, ~50 bytes per block, and the ban list it produces is
+       orders of magnitude smaller than the block set (only repeated
+       hashes survive the HAVING), so AQE broadcasts it into the
+       anti-join whenever it measures small;
+    3. survivors collapse to an id-grain ``(doc_id, keep_idxs[])``
+       list and each document re-slices its own token array locally —
+       the one exchange that touches text is the doc-grain join.
+
+    The DuckDB oracle (catalog x60) replays the ban decision over the
+    block text itself — identical up to sha2 collisions, i.e.
+    identical.
+    """
+    from stock_market_etl_spark.operators.text import tokens
+
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+    n = F.size("__t")
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(para_tokens))
+    blocks = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                starts, lambda s: F.slice(F.col("__t"), s, para_tokens)
+            )
+        ).alias("__idx", "__b"),
+    ).select(
+        id_col,
+        "__idx",
+        F.unhex(F.sha2(F.concat_ws(" ", F.col("__b")), 256)).alias("__h"),
+    )
+    banned = (
+        blocks.groupBy("__h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    kept = (
+        blocks.join(banned, "__h", "left_anti")
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("__idx")).alias("__keep"))
     )

@@ -524,3 +524,173 @@ def _le32(col) -> "F.Column":
             F.substring(hexed, 1, 2),
         )
     )
+
+
+# --- image perceptual hash: average-hash dedup ---------------------------
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+
+def ahash_bytes(payload: bytes, hash_size: int = 8) -> int:
+    """Average-hash of one image payload (pure function, reused by the
+    numpy cross-check tests): decode → ``hash_size``² nearest-neighbour
+    resample → per-cell brightness (r+g+b) → threshold at the grid mean
+    → bits packed row-major MSB-first into a SIGNED 64-bit int (the
+    BIGINT the DataFrame column carries). Opaque payloads fall back to
+    the deterministic byte-sample grid (:func:`fake_resize`) so the
+    hash is total over mixed-media tables — same per-row dispatch rule
+    as :func:`resize_images`."""
+    n = hash_size * hash_size
+    if n > 64:
+        raise ValueError("hash_size^2 must fit in 64 bits")
+    try:
+        rgb = resize_rgb(decode_image(payload), hash_size, hash_size)
+        vals = [
+            rgb[3 * i] + rgb[3 * i + 1] + rgb[3 * i + 2] for i in range(n)
+        ]
+    except ValueError:
+        vals = list(fake_resize(payload, hash_size, hash_size))
+    mean = sum(vals) / n
+    bits = 0
+    for v in vals:
+        bits = (bits << 1) | (1 if v > mean else 0)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def image_ahash(assets: DataFrame, hash_size: int = 8) -> DataFrame:
+    """Arrow-batched perceptual hashing over binary payloads
+    (mapInPandas, 1 row in → 1 row out, 8 bytes out per image): the
+    64-bit average-hash whose Hamming distance approximates visual
+    similarity. This is the image twin of the text pipeline's SimHash
+    (x12) — after this map, image dedup is pure integer DataFrame ops;
+    payload bytes never visit the driver and never enter an exchange."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "ahash": pd.Series(
+                        [
+                            ahash_bytes(bytes(p), hash_size)
+                            for p in pdf["payload"]
+                        ],
+                        dtype="int64",
+                    ),
+                }
+            )
+
+    return assets.mapInPandas(batches, schema=AHASH_SCHEMA)
+
+
+def image_near_dup(
+    assets: DataFrame, max_hamming: int = 3, hash_size: int = 8
+) -> DataFrame:
+    """Image near-duplicate pairs via banded average-hash — the visual
+    analogue of MinHash-LSH dedup (x10) with an EXACTNESS guarantee
+    instead of a recall curve: the 64-bit hash splits into 4 disjoint
+    16-bit bands, candidates share at least one band, and by
+    pigeonhole any pair within Hamming distance ≤ 3 differs in at most
+    3 bands, so at least one band matches exactly → candidate
+    generation has recall 1.0 for ``max_hamming`` ≤ 3 (asserted
+    against the brute-force cross join in tests). Returns
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+
+    Scale shape: after the Arrow-batched hash map, the only shuffles
+    carry ``(asset_id, ahash, band)`` rows (~24 B) and the band-bucket
+    equality self-join — never payload bytes, never all-pairs. The
+    per-bucket fan-out is bounded by the band cardinality (2^16
+    buckets per band position), the same economy as the text LSH
+    family."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            "max_hamming must be in [0, 3]: 4-band pigeonhole blocking "
+            "is exact only up to 3 differing bits"
+        )
+    # persist(): the hashed table feeds both self-join sides — decode
+    # + hash is the dominant cost at scale (Python/Arrow over pixel
+    # payloads), and without materialization Catalyst re-executes the
+    # MapInPandas subtree per join side. 8 B/image cached; the 100 TB
+    # shape lands the hash column in the lake once and consumers join
+    # against it (cf. hyperplane_lsh_buckets).
+    h = image_ahash(assets, hash_size=hash_size).persist()
+    bands = h.select(
+        "asset_id",
+        "ahash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("ahash"), s).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for s in (48, 32, 16, 0)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("id_a"),
+            F.col("b.asset_id").alias("id_b"),
+            F.col("a.ahash").alias("__ha"),
+            F.col("b.ahash").alias("__hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return cand.select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def bmp_assets_from_documents(
+    docs: DataFrame, width: int = 16, height: int = 16
+) -> DataFrame:
+    """Deterministic real-BMP fixtures from the documents table: each
+    document's UTF-8 bytes tiled row-major onto a width×height RGB
+    grid and wrapped in a genuine 24-bit BMP (:func:`encode_bmp`), so
+    the decode path in :func:`image_ahash` exercises the real codec at
+    any scale. Duplicate texts yield byte-identical images (Hamming 0
+    pairs — the fixture's exact-dup structure carries over) and
+    shared-prefix texts yield visually-near images. Arrow-batched;
+    payloads are built executor-side and never visit the driver."""
+    n = width * height * 3
+
+    def one(text: str) -> bytes:
+        b = text.encode("utf-8") or b"\x00"
+        reps = -(-n // len(b))
+        return encode_bmp(width, height, (b * reps)[:n])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "media_type": "image/bmp",
+                    "payload": pdf["text"].map(one),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches,
+        schema=T.StructType(
+            [
+                T.StructField("asset_id", T.LongType()),
+                T.StructField("media_type", T.StringType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )

@@ -552,8 +552,8 @@ def paragraph_contamination(
     that dominate real benchmark leakage. Returns
     (id, n_blocks, n_hit, contamination).
 
-    Scale shape mirrors paragraph_dedup: blocks reduce to sha2 hashes
-    inside the scan stage, the train side collapses to DISTINCT hashes
+    Scale shape mirrors paragraph_dedup: blocks reduce to 32-byte
+    binary sha2 digests inside the scan stage, the train side collapses to DISTINCT hashes
     with map-side partial aggregation, and the audit join shuffles
     (hash, id) pairs only — text never enters an exchange.
     """
@@ -575,7 +575,7 @@ def paragraph_contamination(
                 )
             ).alias("__b"),
         ).select(
-            id_col, F.sha2(F.concat_ws(" ", F.col("__b")), 256).alias("__h")
+            id_col, F.unhex(F.sha2(F.concat_ws(" ", F.col("__b")), 256)).alias("__h")
         )
 
     train_h = (
@@ -679,11 +679,22 @@ def repetition_metrics(
     # sf0.1); here it is once per document, and codegen subexpression
     # elimination shares the split between __t and __base.
     toks = tokens(F.col(text_col))
+    # Partition by DOCUMENT before the gram explode: every aggregation
+    # below is doc-keyed, and HashPartitioning(doc_id) satisfies the
+    # clustering requirement of groupBy(doc_id, ...), so Catalyst
+    # plans ZERO exchanges after this one — the corpus-wide shuffle is
+    # the tokenized text itself (~1× corpus bytes) instead of the
+    # exploded gram stream (3 gram sizes ≈ 19× corpus bytes; measured
+    # 92.8 MB -> 5.9 MB at sf0.1). The trade is per-doc locality: a
+    # document's grams aggregate on one task, so per-task work is
+    # bounded by the largest document — fine for web/doc corpora with
+    # bounded doc sizes, and far cheaper than shuffling the gram
+    # stream at 20× corpus volume.
     tokenized = docs.select(
         F.col(id_col),
         toks.alias("__t"),
         F.length(F.concat_ws(" ", toks)).cast("double").alias("__base"),
-    )
+    ).repartition(F.col(id_col))
     tagged = tokenized.select(
         F.col(id_col),
         F.col("__base"),

@@ -148,3 +148,89 @@ def load_serving(
         return batch.dropDuplicates(list(KEYS))
     fresh = newer_than_watermark(batch, serving_watermarks(serving))
     return serving.unionByName(fresh)
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: tuple[str, ...],
+    eff_col: str = "eff_date",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """L superset: slowly-changing-dimension TYPE 2 merge — apply one
+    update batch to a versioned dimension, preserving history. The
+    reference reloads its ticker dimension wholesale (delete-today +
+    insert, `scripts/load_stock_metrics.py:40-66`), which forgets
+    every prior attribute value; SCD2 is the warehouse-lifecycle form
+    that keeps them: a changed attribute CLOSES the open row
+    (``valid_to`` = effective date) and INSERTS a new open version;
+    an unchanged update is a no-op; a brand-new key inserts its first
+    version.
+
+    Contract: ``current`` rows carry (key, *attrs, valid_from,
+    valid_to) with exactly one OPEN row (valid_to IS NULL) per key;
+    ``updates`` carries (key, *attrs, eff_col) with at most one row
+    per key per batch (pre-aggregate with e4's max_by if not — the
+    same one-version-per-batch rule every MERGE-based SCD2 has).
+    Closed history rows pass through untouched.
+
+    Scale shape: ONE key-grain equi-join of the open slice against
+    the update batch decides changed/unchanged/new (batch side is
+    the small side in steady state — AQE broadcasts it); closed rows
+    never join at all. No window, no global sort; output is
+    unioned branches of that single join, so the dimension shuffles
+    at most once regardless of history depth."""
+    ucols = [F.col(f"u.{a}") for a in attrs]
+    ccols = [F.col(f"c.{a}") for a in attrs]
+    open_rows = current.filter(F.col(to_col).isNull()).alias("c")
+    closed_rows = current.filter(F.col(to_col).isNotNull())
+    u = updates.alias("u")
+
+    j = open_rows.join(u, F.col(f"c.{key}") == F.col(f"u.{key}"), "full")
+    # null-safe: a NULL attribute on either side must still compare
+    # (plain != returns NULL and silently drops the row from BOTH the
+    # changed and unchanged branches)
+    changed = ~F.struct(*ucols).eqNullSafe(F.struct(*ccols))
+    matched = F.col(f"c.{key}").isNotNull() & F.col(f"u.{key}").isNotNull()
+
+    # open rows: unmatched keep their row; matched-but-unchanged keep
+    # theirs; matched-and-changed close at the update's effective date
+    kept_open = j.filter(F.col(f"u.{key}").isNull()).select(
+        F.col(f"c.{key}").alias(key),
+        *[c.alias(a) for c, a in zip(ccols, attrs)],
+        F.col(f"c.{from_col}").alias(from_col),
+        F.col(f"c.{to_col}").alias(to_col),
+    )
+    unchanged = j.filter(matched & ~changed).select(
+        F.col(f"c.{key}").alias(key),
+        *[c.alias(a) for c, a in zip(ccols, attrs)],
+        F.col(f"c.{from_col}").alias(from_col),
+        F.col(f"c.{to_col}").alias(to_col),
+    )
+    closed_out = j.filter(matched & changed).select(
+        F.col(f"c.{key}").alias(key),
+        *[c.alias(a) for c, a in zip(ccols, attrs)],
+        F.col(f"c.{from_col}").alias(from_col),
+        F.col(f"u.{eff_col}").alias(to_col),
+    )
+    # new versions: changed rows AND first-seen keys open at eff_date
+    new_open = j.filter(
+        F.col(f"u.{key}").isNotNull()
+        & (F.col(f"c.{key}").isNull() | changed)
+    ).select(
+        F.col(f"u.{key}").alias(key),
+        *[c.alias(a) for c, a in zip(ucols, attrs)],
+        F.col(f"u.{eff_col}").alias(from_col),
+        F.lit(None).cast(current.schema[to_col].dataType).alias(to_col),
+    )
+    return (
+        closed_rows.select(
+            key, *attrs, from_col, to_col
+        )
+        .unionAll(kept_open)
+        .unionAll(unchanged)
+        .unionAll(closed_out)
+        .unionAll(new_open)
+    )

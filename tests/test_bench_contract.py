@@ -75,7 +75,9 @@ SHUFFLE_MB_PINS = {
     "x34_bm25_topk": 3.49,
     "x44_shard_assignment": 1.03,
     "x48_curation_pipeline_lsh": 2.93,
-    "x49_paragraph_dedup": 5.49,
+    # re-pinned late-r08: block keys now shuffle as 32-byte binary
+    # sha2 digests (unhex) instead of 64-char hex — 5.49 -> 3.56 MB
+    "x49_paragraph_dedup": 3.56,
     "x50_session_transcripts": 5.18,
     # r08: x58 shuffles bucket ids + doc-grain partials only (the
     # 4096-bucket model broadcasts — a payload or SMJ regression would
@@ -84,6 +86,22 @@ SHUFFLE_MB_PINS = {
     "x58_dsir_importance": 0.28,
     "x59_perplexity_buckets": 0.74,
     "e19_hourly_rollup_merge": 7.79,
+    # late-r08: x56's one exchange is the doc-grain TEXT repartition
+    # (the exploded gram stream — 92.8 MB when it shuffled — is
+    # aggregated in place); x57 composes it with x49's block dedup;
+    # x60's figure is the (binary-sha2, doc_id) ban aggregation +
+    # id-grain keep lists — a re-fattening means text or hex leaked
+    # back into a corpus-wide exchange.
+    "x56_gopher_repetition": 8.40,
+    "x57_gopher_pipeline": 19.81,
+    "x60_boilerplate_prune": 7.75,
+    # late-r08: e21's figure is the (user, day) partial-agg exchange +
+    # daily-grain window/agg rows — a re-fattening means raw events
+    # started shuffling. x61 moves ids+hashes only (payload bytes in
+    # an exchange would blow this up by orders of magnitude); its
+    # absolute figure is tiny so the band is generous.
+    "e21_market_beta": 5.79,
+    "x61_image_near_dup": 0.018,
 }
 
 

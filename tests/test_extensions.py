@@ -1032,6 +1032,48 @@ def test_paragraph_dedup_semantics(spark):
     assert again == out
 
 
+def test_boilerplate_prune_semantics(spark):
+    """A block occurring in >= min_docs DISTINCT docs is dropped from
+    EVERY doc (no first-occurrence survivor, unlike paragraph_dedup);
+    within-doc repeats alone never ban a block; a fully-boilerplate
+    doc survives as ('', 0)."""
+    from stock_market_etl_spark.operators.dedup import boilerplate_prune
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),  # 'a b' shared with 2 and 3
+            (2, "a b x y"),
+            (3, "a b a b"),  # within-doc repeat of a banned block
+            (4, "p q p q"),  # within-doc repeat only -> NOT banned
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["kept_text"], r["n_kept"], r["n_total"])
+        for r in boilerplate_prune(df, para_tokens=2, min_docs=3).collect()
+    }
+    assert out[1] == ("c d e f", 2, 3)  # no survivor copy of 'a b'
+    assert out[2] == ("x y", 1, 2)
+    assert out[3] == ("", 0, 2)  # fully boilerplate -> empty
+    assert out[4] == ("p q p q", 2, 2)  # 1 distinct doc < min_docs
+
+    # min_docs=2 bans the pairwise block too
+    out2 = {
+        r["doc_id"]: r["n_kept"]
+        for r in boilerplate_prune(df, para_tokens=2, min_docs=2).collect()
+    }
+    assert out2 == {1: 2, 2: 1, 3: 0, 4: 2}
+
+    # deterministic under physical layout changes
+    again = {
+        r["doc_id"]: (r["kept_text"], r["n_kept"], r["n_total"])
+        for r in boilerplate_prune(
+            df.repartition(7), para_tokens=2, min_docs=3
+        ).collect()
+    }
+    assert again == out
+
+
 def test_session_transcripts_order_and_gaps(spark):
     """Transcript order must follow (ts, event_id) regardless of input
     layout, and a >30-min gap starts a new session/transcript."""
@@ -1235,3 +1277,126 @@ def test_perplexity_buckets_balanced_and_ordered(spark, sf_smoke):
         lo = {t: min(r.avg_logprob for r in rows if r.tier == t) for t in (1, 2)}
         hi = {t: max(r.avg_logprob for r in rows if r.tier == t) for t in (2, 3)}
         assert lo[1] >= hi[2] and lo[2] >= hi[3], lang
+
+
+def test_image_ahash_matches_numpy_reference(spark):
+    """The DataFrame hash column must equal an independent numpy
+    recomputation (nearest-neighbour grid -> brightness -> mean
+    threshold -> MSB-first packing) for real decoded BMPs."""
+    import numpy as np
+
+    from stock_market_etl_spark.operators import multimodal as mm
+
+    def np_ahash(w, h, rgb, hs=8):
+        px = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+        ys = (np.arange(hs) * h) // hs
+        xs = (np.arange(hs) * w) // hs
+        grid = px[np.ix_(ys, xs)].astype(np.int64).sum(axis=2)
+        bits = (grid > grid.mean()).astype(np.uint64).ravel()
+        v = 0
+        for b in bits:
+            v = (v << 1) | int(b)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rng = np.random.RandomState(7)
+    rows = []
+    expect = {}
+    for aid, (w, h) in enumerate([(16, 16), (9, 5), (32, 8)]):
+        rgb = rng.randint(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+        rows.append((aid, "image/bmp", bytearray(mm.encode_bmp(w, h, rgb))))
+        expect[aid] = np_ahash(w, h, rgb)
+    df = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary"
+    )
+    got = {
+        r["asset_id"]: r["ahash"] for r in mm.image_ahash(df).collect()
+    }
+    assert got == expect
+
+
+def test_image_near_dup_banded_equals_bruteforce(spark):
+    """4x16-bit banded blocking must reproduce the brute-force pair set
+    exactly for Hamming <= 3 (pigeonhole), including pairs created by
+    controlled small perturbations; max_hamming > 3 must be refused."""
+    import itertools
+
+    import numpy as np
+    import pytest
+
+    from stock_market_etl_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(11)
+    rows = []
+    aid = 0
+    for _ in range(12):
+        rgb = np.frombuffer(
+            rng.randint(0, 256, size=16 * 16 * 3, dtype=np.uint8).tobytes(),
+            dtype=np.uint8,
+        ).copy()
+        rows.append((aid, "image/bmp", bytearray(mm.encode_bmp(16, 16, rgb.tobytes()))))
+        aid += 1
+        # a near-variant: saturate a couple of 2x2 cells -> few hash bits flip
+        var = rgb.reshape(16, 16, 3).copy()
+        var[0:2, 0:2, :] = 255
+        var[4:6, 8:10, :] = 0
+        rows.append(
+            (aid, "image/bmp", bytearray(mm.encode_bmp(16, 16, var.tobytes())))
+        )
+        aid += 1
+    df = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary"
+    )
+    hashes = {
+        r["asset_id"]: r["ahash"] for r in mm.image_ahash(df).collect()
+    }
+    mask = (1 << 64) - 1
+
+    def ham(a, b):
+        # hashes are SIGNED 64-bit; mask before popcount (Python ints
+        # sign-extend infinitely, bin() of a negative counts magnitude)
+        return bin((hashes[a] ^ hashes[b]) & mask).count("1")
+
+    brute = {
+        (a, b, ham(a, b))
+        for a, b in itertools.combinations(sorted(hashes), 2)
+        if ham(a, b) <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in mm.image_near_dup(df, max_hamming=3).collect()
+    }
+    assert got == brute
+    assert brute  # the perturbations must actually create pairs
+    with pytest.raises(ValueError, match="pigeonhole"):
+        mm.image_near_dup(df, max_hamming=4)
+
+
+def test_image_near_dup_fixture_dup_carryover(spark, sf_smoke):
+    """Duplicate document texts must surface as Hamming-0 image pairs:
+    bmp_assets_from_documents is a pure function of text, so injecting
+    an exact-dup copy of fixture docs (offset ids) must yield a
+    Hamming-0 pair per copied doc through the real BMP decode path."""
+    from pyspark.sql import functions as F
+
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators import multimodal as mm
+
+    docs = (
+        load_table(spark, sf_smoke, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(40)
+    )
+    offset = 1_000_000
+    dupes = docs.select(
+        (F.col("doc_id") + offset).alias("doc_id"), "text"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.image_near_dup(
+            mm.bmp_assets_from_documents(docs.unionAll(dupes)),
+            max_hamming=3,
+        ).collect()
+    }
+    for r in docs.select("doc_id").collect():
+        assert pairs.get((r["doc_id"], r["doc_id"] + offset)) == 0

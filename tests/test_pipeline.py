@@ -234,3 +234,54 @@ def test_volume_anomaly_gate_flags_planted_spike(spark):
     # warm-up rows (< 3 prior days) are unscored, not flagged
     for d in range(3):
         assert out[(base + datetime.timedelta(days=d)).date()]["z_score"] is None
+
+
+def test_scd2_apply_semantics(spark):
+    """All four merge cases in one batch, with NULL attribute values on
+    both sides (null-safe change detection): changed closes + inserts,
+    NULL->value and value->NULL count as changes, NULL==NULL does not,
+    unmatched/unchanged rows pass through, new keys open their first
+    version, closed history is untouched."""
+    import datetime
+
+    d0 = datetime.date(2020, 1, 1)
+    eff = datetime.date(2024, 6, 1)
+    old = datetime.date(2019, 1, 1)
+    current = spark.createDataFrame(
+        [
+            (1, "A", d0, None),      # changed -> close + new version
+            (2, "B", d0, None),      # unchanged re-delivery -> no-op
+            (3, "C", d0, None),      # no update -> untouched
+            (4, None, d0, None),     # NULL -> NULL: unchanged (null-safe)
+            (5, None, d0, None),     # NULL -> value: changed
+            (6, "F", d0, None),      # value -> NULL: changed
+            (1, "A0", old, d0),      # closed history -> pass through
+        ],
+        "k long, seg string, valid_from date, valid_to date",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "A2", eff),
+            (2, "B", eff),
+            (4, None, eff),
+            (5, "E", eff),
+            (6, None, eff),
+            (9, "NEW", eff),         # first-seen key
+        ],
+        "k long, seg string, eff_date date",
+    )
+    out = pipeline.scd2_apply(current, updates, key="k", attrs=("seg",))
+    rows = {(r["k"], r["seg"], r["valid_from"], r["valid_to"]) for r in out.collect()}
+    assert rows == {
+        (1, "A", d0, eff), (1, "A2", eff, None), (1, "A0", old, d0),
+        (2, "B", d0, None),
+        (3, "C", d0, None),
+        (4, None, d0, None),
+        (5, None, d0, eff), (5, "E", eff, None),
+        (6, "F", d0, eff), (6, None, eff, None),
+        (9, "NEW", eff, None),
+    }
+    assert out.count() == len(rows)  # no duplicate emissions
+    # one open row per key afterwards
+    open_keys = [r["k"] for r in out.filter(F.col("valid_to").isNull()).collect()]
+    assert sorted(open_keys) == [1, 2, 3, 4, 5, 6, 9]

@@ -501,10 +501,31 @@ def test_rsi_and_ema_single_exchange(spark, sf_smoke):
     """f9's two window specs and f10's ten lags all share the one
     (user_id) partitioning — each query must compile to exactly one
     hash exchange, the flagship's plan shape."""
-    for name in ("f9_rsi", "f10_ema", "f11_sliding_distinct", "f12_drawdown"):
+    for name in (
+        "f9_rsi",
+        "f10_ema",
+        "f11_sliding_distinct",
+        "f12_drawdown",
+        "f13_bollinger",
+        "f14_vwap",
+    ):
         df = all_queries()[name](spark, sf_smoke)
         plan = _plan(df)
         assert plan.count("Exchange hashpartitioning") == 1, name
+
+
+def test_repetition_metrics_single_text_exchange(spark, sf_smoke):
+    """x56's only shuffle must be the doc-grain TEXT repartition below
+    the gram explode (tagged REPARTITION_BY_COL): HashPartitioning
+    (doc_id) satisfies every doc-keyed groupBy above it, so the
+    exploded gram stream (~19× corpus bytes; measured 92.8 MB vs
+    5.9 MB at sf0.1) never hits an exchange. A second hash exchange
+    appearing here means an aggregation stopped reusing the doc
+    partitioning."""
+    df = all_queries()["x56_gopher_repetition"](spark, sf_smoke)
+    plan = _plan(df)
+    assert plan.count("REPARTITION_BY_COL") == 1, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
 
 
 def test_funnel_single_exchange_no_self_join(spark, sf_smoke):
@@ -657,3 +678,13 @@ def test_rollup_merge_shuffles_partials_only(spark, sf_smoke):
     assert "Join" not in plan
     # partial + final HashAggregate pairs at each grain
     assert plan.count("HashAggregate") >= 4
+
+
+def test_image_near_dup_decode_runs_once(spark, sf_smoke):
+    """x61's band self-join must read the hashed table from cache on
+    both sides (InMemoryTableScan) — without the persist, Catalyst
+    re-executes the Arrow decode+hash MapInPandas subtree per join
+    side (measured 1.94 s -> 0.59 s at sf0.1)."""
+    df = all_queries()["x61_image_near_dup"](spark, sf_smoke)
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan, plan[:2000]

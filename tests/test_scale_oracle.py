@@ -148,6 +148,23 @@ SCALE_QUERIES = [
     # r08 addition: custom Python DataSource writer roundtrip (rounded
     # double value column -> midpoint tolerance)
     ("b15_python_datasource_sink", False),
+    # r08 additions: Bollinger bands (rounded double bands → midpoint
+    # tolerance) and corpus boilerplate prune (string/BIGINT → exact)
+    ("f13_bollinger", False),
+    ("x60_boilerplate_prune", True),
+    # r08 addition: small-file compaction double roundtrip (rounded
+    # double value column → midpoint tolerance)
+    ("b16_compaction_roundtrip", False),
+    # r08 addition: rolling VWAP over the JSON-extracted size (rounded
+    # double ratios → midpoint tolerance)
+    ("f14_vwap", False),
+    # late-r08 additions: market beta/corr (rounded covar ratios →
+    # midpoint tolerance); schema-drift union, column profile and SCD2
+    # merge (verbatim values / counts / dates → exact)
+    ("e21_market_beta", False),
+    ("h4_union_by_name", True),
+    ("k8_column_profile", True),
+    ("l5_scd2_dimension", True),
 ]
 
 
