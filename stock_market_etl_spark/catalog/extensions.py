@@ -1963,3 +1963,146 @@ def x61_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     assets = multimodal.bmp_assets_from_documents(docs, width=8, height=8)
     return multimodal.image_near_dup(assets, max_hamming=3)
+
+
+@_q(
+    "x62_knn_label_propagation",
+    """WITH v AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+         FROM embeddings),
+       q AS (SELECT vec_id, e FROM v WHERE vec_id % 5 = 0),
+       l AS (SELECT vec_id, e, label FROM v WHERE vec_id % 5 <> 0),
+       p AS (
+         SELECT q.vec_id AS qid, l.vec_id AS lid, l.label,
+                round(list_dot_product(q.e, l.e)
+                  / (sqrt(list_dot_product(q.e, q.e))
+                     * sqrt(list_dot_product(l.e, l.e))), 6) AS sim
+         FROM q CROSS JOIN l),
+       top AS (
+         SELECT qid, lid, label, sim,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY sim DESC, lid) AS rn
+         FROM p QUALIFY rn <= 5),
+       votes AS (
+         SELECT qid, label, CAST(count(*) AS BIGINT) AS votes
+         FROM top GROUP BY qid, label),
+       win AS (
+         SELECT qid, label AS predicted_label, votes,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY votes DESC, label) AS wr
+         FROM votes QUALIFY wr = 1),
+       m AS (SELECT qid, round(avg(sim), 6) AS mean_topk_sim
+             FROM top GROUP BY qid)
+       SELECT w.qid AS vec_id, w.predicted_label, w.votes,
+              m.mean_topk_sim
+       FROM win w JOIN m ON w.qid = m.qid""",
+)
+def x62_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised auto-labeling (operators/similarity.py
+    knn_label_propagation): vectors with vec_id % 5 = 0 play the
+    unlabeled pool and receive the majority label of their 5 nearest
+    labeled neighbours by cosine — the label-extension step that
+    turns a seed label set into corpus-wide training labels. Exact
+    quadratic form = the oracle (x7/x16 policy: ground truth kept
+    DuckDB-replayable; the query side broadcasts so only id+sim rows
+    ever shuffle); x63 is the LSH-bucketed scale twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_label_propagation(
+        emb, F.col("vec_id") % 5 == 0, k=5
+    )
+
+
+@_q("x63_knn_label_propagation_lsh")
+def x63_knn_label_propagation_lsh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB form of x62 (operators/similarity.py
+    knn_label_propagation_lsh): candidates from hyperplane-LSH bucket
+    collisions instead of the all-pairs scan, identical top-k + vote
+    tail. Rows-only by policy (bucket membership is engine-specific,
+    x10/x17 precedent); hard evidence is the knn_from_candidates
+    identity seam (full candidates ≡ exact form), strong-neighbour
+    candidate recall ≥ 0.9 on the fixture's planted pairs, and an
+    agreement anti-regression floor (tests/test_extensions.py —
+    full agreement is not achievable on the random background
+    vectors below the LSH crossover, and the test documents why).
+    Vectors re-attach by id after the (qid, lid) dedup, so the
+    candidate shuffle is id-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_label_propagation_lsh(
+        emb, F.col("vec_id") % 5 == 0, dim=64, k=5,
+        n_planes=4, n_tables=16,
+    )
+
+
+_WINNOW_FP_CTE = """
+  d AS (SELECT doc_id,
+               lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS t
+        FROM documents),
+  g AS (SELECT doc_id,
+               CASE WHEN length(t) >= 8
+                    THEN list_transform(range(1, length(t) - 8 + 2),
+                                        i -> md5(substring(t, i, 8)))
+                    ELSE [] END AS hs
+        FROM d),
+  s AS (SELECT doc_id, hs,
+               range(1, greatest(len(hs) - 16 + 1, 1) + 1) AS js
+        FROM g WHERE len(hs) >= 1),
+  win AS (SELECT doc_id, j, list_slice(hs, j, j + 15) AS sl
+          FROM s, unnest(js) AS u(j)),
+  fp AS (SELECT DISTINCT doc_id,
+               CAST(j + len(sl)
+                    - list_position(list_reverse(sl), list_min(sl))
+                 AS BIGINT) AS fp_pos,
+               list_min(sl) AS fp_hash
+         FROM win)
+"""
+
+
+@_q(
+    "x64_winnow_fingerprints",
+    f"WITH {_WINNOW_FP_CTE} SELECT doc_id, fp_pos, fp_hash FROM fp",
+)
+def x64_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) document fingerprints — k=8 char-gram md5
+    hashes, w=16 window, rightmost-min selection
+    (operators/dedup.py winnow_fingerprints). The position-aware local
+    fingerprint tier: any shared normalized substring of >= 23 chars
+    is guaranteed a shared fingerprint at ~2/17 of the gram count.
+    Selection runs entirely in array expressions inside the scan stage
+    (zero-shuffle); the oracle replays every selected (pos, hash)
+    exactly — the window slide is deterministic, so unlike MinHash
+    this local-fingerprint tier is fully hash-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.winnow_fingerprints(docs, k=8, w=16)
+
+
+@_q(
+    "x65_winnow_near_dup",
+    f"""WITH {_WINNOW_FP_CTE},
+       f AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+       banned AS (SELECT fp_hash FROM f
+                  GROUP BY fp_hash HAVING count(*) > 50),
+       ok AS (SELECT * FROM f
+              WHERE fp_hash NOT IN (SELECT fp_hash FROM banned)),
+       pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(count(*) AS BIGINT) AS shared_fps
+              FROM ok a JOIN ok b
+                ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+       SELECT doc_a, doc_b, shared_fps FROM pr WHERE shared_fps >= 8""",
+)
+def x65_winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints
+    (operators/dedup.py winnow_near_dup): >= 8 shared selected hashes
+    after dropping stop-fingerprints seen in > 50 documents. The
+    deterministic (oracle-replayable) member of the near-dup family —
+    MinHash/SimHash trade exactness for density, winnowing keeps a
+    full DuckDB hash oracle while still bounding the pair stage by
+    the per-hash document cap. Fingerprints shuffle as 16-byte
+    unhex(md5) + id rows; the ban set is anti-joined broadcast-style;
+    text never leaves the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.winnow_near_dup(
+        docs, k=8, w=16, min_shared=8, max_docs_per_fp=50
+    )

@@ -1012,3 +1012,142 @@ def boilerplate_prune(
         .alias("n_kept"),
         F.size(starts).cast("long").alias("n_total"),
     )
+
+
+# --- winnowing fingerprints (MOSS-style local fingerprinting) -------------
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): normalize text (lowercase, strip
+    non-alphanumerics), hash every character ``k``-gram, slide a
+    ``w``-hash window and select each window's minimum hash (rightmost
+    position on ties). Guarantees any shared substring of at least
+    ``k + w - 1`` normalized characters contributes at least one
+    shared fingerprint, at an expected density of ``2 / (w + 1)`` —
+    the local, position-aware complement to the document-global
+    MinHash/SimHash tiers. Returns ``(doc_id, fp_pos, fp_hash)``, one
+    row per selected (position, hash), deduplicated per document.
+
+    Scale shape: the whole selection is array expressions inside the
+    scan stage — gram hashing, the window slide, and the per-document
+    dedup all happen before anything leaves the partition, so the
+    operator itself is zero-shuffle and the exchange cost belongs to
+    whatever consumes the (id, pos, hash) rows (~2/(w+1) of the gram
+    count, not the text). The hash is md5-hex so the DuckDB oracle
+    replays it exactly (catalog x64); a production deployment would
+    swap xxhash64 for md5 and unhex the exchange (x49's binary-digest
+    economy) — the selection logic is hash-agnostic.
+
+    Documents shorter than ``k`` normalized characters yield no grams
+    and are absent from the output; documents with fewer than ``w``
+    grams winnow over one clipped window (both engines' slice clips
+    past the array end — same edge rule as text.word_grams).
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    base = docs.select(F.col(id_col), norm.alias("__t"))
+    grams = base.select(
+        id_col,
+        F.when(
+            F.length("__t") >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.length("__t") - (k - 1)),
+                lambda i: F.md5(F.substring(F.col("__t"), i, k)),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__hs"),
+    ).filter(F.size("__hs") >= 1)
+    nwin = F.greatest(F.size("__hs") - (w - 1), F.lit(1))
+    wins = grams.select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda j: F.slice(F.col("__hs"), j, w),
+        ).alias("__wins"),
+    )
+    # Binary lambda: i is the 0-based window index, so window start is
+    # i + 1; rightmost argmin inside the slice via reverse + first
+    # position (ties in md5 space are astronomically rare but the rule
+    # must still match the oracle exactly).
+    sel = F.transform(
+        F.col("__wins"),
+        lambda s, i: F.struct(
+            (
+                i
+                + F.lit(1)
+                + F.size(s)
+                - F.array_position(F.reverse(s), F.array_min(s))
+            )
+            .cast("long")
+            .alias("fp_pos"),
+            F.array_min(s).alias("fp_hash"),
+        ),
+    )
+    return wins.select(
+        id_col, F.explode(F.array_distinct(sel)).alias("__fp")
+    ).select(
+        id_col,
+        F.col("__fp.fp_pos").alias("fp_pos"),
+        F.col("__fp.fp_hash").alias("fp_hash"),
+    )
+
+
+def winnow_near_dup(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 16,
+    min_shared: int = 8,
+    max_docs_per_fp: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs by shared winnowing fingerprints: two
+    documents pair when they share at least ``min_shared`` distinct
+    selected hashes, after dropping "stop fingerprints" that occur in
+    more than ``max_docs_per_fp`` documents (corpus boilerplate —
+    without the cap one template fingerprint would pair every
+    document against every other). Returns
+    ``(doc_a, doc_b, shared_fps)`` with ``doc_a < doc_b``.
+
+    Unlike the MinHash/SimHash tiers this is EXACT for its own
+    definition — fingerprint selection is deterministic — so it
+    carries a full DuckDB hash oracle (catalog x65). Scale shape:
+    fingerprints leave the scan as 16-byte ``unhex(md5)`` + id rows
+    (pos dropped before the pair stage), the stop-fingerprint ban set
+    is a hash-grain aggregate that only repeated hashes survive (AQE
+    broadcasts it into the anti-join), and the bucket self-join is
+    capped at ``max_docs_per_fp`` rows per hash — the same
+    bounded-bucket economy as the LSH pair sources, but with a
+    replayable oracle.
+    """
+    fps = (
+        winnow_fingerprints(docs, k, w, text_col, id_col)
+        .select(
+            F.col(id_col).alias("__d"),
+            F.unhex(F.col("fp_hash")).alias("__h"),
+        )
+        .distinct()
+    )
+    banned = (
+        fps.groupBy("__h")
+        .agg(F.count("*").alias("__nd"))
+        .filter(F.col("__nd") > max_docs_per_fp)
+        .select("__h")
+    )
+    pruned = fps.join(banned, "__h", "left_anti")
+    a = pruned.select("__h", F.col("__d").alias("doc_a"))
+    b = pruned.select("__h", F.col("__d").alias("doc_b"))
+    return (
+        a.join(b, "__h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

@@ -1400,3 +1400,155 @@ def test_image_near_dup_fixture_dup_carryover(spark, sf_smoke):
     }
     for r in docs.select("doc_id").collect():
         assert pairs.get((r["doc_id"], r["doc_id"] + offset)) == 0
+
+
+def test_knn_label_lsh_evidence(spark, sf_correct):
+    """Three-fold evidence for the LSH kNN labeler (x63):
+    1. identity seam — the shared vote tail fed the FULL query×labeled
+       candidate set reproduces the exact form EXACTLY (validates the
+       reattach-by-id joins and the whole tail);
+    2. strong-neighbour candidate recall — exact top-5 neighbours with
+       cosine >= 0.4 (the fixture's planted structure, same bar as
+       x17) appear in the LSH candidate set with recall >= 0.9;
+    3. agreement floor — whole-set prediction agreement with the
+       exact form stays above an anti-regression floor. Full
+       agreement is NOT the bar: the background vectors are random,
+       so top-5 margins are thin and any candidate subset reshuffles
+       low-margin votes (observed ~0.78 at 4 planes / 16 tables).
+    """
+    from stock_market_etl_spark.catalog import all_queries
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators import similarity
+    from stock_market_etl_spark.operators.similarity import (
+        cosine,
+        _as_double,
+        knn_from_candidates,
+        hyperplane_lsh_buckets,
+    )
+
+    emb = load_table(spark, sf_correct, "embeddings")
+    cond = F.col("vec_id") % 5 == 0
+    exact_rows = {
+        tuple(r)
+        for r in all_queries()["x62_knn_label_propagation"](
+            spark, sf_correct
+        ).collect()
+    }
+    exact = {r[0]: r[1] for r in exact_rows}
+
+    # 1. identity seam: full candidates -> bit-identical output
+    full_cand = (
+        emb.filter(cond)
+        .select(F.col("vec_id").alias("__qid"))
+        .crossJoin(emb.filter(~cond).select(F.col("vec_id").alias("__lid")))
+    )
+    seam_rows = {
+        tuple(r)
+        for r in knn_from_candidates(emb, full_cand, cond, k=5).collect()
+    }
+    assert seam_rows == exact_rows
+
+    # 2. strong-neighbour recall: planted pairs must be in candidates
+    b = hyperplane_lsh_buckets(emb, dim=64, n_planes=4, n_tables=16)
+    qb = b.filter(cond).select(
+        F.col("vec_id").alias("__qid"), "lsh_table", "lsh_bucket"
+    )
+    lb = b.filter(~cond).select(
+        F.col("vec_id").alias("__lid"),
+        F.col("lsh_table").alias("__t"),
+        F.col("lsh_bucket").alias("__b"),
+    )
+    cand = {
+        (r["__qid"], r["__lid"])
+        for r in qb.join(
+            lb,
+            (F.col("lsh_table") == F.col("__t"))
+            & (F.col("lsh_bucket") == F.col("__b")),
+        )
+        .select("__qid", "__lid")
+        .distinct()
+        .collect()
+    }
+    q = emb.filter(cond).select(
+        F.col("vec_id").alias("__qid"), F.col("embedding").alias("__qv")
+    )
+    lab = emb.filter(~cond).select(
+        F.col("vec_id").alias("__lid"), F.col("embedding").alias("__lv")
+    )
+    strong = {
+        (r["__qid"], r["__lid"])
+        for r in lab.crossJoin(F.broadcast(q))
+        .select(
+            "__qid",
+            "__lid",
+            cosine(
+                _as_double(F.col("__qv")), _as_double(F.col("__lv"))
+            ).alias("s"),
+        )
+        .filter(F.col("s") >= 0.4)
+        .collect()
+    }
+    assert strong  # planted structure must exist
+    recall = len(strong & cand) / len(strong)
+    assert recall >= 0.9, (len(strong & cand), len(strong))
+
+    # 3. agreement anti-regression floor
+    approx = {
+        r["vec_id"]: r["predicted_label"]
+        for r in all_queries()["x63_knn_label_propagation_lsh"](
+            spark, sf_correct
+        ).collect()
+    }
+    assert set(exact) == set(approx)  # every query predicted
+    agree = sum(1 for k, v in exact.items() if approx[k] == v)
+    assert agree / len(exact) >= 0.55, (agree, len(exact))
+
+
+def test_winnow_guarantee_and_edges(spark):
+    """Winnowing contract (Schleimer et al. SIGMOD'03): any shared
+    normalized substring of length >= k + w - 1 yields at least one
+    shared fingerprint; docs shorter than k normalized chars emit
+    nothing; a doc with fewer than w grams still winnows (one clipped
+    window). Plus the stop-fingerprint cap: a hash present in more
+    than max_docs_per_fp documents must pair nobody through it."""
+    from stock_market_etl_spark.operators import dedup as dd
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, "AAA unrelated prefix " + shared + " suffix one 111"),
+        (2, "totally different opening " + shared + " closer 222"),
+        (3, "no overlap here at all just filler words repeated"),
+        (4, "xy"),  # < k normalized chars -> no grams
+        (5, "abcdefghij"),  # 3 grams at k=8 -> one clipped window
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = dd.winnow_fingerprints(docs, k=8, w=16)
+    by_doc = {
+        r["doc_id"]: r["n"]
+        for r in fps.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert 4 not in by_doc  # too short: absent
+    assert by_doc[5] == 1  # clipped single window
+    # guarantee: shared span (len >= 23 normalized) -> shared fp
+    f1 = {r["fp_hash"] for r in fps.filter(F.col("doc_id") == 1).collect()}
+    f2 = {r["fp_hash"] for r in fps.filter(F.col("doc_id") == 2).collect()}
+    f3 = {r["fp_hash"] for r in fps.filter(F.col("doc_id") == 3).collect()}
+    assert f1 & f2
+    assert not (f1 & f3) and not (f2 & f3)
+
+    pairs = dd.winnow_near_dup(docs, k=8, w=16, min_shared=1)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) not in got
+
+    # stop-fingerprint cap: the same boilerplate in every doc pairs
+    # everyone at cap=50 but nobody at cap=2 (3 docs > cap).
+    boiler = [(i, "identical boilerplate line shared by every doc")
+              for i in range(1, 4)]
+    bdocs = spark.createDataFrame(boiler, ["doc_id", "text"])
+    assert dd.winnow_near_dup(bdocs, k=8, w=16, min_shared=1).count() == 3
+    assert (
+        dd.winnow_near_dup(
+            bdocs, k=8, w=16, min_shared=1, max_docs_per_fp=2
+        ).count()
+        == 0
+    )

@@ -688,3 +688,22 @@ def test_image_near_dup_decode_runs_once(spark, sf_smoke):
     df = all_queries()["x61_image_near_dup"](spark, sf_smoke)
     plan = _plan(df)
     assert "InMemoryTableScan" in plan, plan[:2000]
+
+
+def test_winnow_fingerprints_zero_exchange(spark, sf_smoke):
+    """x64's winnowing selection (gram hashing, window slide, per-doc
+    dedup) is array expressions inside the scan stage — the plan must
+    contain NO Exchange; the shuffle belongs to whatever consumes the
+    (id, pos, hash) rows (x65)."""
+    plan = _plan(all_queries()["x64_winnow_fingerprints"](spark, sf_smoke))
+    assert "Exchange" not in plan
+
+
+def test_winnow_near_dup_pairs_on_binary_digests(spark, sf_smoke):
+    """x65's pair stage must key on the 16-byte unhex digest (never
+    hex strings, never text) and engage no cartesian product; the
+    stop-fingerprint ban is a left-anti join."""
+    plan = _plan(all_queries()["x65_winnow_near_dup"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "unhex" in plan
+    assert "LeftAnti" in plan

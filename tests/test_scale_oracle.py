@@ -165,6 +165,14 @@ SCALE_QUERIES = [
     ("h4_union_by_name", True),
     ("k8_column_profile", True),
     ("l5_scd2_dimension", True),
+    # late-r08 addition: kNN label propagation, exact form (rounded
+    # mean-sim double → midpoint tolerance). Cheap at sf0.1: the
+    # embeddings fixture is 2 K vectors → 640 K pairs.
+    ("x62_knn_label_propagation", False),
+    # late-r08 additions: winnowing fingerprints + the deterministic
+    # near-dup pair tier over them (md5-hex / integer outputs → exact).
+    ("x64_winnow_fingerprints", True),
+    ("x65_winnow_near_dup", True),
 ]
 
 
