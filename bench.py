@@ -130,6 +130,17 @@ BENCH_QUERIES = [
     # an exchange).
     "e21_market_beta",
     "x61_image_near_dup",
+    # late-r08 additions: kNN label propagation via its LSH candidate
+    # source (the 100 TB form — x62's exact quadratic twin stays
+    # oracle-only like x31/x46; candidates shuffle as id pairs,
+    # vectors re-attach by id) and the winnowing fingerprint tier —
+    # x64 is the Arrow-batched selection stage itself (hash+winnow in
+    # one Python stage, 8-byte BIGINT fingerprints), x65 the
+    # deterministic near-dup pairs over it (persisted fingerprint
+    # diamond; ban set anti-joined; capped bucket self-join).
+    "x63_knn_label_propagation_lsh",
+    "x64_winnow_fingerprints",
+    "x65_winnow_near_dup",
 ]
 
 

@@ -2040,14 +2040,17 @@ _WINNOW_FP_CTE = """
                lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS t
         FROM documents),
   g AS (SELECT doc_id,
-               CASE WHEN length(t) >= 8
-                    THEN list_transform(range(1, length(t) - 8 + 2),
-                                        i -> md5(substring(t, i, 8)))
-                    ELSE [] END AS hs
-        FROM d),
+               list_transform(
+                 list_transform(range(1, length(t) - 8 + 2),
+                                i -> md5_number_upper(substring(t, i, 8))),
+                 u -> CAST(CAST(u AS HUGEINT)
+                           - CASE WHEN u >= 9223372036854775808
+                                  THEN 18446744073709551616 ELSE 0 END
+                           AS BIGINT)) AS hs
+        FROM d WHERE length(t) >= 8),
   s AS (SELECT doc_id, hs,
                range(1, greatest(len(hs) - 16 + 1, 1) + 1) AS js
-        FROM g WHERE len(hs) >= 1),
+        FROM g),
   win AS (SELECT doc_id, j, list_slice(hs, j, j + 15) AS sl
           FROM s, unnest(js) AS u(j)),
   fp AS (SELECT DISTINCT doc_id,
@@ -2064,15 +2067,16 @@ _WINNOW_FP_CTE = """
     f"WITH {_WINNOW_FP_CTE} SELECT doc_id, fp_pos, fp_hash FROM fp",
 )
 def x64_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing (MOSS) document fingerprints — k=8 char-gram md5
-    hashes, w=16 window, rightmost-min selection
+    """Winnowing (MOSS) document fingerprints — k=8 char-gram 64-bit
+    md5 hashes, w=16 window, rightmost-min selection
     (operators/dedup.py winnow_fingerprints). The position-aware local
     fingerprint tier: any shared normalized substring of >= 23 chars
     is guaranteed a shared fingerprint at ~2/17 of the gram count.
-    Selection runs entirely in array expressions inside the scan stage
+    Hashing + selection run in one Arrow-batched Python stage
     (zero-shuffle); the oracle replays every selected (pos, hash)
-    exactly — the window slide is deterministic, so unlike MinHash
-    this local-fingerprint tier is fully hash-checkable."""
+    exactly via DuckDB's md5_number_upper (≡ little-endian first 8
+    digest bytes) — the window slide is deterministic, so unlike
+    MinHash this local-fingerprint tier is fully hash-checkable."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.winnow_fingerprints(docs, k=8, w=16)
 
@@ -2099,8 +2103,8 @@ def x65_winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (oracle-replayable) member of the near-dup family —
     MinHash/SimHash trade exactness for density, winnowing keeps a
     full DuckDB hash oracle while still bounding the pair stage by
-    the per-hash document cap. Fingerprints shuffle as 16-byte
-    unhex(md5) + id rows; the ban set is anti-joined broadcast-style;
+    the per-hash document cap. Fingerprints shuffle as 8-byte BIGINT
+    hash + id rows; the ban set is anti-joined broadcast-style;
     text never leaves the scan."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.winnow_near_dup(

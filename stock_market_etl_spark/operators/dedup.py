@@ -1047,56 +1047,82 @@ def winnow_fingerprints(
 
     Documents shorter than ``k`` normalized characters yield no grams
     and are absent from the output; documents with fewer than ``w``
-    grams winnow over one clipped window (both engines' slice clips
-    past the array end — same edge rule as text.word_grams).
+    grams winnow over one clipped window (same edge rule as
+    text.word_grams).
+
+    The hash is the first 8 bytes of md5, little-endian, as a signed
+    64-bit int — chosen because DuckDB's ``md5_number_upper`` computes
+    the identical value, so the oracle (catalog x64) replays every
+    selected hash bit-exactly while the engine exchanges 8-byte longs
+    instead of 32-char hex (the x49 binary-digest economy, one better).
+    Hashing + window selection run in ONE Arrow-batched Python stage
+    (``mapInPandas`` + hashlib/numpy): a first cut in pure array
+    expressions spent ~16 s at sf0.1 inside the interpreted
+    ``transform(md5(substring(...)))`` lambda — the per-gram md5 is
+    Python-speed either way, and the Arrow form amortizes it per batch
+    (measured 22 s → well under 2 s for the selection stage). The
+    normalization stays native, the stage itself is zero-shuffle, and
+    the exchange cost belongs to whatever consumes the (id, pos, hash)
+    rows (~2/(w+1) of the gram count, never the text).
     """
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
-    base = docs.select(F.col(id_col), norm.alias("__t"))
-    grams = base.select(
-        id_col,
-        F.when(
-            F.length("__t") >= k,
-            F.transform(
-                F.sequence(F.lit(1), F.length("__t") - (k - 1)),
-                lambda i: F.md5(F.substring(F.col("__t"), i, k)),
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("__hs"),
-    ).filter(F.size("__hs") >= 1)
-    nwin = F.greatest(F.size("__hs") - (w - 1), F.lit(1))
-    wins = grams.select(
-        id_col,
-        F.transform(
-            F.sequence(F.lit(1), nwin),
-            lambda j: F.slice(F.col("__hs"), j, w),
-        ).alias("__wins"),
-    )
-    # Binary lambda: i is the 0-based window index, so window start is
-    # i + 1; rightmost argmin inside the slice via reverse + first
-    # position (ties in md5 space are astronomically rare but the rule
-    # must still match the oracle exactly).
-    sel = F.transform(
-        F.col("__wins"),
-        lambda s, i: F.struct(
-            (
-                i
-                + F.lit(1)
-                + F.size(s)
-                - F.array_position(F.reverse(s), F.array_min(s))
+    # spread BEFORE the per-doc compute: a single-file corpus is one
+    # partition and the stage is bounded by Python hashing, not IO
+    # (parallelism.spread is a no-op on wide inputs — at scale this
+    # adds nothing; locally it round-robins just id+text).
+    base = spread(docs.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), norm.alias("__t")
+    ).filter(F.length("__t") >= k)
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, fp_pos bigint, fp_hash bigint"
+
+    def _winnow(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        md5 = hashlib.md5
+        empty = np.array([], dtype=np.int64)
+        for pdf in batches:
+            counts, pos_parts, hash_parts = [], [], []
+            for t in pdf["__t"].values:
+                data = t.encode("utf-8")
+                n = len(data) - k + 1
+                h = np.empty(n, dtype=np.uint64)
+                for i in range(n):
+                    h[i] = int.from_bytes(
+                        md5(data[i : i + k]).digest()[:8], "little"
+                    )
+                h = h.view(np.int64)
+                ww = min(w, n)
+                sw = np.lib.stride_tricks.sliding_window_view(h, ww)
+                # rightmost argmin: first occurrence in the reversed view
+                off = ww - 1 - np.argmin(sw[:, ::-1], axis=1)
+                pos = np.arange(sw.shape[0], dtype=np.int64) + off + 1
+                uniq = np.unique(
+                    np.stack([pos, h[pos - 1]], axis=1), axis=0
+                )
+                counts.append(uniq.shape[0])
+                pos_parts.append(uniq[:, 0])
+                hash_parts.append(uniq[:, 1])
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf["__id"].values, counts)
+                    if counts
+                    else pdf["__id"].values,
+                    "fp_pos": np.concatenate(pos_parts)
+                    if pos_parts
+                    else empty,
+                    "fp_hash": np.concatenate(hash_parts)
+                    if hash_parts
+                    else empty,
+                }
             )
-            .cast("long")
-            .alias("fp_pos"),
-            F.array_min(s).alias("fp_hash"),
-        ),
-    )
-    return wins.select(
-        id_col, F.explode(F.array_distinct(sel)).alias("__fp")
-    ).select(
-        id_col,
-        F.col("__fp.fp_pos").alias("fp_pos"),
-        F.col("__fp.fp_hash").alias("fp_hash"),
-    )
+
+    return base.select(
+        F.col(id_col).alias("__id"), "__t"
+    ).mapInPandas(_winnow, schema=out_schema)
 
 
 def winnow_near_dup(
@@ -1119,7 +1145,7 @@ def winnow_near_dup(
     Unlike the MinHash/SimHash tiers this is EXACT for its own
     definition — fingerprint selection is deterministic — so it
     carries a full DuckDB hash oracle (catalog x65). Scale shape:
-    fingerprints leave the scan as 16-byte ``unhex(md5)`` + id rows
+    fingerprints leave the scan as 8-byte BIGINT hash + id rows
     (pos dropped before the pair stage), the stop-fingerprint ban set
     is a hash-grain aggregate that only repeated hashes survive (AQE
     broadcasts it into the anti-join), and the bucket self-join is
@@ -1127,13 +1153,17 @@ def winnow_near_dup(
     bounded-bucket economy as the LSH pair sources, but with a
     replayable oracle.
     """
+    # persist(): the fingerprint table feeds three consumers (the ban
+    # set and both self-join sides) — winnow once, not three times
+    # (lifecycle per module docstring).
     fps = (
         winnow_fingerprints(docs, k, w, text_col, id_col)
         .select(
             F.col(id_col).alias("__d"),
-            F.unhex(F.col("fp_hash")).alias("__h"),
+            F.col("fp_hash").alias("__h"),
         )
         .distinct()
+        .persist()
     )
     banned = (
         fps.groupBy("__h")

@@ -102,6 +102,15 @@ SHUFFLE_MB_PINS = {
     # absolute figure is tiny so the band is generous.
     "e21_market_beta": 5.79,
     "x61_image_near_dup": 0.018,
+    # late-r08: x63's figure is LSH bucket keys + id-pair candidates +
+    # the id-keyed vector re-attach (raw vectors in the candidate
+    # exchange would blow it up); x64's is spread()'s round-robin of
+    # id+text (the only text motion — fingerprints leave as 8-byte
+    # BIGINTs); x65 adds the fingerprint-grain dedup/ban/pair
+    # exchanges on top — hex or text leaking back in means ~4x.
+    "x63_knn_label_propagation_lsh": 5.18,
+    "x64_winnow_fingerprints": 2.44,
+    "x65_winnow_near_dup": 7.31,
 }
 
 

@@ -692,18 +692,26 @@ def test_image_near_dup_decode_runs_once(spark, sf_smoke):
 
 def test_winnow_fingerprints_zero_exchange(spark, sf_smoke):
     """x64's winnowing selection (gram hashing, window slide, per-doc
-    dedup) is array expressions inside the scan stage — the plan must
-    contain NO Exchange; the shuffle belongs to whatever consumes the
-    (id, pos, hash) rows (x65)."""
+    dedup) is one Arrow-batched Python stage over the scan — the only
+    Exchange allowed is parallelism.spread's round-robin of the pruned
+    id+text projection (a no-op at scale); no hash-partitioned shuffle
+    belongs to the operator itself — that cost is its consumers'
+    (x65)."""
     plan = _plan(all_queries()["x64_winnow_fingerprints"](spark, sf_smoke))
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan.lower()
+    assert "MapInPandas" in plan
 
 
 def test_winnow_near_dup_pairs_on_binary_digests(spark, sf_smoke):
-    """x65's pair stage must key on the 16-byte unhex digest (never
-    hex strings, never text) and engage no cartesian product; the
-    stop-fingerprint ban is a left-anti join."""
-    plan = _plan(all_queries()["x65_winnow_near_dup"](spark, sf_smoke))
+    """x65's pair stage must key on the 8-byte BIGINT fingerprint
+    (never hex strings, never text) and engage no cartesian product;
+    the stop-fingerprint ban is a left-anti join and the fingerprint
+    diamond (ban set + both join sides) reads one persisted
+    materialization, not three MapInPandas re-executions (the explain
+    string repeats the cached child plan per consumer — presence of
+    InMemoryTableScan is the assertable signal, x61 precedent)."""
+    df = all_queries()["x65_winnow_near_dup"](spark, sf_smoke)
+    plan = _plan(df)
     assert "CartesianProduct" not in plan
-    assert "unhex" in plan
     assert "LeftAnti" in plan
+    assert "InMemoryTableScan" in plan
