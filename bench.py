@@ -141,6 +141,23 @@ BENCH_QUERIES = [
     "x63_knn_label_propagation_lsh",
     "x64_winnow_fingerprints",
     "x65_winnow_near_dup",
+    # late-r08 additions: OHLC tick→bar resample (one partial-agg
+    # exchange of (user, day) bar rows, never ticks), its streaming
+    # twin timed as a REAL availableNow drain (n12/n15 caveat:
+    # state-store traffic isn't an exchange), the interpolation as-of
+    # join (d13's one-exchange two-sort shape + the micros blend) and
+    # quality-aware keep-best dedup via its LSH pair source (the
+    # 100 TB form — the exact twin x66 is oracle-only like x31/x46).
+    "f15_ohlc_resample",
+    "n16_stream_ohlc_bars",
+    "d15_interpolation_join",
+    "x67_keep_best_dedup_lsh",
+    # late-r08 additions: ATR (f15's bar exchange + one bar-grain
+    # window re-key — the composed indicator chain) and the
+    # point-in-time join (as-of-shaped, one key exchange — the
+    # feature-store no-future-leakage join).
+    "f16_atr",
+    "d16_point_in_time_join",
 ]
 
 

@@ -2110,3 +2110,89 @@ def x65_winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnow_near_dup(
         docs, k=8, w=16, min_shared=8, max_docs_per_fp=50
     )
+
+
+_KB_Q_EXPR = f"""0.4 * least(1.0, len({_TOKS}) / 100.0)
+              + 0.3 * (1.0 - CAST(length(regexp_replace(text,
+                    '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))
+              + 0.3 * CAST(len(list_filter({_TOKS},
+                    x -> list_contains({_sql_list(STOPWORDS)}, x)))
+                    AS DOUBLE) / len({_TOKS})"""
+
+
+@_q(
+    "x66_keep_best_dedup",
+    f"""WITH RECURSIVE sh AS (
+         SELECT doc_id, lang, n_chars,
+           list_distinct(list_transform(
+             range(1, greatest(length(text) - 2, 0) + 1),
+             i -> substring(text, i, 3))) AS shingles
+         FROM documents),
+       pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sh a JOIN sh b
+           ON a.lang = b.lang AND a.doc_id < b.doc_id
+          AND abs(a.n_chars - b.n_chars) <= 20
+         WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))) >= 0.6),
+       edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       reach(id, r) AS (
+         SELECT a, a FROM edges
+         UNION
+         SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+       clusters AS (
+         SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id),
+       q AS (SELECT doc_id, {_KB_Q_EXPR} AS q FROM documents),
+       ranked AS (
+         SELECT c.doc_id, c.cluster_rep, q.q,
+                row_number() OVER (PARTITION BY c.cluster_rep
+                                   ORDER BY q.q DESC, c.doc_id) AS rn,
+                count(*) OVER (PARTITION BY c.cluster_rep) AS csize
+         FROM clusters c JOIN q USING (doc_id))
+       SELECT doc_id, CAST(csize AS BIGINT) AS cluster_size,
+              round(q, 6) AS quality
+       FROM ranked WHERE rn = 1
+       UNION ALL
+       SELECT doc_id, CAST(1 AS BIGINT) AS cluster_size,
+              round(q, 6) AS quality
+       FROM q WHERE doc_id NOT IN (SELECT doc_id FROM clusters)""",
+)
+def x66_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup dedup (operators/dedup.py
+    keep_best_dedup): x31's near-dup clusters, but each cluster keeps
+    its highest-x3-quality member (ties to lowest id) instead of its
+    lowest-id one — the FineWeb/SemDeDup curation rule where WHICH
+    copy survives matters (the highest-quality variant of a template
+    is usually the cleanest). Singletons survive unchanged; output is
+    one row per survivor with its cluster size and quality. Exact
+    pair source = the oracle (x31 policy — the recursive-CTE closure
+    + the same row_number rule over the UNROUNDED score; x45's
+    precedent says the unrounded doubles are bit-identical across
+    engines). The 100 TB path swaps source="lsh" exactly like
+    x31→x35."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.keep_best_dedup(
+        docs, text_ops.quality_score(F.col("text")), threshold=0.6
+    )
+
+
+@_q("x67_keep_best_dedup_lsh")
+def x67_keep_best_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x66's 100 TB form: quality-aware keep-best dedup over banded
+    MinHash LSH candidates instead of the blocked-quadratic exact
+    pair source (`source="lsh"` — exactly the x31 → x35 swap).
+    Rows-only by policy (bucket membership is engine-specific);
+    hard evidence in tests/test_extensions.py: conservation (survivor
+    cluster sizes sum to the corpus count for ANY pair source — a
+    dropped or double-kept doc breaks it exactly), per-cluster argmax
+    self-consistency against an independently recomputed clustering,
+    and determinism across runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.keep_best_dedup(
+        docs,
+        text_ops.quality_score(F.col("text")),
+        threshold=0.5,
+        source="lsh",
+    )

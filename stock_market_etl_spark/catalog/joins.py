@@ -14,6 +14,7 @@ from stock_market_etl_spark.operators import skew
 from stock_market_etl_spark.operators.asof import (
     asof_join,
     asof_join_directional,
+    interpolation_join,
 )
 from stock_market_etl_spark.operators.range_join import binned_range_join
 
@@ -536,6 +537,65 @@ def d14_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "d15_interpolation_join",
+    """WITH l AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'view'),
+         r AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+         b AS (SELECT l.event_id, r.ts AS bts, r.value AS bv
+               FROM l ASOF LEFT JOIN r
+                 ON l.user_id = r.user_id AND l.ts >= r.ts),
+         f AS (SELECT l.event_id, r.ts AS fts, r.value AS fv
+               FROM l ASOF LEFT JOIN r
+                 ON l.user_id = r.user_id AND l.ts <= r.ts)
+       SELECT l.event_id, l.user_id, l.ts,
+              bts AS ts_prev, fts AS ts_next,
+              round(CASE WHEN bts IS NOT NULL AND fts IS NOT NULL THEN
+                      CASE WHEN bts = fts THEN bv
+                           ELSE bv + (fv - bv)
+                                * (CAST(epoch_us(l.ts) - epoch_us(bts)
+                                        AS DOUBLE)
+                                   / CAST(epoch_us(fts) - epoch_us(bts)
+                                          AS DOUBLE)) END
+                    END, 6) AS value_interp
+       FROM l
+       LEFT JOIN b ON l.event_id = b.event_id
+       LEFT JOIN f ON l.event_id = f.event_id""",
+)
+def d15_interpolation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D superset (custom operator): linear time-INTERPOLATION join
+    (operators/asof.py interpolation_join) — each view gets the user's
+    purchase value linearly interpolated at the view timestamp from
+    the bracketing purchases (exact hit wins as-is; no extrapolation
+    past either series end — strict interior rule, both mirrored by
+    the oracle). The series-alignment step for joining irregular tick
+    series onto a reference clock — d8/d12/d13 attach the matched
+    ROW, d15 blends the matched VALUE. Same one-exchange two-sort
+    shape as d13 (plan-asserted); the blend ratio runs on exact int64
+    unix_micros so both engines compute the identical IEEE double.
+    The oracle composes DuckDB's two native ASOF directions with the
+    same blend arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = interpolation_join(
+        left, right, on="ts", key="user_id", value_col="value"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "ts_prev",
+        "ts_next",
+        F.round("value_interp", 6).alias("value_interp"),
+    )
+
+
+@_q(
     "h4_union_by_name",
     """SELECT event_id, user_id, value, event_type FROM (
          SELECT event_id, user_id, value,
@@ -563,4 +623,53 @@ def h4_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return a.unionByName(b, allowMissingColumns=True).select(
         "event_id", "user_id", "value", "event_type"
+    )
+
+
+@_q(
+    "d16_point_in_time_join",
+    """WITH v AS (
+         SELECT user_id, ts AS valid_from, value AS tier,
+                lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                  AS valid_to
+         FROM events WHERE event_type = 'signup'),
+       p AS (SELECT event_id, user_id, ts FROM events
+             WHERE event_type = 'purchase')
+       SELECT p.event_id, p.user_id, p.ts,
+              v.valid_from AS version_start,
+              round(v.tier, 6) AS tier
+       FROM p LEFT JOIN v
+         ON p.user_id = v.user_id
+        AND p.ts >= v.valid_from
+        AND (v.valid_to IS NULL OR p.ts < v.valid_to)""",
+)
+def d16_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D superset: POINT-IN-TIME join — each fact row joined to the
+    dimension VERSION that was valid at the fact's own timestamp (the
+    feature-store / training-data correctness join: label rows must
+    see attribute values as-of label time, never future leakage;
+    l5's SCD2 merge WRITES such versions, d16 READS against them).
+    Versions here derive from signup events (valid_from = signup ts,
+    attribute = its value, half-open until the next signup). The
+    scale-correct implementation is the as-of join on valid_from —
+    version intervals are half-open and contiguous per key by
+    construction, so "valid at ts" ≡ "latest version with
+    valid_from <= ts" and the whole PIT join costs asof_join's ONE
+    key exchange (no range join, no interval explode); the oracle is
+    the naive interval LEFT range join with an explicit lead()
+    valid_to, which must agree exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    versions = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("tier")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(purchases, versions, on="ts", key="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_right").alias("version_start"),
+        F.round("tier_right", 6).alias("tier"),
     )

@@ -433,3 +433,31 @@ def n15_stateful_running_totals(
         F.col("__m.n_events").alias("n_events"),
         F.col("__m.sum_value").alias("sum_value"),
     )
+
+
+@_q(
+    "n16_stream_ohlc_bars",
+    """SELECT CAST(ts AS DATE) AS bar_date, user_id,
+              round(arg_min(value, ts), 6) AS open_px,
+              round(max(value), 6) AS high_px,
+              round(min(value), 6) AS low_px,
+              round(arg_max(value, ts), 6) AS close_px,
+              CAST(count(*) AS BIGINT) AS n_ticks
+       FROM events GROUP BY 1, 2""",
+)
+def n16_stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N: streaming OHLC bar maintenance drained end-to-end — a REAL
+    Structured Streaming run (file source → tumbling 1-day window with
+    min_by/max_by open/close state → memory sink, complete mode): the
+    live-bar upkeep a market dashboard runs between the reference's
+    hourly ingests. State per open bar is five scalars + two
+    timestamps, never the ticks. The epoch-aligned 1-day window key
+    equals f15's calendar date (UTC session TZ), so the drained result
+    equals the batch resample exactly — full hash oracle (f15's SQL);
+    multi-batch bar accretion is asserted against the batch twin in
+    tests/test_streaming.py."""
+    stream = core.ohlc_bars(core.stream_events(spark, sf_dir))
+    name = f"ohlc_{uuid.uuid4().hex[:8]}"
+    ckpt = _scratch.fresh_dir("ckpt")
+    core.run_available_now(stream, name, ckpt, output_mode="complete")
+    return spark.table(name)

@@ -584,3 +584,110 @@ def f14_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when(ok, pv / wsum), 6).alias("vwap_20"),
         F.round(F.when(ok, F.col("value") - pv / wsum), 6).alias("vwap_dev"),
     )
+
+
+@_q(
+    "f15_ohlc_resample",
+    """SELECT CAST(ts AS DATE) AS bar_date, user_id,
+              round(arg_min(value, ts), 6) AS open_px,
+              round(max(value), 6) AS high_px,
+              round(min(value), 6) AS low_px,
+              round(arg_max(value, ts), 6) AS close_px,
+              CAST(count(*) AS BIGINT) AS n_ticks
+       FROM events GROUP BY 1, 2""",
+)
+def f15_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F superset: OHLC time-bar resampling — the tick→bar downsample
+    every market pipeline runs before charting or window analytics
+    (the reference ingests hourly and charts daily;
+    `scripts/ingest_hourly.py` ↔ `scripts/app.py`). Each (user, day)
+    bar carries open (value at the bar's first tick), high, low,
+    close (last tick) and tick count — first/last are ``min_by`` /
+    ``max_by`` on the tick timestamp, deterministic because
+    (user_id, ts) is unique in the fixture (FIXTURES.md; the oracle's
+    arg_min/arg_max share the tie-freedom). Scale shape: ONE
+    partial-aggregable groupBy — min_by/max_by/min/max/count all
+    combine map-side, so the exchange carries only (user, day) bar
+    partials, never ticks; at 100 TB the bar count is bounded by
+    keys × days regardless of tick volume. The streaming twin n16
+    drains the identical bars from a tumbling 1-day window
+    (stream-batch parity by construction)."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    return ev.groupBy(
+        F.to_date("ts").alias("bar_date"), F.col("user_id")
+    ).agg(
+        F.round(F.min_by("value", "ts"), 6).alias("open_px"),
+        F.round(F.max("value"), 6).alias("high_px"),
+        F.round(F.min("value"), 6).alias("low_px"),
+        F.round(F.max_by("value", "ts"), 6).alias("close_px"),
+        F.count("*").cast("long").alias("n_ticks"),
+    )
+
+
+@_q(
+    "f16_atr",
+    """WITH bars AS (
+         SELECT CAST(ts AS DATE) AS bar_date, user_id,
+                max(value) AS high_px, min(value) AS low_px,
+                arg_max(value, ts) AS close_px
+         FROM events GROUP BY 1, 2),
+       tr AS (
+         SELECT bar_date, user_id,
+           CASE WHEN lag(close_px) OVER w IS NULL
+                THEN high_px - low_px
+                ELSE greatest(high_px - low_px,
+                              abs(high_px - lag(close_px) OVER w),
+                              abs(low_px - lag(close_px) OVER w)) END
+             AS true_range
+         FROM bars
+         WINDOW w AS (PARTITION BY user_id ORDER BY bar_date))
+       SELECT bar_date, user_id,
+              round(true_range, 6) AS true_range,
+              round(CASE WHEN count(*) OVER wa = 14
+                         THEN avg(true_range) OVER wa END, 6) AS atr_14
+       FROM tr
+       WINDOW wa AS (PARTITION BY user_id ORDER BY bar_date
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""",
+)
+def f16_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F superset: Average True Range — the bar-grain volatility
+    indicator (Wilder's TR: the largest of bar range and either gap
+    from the prior close; ATR as its 14-bar rolling mean, NULL until
+    the frame is full — the F2 count-guard rule). A composed CONSUMER
+    of f15's resample: tick→bar agg, then two stacked window passes
+    over the bars. TR/ATR run on UNROUNDED bar values (x45's rule —
+    rounding the intermediate manufactures midpoints) and only the
+    outputs round. Scale shape: the tick-grain exchange is f15's
+    partial-agg one; the window exchange re-keys BAR rows only
+    (keys × days, independent of tick volume) — at 100 TB the second
+    shuffle is noise next to the first."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    bars = ev.groupBy(
+        F.to_date("ts").alias("bar_date"), F.col("user_id")
+    ).agg(
+        F.max("value").alias("high_px"),
+        F.min("value").alias("low_px"),
+        F.max_by("value", "ts").alias("close_px"),
+    )
+    w = Window.partitionBy("user_id").orderBy("bar_date")
+    prev_close = F.lag("close_px").over(w)
+    tr = F.when(prev_close.isNull(), F.col("high_px") - F.col("low_px")).otherwise(
+        F.greatest(
+            F.col("high_px") - F.col("low_px"),
+            F.abs(F.col("high_px") - prev_close),
+            F.abs(F.col("low_px") - prev_close),
+        )
+    )
+    trd = bars.select("bar_date", "user_id", tr.alias("true_range"))
+    wa = (
+        Window.partitionBy("user_id")
+        .orderBy("bar_date")
+        .rowsBetween(-13, 0)
+    )
+    full = F.count("true_range").over(wa) == 14
+    return trd.select(
+        "bar_date",
+        "user_id",
+        F.round("true_range", 6).alias("true_range"),
+        F.round(F.when(full, F.avg("true_range").over(wa)), 6).alias("atr_14"),
+    )

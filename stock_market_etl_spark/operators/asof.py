@@ -172,3 +172,76 @@ def asof_join_directional(
         pick("__on").alias(f"{on}{suffix}"),
         *[pick(c).alias(f"{c}{suffix}") for c in value_cols],
     )
+
+
+def interpolation_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    key: str,
+    value_col: str,
+) -> DataFrame:
+    """Linear time-interpolation join: for each left row, the right
+    series' ``value_col`` linearly interpolated AT the left timestamp
+    from its two bracketing right rows within the same ``key`` — the
+    series-alignment step for joining irregular tick series onto a
+    reference clock (kdb's ``aj`` + prevailing interpolation; pandas
+    ``reindex().interpolate('time')``).
+
+    Rules (all mirrored exactly by the DuckDB two-ASOF oracle, d15):
+    an exact-time right row wins as-is; otherwise both brackets are
+    required (strict interior interpolation — rows before the first or
+    after the last right row get NULL, no extrapolation); a NULL
+    ``value_col`` in a bracketing row propagates NULL. Returns
+    ``left.* + ts_prev, ts_next, value_interp``.
+
+    Same single-shuffle union + two ignore-nulls struct fills as
+    ``asof_join_directional('nearest')`` — one exchange on ``key``,
+    two sorts, no range join, no Python. The blend arithmetic runs on
+    ``unix_micros`` (exact int64) so the interpolation ratio is the
+    same IEEE double in any engine computing from the same micros —
+    float-safe for value hashing after round(6).
+    """
+    l_tag = left.withColumn("__is_left", F.lit(1))
+    r_tag = right.select(
+        key, on, F.col(value_col).alias("__v")
+    ).withColumn("__is_left", F.lit(0))
+    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+
+    def _side(prefix: str, descending: bool):
+        order = F.col(on).desc() if descending else F.col(on).asc()
+        w = (
+            Window.partitionBy(key)
+            .orderBy(order, F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        row = F.when(
+            F.col("__is_left") == 0,
+            F.struct(F.col(on).alias("__on"), F.col("__v").alias("__val")),
+        )
+        return F.last(row, ignorenulls=True).over(w).alias(f"__{prefix}")
+
+    filled = unioned.select(
+        "*", _side("b", descending=False), _side("f", descending=True)
+    ).filter(F.col("__is_left") == 1)
+
+    is_ts = "timestamp" in left.schema[on].dataType.simpleString()
+
+    def _num(c):
+        return F.unix_micros(c) if is_ts else c.cast("double")
+
+    bts, fts = F.col("__b")["__on"], F.col("__f")["__on"]
+    bv, fv = F.col("__b")["__val"], F.col("__f")["__val"]
+    ratio = (_num(F.col(on)) - _num(bts)).cast("double") / (
+        _num(fts) - _num(bts)
+    ).cast("double")
+    interp = (
+        F.when(bts.isNotNull() & fts.isNotNull(),
+               F.when(bts == fts, bv).otherwise(bv + (fv - bv) * ratio))
+    )
+    return filled.select(
+        *left.columns,
+        bts.alias("ts_prev"),
+        fts.alias("ts_next"),
+        interp.alias("value_interp"),
+    )

@@ -1181,3 +1181,64 @@ def winnow_near_dup(
         .agg(F.count("*").cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def keep_best_dedup(
+    docs: DataFrame,
+    score: Column,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source: str = "exact",
+) -> DataFrame:
+    """Quality-AWARE near-duplicate dedup: chain near-dup pairs into
+    clusters (``near_dup_clusters``) and keep each cluster's
+    highest-``score`` member (ties break to the lowest id), not its
+    first-seen one — the curation rule real corpus builds use, where
+    "which copy survives" matters as much as "only one survives"
+    (SemDeDup/FineWeb keep-best; x6/x31's keep-first is the content-
+    identity form). Singletons survive unchanged. Returns one row per
+    SURVIVOR: ``(id, cluster_size, quality)``.
+
+    ``source`` inherits near_dup_clusters' split: ``"exact"`` blocked
+    Jaccard pairs (the DuckDB-replayable ground truth, catalog x66);
+    ``"lsh"`` banded MinHash (the 100 TB path). Scale shape: the pair
+    and CC stages move (id, id)/(id, label) rows only; the score
+    attaches by an id-grain join; the per-cluster argmax is a window
+    over cluster ids (clusters are small by construction — near-dup
+    groups, not the corpus), and the singleton pass is an id-only
+    anti-join. Text never leaves the scan that computes the score.
+    """
+    from pyspark.sql import Window
+
+    clusters = near_dup_clusters(
+        docs, threshold=threshold, text_col=text_col,
+        id_col=id_col, source=source,
+    )
+    scored = docs.select(F.col(id_col), score.alias("__q"))
+    memb = clusters.join(scored, id_col)
+    wc = Window.partitionBy("cluster_rep")
+    wr = Window.partitionBy("cluster_rep").orderBy(
+        F.col("__q").desc(), F.col(id_col).asc()
+    )
+    best = (
+        memb.select(
+            id_col,
+            "__q",
+            F.row_number().over(wr).alias("__rn"),
+            F.count("*").over(wc).alias("cluster_size"),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    singles = scored.join(
+        clusters.select(id_col), id_col, "left_anti"
+    ).withColumn("cluster_size", F.lit(1).cast("long"))
+    return (
+        best.unionByName(singles)
+        .select(
+            id_col,
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.round("__q", 6).alias("quality"),
+        )
+    )

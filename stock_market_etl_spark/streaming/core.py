@@ -99,6 +99,39 @@ def sliding_avg(
     )
 
 
+def ohlc_bars(
+    events: DataFrame, watermark: str = "2 hours", width: str = "1 day"
+) -> DataFrame:
+    """Tumbling-window OHLC bar maintenance — the streaming form of the
+    f15 tick→bar resample (catalog/windows.py): per (user, bar) open /
+    high / low / close / tick count, kept current as ticks arrive.
+    ``min_by``/``max_by`` on the tick timestamp are declarative
+    aggregates, so the state per open bar is five scalars + two
+    timestamps — never the ticks — and a 1-day window aligned to the
+    epoch makes the bar key equal f15's calendar date (UTC session TZ),
+    so a complete-mode drain equals the batch resample exactly."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("win"), "user_id")
+        .agg(
+            F.round(F.min_by("value", "ts"), 6).alias("open_px"),
+            F.round(F.max("value"), 6).alias("high_px"),
+            F.round(F.min("value"), 6).alias("low_px"),
+            F.round(F.max_by("value", "ts"), 6).alias("close_px"),
+            F.count("*").cast("long").alias("n_ticks"),
+        )
+        .select(
+            F.to_date(F.col("win.start")).alias("bar_date"),
+            "user_id",
+            "open_px",
+            "high_px",
+            "low_px",
+            "close_px",
+            "n_ticks",
+        )
+    )
+
+
 def session_counts(
     events: DataFrame, watermark: str = "2 hours", gap: str = "30 minutes"
 ) -> DataFrame:

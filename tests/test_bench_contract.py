@@ -111,6 +111,14 @@ SHUFFLE_MB_PINS = {
     "x63_knn_label_propagation_lsh": 5.18,
     "x64_winnow_fingerprints": 2.44,
     "x65_winnow_near_dup": 7.31,
+    # late-r08: f15's figure is the (user, day) bar-partial exchange —
+    # raw ticks in the shuffle would scale it with tick volume; x67
+    # moves band keys + id pairs + id-grain quality rows only.
+    "f15_ohlc_resample": 4.62,
+    "x67_keep_best_dedup_lsh": 0.36,
+    # late-r08: f16 = f15's bar-partial exchange + the bar-grain
+    # window re-key — raw ticks in either would scale it with volume.
+    "f16_atr": 7.05,
 }
 
 

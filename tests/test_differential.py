@@ -524,3 +524,67 @@ def test_random_asof_matches_pandas_merge_asof(
                 assert t_right >= row.t
             if tolerance is not None:
                 assert abs(t_right - row.t) <= tolerance
+
+
+def test_interpolation_join_matches_reference(spark):
+    """interpolation_join vs a pure-Python reference on a numeric
+    clock: exact hit wins as-is, strict interior rule (no
+    extrapolation past either series end), NULL bracket values
+    propagate, blend is (l-b)/(f-b) linear."""
+    import random
+
+    from stock_market_etl_spark.operators.asof import interpolation_join
+
+    rnd = random.Random(7)
+    right_rows, left_rows = [], []
+    series = {}
+    for k in ("a", "b"):
+        ts = sorted(rnd.sample(range(0, 1000), 12))
+        series[k] = [
+            (
+                float(t),
+                None
+                if rnd.random() < 0.2
+                else round(rnd.uniform(1.0, 100.0), 3),
+            )
+            for t in ts
+        ]
+        right_rows += [(k, t, v) for t, v in series[k]]
+        left_rows += [
+            (k, float(rnd.randint(-50, 1050))) for _ in range(25)
+        ]
+        # exact hits, including one on a NULL-valued right row
+        left_rows += [(k, t) for t, _ in series[k][:4]]
+
+    left = spark.createDataFrame(left_rows, ["k", "t"])
+    right = spark.createDataFrame(right_rows, ["k", "t", "v"])
+    got = {
+        (r["k"], r["t"]): r["value_interp"]
+        for r in interpolation_join(
+            left, right, on="t", key="k", value_col="v"
+        ).collect()
+    }
+
+    def ref(k, t):
+        pts = series[k]
+        prev = [p for p in pts if p[0] <= t]
+        nxt = [p for p in pts if p[0] >= t]
+        if not prev or not nxt:
+            return None
+        (bt, bv), (ft, fv) = prev[-1], nxt[0]
+        if bt == ft:
+            return bv
+        if bv is None or fv is None:
+            return None
+        return bv + (fv - bv) * (t - bt) / (ft - bt)
+
+    assert set(got) == set(left_rows)  # duplicate left keys collapse
+    for k, t in {(k, t) for k, t in left_rows}:
+        want = ref(k, t)
+        have = got[(k, t)]
+        if want is None:
+            assert have is None, (k, t, have)
+        else:
+            assert have is not None and abs(have - want) <= 1e-9, (
+                k, t, have, want,
+            )

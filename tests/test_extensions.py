@@ -1552,3 +1552,90 @@ def test_winnow_guarantee_and_edges(spark):
         ).count()
         == 0
     )
+
+
+def test_keep_best_dedup_survivor_and_singletons(spark):
+    """x66's rule: within a near-dup cluster the HIGHEST-quality member
+    survives (not the lowest id — the x6/x31 keep-first rule this
+    deliberately replaces); singletons pass through with size 1. The
+    fixture plants a 2-doc cluster whose better-scoring member has the
+    HIGHER id, and self-validates the quality ordering first."""
+    from stock_market_etl_spark.operators import dedup as dd
+    from stock_market_etl_spark.operators import text as text_ops
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "the dog sleeps near the fire"
+    )
+    rows = [
+        (1, base, "en", len(base)),
+        # near-dup of doc 1 (same block, |Δchars| ≤ 20, Jaccard ≥ 0.6)
+        # with extra stopwords → strictly higher x3 quality
+        (2, base + " on it with it", "en", len(base) + 14),
+        (3, "completely unrelated filler content 12345", "en", 41),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "n_chars"])
+    q = {
+        r["doc_id"]: r["q"]
+        for r in docs.select(
+            "doc_id", text_ops.quality_score(F.col("text")).alias("q")
+        ).collect()
+    }
+    assert q[2] > q[1]  # the planted ordering the rule must honor
+
+    out = dd.keep_best_dedup(
+        docs, text_ops.quality_score(F.col("text")), threshold=0.6
+    )
+    got = {r["doc_id"]: r["cluster_size"] for r in out.collect()}
+    assert got == {2: 2, 3: 1}  # doc 2 beats doc 1; doc 3 singleton
+
+
+def test_keep_best_dedup_lsh_conservation_and_argmax(spark, sf_smoke):
+    """x67 (keep-best over LSH candidates): survivor cluster sizes must
+    sum to the corpus count (every doc is exactly one survivor's
+    member — dropped or double-kept docs break this for ANY pair
+    source), each survivor must be its own cluster's quality argmax
+    (ties to lowest id) against an independently recomputed
+    clustering, and the path is deterministic."""
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators.dedup import (
+        keep_best_dedup,
+        near_dup_clusters,
+    )
+    from stock_market_etl_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_smoke, "documents")
+    out = keep_best_dedup(
+        docs, quality_score(F.col("text")), threshold=0.5, source="lsh"
+    )
+    rows = {(r["doc_id"], r["cluster_size"]) for r in out.collect()}
+    n_docs = docs.count()
+    assert sum(s for _, s in rows) == n_docs
+    rows2 = {
+        (r["doc_id"], r["cluster_size"])
+        for r in keep_best_dedup(
+            docs, quality_score(F.col("text")), threshold=0.5, source="lsh"
+        ).collect()
+    }
+    assert rows == rows2  # deterministic
+
+    clusters = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in near_dup_clusters(
+            docs, threshold=0.5, source="lsh"
+        ).collect()
+    }
+    q = {
+        r["doc_id"]: r["q"]
+        for r in docs.select(
+            "doc_id", quality_score(F.col("text")).alias("q")
+        ).collect()
+    }
+    by_rep = {}
+    for d, rep in clusters.items():
+        by_rep.setdefault(rep, []).append(d)
+    survivors = {d for d, _ in rows}
+    for rep, members in by_rep.items():
+        best = sorted(members, key=lambda d: (-q[d], d))[0]
+        assert best in survivors
+        assert not (set(members) - {best}) & survivors

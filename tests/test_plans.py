@@ -715,3 +715,48 @@ def test_winnow_near_dup_pairs_on_binary_digests(spark, sf_smoke):
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan
     assert "InMemoryTableScan" in plan
+
+
+def test_ohlc_resample_single_partial_agg_exchange(spark, sf_smoke):
+    """f15's tick→bar downsample must be ONE partially-aggregable
+    groupBy: a single hash exchange carrying (user, day) bar partials
+    (min_by/max_by combine map-side) — never a Window, never the raw
+    ticks re-sorted."""
+    plan = _plan(all_queries()["f15_ohlc_resample"](spark, sf_smoke))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "Window" not in plan
+    # partial + final aggregate pair around the one exchange
+    assert plan.count("Aggregate") >= 2
+
+
+def test_interpolation_join_single_exchange(spark, sf_smoke):
+    """d15's two bracket passes (opposite sort orders) must share ONE
+    user_id hash exchange like d13 — one shuffle plus two sorts, no
+    range join, no cartesian."""
+    df = all_queries()["d15_interpolation_join"](spark, sf_smoke)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_atr_two_grain_exchanges(spark, sf_smoke):
+    """f16 composes f15's partial-agg bar exchange with ONE bar-grain
+    window re-key: exactly two hash exchanges, the second carrying bar
+    rows (keys × days), never ticks — and both window passes (lag TR,
+    rolling ATR) share the second."""
+    plan = _plan(all_queries()["f16_atr"](spark, sf_smoke))
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_point_in_time_join_is_asof_shaped(spark, sf_smoke):
+    """d16's PIT join must run as the as-of composition (one user_id
+    hash exchange over the union, ignore-nulls window fill) — never
+    the naive interval range join (BNLJ/cartesian) its oracle spells
+    out."""
+    df = all_queries()["d16_point_in_time_join"](spark, sf_smoke)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

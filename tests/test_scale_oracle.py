@@ -170,9 +170,23 @@ SCALE_QUERIES = [
     # embeddings fixture is 2 K vectors → 640 K pairs.
     ("x62_knn_label_propagation", False),
     # late-r08 additions: winnowing fingerprints + the deterministic
-    # near-dup pair tier over them (md5-hex / integer outputs → exact).
+    # near-dup pair tier over them (BIGINT hashes/positions/counts —
+    # md5_number_upper replays the 64-bit fingerprints → exact).
     ("x64_winnow_fingerprints", True),
     ("x65_winnow_near_dup", True),
+    # late-r08 additions: OHLC resample + its streaming drain twin and
+    # the interpolation as-of join (rounded double prices/blends →
+    # midpoint tolerance). x66 deliberately absent like x41: its
+    # oracle is x31's full blocked-quadratic closure over every sf0.1
+    # document — x46 covers the same recursive-CTE machinery.
+    ("f15_ohlc_resample", False),
+    ("n16_stream_ohlc_bars", False),
+    ("d15_interpolation_join", False),
+    # late-r08 additions: ATR over the bars (rounded rolling means →
+    # midpoint tolerance) and the point-in-time join (micros version
+    # starts + rounded passthrough attribute → exact, d12/d13 rule)
+    ("f16_atr", False),
+    ("d16_point_in_time_join", True),
 ]
 
 

@@ -847,3 +847,30 @@ def test_lake_batch_sink_redelivery_idempotent(spark, sf_smoke, tmp_path):
     assert {"batch_id", "event_date"} <= set(again.columns)
     n_batch = core.batch_events(spark, sf_smoke).count()
     assert again.count() == n_batch
+
+
+def test_ohlc_multibatch_matches_batch_twin(spark, sf_smoke, tmp_path):
+    """n16's engine forced through multiple micro-batches: bars must
+    accrete across arrivals (open pinned by the earliest tick seen,
+    close replaced by later ones) and the complete-mode drain must
+    equal the batch resample exactly for ANY batch slicing — min_by/
+    max_by state carries (value, ts) pairs, so arrival order is
+    irrelevant."""
+    import uuid
+
+    ev = core.batch_events(spark, sf_smoke)
+    src = str(tmp_path / "arrivals")
+    for k in range(3):
+        ev.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = core.ohlc_bars(
+        core.stream_documents(spark, src, max_files_per_trigger=1)
+    )
+    name = f"ohlc_{uuid.uuid4().hex[:8]}"
+    core.run_available_now(
+        stream, name, str(tmp_path / "ckpt"), output_mode="complete"
+    )
+    want = core.ohlc_bars(ev)
+    assert _rows(spark.table(name)) == _rows(want)

@@ -47,6 +47,10 @@ SHOWCASE = [
     ("e21_market_beta", "the only event-volume exchange carries map-side (user, day) partial aggregates; the |days|-row market frame is a BroadcastExchange; covar/corr/var fold in one HashAggregate"),
     ("x61_image_near_dup", "decode+hash MapInPandas materializes ONCE (InMemoryTableScan feeds both band-join sides); candidate join is equality on (band_idx, band_val) over 24 B rows — pixels never reach an exchange"),
     ("l5_scd2_dimension", "one key-grain full join decides all four SCD2 branches; closed history unions in below the join; the update batch side is AQE-broadcastable"),
+    ("x65_winnow_near_dup", "Arrow-batched MapInPandas hash+winnow materializes ONCE (InMemoryTableScan feeds ban set + both pair sides); fingerprints exchange as 8-byte BIGINTs; ban set is a LeftAnti"),
+    ("f15_ohlc_resample", "ONE partial-agg exchange: min_by/max_by/min/max/count combine map-side, (user, day) bar partials shuffle, never ticks"),
+    ("d15_interpolation_join", "both bracket passes share one user_id hash exchange (two sorts, one partitioning); no range join, no BNLJ"),
+    ("x66_keep_best_dedup", "id-only pair + CC exchanges; quality attaches by id-grain join; per-cluster argmax is a window over cluster ids"),
 ]
 
 
