@@ -588,3 +588,61 @@ def test_interpolation_join_matches_reference(spark):
             assert have is not None and abs(have - want) <= 1e-9, (
                 k, t, have, want,
             )
+
+
+def test_paragraph_dedup_fuzz_vs_python_reference(spark):
+    """VERDICT r06 task 7: paragraph_dedup fuzzed against a pure-Python
+    reference at random para_tokens (its oracle pins one
+    configuration). The reference mirrors the declared semantics
+    exactly: whitespace tokens (Spark's split-after-trim — an empty
+    text is ONE empty token), ceil(n/k) non-overlapping blocks, global
+    first occurrence ordered by (doc_id, idx), documents reassembled
+    from surviving blocks in order."""
+    import random
+    import re
+
+    from stock_market_etl_spark.operators.dedup import paragraph_dedup
+
+    def reference(docs, k):
+        per_doc = {}
+        for did, text in docs:
+            t = re.split(r"\s+", text.strip())
+            blocks = [t[i : i + k] for i in range(0, max(len(t), 1), k)]
+            per_doc[did] = blocks
+        first = {}
+        for did in sorted(per_doc):
+            for idx, b in enumerate(per_doc[did]):
+                first.setdefault(" ".join(b), (did, idx))
+        out = {}
+        for did, blocks in per_doc.items():
+            keep = [
+                i
+                for i, b in enumerate(blocks)
+                if first[" ".join(b)] == (did, i)
+            ]
+            out[did] = (
+                " ".join(" ".join(blocks[i]) for i in keep),
+                len(keep),
+                len(blocks),
+            )
+        return out
+
+    vocab = [f"w{i}" for i in range(7)]  # tiny vocab → real collisions
+    for seed, k in [(1, 1), (2, 2), (3, 3), (4, 5), (5, 8), (6, 20)]:
+        rnd = random.Random(seed)
+        shared = " ".join(rnd.choices(vocab, k=k * 2))  # planted dup span
+        docs = []
+        for did in range(1, 13):
+            n = rnd.randint(0, 60)
+            body = " ".join(rnd.choices(vocab, k=n))
+            if rnd.random() < 0.5:
+                body = (body + " " + shared).strip()
+            docs.append((did, body))
+        sdf = paragraph_dedup(
+            spark.createDataFrame(docs, ["doc_id", "text"]), para_tokens=k
+        )
+        got = {
+            r["doc_id"]: (r["kept_text"], r["n_kept"], r["n_total"])
+            for r in sdf.collect()
+        }
+        assert got == reference(docs, k), (seed, k)
