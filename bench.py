@@ -158,6 +158,11 @@ BENCH_QUERIES = [
     # feature-store no-future-leakage join).
     "f16_atr",
     "d16_point_in_time_join",
+    # late-r08 addition: calendar densification + forward fill — the
+    # bar exchange plus bar-grain spine/join/window only (b17, the
+    # dirty-CSV audit, stays out of BENCH like the other b*
+    # write-roundtrips — its cost is the write itself).
+    "f17_gap_fill",
 ]
 
 

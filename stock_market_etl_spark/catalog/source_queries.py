@@ -531,3 +531,58 @@ def b16_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst = os.path.join(os.path.dirname(frag), "compacted")
     write_compacted(spark.read.parquet(frag), dst)
     return spark.read.parquet(dst)
+
+
+@_q(
+    "b17_corrupt_record_audit",
+    """SELECT CAST(count(*) AS BIGINT) AS n_clean,
+              CAST(sum(CASE WHEN event_id % 500 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_corrupt,
+              round(sum(value), 6) AS clean_value_sum
+       FROM events""",
+)
+def b17_corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B superset: malformed-record ingestion audit — the robustness
+    half of the CSV path (b7 proves the lossless roundtrip; b17 proves
+    the engine's behaviour when the feed is DIRTY, which at 100 TB it
+    always eventually is). One clean CSV line per event, PLUS a
+    deliberately malformed twin (value column replaced by a non-number)
+    for every event_id divisible by 500 — the read declares the schema
+    with a ``_corrupt`` column and ``mode=PERMISSIVE``, so bad lines
+    surface as quarantine rows instead of killing the job (or silently
+    vanishing: DROPMALFORMED) and the audit counts both streams. The
+    oracle derives the same counts from the fixture (the corruption
+    rule is data-derived, not a pinned literal). Scale shape: parse +
+    quarantine happen in the scan stage; the audit is one global
+    aggregate (partial-combined, 1-row exchange)."""
+    from stock_market_etl_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round("value", 6).alias("value")
+    )
+    lines = ev.select(
+        F.concat_ws(",", "event_id", "user_id", "value").alias("value")
+    )
+    bad = ev.filter(F.col("event_id") % 500 == 0).select(
+        F.concat_ws(
+            ",", "event_id", "user_id", F.lit("NOT_A_NUMBER")
+        ).alias("value")
+    )
+    path = _scratch.fresh_dir("lake_b17")
+    lines.unionAll(bad).write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema(
+            "event_id long, user_id long, value double, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    clean = F.col("_corrupt").isNull()
+    return back.agg(
+        F.sum(clean.cast("long")).alias("n_clean"),
+        F.sum((~clean).cast("long")).alias("n_corrupt"),
+        F.round(F.sum(F.when(clean, F.col("value"))), 6).alias(
+            "clean_value_sum"
+        ),
+    )

@@ -691,3 +691,72 @@ def f16_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("true_range", 6).alias("true_range"),
         F.round(F.when(full, F.avg("true_range").over(wa)), 6).alias("atr_14"),
     )
+
+
+@_q(
+    "f17_gap_fill",
+    """WITH daily AS (
+         SELECT user_id, CAST(ts AS DATE) AS bar_date,
+                arg_max(value, ts) AS close_px
+         FROM events GROUP BY 1, 2),
+       span AS (SELECT user_id, min(bar_date) AS d0, max(bar_date) AS d1
+                FROM daily GROUP BY user_id),
+       spine AS (
+         SELECT user_id,
+                CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                     CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE)
+                  AS bar_date
+         FROM span),
+       j AS (SELECT s.user_id, s.bar_date, d.close_px
+             FROM spine s LEFT JOIN daily d
+               ON s.user_id = d.user_id AND s.bar_date = d.bar_date)
+       SELECT bar_date, user_id,
+              round(close_px, 6) AS close_px,
+              round(last_value(close_px IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY bar_date
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                AS close_ffill,
+              close_px IS NULL AS is_gap
+       FROM j""",
+)
+def f17_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F superset: calendar densification + forward fill — the "fill
+    missing trading days" move every charting/return pipeline needs
+    before window math (a lag over a gapped series compares across
+    holes; the reference's daily charts assume a dense axis,
+    `scripts/app.py`). Per key: daily close bars, a generated day
+    spine over [first, last] bar, LEFT join, then
+    last(ignorenulls) forward fill; gap rows flagged. Scale shape:
+    the only tick-grain exchange is the bar aggregate (f15's
+    partial-agg economy); the spine explode is a narrow fan-out off
+    a keys-sized span table, and the join + ffill window move
+    BAR-grain rows (keys × days) only. The oracle replays the spine
+    with generate_series and the fill with last_value IGNORE NULLS."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    daily = ev.groupBy(
+        F.col("user_id"), F.to_date("ts").alias("bar_date")
+    ).agg(F.max_by("value", "ts").alias("close_px"))
+    span = daily.groupBy("user_id").agg(
+        F.min("bar_date").alias("d0"), F.max("bar_date").alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("bar_date"),
+    )
+    j = spine.join(daily, ["user_id", "bar_date"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bar_date")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "bar_date",
+        "user_id",
+        F.round("close_px", 6).alias("close_px"),
+        F.round(F.last("close_px", ignorenulls=True).over(w), 6).alias(
+            "close_ffill"
+        ),
+        F.col("close_px").isNull().alias("is_gap"),
+    )

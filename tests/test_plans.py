@@ -760,3 +760,15 @@ def test_point_in_time_join_is_asof_shaped(spark, sf_smoke):
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gap_fill_exchanges_are_bar_grain(spark, sf_smoke):
+    """f17's only tick-grain exchange is the bar partial-agg; the
+    spine is a narrow Generate (explode) off the keys-sized span
+    table, and everything downstream re-keys bar-grain rows — no
+    cartesian, no BNLJ anywhere."""
+    plan = _plan(all_queries()["f17_gap_fill"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan
+    assert plan.count("Exchange hashpartitioning") <= 5

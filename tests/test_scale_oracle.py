@@ -187,6 +187,11 @@ SCALE_QUERIES = [
     # starts + rounded passthrough attribute → exact, d12/d13 rule)
     ("f16_atr", False),
     ("d16_point_in_time_join", True),
+    # late-r08 additions: gap fill (rounded passthrough/ffill closes →
+    # midpoint tolerance) and the dirty-CSV audit (exact counts + a
+    # corpus-order double sum → midpoint tolerance)
+    ("f17_gap_fill", False),
+    ("b17_corrupt_record_audit", False),
 ]
 
 

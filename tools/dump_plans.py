@@ -51,6 +51,8 @@ SHOWCASE = [
     ("f15_ohlc_resample", "ONE partial-agg exchange: min_by/max_by/min/max/count combine map-side, (user, day) bar partials shuffle, never ticks"),
     ("d15_interpolation_join", "both bracket passes share one user_id hash exchange (two sorts, one partitioning); no range join, no BNLJ"),
     ("x66_keep_best_dedup", "id-only pair + CC exchanges; quality attaches by id-grain join; per-cluster argmax is a window over cluster ids"),
+    ("d16_point_in_time_join", "PIT join runs as the as-of composition (one key exchange + ignore-nulls fill), never the interval BNLJ its oracle spells out"),
+    ("f17_gap_fill", "day spine is a narrow Generate off the keys-sized span table; join + ffill window move bar-grain rows only"),
 ]
 
 
