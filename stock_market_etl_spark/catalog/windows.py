@@ -733,9 +733,13 @@ def f17_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     BAR-grain rows (keys × days) only. The oracle replays the spine
     with generate_series and the fill with last_value IGNORE NULLS."""
     ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    # persist(): the bar table feeds BOTH the span (spine source) and
+    # the join — without it the tick-grain scan+aggregate runs twice
+    # (lifecycle per operators/dedup.py module docstring; bench.py
+    # clears between queries).
     daily = ev.groupBy(
         F.col("user_id"), F.to_date("ts").alias("bar_date")
-    ).agg(F.max_by("value", "ts").alias("close_px"))
+    ).agg(F.max_by("value", "ts").alias("close_px")).persist()
     span = daily.groupBy("user_id").agg(
         F.min("bar_date").alias("d0"), F.max("bar_date").alias("d1")
     )
