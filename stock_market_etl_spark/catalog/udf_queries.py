@@ -305,3 +305,34 @@ def m7_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_early", 6).alias("sum_early"),
         F.round("sum_late", 6).alias("sum_late"),
     )
+
+
+@_q(
+    "m8_arrow_optimized_udf",
+    f"""SELECT event_id,
+              round(CASE WHEN dr IS NULL THEN NULL
+                         WHEN dr >= 0 THEN ln(1 + dr)
+                         ELSE -ln(1 - dr) END, 6) AS slog_return
+       FROM (SELECT event_id,
+                    value / lag(value) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) - 1 AS dr
+             FROM events)""",
+)
+def m8_arrow_optimized_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8: the eighth Python batch API — ARROW-OPTIMIZED scalar @udf
+    (``useArrow=True``): per-row Python logic, Arrow-batched transport
+    (functions/udfs.py signed_log_return_arrow). The migration path
+    for legacy row-wise UDFs that can't be vectorized wholesale: same
+    call sites, pickled-row serialization swapped for Arrow. Computes
+    the symmetric log return over F1's unrounded pct-change; the
+    oracle replays it in pure SQL — switching serialization engines
+    must never change the answer."""
+    from stock_market_etl_spark.functions.udfs import signed_log_return_arrow
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dr = F.col("value") / F.lag("value", 1).over(w) - 1
+    return ev.select(
+        "event_id",
+        F.round(signed_log_return_arrow(dr), 6).alias("slog_return"),
+    )

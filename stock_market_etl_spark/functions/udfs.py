@@ -37,6 +37,22 @@ def format_direction_pandas(dr: pd.Series) -> pd.Series:
     return out
 
 
+@udf(T.DoubleType(), useArrow=True)
+def signed_log_return_arrow(dr):
+    """M8: ARROW-OPTIMIZED scalar @udf (``useArrow=True``, PySpark
+    3.5+) — row-at-a-time Python logic with Arrow-batched transport:
+    the migration middle ground between the legacy pickled @udf (shown
+    below, never in data paths) and the fully vectorized pandas_udf
+    (M1). Computes the symmetric log return sign(dr)·ln(1+|dr|), a
+    pure-SQL-expressible transform so the oracle checks that switching
+    the serialization engine cannot change the answer."""
+    import math
+
+    if dr is None:
+        return None
+    return math.log1p(dr) if dr >= 0 else -math.log1p(-dr)
+
+
 @udf(T.StringType())
 def format_direction_rowwise(dr):
     """Row-at-a-time twin of M1 — exists to document the API surface;

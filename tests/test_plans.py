@@ -772,3 +772,12 @@ def test_gap_fill_exchanges_are_bar_grain(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Generate explode" in plan
     assert plan.count("Exchange hashpartitioning") <= 5
+
+
+def test_arrow_optimized_udf_uses_arrow_transport(spark, sf_smoke):
+    """m8's @udf(useArrow=True) must plan as ArrowEvalPython — the
+    Arrow-batched transport is the entire point; BatchEvalPython
+    (pickled rows) appearing instead means the option regressed."""
+    plan = _plan(all_queries()["m8_arrow_optimized_udf"](spark, sf_smoke))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan

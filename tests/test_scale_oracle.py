@@ -192,6 +192,9 @@ SCALE_QUERIES = [
     # corpus-order double sum → midpoint tolerance)
     ("f17_gap_fill", False),
     ("b17_corrupt_record_audit", False),
+    # late-r08 addition: Arrow-optimized scalar @udf (rounded log
+    # returns → midpoint tolerance)
+    ("m8_arrow_optimized_udf", False),
 ]
 
 
