@@ -609,3 +609,61 @@ def l5_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="custkey",
         attrs=("mktsegment", "nationkey"),
     )
+
+
+@_q(
+    "l6_incremental_agg_rollup",
+    """SELECT user_id, CAST(ts AS DATE) AS day,
+              CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(value), 6) AS sum_value,
+              round(min(value), 6) AS min_value,
+              round(max(value), 6) AS max_value
+       FROM events GROUP BY 1, 2""",
+)
+def l6_incremental_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L superset: incremental view maintenance for a continuous
+    aggregate — the serving rollup (events before the cutoff,
+    standing in for the materialized store) merged with the increment
+    batch's rollup by AGGREGATE-STATE arithmetic
+    (pipeline.merge_agg_state: counts/sums add, min/max
+    least/greatest), never by re-aggregating history. The oracle is
+    the FULL recompute over all events — merged state must equal it
+    exactly, the invariant that makes never-recompute safe at 100 TB
+    (e19 merges across grain, hour→day; l6 merges across TIME at one
+    grain — together they are the two axes of continuous-aggregate
+    maintenance). The state merge's exchange carries (user, day)
+    state rows only."""
+    from stock_market_etl_spark.pipeline import merge_agg_state
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    cutoff = "2024-01-20"
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "user_id", F.to_date("ts").alias("day")
+        ).agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    state = rollup(ev.filter(F.col("ts") < cutoff))
+    inc = rollup(ev.filter(F.col("ts") >= cutoff))
+    merged = merge_agg_state(
+        state,
+        inc,
+        keys=("user_id", "day"),
+        counts=("n_events",),
+        sums=("sum_value",),
+        mins=("min_value",),
+        maxs=("max_value",),
+    )
+    return merged.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )

@@ -50,6 +50,53 @@ def merge_increment(
     return survivors.unionByName(new)
 
 
+def merge_agg_state(
+    existing: DataFrame,
+    increment: DataFrame,
+    keys: tuple[str, ...],
+    counts: tuple[str, ...] = (),
+    sums: tuple[str, ...] = (),
+    mins: tuple[str, ...] = (),
+    maxs: tuple[str, ...] = (),
+) -> DataFrame:
+    """L superset: incremental-view-maintenance merge for MERGEABLE
+    aggregate state — combine a materialized rollup with an increment
+    batch's rollup by key, WITHOUT re-reading the raw history (the L2
+    replace-then-append move lifted from row grain to aggregate
+    grain). count/sum add (a side absent contributes nothing);
+    min/max take least/greatest (Spark's least/greatest skip NULLs, so
+    a one-sided key passes through). avg/stddev derive at read time
+    from (count, sum[, sum_sq]) — never materialize non-mergeable
+    state. One full-outer join on the state keys: the exchange
+    carries STATE rows (keys-sized), never raw history — at 100 TB
+    the increment's raw scan is the only data-sized cost, exactly the
+    continuous-aggregate contract (catalog l6 proves merged ≡ full
+    recompute)."""
+    a, b = existing.alias("__a"), increment.alias("__b")
+    joined = a.join(b, list(keys), "full_outer")
+    cols = [F.col(k) for k in keys]
+    for c in counts:
+        cols.append(
+            (
+                F.coalesce(F.col(f"__a.{c}"), F.lit(0))
+                + F.coalesce(F.col(f"__b.{c}"), F.lit(0))
+            ).alias(c)
+        )
+    for c in sums:
+        cols.append(
+            F.coalesce(
+                F.col(f"__a.{c}") + F.col(f"__b.{c}"),
+                F.col(f"__a.{c}"),
+                F.col(f"__b.{c}"),
+            ).alias(c)
+        )
+    for c in mins:
+        cols.append(F.least(F.col(f"__a.{c}"), F.col(f"__b.{c}")).alias(c))
+    for c in maxs:
+        cols.append(F.greatest(F.col(f"__a.{c}"), F.col(f"__b.{c}")).alias(c))
+    return joined.select(*cols)
+
+
 def newer_than_watermark(
     batch: DataFrame, watermarks: DataFrame
 ) -> DataFrame:

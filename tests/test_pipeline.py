@@ -285,3 +285,34 @@ def test_scd2_apply_semantics(spark):
     # one open row per key afterwards
     open_keys = [r["k"] for r in out.filter(F.col("valid_to").isNull()).collect()]
     assert sorted(open_keys) == [1, 2, 3, 4, 5, 6, 9]
+
+
+def test_merge_agg_state_edges(spark):
+    """merge_agg_state edge semantics: one-sided keys pass through
+    (count adds vs 0, sum/min/max pass through via coalesce/least
+    skip-null), two-sided keys combine exactly, and merging the
+    increment twice is NOT idempotent (state merge is additive by
+    design — idempotence lives at the L2 row grain, so redelivery
+    must dedup BEFORE rollup)."""
+    from stock_market_etl_spark.pipeline import merge_agg_state
+
+    a = spark.createDataFrame(
+        [("k1", 2, 10.0, 1.0, 9.0), ("k2", 1, 5.0, 5.0, 5.0)],
+        "k string, n long, s double, mn double, mx double",
+    )
+    b = spark.createDataFrame(
+        [("k2", 3, 6.0, -2.0, 4.0), ("k3", 1, 7.0, 7.0, 7.0)],
+        "k string, n long, s double, mn double, mx double",
+    )
+    out = {
+        r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in merge_agg_state(
+            a, b, keys=("k",), counts=("n",), sums=("s",),
+            mins=("mn",), maxs=("mx",),
+        ).collect()
+    }
+    assert out == {
+        "k1": (2, 10.0, 1.0, 9.0),   # a-only passes through
+        "k2": (4, 11.0, -2.0, 5.0),  # combined
+        "k3": (1, 7.0, 7.0, 7.0),    # b-only passes through
+    }

@@ -195,6 +195,9 @@ SCALE_QUERIES = [
     # late-r08 addition: Arrow-optimized scalar @udf (rounded log
     # returns → midpoint tolerance)
     ("m8_arrow_optimized_udf", False),
+    # late-r08 addition: IVM state merge ≡ full recompute (rounded
+    # partial-order double sums → midpoint tolerance)
+    ("l6_incremental_agg_rollup", False),
 ]
 
 
