@@ -163,6 +163,10 @@ BENCH_QUERIES = [
     # dirty-CSV audit, stays out of BENCH like the other b*
     # write-roundtrips — its cost is the write itself).
     "f17_gap_fill",
+    # late-r08 addition: the streaming continuous aggregate timed as a
+    # REAL foreachBatch drain (partial write + read-side state merge;
+    # n12/n15 caveat — state traffic isn't an exchange).
+    "n17_stream_agg_partials",
 ]
 
 

@@ -461,3 +461,42 @@ def n16_stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _scratch.fresh_dir("ckpt")
     core.run_available_now(stream, name, ckpt, output_mode="complete")
     return spark.table(name)
+
+
+@_q(
+    "n17_stream_agg_partials",
+    """SELECT user_id, CAST(ts AS DATE) AS day,
+              CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(value), 6) AS sum_value,
+              round(min(value), 6) AS min_value,
+              round(max(value), 6) AS max_value
+       FROM events GROUP BY 1, 2""",
+)
+def n17_stream_agg_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N: streaming CONTINUOUS AGGREGATE drained end-to-end — a REAL
+    foreachBatch run where each micro-batch writes its own daily
+    rollup under ``batch_id=N`` (OVERWRITE — redelivery replaces its
+    own partials, b14's exactly-once move applied to aggregate
+    state) and the read side merges partials by state arithmetic
+    (streaming/core.py agg_partials_sink / read_agg_state). The
+    streaming face of l6's IVM: no batch ever reads another batch's
+    state, so ingest never serializes behind a state-table scan.
+    Merged state must equal the full batch rollup — full hash oracle;
+    multi-batch accretion and redelivery idempotence are pinned in
+    tests/test_streaming.py."""
+    import os
+
+    work = _scratch.fresh_dir("agg_partials")
+    lake = os.path.join(work, "lake")
+    core.agg_partials_sink(
+        core.stream_events(spark, sf_dir), lake, os.path.join(work, "ckpt")
+    )
+    state = core.read_agg_state(spark, lake)
+    return state.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )

@@ -619,6 +619,65 @@ def ivf_append_sink(
     return q
 
 
+def daily_rollup(events: DataFrame) -> DataFrame:
+    """The continuous aggregate's state shape: per-(user, day)
+    mergeable state (count, sum, min, max) — shared by the n17
+    streaming partial writer, its read-side merge, and the l6 batch
+    IVM twin so the state algebra can't drift between them."""
+    return events.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def agg_partials_sink(
+    stream_df: DataFrame, lake_path: str, checkpoint: str
+) -> None:
+    """Streaming CONTINUOUS AGGREGATE with idempotent partials: each
+    micro-batch writes its own daily_rollup under ``batch_id=N``
+    (OVERWRITE — a redelivered batch replaces its own partials
+    byte-for-byte, b14's exactly-once move applied to aggregate
+    state), and the read side merges partials by state arithmetic
+    (`read_agg_state`). No micro-batch ever reads or rewrites another
+    batch's state — contrast a read-modify-write merge, which at
+    100 TB serializes every batch behind a state-table scan. The
+    partial count grows with batch count, so a compaction pass
+    (b16's move, or l6's merge_agg_state) periodically folds history
+    — partials + merge + compaction IS the continuous-aggregate
+    contract."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        daily_rollup(batch_df).write.mode("overwrite").parquet(
+            os.path.join(lake_path, f"batch_id={batch_id}")
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_agg_state(spark: SparkSession, lake_path: str) -> DataFrame:
+    """Merge n17's per-batch partials into current state: counts/sums
+    add, min/max fold — the same algebra as pipeline.merge_agg_state,
+    expressed as one grouped aggregate over the partial rows (state
+    grain × batches, never raw events)."""
+    partials = spark.read.parquet(lake_path)
+    return partials.groupBy("user_id", "day").agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("sum_value").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+
+
 def view_purchase_join(events: DataFrame, max_lag: str = "1 hour") -> DataFrame:
     """Stream-stream inner join: each purchase matched to every view by
     the same user in the preceding ``max_lag`` (attribution). The one

@@ -198,6 +198,9 @@ SCALE_QUERIES = [
     # late-r08 addition: IVM state merge ≡ full recompute (rounded
     # partial-order double sums → midpoint tolerance)
     ("l6_incremental_agg_rollup", False),
+    # late-r08 addition: streaming continuous aggregate (same
+    # partial-order sums → midpoint tolerance)
+    ("n17_stream_agg_partials", False),
 ]
 
 

@@ -874,3 +874,51 @@ def test_ohlc_multibatch_matches_batch_twin(spark, sf_smoke, tmp_path):
     )
     want = core.ohlc_bars(ev)
     assert _rows(spark.table(name)) == _rows(want)
+
+
+def test_agg_partials_multibatch_and_redelivery(spark, sf_smoke, tmp_path):
+    """n17's continuous aggregate forced through multiple micro-batches:
+    merged partials must equal the full batch rollup for ANY batch
+    slicing, and a REDELIVERED batch (same batch_id re-written) must
+    leave the merged state unchanged — the overwrite-own-directory
+    idempotence that makes additive state safe under at-least-once
+    delivery."""
+    import os
+
+    ev = core.batch_events(spark, sf_smoke)
+    src = str(tmp_path / "arrivals")
+    for k in range(3):
+        ev.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    lake = str(tmp_path / "lake")
+    core.agg_partials_sink(
+        core.stream_documents(spark, src, max_files_per_trigger=1),
+        lake,
+        str(tmp_path / "ckpt"),
+    )
+
+    def rounded(df):
+        # sums accumulate in different orders (per-batch partials vs
+        # one pass) — compare at the catalog's 6dp output grain
+        return _rows(
+            df.select(
+                "user_id", "day", "n_events",
+                F.round("sum_value", 6).alias("s"),
+                F.round("min_value", 6).alias("mn"),
+                F.round("max_value", 6).alias("mx"),
+            )
+        )
+
+    got = rounded(core.read_agg_state(spark, lake))
+    want = rounded(core.daily_rollup(ev))
+    assert got == want
+
+    # redelivery: re-write batch 1's partials (same directory) — the
+    # merged state must not change
+    replay = ev.filter(F.col("event_id") % 3 == 1)
+    core.daily_rollup(replay).write.mode("overwrite").parquet(
+        os.path.join(lake, "batch_id=1")
+    )
+    assert rounded(core.read_agg_state(spark, lake)) == want
