@@ -167,6 +167,10 @@ BENCH_QUERIES = [
     # REAL foreachBatch drain (partial write + read-side state merge;
     # n12/n15 caveat — state traffic isn't an exchange).
     "n17_stream_agg_partials",
+    # late-r08 addition: the composed market flagship — the whole
+    # indicator stack (returns + TR/ATR + Bollinger over bars) fused
+    # into f16's two exchanges (plan-asserted).
+    "f18_market_pipeline",
 ]
 
 

@@ -764,3 +764,100 @@ def f17_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("close_px").isNull().alias("is_gap"),
     )
+
+
+@_q(
+    "f18_market_pipeline",
+    """WITH bars AS (
+         SELECT user_id, CAST(ts AS DATE) AS bar_date,
+                max(value) AS high_px, min(value) AS low_px,
+                arg_max(value, ts) AS close_px
+         FROM events GROUP BY 1, 2),
+       ind AS (
+         SELECT user_id, bar_date, close_px,
+           close_px / lag(close_px) OVER w - 1 AS ret,
+           CASE WHEN lag(close_px) OVER w IS NULL
+                THEN high_px - low_px
+                ELSE greatest(high_px - low_px,
+                              abs(high_px - lag(close_px) OVER w),
+                              abs(low_px - lag(close_px) OVER w)) END
+             AS tr
+         FROM bars
+         WINDOW w AS (PARTITION BY user_id ORDER BY bar_date))
+       SELECT bar_date, user_id,
+              round(close_px, 6) AS close_px,
+              round(ret, 6) AS ret,
+              round(CASE WHEN count(tr) OVER wa = 14
+                         THEN avg(tr) OVER wa END, 6) AS atr_14,
+              round(CASE WHEN count(close_px) OVER wb = 20
+                         THEN avg(close_px) OVER wb
+                              + 2 * stddev_samp(close_px) OVER wb END, 6)
+                AS band_up,
+              round(CASE WHEN count(close_px) OVER wb = 20
+                         THEN avg(close_px) OVER wb
+                              - 2 * stddev_samp(close_px) OVER wb END, 6)
+                AS band_dn
+       FROM ind
+       WINDOW wa AS (PARTITION BY user_id ORDER BY bar_date
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+              wb AS (PARTITION BY user_id ORDER BY bar_date
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""",
+)
+def f18_market_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F superset, composed flagship (market v2 — the x28/x46/x57 move
+    for the finance stack): tick→bar resample, daily returns, Wilder
+    TR + 14-bar ATR, and 20-bar Bollinger bands FUSED into one plan.
+    All five indicator outputs come off ONE bar-grain (user_id)
+    window partitioning stacked on f15's partial-agg tick exchange —
+    Catalyst plans one exchange + one sort with stacked Window nodes
+    for the lag/TR pass and both rolling frames (plan-asserted: two
+    hash exchanges total, same as f16 alone — composing the whole
+    stack costs NOTHING over one indicator, which is the point of
+    declaring it as one plan instead of three pipeline stages). All
+    intermediates unrounded (x45's rule); count-guarded frames (F2
+    rule) on both rolling windows."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    bars = ev.groupBy(
+        F.col("user_id"), F.to_date("ts").alias("bar_date")
+    ).agg(
+        F.max("value").alias("high_px"),
+        F.min("value").alias("low_px"),
+        F.max_by("value", "ts").alias("close_px"),
+    )
+    w = Window.partitionBy("user_id").orderBy("bar_date")
+    prev_close = F.lag("close_px").over(w)
+    tr = F.when(
+        prev_close.isNull(), F.col("high_px") - F.col("low_px")
+    ).otherwise(
+        F.greatest(
+            F.col("high_px") - F.col("low_px"),
+            F.abs(F.col("high_px") - prev_close),
+            F.abs(F.col("low_px") - prev_close),
+        )
+    )
+    ind = bars.select(
+        "user_id",
+        "bar_date",
+        "close_px",
+        (F.col("close_px") / prev_close - 1).alias("ret"),
+        tr.alias("tr"),
+    )
+    wa = (
+        Window.partitionBy("user_id").orderBy("bar_date").rowsBetween(-13, 0)
+    )
+    wb = (
+        Window.partitionBy("user_id").orderBy("bar_date").rowsBetween(-19, 0)
+    )
+    atr = F.when(F.count("tr").over(wa) == 14, F.avg("tr").over(wa))
+    full20 = F.count("close_px").over(wb) == 20
+    mid = F.avg("close_px").over(wb)
+    sd = F.stddev_samp("close_px").over(wb)
+    return ind.select(
+        "bar_date",
+        "user_id",
+        F.round("close_px", 6).alias("close_px"),
+        F.round("ret", 6).alias("ret"),
+        F.round(atr, 6).alias("atr_14"),
+        F.round(F.when(full20, mid + 2 * sd), 6).alias("band_up"),
+        F.round(F.when(full20, mid - 2 * sd), 6).alias("band_dn"),
+    )

@@ -781,3 +781,14 @@ def test_arrow_optimized_udf_uses_arrow_transport(spark, sf_smoke):
     plan = _plan(all_queries()["m8_arrow_optimized_udf"](spark, sf_smoke))
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_market_pipeline_composes_for_free(spark, sf_smoke):
+    """f18 (returns + TR/ATR + Bollinger fused): the WHOLE indicator
+    stack must cost exactly f16's two hash exchanges — one tick
+    partial-agg, one bar-grain window re-key shared by the lag pass
+    and both rolling frames. A third exchange means an indicator
+    broke the shared partitioning."""
+    plan = _plan(all_queries()["f18_market_pipeline"](spark, sf_smoke))
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:2000]
+    assert "CartesianProduct" not in plan

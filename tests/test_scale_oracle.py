@@ -201,6 +201,9 @@ SCALE_QUERIES = [
     # late-r08 addition: streaming continuous aggregate (same
     # partial-order sums → midpoint tolerance)
     ("n17_stream_agg_partials", False),
+    # late-r08 addition: the composed market flagship (rounded
+    # indicator doubles → midpoint tolerance)
+    ("f18_market_pipeline", False),
 ]
 
 
