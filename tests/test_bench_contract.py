@@ -117,8 +117,11 @@ SHUFFLE_MB_PINS = {
     "f15_ohlc_resample": 4.62,
     "x67_keep_best_dedup_lsh": 0.36,
     # late-r08: f16 = f15's bar-partial exchange + the bar-grain
-    # window re-key — raw ticks in either would scale it with volume.
+    # window re-key — raw ticks in either would scale it with volume;
+    # f18 fuses the whole indicator stack into the same two exchanges,
+    # so its figure must stay ~f16's (a jump means a third exchange).
     "f16_atr": 7.05,
+    "f18_market_pipeline": 6.91,
 }
 
 

@@ -53,6 +53,7 @@ SHOWCASE = [
     ("x66_keep_best_dedup", "id-only pair + CC exchanges; quality attaches by id-grain join; per-cluster argmax is a window over cluster ids"),
     ("d16_point_in_time_join", "PIT join runs as the as-of composition (one key exchange + ignore-nulls fill), never the interval BNLJ its oracle spells out"),
     ("f17_gap_fill", "day spine is a narrow Generate off the keys-sized span table; join + ffill window move bar-grain rows only"),
+    ("f18_market_pipeline", "returns + TR/ATR + Bollinger fused: the whole indicator stack in two exchanges — one tick partial-agg, one shared bar-grain window re-key"),
 ]
 
 
