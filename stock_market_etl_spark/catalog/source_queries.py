@@ -586,3 +586,37 @@ def b17_corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clean_value_sum"
         ),
     )
+
+
+@_q(
+    "b18_snapshot_time_travel",
+    """SELECT event_id, user_id, round(value, 6) AS value
+       FROM events WHERE event_id % 2 = 0""",
+)
+def b18_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B superset: manifest-versioned TIME TRAVEL (io.commit_snapshot /
+    io.read_snapshot — the Iceberg/Delta snapshot model reduced to
+    parquet + atomic manifest renames). Two commits land on the same
+    table (the even half, then the odd half); the query reads AS OF
+    version 1 and must see ONLY v1's files even though v2's bytes sit
+    in the same directory — the reproducible-release property a
+    training-data pipeline pins dataset versions with (and the b15
+    commit discipline: a crashed commit leaves no manifest, so it
+    reads as an error, never as partial data). Version-2
+    completeness and crash-visibility semantics are pinned in
+    tests/test_sinks.py."""
+    import os
+
+    from stock_market_etl_spark.io import (
+        commit_snapshot,
+        load_table,
+        read_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round("value", 6).alias("value")
+    )
+    table = os.path.join(_scratch.fresh_dir("b18"), "table")
+    commit_snapshot(spark, table, ev.filter(F.col("event_id") % 2 == 0))
+    commit_snapshot(spark, table, ev.filter(F.col("event_id") % 2 == 1))
+    return read_snapshot(spark, table, version=1)

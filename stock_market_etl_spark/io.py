@@ -398,3 +398,88 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def commit_snapshot(
+    spark: SparkSession, table_path: str, df: DataFrame
+) -> int:
+    """Append ``df`` to a MANIFEST-VERSIONED table and commit a new
+    snapshot; returns the new version number. The time-travel
+    primitive (the Iceberg/Delta snapshot model reduced to its load-
+    bearing parts, built on nothing but parquet + an atomic rename —
+    same commit discipline as the b15 Data Source writer):
+
+    - data files land under ``data/v{N}-{attempt}/`` (unique per
+      commit ATTEMPT, never rewritten — appends don't touch existing
+      bytes, and a re-commit after a crashed attempt can't collide
+      with the crash's orphaned directory);
+    - snapshot N's manifest ``_v{N}.manifest.json`` lists EVERY file
+      visible at version N (previous snapshot's list + the new
+      files), written to a tmp name then atomically renamed — a
+      crashed commit leaves data files but no manifest, so readers
+      never see partial snapshots;
+    - readers (`read_snapshot`) load exactly a manifest's file list:
+      old versions stay byte-stable forever ⇒ reproducible reads
+      (the training-data requirement: a dataset release pinned to
+      version N re-reads identically after any number of appends).
+
+    At 100 TB the manifest is file-grain metadata (KBs per thousand
+    files) and commits are O(new files) — never a lake rewrite.
+    """
+    import json
+    import os
+
+    def _latest(path: str) -> int:
+        if not os.path.isdir(path):
+            return 0
+        vs = [
+            int(f[2 : -len(".manifest.json")])
+            for f in os.listdir(path)
+            if f.startswith("_v") and f.endswith(".manifest.json")
+        ]
+        return max(vs, default=0)
+
+    import uuid
+
+    prev = _latest(table_path)
+    version = prev + 1
+    data_dir = os.path.join(
+        table_path, "data", f"v{version}-{uuid.uuid4().hex[:8]}"
+    )
+    df.write.mode("error").parquet(data_dir)
+    new_files = [
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    ]
+    files = []
+    if prev:
+        with open(
+            os.path.join(table_path, f"_v{prev}.manifest.json")
+        ) as fh:
+            files = json.load(fh)["files"]
+    manifest = {"version": version, "files": sorted(files + new_files)}
+    tmp = os.path.join(table_path, f"._v{version}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, os.path.join(table_path, f"_v{version}.manifest.json"))
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, table_path: str, version: int
+) -> DataFrame:
+    """Read a manifest-versioned table AS OF ``version`` — exactly the
+    files snapshot N committed, regardless of how many snapshots were
+    appended since (`commit_snapshot`). A missing manifest is an
+    explicit error, never an empty frame (a silently-empty time-travel
+    read is how a pinned dataset release quietly becomes a different
+    dataset)."""
+    import json
+    import os
+
+    with open(
+        os.path.join(table_path, f"_v{version}.manifest.json")
+    ) as fh:
+        manifest = json.load(fh)
+    return spark.read.parquet(*manifest["files"])

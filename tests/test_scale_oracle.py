@@ -204,6 +204,9 @@ SCALE_QUERIES = [
     # late-r08 addition: the composed market flagship (rounded
     # indicator doubles → midpoint tolerance)
     ("f18_market_pipeline", False),
+    # late-r08 addition: snapshot time travel (rounded double value
+    # passthrough → midpoint tolerance)
+    ("b18_snapshot_time_travel", False),
 ]
 
 

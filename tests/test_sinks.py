@@ -448,3 +448,53 @@ def test_write_zordered_box_skipping(spark, sf_smoke, tmp_path):
     # files (both-axis skipping); 1-D ts clustering would make every
     # user-range predicate hit every file
     assert len(hit) < len(boxes), (len(hit), len(boxes))
+
+
+def test_snapshot_time_travel_semantics(spark, sf_smoke, tmp_path):
+    """b18's snapshot model: version numbering is monotonic, each
+    version reads exactly its committed cumulative file set, an old
+    version's read is BYTE-STABLE after later appends (the pinned-
+    release property), and a crashed commit (data files, no manifest)
+    is an explicit error, never an empty or partial frame."""
+    import os
+
+    import pytest as _pytest
+
+    from stock_market_etl_spark.io import commit_snapshot, read_snapshot
+
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "user_id")
+    table = str(tmp_path / "table")
+    a = ev.filter(F.col("event_id") % 3 == 0)
+    b = ev.filter(F.col("event_id") % 3 == 1)
+    c = ev.filter(F.col("event_id") % 3 == 2)
+
+    assert commit_snapshot(spark, table, a) == 1
+    v1_first = sorted(r["event_id"] for r in read_snapshot(spark, table, 1).collect())
+    assert commit_snapshot(spark, table, b) == 2
+    assert commit_snapshot(spark, table, c) == 3
+
+    # each snapshot = cumulative commits at that point
+    assert sorted(
+        r["event_id"] for r in read_snapshot(spark, table, 1).collect()
+    ) == v1_first
+    v2 = sorted(r["event_id"] for r in read_snapshot(spark, table, 2).collect())
+    assert v2 == sorted(r["event_id"] for r in a.union(b).collect())
+    v3 = sorted(r["event_id"] for r in read_snapshot(spark, table, 3).collect())
+    assert v3 == sorted(r["event_id"] for r in ev.collect())
+
+    # crash simulation: data files land but the manifest never commits
+    # → reading that version errors (no silent partial data)
+    os.remove(os.path.join(table, "_v3.manifest.json"))
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, table, 3)
+    # earlier snapshots are untouched by the crash
+    assert sorted(
+        r["event_id"] for r in read_snapshot(spark, table, 2).collect()
+    ) == v2
+    # the next commit after the crash reuses the orphaned version slot
+    # or moves past it — either way it must commit and read cleanly
+    v_next = commit_snapshot(spark, table, c)
+    got = sorted(
+        r["event_id"] for r in read_snapshot(spark, table, v_next).collect()
+    )
+    assert got == v3
