@@ -620,3 +620,36 @@ def b18_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit_snapshot(spark, table, ev.filter(F.col("event_id") % 2 == 0))
     commit_snapshot(spark, table, ev.filter(F.col("event_id") % 2 == 1))
     return read_snapshot(spark, table, version=1)
+
+
+@_q(
+    "b19_snapshot_increment_read",
+    """SELECT event_id, user_id, round(value, 6) AS value
+       FROM events WHERE event_id % 2 = 1""",
+)
+def b19_snapshot_increment_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B superset: CDC-style INCREMENTAL read between snapshots
+    (io.read_increment over b18's manifest-versioned table) — the
+    downstream-consumer half of the snapshot story: a job pins the
+    last version it processed (here v1, the even half) and reads
+    exactly the files v2 added (the odd half), never rescanning the
+    table. Exact by construction: commits are append-only and files
+    never rewritten, so the file-set difference IS the row increment
+    (L1's watermark move at snapshot grain — no timestamp column
+    needed). The bootstrap case (from_version=0 ≡ full snapshot) and
+    empty-increment refusal are pinned in tests/test_sinks.py."""
+    import os
+
+    from stock_market_etl_spark.io import (
+        commit_snapshot,
+        load_table,
+        read_increment,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round("value", 6).alias("value")
+    )
+    table = os.path.join(_scratch.fresh_dir("b19"), "table")
+    commit_snapshot(spark, table, ev.filter(F.col("event_id") % 2 == 0))
+    commit_snapshot(spark, table, ev.filter(F.col("event_id") % 2 == 1))
+    return read_increment(spark, table, from_version=1, to_version=2)

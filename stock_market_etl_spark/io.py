@@ -483,3 +483,34 @@ def read_snapshot(
     ) as fh:
         manifest = json.load(fh)
     return spark.read.parquet(*manifest["files"])
+
+
+def read_increment(
+    spark: SparkSession, table_path: str, from_version: int, to_version: int
+) -> DataFrame:
+    """Read exactly the rows ADDED between two snapshots of a
+    manifest-versioned table (`commit_snapshot`) — the incremental-
+    consumer pattern: a downstream job pins the last version it
+    processed and reads only newer files, never rescanning the table
+    (L1's high-watermark move lifted from row timestamps to snapshot
+    file sets, exact by construction because commits are append-only
+    and files are never rewritten). ``from_version = 0`` means "from
+    the beginning" (the bootstrap read ≡ the full to_version
+    snapshot)."""
+    import json
+    import os
+
+    def _files(v: int) -> list[str]:
+        if v == 0:
+            return []
+        with open(
+            os.path.join(table_path, f"_v{v}.manifest.json")
+        ) as fh:
+            return json.load(fh)["files"]
+
+    new = sorted(set(_files(to_version)) - set(_files(from_version)))
+    if not new:
+        raise ValueError(
+            f"no files added between v{from_version} and v{to_version}"
+        )
+    return spark.read.parquet(*new)

@@ -207,6 +207,9 @@ SCALE_QUERIES = [
     # late-r08 addition: snapshot time travel (rounded double value
     # passthrough → midpoint tolerance)
     ("b18_snapshot_time_travel", False),
+    # late-r08 addition: snapshot increment read (same passthrough →
+    # midpoint tolerance)
+    ("b19_snapshot_increment_read", False),
 ]
 
 

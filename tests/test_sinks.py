@@ -498,3 +498,33 @@ def test_snapshot_time_travel_semantics(spark, sf_smoke, tmp_path):
         r["event_id"] for r in read_snapshot(spark, table, v_next).collect()
     )
     assert got == v3
+
+
+def test_snapshot_increment_read_semantics(spark, sf_smoke, tmp_path):
+    """b19's incremental consumer: v(i)→v(j) reads exactly the rows
+    committed in between, from_version=0 bootstraps to the full
+    snapshot, and an empty increment refuses loudly (a silently-empty
+    incremental read would let a consumer mark a version processed
+    while having read nothing)."""
+    import pytest as _pytest
+
+    from stock_market_etl_spark.io import commit_snapshot, read_increment
+
+    ev = load_table(spark, sf_smoke, "events").select("event_id")
+    table = str(tmp_path / "table")
+    parts = [ev.filter(F.col("event_id") % 3 == k) for k in range(3)]
+    for p in parts:
+        commit_snapshot(spark, table, p)
+
+    inc = sorted(
+        r["event_id"] for r in read_increment(spark, table, 1, 3).collect()
+    )
+    assert inc == sorted(
+        r["event_id"] for r in parts[1].union(parts[2]).collect()
+    )
+    boot = sorted(
+        r["event_id"] for r in read_increment(spark, table, 0, 3).collect()
+    )
+    assert boot == sorted(r["event_id"] for r in ev.collect())
+    with _pytest.raises(ValueError):
+        read_increment(spark, table, 2, 2)
