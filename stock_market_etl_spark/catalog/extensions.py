@@ -2196,3 +2196,33 @@ def x67_keep_best_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         source="lsh",
     )
+
+
+@_q(
+    "x68_weighted_sample",
+    """SELECT doc_id, source, n_chars, sample_key FROM (
+         SELECT doc_id, source, n_chars,
+                round(n_chars / -ln(
+                  (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                      || 'ws'), 1, 8)) AS UBIGINT) + 0.5)
+                  / 4294967296.0), 6) AS sample_key
+         FROM documents)
+       ORDER BY sample_key DESC, doc_id LIMIT 100""",
+)
+def x68_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted corpus subsample (operators/sampling.py
+    weighted_sample — Efraimidis–Spirakis A-ES with the hash-uniform
+    draw every sampling op here uses): 100 documents drawn
+    proportional-to-length WITHOUT replacement, reproducible across
+    re-runs, retries, and engines. The weighted complement of x23's
+    per-stratum rates and x25's hard quotas — the knob a data recipe
+    turns when longer/higher-quality documents should be
+    over-represented but not guaranteed. Full hash oracle (the same
+    key formula in SQL; keys round before ranking per the x62 rule);
+    top-k compiles to TakeOrderedAndProject, plan-asserted with g3."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.weighted_sample(
+        docs.select("doc_id", "source", "n_chars"),
+        weight_col="n_chars",
+        k=100,
+    )

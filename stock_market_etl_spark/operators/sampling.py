@@ -509,3 +509,49 @@ def epoch_repeat(
             F.sequence(F.lit(1), F.col("n_copies"), F.lit(1))
         ).alias(out_col),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    salt: str = "ws",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES, PODS'06): each row draws a uniform
+    ``u`` from the same md5 hash family as every sampling op here
+    (engine-portable, replayable) and ranks by the A-ES key — written
+    as ``w / -ln(u)`` (order-isomorphic to the paper's ``u^(1/w)``,
+    but O(w)-scaled so 6-dp rounding keeps resolution) — then keeps
+    the top ``k``. Inclusion probability is proportional-to-weight
+    without replacement, and the draw is a pure function of
+    (id, salt): re-runs, retries, and the DuckDB oracle (catalog x68)
+    reproduce the identical sample. Keys round to 6 dp BEFORE ranking
+    with an id tiebreak (the x62 rounded-before-ranking rule —
+    cross-engine ``ln`` may differ in the last ulp; the boundary must
+    not depend on it). Scale shape: key computation is scan-local
+    expressions; top-k compiles to TakeOrderedAndProject (per-
+    partition heaps, no global sort — g3's economy at corpus scale).
+
+    Weights must be strictly positive; ``u ∈ (0,1)`` by construction
+    (integer+0.5 over 2^32), so the key is always finite.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    key = F.round(F.col(weight_col).cast("double") / -F.log(u), 6)
+    return (
+        df.withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1639,3 +1639,26 @@ def test_keep_best_dedup_lsh_conservation_and_argmax(spark, sf_smoke):
         best = sorted(members, key=lambda d: (-q[d], d))[0]
         assert best in survivors
         assert not (set(members) - {best}) & survivors
+
+
+def test_weighted_sample_properties(spark):
+    """x68's A-ES draw: a row whose weight dominates the total is
+    effectively always included, uniform weights reduce to a plain
+    deterministic k-subset, the draw is salt-sensitive but
+    re-run-stable, and exactly k rows return."""
+    from stock_market_etl_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1.0 if i != 7 else 1e7) for i in range(1, 101)]
+    docs = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = {r["doc_id"] for r in weighted_sample(docs, "w", k=10).collect()}
+    assert len(got) == 10
+    assert 7 in got  # the dominating weight is drawn
+    # deterministic across re-runs
+    again = {r["doc_id"] for r in weighted_sample(docs, "w", k=10).collect()}
+    assert got == again
+    # a different salt draws a different subset (same machinery)
+    other = {
+        r["doc_id"]
+        for r in weighted_sample(docs, "w", k=10, salt="v2").collect()
+    }
+    assert other != got

@@ -792,3 +792,11 @@ def test_market_pipeline_composes_for_free(spark, sf_smoke):
     plan = _plan(all_queries()["f18_market_pipeline"](spark, sf_smoke))
     assert plan.count("Exchange hashpartitioning") == 2, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_smoke):
+    """x68's top-k must compile to TakeOrderedAndProject (per-partition
+    heaps) — a global Sort before the limit means the corpus is being
+    totally ordered to pick 100 rows."""
+    plan = _plan(all_queries()["x68_weighted_sample"](spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan

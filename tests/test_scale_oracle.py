@@ -210,6 +210,10 @@ SCALE_QUERIES = [
     # late-r08 addition: snapshot increment read (same passthrough →
     # midpoint tolerance)
     ("b19_snapshot_increment_read", False),
+    # late-r08 addition: A-ES weighted sample (keys rounded BEFORE
+    # ranking → boundary is replayable; a key midpoint could still
+    # flip a boundary row → midpoint tolerance)
+    ("x68_weighted_sample", False),
 ]
 
 
