@@ -782,3 +782,98 @@ def perplexity_buckets(
         .otherwise("middle")
         .alias("bucket"),
     )
+
+
+def deletion_neighborhood_pairs(
+    df: DataFrame,
+    name_col: str,
+    id_col: str,
+    max_edits: int = 2,
+    max_ids_per_variant: int = 500,
+) -> DataFrame:
+    """Approximate-string JOIN (record linkage / entity resolution) by
+    SymSpell-style deletion neighborhoods: every string generates its
+    variants with ≤ ``max_edits`` characters deleted; two strings
+    within Levenshtein distance ``max_edits`` are GUARANTEED to share
+    a variant (delete the differing positions from both — the
+    SymSpell completeness argument), so candidate generation is a
+    variant-equality join, never an all-pairs scan, and the exact
+    ``levenshtein`` filter settles each candidate. Variants occurring
+    in more than ``max_ids_per_variant`` ids are banned first (stop
+    variants — a common substring family would otherwise pair
+    everything through one bucket; winnow's stop-fingerprint rule).
+    Returns ``(id_a, id_b, dist)`` with ``id_a < id_b``.
+
+    Deterministic end-to-end, so it carries a full DuckDB hash oracle
+    (catalog x69 — DuckDB's ``levenshtein`` is the same standard edit
+    distance). Scale shape: variant generation is scan-local array
+    expressions (O(len²/2) short strings per row); the join exchanges
+    (variant, id, name) rows — name strings ride along because the
+    verify step needs them, acceptable because entity-resolution
+    inputs are entity CATALOGS (names, titles, tickers), dimension-
+    sized by nature, not the corpus; the ban set is a broadcastable
+    variant-grain aggregate; the bucket self-join is capped. Only
+    ``max_edits`` ∈ {1, 2} is supported (the useful range — beyond 2
+    the neighborhood explodes and blocking should move to LSH)."""
+    if max_edits not in (1, 2):
+        raise ValueError("max_edits must be 1 or 2")
+    s = F.col("__name")
+    n = F.length(s)
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(name_col).alias("__name")
+    )
+    del1 = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(
+            s.substr(F.lit(1), i - 1), s.substr(i + 1, n)
+        ),
+    )
+    variants = F.concat(F.array(s), del1)
+    if max_edits == 2:
+        # guard i = n: Spark's sequence(start, stop) DESCENDS when
+        # start > stop (it would fabricate j < i variants) — emit an
+        # empty list instead (DuckDB's range is empty there natively)
+        del2 = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.when(
+                    i < n,
+                    F.transform(
+                        F.sequence(i + 1, n),
+                        lambda j: F.concat(
+                            s.substr(F.lit(1), i - 1),
+                            s.substr(i + 1, j - i - 1),
+                            s.substr(j + 1, n),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+        )
+        variants = F.concat(variants, del2)
+    e = base.select(
+        "__id", "__name", F.explode(F.array_distinct(variants)).alias("__v")
+    ).distinct()
+    banned = (
+        e.groupBy("__v")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > max_ids_per_variant)
+        .select("__v")
+    )
+    ok = e.join(banned, "__v", "left_anti")
+    a = ok.select(
+        "__v", F.col("__id").alias("id_a"), F.col("__name").alias("__na")
+    )
+    b = ok.select(
+        "__v", F.col("__id").alias("id_b"), F.col("__name").alias("__nb")
+    )
+    cand = (
+        a.join(b, "__v")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__na", "__nb")
+        .distinct()
+    )
+    dist = F.levenshtein("__na", "__nb")
+    return (
+        cand.filter(dist <= max_edits)
+        .select("id_a", "id_b", dist.cast("long").alias("dist"))
+    )

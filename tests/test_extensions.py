@@ -1662,3 +1662,76 @@ def test_weighted_sample_properties(spark):
         for r in weighted_sample(docs, "w", k=10, salt="v2").collect()
     }
     assert other != got
+
+
+def test_fuzzy_pairs_blocking_is_complete(spark):
+    """x69's SymSpell guarantee, property-tested: for random string
+    pairs at planted edit distance 1 and 2 (substitutions, insertions,
+    deletions — lengths differ), the deletion-neighborhood candidates
+    must contain EVERY true pair (blocking is complete, the exact
+    filter only ever removes); far strings must not pair."""
+    import random
+
+    from stock_market_etl_spark.operators.text import (
+        deletion_neighborhood_pairs,
+    )
+
+    rnd = random.Random(11)
+    alpha = "abcdefghij"
+    rows, want = [], set()
+    nid = 0
+    for trial in range(12):
+        base = "".join(rnd.choices(alpha, k=rnd.randint(6, 14)))
+        rows.append((nid, base))
+        bid = nid
+        nid += 1
+        s = list(base)
+        for _ in range(rnd.choice([1, 2])):
+            op = rnd.choice(["sub", "ins", "del"])
+            p = rnd.randrange(len(s))
+            if op == "sub":
+                s[p] = rnd.choice(alpha.upper())  # always a real change
+            elif op == "ins":
+                s.insert(p, rnd.choice(alpha.upper()))
+            elif len(s) > 3:
+                del s[p]
+        rows.append((nid, "".join(s)))
+        want.add((bid, nid))
+        nid += 1
+    # far background strings (distinct length band + alphabet)
+    for _ in range(10):
+        rows.append((nid, "".join(rnd.choices("wxyz", k=25))))
+        nid += 1
+
+    docs = spark.createDataFrame(rows, ["id", "name"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in deletion_neighborhood_pairs(
+            docs, name_col="name", id_col="id", max_edits=2
+        ).collect()
+    }
+    assert want <= got  # every planted pair found (completeness)
+    # the 25-char wxyz background can never pair with a ≤16-char
+    # planted string (length gap alone exceeds max_edits)
+    background = {i for i, name in rows if len(name) == 25}
+    planted = {i for i, name in rows if len(name) != 25}
+    assert not {
+        p for p in got if (p[0] in background) != (p[1] in background)
+    }
+    # precision floor: any surviving pair really is within distance 2
+    by_name = dict(rows)
+    import math
+
+    def lev(a, b):
+        m, n2 = len(a), len(b)
+        d = list(range(n2 + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n2 + 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1,
+                    prev + (a[i - 1] != b[j - 1]),
+                )
+        return d[n2]
+
+    assert all(lev(by_name[a], by_name[b]) <= 2 for a, b in got)

@@ -214,6 +214,11 @@ SCALE_QUERIES = [
     # ranking → boundary is replayable; a key midpoint could still
     # flip a boundary row → midpoint tolerance)
     ("x68_weighted_sample", False),
+    # late-r08 addition: fuzzy name pairs (BIGINT ids/distances →
+    # exact; the fixture's templated names are adversarially dense —
+    # ~1.9 M true pairs at sf0.1, DuckDB side ~6 s, the heaviest
+    # compare in the pass by rows)
+    ("x69_fuzzy_name_pairs", True),
 ]
 
 
