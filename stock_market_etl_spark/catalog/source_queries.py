@@ -653,3 +653,42 @@ def b19_snapshot_increment_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit_snapshot(spark, table, ev.filter(F.col("event_id") % 2 == 0))
     commit_snapshot(spark, table, ev.filter(F.col("event_id") % 2 == 1))
     return read_increment(spark, table, from_version=1, to_version=2)
+
+
+@_q(
+    "b20_cow_delete",
+    """SELECT event_id, user_id, event_type, round(value, 6) AS value
+       FROM events WHERE event_type <> 'error'""",
+)
+def b20_cow_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B superset: COPY-ON-WRITE DELETE on the manifest-versioned lake
+    (io.delete_where_snapshot over b18's table) — the lake-side
+    mutation story B5's JDBC predicate delete covers for warehouses:
+    the delete commits a NEW snapshot rewriting only match-bearing
+    files (untouched files carry over by reference; footer stats can
+    skip clean files before any row decodes), prior snapshots stay
+    readable as-was (audit + time travel across the delete), and
+    NULL predicate results are non-matching on both sides of the
+    split. Reads back the post-delete snapshot; the oracle is the
+    fixture minus the predicate. File-level pruning (clean files NOT
+    rewritten) and pre-delete version stability are pinned in
+    tests/test_sinks.py."""
+    import os
+
+    from stock_market_etl_spark.io import (
+        commit_snapshot,
+        delete_where_snapshot,
+        load_table,
+        read_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+    table = os.path.join(_scratch.fresh_dir("b20"), "table")
+    commit_snapshot(spark, table, ev.filter(F.col("event_id") % 2 == 0))
+    commit_snapshot(spark, table, ev.filter(F.col("event_id") % 2 == 1))
+    v = delete_where_snapshot(
+        spark, table, F.col("event_type") == "error"
+    )
+    return read_snapshot(spark, table, version=v)

@@ -514,3 +514,82 @@ def read_increment(
             f"no files added between v{from_version} and v{to_version}"
         )
     return spark.read.parquet(*new)
+
+
+def delete_where_snapshot(
+    spark: SparkSession, table_path: str, condition
+) -> int:
+    """COPY-ON-WRITE DELETE on a manifest-versioned table
+    (`commit_snapshot`): commit a new snapshot in which rows matching
+    ``condition`` are gone — rewriting ONLY the files that contain a
+    match (file-level pruning: untouched files carry over by
+    reference, zero bytes moved) and leaving every prior snapshot
+    readable as-was (deletes are new versions, not mutations — the
+    audit/time-travel property). Returns the new version number.
+
+    NULL predicate results count as non-matching on BOTH sides of the
+    split (a row must be kept by exactly one of delete/survive).
+    Scale shape: the hit-file discovery is one pruned scan collecting
+    a FILE list (bounded by file count, not rows — and Catalyst
+    pushes ``condition`` into the scan, so footer stats skip clean
+    files before any row decodes); the rewrite is O(files-with-
+    matches). A delete touching 1 of 10⁶ files rewrites one file.
+    """
+    import json
+    import os
+    import uuid as _uuid
+
+    def _latest(path: str) -> int:
+        if not os.path.isdir(path):
+            return 0
+        vs = [
+            int(f[2 : -len(".manifest.json")])
+            for f in os.listdir(path)
+            if f.startswith("_v") and f.endswith(".manifest.json")
+        ]
+        return max(vs, default=0)
+
+    prev = _latest(table_path)
+    if not prev:
+        raise ValueError(f"no committed snapshot under {table_path}")
+    with open(
+        os.path.join(table_path, f"_v{prev}.manifest.json")
+    ) as fh:
+        files = json.load(fh)["files"]
+
+    hit = F.coalesce(condition, F.lit(False))
+    df = spark.read.parquet(*files).withColumn(
+        "__file", F.input_file_name()
+    )
+    hit_uris = {
+        r["__file"]
+        for r in df.filter(hit).select("__file").distinct().collect()
+    }
+
+    def _uri(p: str) -> str:
+        return "file://" + os.path.abspath(p)
+
+    keep = [f for f in files if _uri(f) not in hit_uris]
+    rewrite = [f for f in files if _uri(f) in hit_uris]
+    version = prev + 1
+    new_files: list[str] = []
+    if rewrite:
+        survivors = (
+            spark.read.parquet(*rewrite)
+            .filter(~hit)
+        )
+        data_dir = os.path.join(
+            table_path, "data", f"v{version}-{_uuid.uuid4().hex[:8]}"
+        )
+        survivors.write.mode("error").parquet(data_dir)
+        new_files = [
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        ]
+    manifest = {"version": version, "files": sorted(keep + new_files)}
+    tmp = os.path.join(table_path, f"._v{version}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, os.path.join(table_path, f"_v{version}.manifest.json"))
+    return version

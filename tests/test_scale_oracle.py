@@ -219,6 +219,9 @@ SCALE_QUERIES = [
     # ~1.9 M true pairs at sf0.1, DuckDB side ~6 s, the heaviest
     # compare in the pass by rows)
     ("x69_fuzzy_name_pairs", True),
+    # late-r08 addition: copy-on-write delete roundtrip (rounded
+    # double value passthrough → midpoint tolerance)
+    ("b20_cow_delete", False),
 ]
 
 

@@ -528,3 +528,66 @@ def test_snapshot_increment_read_semantics(spark, sf_smoke, tmp_path):
     assert boot == sorted(r["event_id"] for r in ev.collect())
     with _pytest.raises(ValueError):
         read_increment(spark, table, 2, 2)
+
+
+def test_cow_delete_prunes_files_and_keeps_history(spark, sf_smoke, tmp_path):
+    """b20's copy-on-write delete: files with no matching rows carry
+    over BY REFERENCE (identical paths across versions — zero bytes
+    moved), match-bearing files are rewritten without the deleted
+    rows, the pre-delete snapshot still reads its full content, a
+    NULL-predicate row is NOT deleted, and deleting against an empty
+    table refuses."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from stock_market_etl_spark.io import (
+        commit_snapshot,
+        delete_where_snapshot,
+        read_snapshot,
+    )
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    table = str(tmp_path / "table")
+    # commit 1: only 'view' rows (no 'error' anywhere → clean files);
+    # commit 2: everything else (holds every 'error' row)
+    commit_snapshot(spark, table, ev.filter(F.col("event_type") == "view"))
+    commit_snapshot(spark, table, ev.filter(F.col("event_type") != "view"))
+
+    def _files(v):
+        with open(os.path.join(table, f"_v{v}.manifest.json")) as fh:
+            return set(json.load(fh)["files"])
+
+    before = sorted(r["event_id"] for r in read_snapshot(spark, table, 2).collect())
+    v3 = delete_where_snapshot(spark, table, F.col("event_type") == "error")
+    assert v3 == 3
+
+    # v1's clean files carried over by reference; v2's files rewritten
+    assert _files(1) <= _files(3)
+    assert not (_files(2) - _files(1)) & _files(3)
+
+    got = sorted(r["event_id"] for r in read_snapshot(spark, table, 3).collect())
+    want = sorted(
+        r["event_id"]
+        for r in ev.filter(F.col("event_type") != "error").collect()
+    )
+    assert got == want
+    # pre-delete snapshot unchanged (time travel across the delete)
+    assert sorted(
+        r["event_id"] for r in read_snapshot(spark, table, 2).collect()
+    ) == before
+
+    # NULL predicate result = not deleted (both sides of the split)
+    v4 = delete_where_snapshot(
+        spark, table, F.when(F.col("event_type") == "view", True)
+    )
+    left = {r["event_type"] for r in read_snapshot(spark, table, v4).collect()}
+    assert "view" not in left and left  # non-view rows all survived
+
+    with _pytest.raises(ValueError):
+        delete_where_snapshot(
+            spark, str(tmp_path / "empty"), F.lit(True)
+        )
