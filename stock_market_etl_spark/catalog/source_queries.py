@@ -692,3 +692,45 @@ def b20_cow_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, table, F.col("event_type") == "error"
     )
     return read_snapshot(spark, table, version=v)
+
+
+@_q(
+    "b21_cow_upsert",
+    """SELECT event_id, user_id, event_type,
+              round(CASE WHEN event_type = 'purchase'
+                         THEN value * 2 ELSE value END, 6) AS value
+       FROM events""",
+)
+def b21_cow_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B superset: copy-on-write MERGE on the manifest-versioned lake
+    (io.upsert_snapshot) — B2/L2's replace-then-append at snapshot
+    grain, atomic through the single manifest rename: keyed rows in
+    the update batch replace their lake versions (here every
+    'purchase' re-lands with a restated value), new keys would
+    append, only match-bearing files rewrite, and the pre-merge
+    snapshot stays readable (restatement audits read the version
+    BEFORE the correction — the reference's read-merge-write ingest
+    `scripts/ingest_hourly.py:117-131` with history kept). The oracle
+    states the merge's net effect over the fixture. Idempotence
+    (re-merging the same batch), new-key appends, file pruning, and
+    crash atomicity are pinned in tests/test_sinks.py."""
+    import os
+
+    from stock_market_etl_spark.io import (
+        commit_snapshot,
+        load_table,
+        read_snapshot,
+        upsert_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+    table = os.path.join(_scratch.fresh_dir("b21"), "table")
+    commit_snapshot(spark, table, ev.filter(F.col("event_id") % 2 == 0))
+    commit_snapshot(spark, table, ev.filter(F.col("event_id") % 2 == 1))
+    restated = ev.filter(F.col("event_type") == "purchase").withColumn(
+        "value", F.round(F.col("value") * 2, 6)
+    )
+    v = upsert_snapshot(spark, table, restated, keys=("event_id",))
+    return read_snapshot(spark, table, version=v)

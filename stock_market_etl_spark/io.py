@@ -593,3 +593,93 @@ def delete_where_snapshot(
         json.dump(manifest, fh)
     os.rename(tmp, os.path.join(table_path, f"_v{version}.manifest.json"))
     return version
+
+
+def upsert_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    keys: tuple[str, ...],
+) -> int:
+    """Copy-on-write MERGE (upsert) on a manifest-versioned table:
+    commit ONE new snapshot in which every row whose key appears in
+    ``updates`` is replaced by the update row and new keys append —
+    the L2 replace-then-append merge at lake-snapshot grain, atomic
+    because the single manifest rename is the only commit point (a
+    crash mid-merge leaves the prior snapshot current and only
+    orphaned data files behind — exactly `commit_snapshot`'s
+    discipline). Only files CONTAINING a matched key rewrite (the
+    key semi-join pushes into the scan; clean files carry over by
+    reference), updates land as fresh files, and prior snapshots stay
+    readable as-was. Returns the new version.
+
+    Scale shape: discovery is one pruned scan collecting a file list;
+    the rewrite is O(files-with-matches) + O(updates) — an increment
+    touching 1 of 10⁶ files rewrites one file, never the lake.
+    """
+    import json
+    import os
+    import uuid as _uuid
+
+    def _latest(path: str) -> int:
+        if not os.path.isdir(path):
+            return 0
+        vs = [
+            int(f[2 : -len(".manifest.json")])
+            for f in os.listdir(path)
+            if f.startswith("_v") and f.endswith(".manifest.json")
+        ]
+        return max(vs, default=0)
+
+    prev = _latest(table_path)
+    if not prev:
+        raise ValueError(f"no committed snapshot under {table_path}")
+    with open(
+        os.path.join(table_path, f"_v{prev}.manifest.json")
+    ) as fh:
+        files = json.load(fh)["files"]
+
+    key_rows = updates.select(*keys).distinct()
+    cur = spark.read.parquet(*files).withColumn(
+        "__file", F.input_file_name()
+    )
+    hit_uris = {
+        r["__file"]
+        for r in cur.join(key_rows, list(keys), "left_semi")
+        .select("__file")
+        .distinct()
+        .collect()
+    }
+
+    def _uri(p: str) -> str:
+        return "file://" + os.path.abspath(p)
+
+    keep = [f for f in files if _uri(f) not in hit_uris]
+    rewrite = [f for f in files if _uri(f) in hit_uris]
+    version = prev + 1
+    new_files: list[str] = []
+
+    def _write(df: DataFrame) -> None:
+        data_dir = os.path.join(
+            table_path, "data", f"v{version}-{_uuid.uuid4().hex[:8]}"
+        )
+        df.write.mode("error").parquet(data_dir)
+        new_files.extend(
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+
+    if rewrite:
+        _write(
+            spark.read.parquet(*rewrite).join(
+                key_rows, list(keys), "left_anti"
+            )
+        )
+    _write(updates)
+    manifest = {"version": version, "files": sorted(keep + new_files)}
+    tmp = os.path.join(table_path, f"._v{version}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, os.path.join(table_path, f"_v{version}.manifest.json"))
+    return version

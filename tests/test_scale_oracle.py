@@ -222,6 +222,9 @@ SCALE_QUERIES = [
     # late-r08 addition: copy-on-write delete roundtrip (rounded
     # double value passthrough → midpoint tolerance)
     ("b20_cow_delete", False),
+    # late-r08 addition: copy-on-write merge roundtrip (restated
+    # rounded doubles → midpoint tolerance)
+    ("b21_cow_upsert", False),
 ]
 
 

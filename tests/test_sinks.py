@@ -591,3 +591,60 @@ def test_cow_delete_prunes_files_and_keeps_history(spark, sf_smoke, tmp_path):
         delete_where_snapshot(
             spark, str(tmp_path / "empty"), F.lit(True)
         )
+
+
+def test_cow_upsert_semantics(spark, sf_smoke, tmp_path):
+    """b21's MERGE: matched keys replace, new keys append, re-merging
+    the identical batch is idempotent at the latest-content grain,
+    clean files carry over by reference, and the pre-merge snapshot
+    reads its original content."""
+    import json
+    import os
+
+    from stock_market_etl_spark.io import (
+        commit_snapshot,
+        read_snapshot,
+        upsert_snapshot,
+    )
+
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "value")
+    table = str(tmp_path / "table")
+    low = ev.filter(F.col("event_id") < 100)
+    high = ev.filter(F.col("event_id") >= 100)
+    commit_snapshot(spark, table, low)
+    commit_snapshot(spark, table, high)
+
+    def _files(v):
+        with open(os.path.join(table, f"_v{v}.manifest.json")) as fh:
+            return set(json.load(fh)["files"])
+
+    def _content(v):
+        return {
+            (r["event_id"], r["value"])
+            for r in read_snapshot(spark, table, v).collect()
+        }
+
+    before = _content(2)
+    # restate some low keys + append brand-new keys
+    updates = low.filter(F.col("event_id") < 50).withColumn(
+        "value", F.lit(-1.0)
+    ).unionByName(
+        spark.createDataFrame(
+            [(10_000_001, 7.0), (10_000_002, 8.0)], ["event_id", "value"]
+        )
+    )
+    v3 = upsert_snapshot(spark, table, updates, keys=("event_id",))
+    want = {
+        (i, v) for i, v in before if not (i < 50)
+    } | {(i, -1.0) for i, _ in before if i < 50} | {
+        (10_000_001, 7.0), (10_000_002, 8.0),
+    }
+    assert _content(v3) == want
+    # the high-key files had no matches: carried over by reference
+    assert (_files(2) - _files(1)) <= _files(3)
+    # pre-merge snapshot unchanged
+    assert _content(2) == before
+    # idempotent re-merge: same latest content (a new version, but
+    # byte-equal rows)
+    v4 = upsert_snapshot(spark, table, updates, keys=("event_id",))
+    assert _content(v4) == want
