@@ -613,6 +613,10 @@ def upsert_snapshot(
     reference), updates land as fresh files, and prior snapshots stay
     readable as-was. Returns the new version.
 
+    NULL key values never match (SQL join semantics): a NULL-keyed
+    lake row is never replaced and a NULL-keyed update row appends —
+    callers merging on nullable keys should surrogate them first.
+
     Scale shape: discovery is one pruned scan collecting a file list;
     the rewrite is O(files-with-matches) + O(updates) — an increment
     touching 1 of 10⁶ files rewrites one file, never the lake.
