@@ -37,83 +37,67 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship (F1+F2) — permanent anchor
     "f1_f2_metrics_pipeline",
-    # --- r08 rotation (DRIVER_WINDOW.md plan): CORRECTNESS_r07 came
-    # back 50/50 green, so the r07 first-proof / re-admit slots all
-    # vacate. This window gives first driver proofs to the 24
-    # oracle-bearing queries added during r07 (k5/k6, b12/b13, the
-    # f9–f12 window superset, e17/e18 event-sequence aggregates,
-    # d11–d14 joins, m6/m7 Python batch APIs, n13/n14 streaming
-    # drains, and the x51–x57 curation cohort), re-admits d8 (its
-    # as-of fill changed r08 — matched-row struct fill, ADVICE fix),
-    # and spends the remaining slots on VERDICT-r06-task-6 freshness
-    # cycling: every remaining r02-era proof re-proves here.
-    # first proofs: quality / lake-layout
-    "k5_observed_write_metrics",
-    "k6_release_drift_audit",
-    "b12_clustered_scan_prune",
-    "b13_zorder_scan_prune",
-    # first proofs: window superset
-    "f9_rsi",
-    "f10_ema",
-    "f11_sliding_distinct",
-    "f12_drawdown",
-    # first proofs: event-sequence aggregates
-    "e17_funnel_stages",
-    "e18_retention_cohorts",
-    # first proofs: join superset
-    "d11_interval_overlap_pairs",
-    "d12_asof_forward_tolerance",
-    "d13_asof_nearest",
-    "d14_salted_join",
-    # first proofs: Python batch APIs
-    "m6_iter_pandas_udf",
-    "m7_cogrouped_map",
-    # first proofs: streaming drains
-    "n13_stream_gated_ingest",
-    "n14_stream_jdbc_serving",
-    # first proofs: LLM-curation cohort (r07-new)
-    "x51_gopher_rules",
-    "x52_paragraph_contamination",
-    "x53_event_pagerank",
-    "x54_epoch_repeat",
-    "x56_gopher_repetition",
-    "x57_gopher_pipeline",
-    # changed-since-proof re-admit (r08 as-of struct-fill fix) — also
-    # the oldest ledger row (r02), so it doubles as freshness cycling
-    "d8_asof_join",
-    # freshness cycling: the 21 remaining r02-era proofs, oldest-first
-    # (no implementation changes; re-proving per VERDICT r06 task 6)
-    "c7_filter_on_window_result",
-    "c8_empty_guard",
-    "i3_ingest_ts_stamp",
-    "i7_rename_all_columns",
-    "i10_json_extract",
-    "i11_map_entries",
-    "e2_scalar_fn_agg",
-    "e5_distinct_years",
-    "e9_cube",
-    "e10_rollup",
-    "e11_grouping_sets",
-    "e12_pivot",
-    "e13b_exact_count_distinct",
-    "d3_self_join_time_align",
-    "d5_left_semi_join",
-    "d6_cross_join",
-    "d7_full_outer_join",
-    "d9_star_join_revenue",
-    "g2_presentation_sort",
-    "h2_intersect",
-    # changed-since-proof re-admit (late-r08 binary-digest block keys:
-    # paragraph_dedup now shuffles 32-byte unhex(sha2) instead of the
-    # 64-char hex — measured 5.49 -> 3.56 MB at sf0.1). Took the slot
-    # drafted for h3_except's freshness re-proof (impl unchanged since
-    # its r02 green; its cycle defers to r09 — the changed-since-proof
-    # rule outranks freshness).
-    "x49_paragraph_dedup",
-    # core canaries (kept for cross-round continuity)
+    # --- r09 rotation (DRIVER_WINDOW.md consolidated slot-priority
+    # order, applied mechanically): CORRECTNESS_r08 came back 50/50
+    # green, so every r08 slot vacates. Tier 1 (red re-proofs) is
+    # empty. Tier 2: the 3 core canaries + the flagship anchor above.
     "q_compute_trends",
     "c4_watermark_filter",
     "e1_global_max_watermark",
+    # Tier 3 — first proofs, early-r08 overflow (waited longest), in
+    # the consolidated catalog-impact order:
+    "x58_dsir_importance",
+    "x59_perplexity_buckets",
+    "e19_hourly_rollup_merge",
+    "n15_stateful_running_totals",
+    "b14_stream_lake_sink",
+    "k7_volume_anomaly_gate",
+    "b15_python_datasource_sink",
+    "f13_bollinger",
+    "f14_vwap",
+    "x60_boilerplate_prune",
+    "b16_compaction_roundtrip",
+    "e21_market_beta",
+    "h4_union_by_name",
+    "k8_column_profile",
+    "l5_scd2_dimension",
+    "x62_knn_label_propagation",
+    "x64_winnow_fingerprints",
+    "x65_winnow_near_dup",
+    # Tier 4 — first proofs, late-r08 additions, newest-last:
+    "f15_ohlc_resample",
+    "f16_atr",
+    "f17_gap_fill",
+    "f18_market_pipeline",
+    "n16_stream_ohlc_bars",
+    "n17_stream_agg_partials",
+    "d15_interpolation_join",
+    "d16_point_in_time_join",
+    "x66_keep_best_dedup",
+    "x68_weighted_sample",
+    "x69_fuzzy_name_pairs",
+    "b17_corrupt_record_audit",
+    "b18_snapshot_time_travel",
+    "b19_snapshot_increment_read",
+    "b20_cow_delete",
+    "b21_cow_upsert",
+    "m8_arrow_optimized_udf",
+    "l6_incremental_agg_rollup",
+    # Tier 5 — h3_except's deferred freshness re-proof (its r08 slot
+    # went to the x49 changed-since-proof re-admit; impl unchanged
+    # since its r02 green — the oldest surviving ledger row).
+    "h3_except",
+    # Tier 6 — freshness cycling: the 8 remaining r03-era proofs
+    # (oldest after h3) + the oldest r04 row, per VERDICT r06 task 6.
+    "c2_conjunctive_eq_filter",
+    "c3_inequality_filter",
+    "c5_in_between_filter",
+    "h1_union_all",
+    "i2_year_extract",
+    "i5_arithmetic_chain",
+    "i6_string_normalize",
+    "j2_rename_columns",
+    "a1_parquet_scan",
 )
 
 

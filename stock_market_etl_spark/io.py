@@ -400,13 +400,88 @@ def write_zordered(
     )
 
 
+def _input_file_uri_to_path(uri: str) -> str:
+    """Normalize a Spark ``input_file_name()`` value (a URL-encoded
+    ``file:`` URI in local mode) back to an absolute filesystem path.
+
+    Spark percent-encodes URI-special characters (space, ``%``,
+    non-ASCII), so comparing the raw URI against
+    ``'file://' + abspath`` silently matches NOTHING on such paths —
+    a copy-on-write delete would then no-op while still committing a
+    "successful" new version. Decode first, compare on real paths.
+    """
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(uri)
+    path = unquote(parsed.path) if parsed.scheme else unquote(uri)
+    import os
+
+    return os.path.abspath(path)
+
+
+def _resolve_hit_files(
+    hit_uris: set[str], files: list[str], op: str
+) -> tuple[list[str], list[str]]:
+    """Map the distinct ``input_file_name()`` URIs of matched rows back
+    onto the manifest's file list → (keep, rewrite). Every hit URI MUST
+    resolve to a manifest file: an unmapped hit means the URI↔path
+    normalization broke, and proceeding would silently drop the delete/
+    merge for those rows — fail loudly instead."""
+    import os
+
+    hit_paths = {_input_file_uri_to_path(u) for u in hit_uris}
+    by_path = {os.path.abspath(f): f for f in files}
+    unmapped = hit_paths - set(by_path)
+    if unmapped:
+        raise RuntimeError(
+            f"{op}: {len(unmapped)} matched file URI(s) map to no "
+            f"manifest file (first: {sorted(unmapped)[:2]}) — refusing "
+            "to commit a snapshot that would silently keep matched rows"
+        )
+    keep = [f for f in files if os.path.abspath(f) not in hit_paths]
+    rewrite = [f for f in files if os.path.abspath(f) in hit_paths]
+    return keep, rewrite
+
+
+def _commit_manifest(
+    table_path: str, version: int, files: list[str]
+) -> None:
+    """Atomically publish ``_v{version}.manifest.json``. The commit
+    point is an ``os.link`` create-if-absent (POSIX ``link(2)`` fails
+    with EEXIST if the target exists), NOT a bare rename — ``rename(2)``
+    clobbers, so two concurrent writers that both computed prev=N would
+    silently lose the first commit. With link, the loser gets
+    FileExistsError and must retry against the new latest version
+    (optimistic-concurrency, the Iceberg/Delta commit protocol)."""
+    import json
+    import os
+    import uuid
+
+    manifest = {"version": version, "files": sorted(files)}
+    tmp = os.path.join(
+        table_path, f"._v{version}.{uuid.uuid4().hex[:8]}.tmp"
+    )
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    target = os.path.join(table_path, f"_v{version}.manifest.json")
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        raise RuntimeError(
+            f"concurrent commit detected: {target} already exists — "
+            "re-read the latest version and retry the operation"
+        ) from None
+    finally:
+        os.unlink(tmp)
+
+
 def commit_snapshot(
     spark: SparkSession, table_path: str, df: DataFrame
 ) -> int:
     """Append ``df`` to a MANIFEST-VERSIONED table and commit a new
     snapshot; returns the new version number. The time-travel
     primitive (the Iceberg/Delta snapshot model reduced to its load-
-    bearing parts, built on nothing but parquet + an atomic rename —
+    bearing parts, built on nothing but parquet + an atomic manifest publish —
     same commit discipline as the b15 Data Source writer):
 
     - data files land under ``data/v{N}-{attempt}/`` (unique per
@@ -415,9 +490,12 @@ def commit_snapshot(
       with the crash's orphaned directory);
     - snapshot N's manifest ``_v{N}.manifest.json`` lists EVERY file
       visible at version N (previous snapshot's list + the new
-      files), written to a tmp name then atomically renamed — a
-      crashed commit leaves data files but no manifest, so readers
-      never see partial snapshots;
+      files), written to a tmp name then atomically LINKED into place
+      (create-if-absent: a concurrent writer that raced to the same
+      version fails loudly instead of clobbering the winner's commit
+      — optimistic concurrency, see `_commit_manifest`) — a crashed
+      commit leaves data files but no manifest, so readers never see
+      partial snapshots;
     - readers (`read_snapshot`) load exactly a manifest's file list:
       old versions stay byte-stable forever ⇒ reproducible reads
       (the training-data requirement: a dataset release pinned to
@@ -458,11 +536,7 @@ def commit_snapshot(
             os.path.join(table_path, f"_v{prev}.manifest.json")
         ) as fh:
             files = json.load(fh)["files"]
-    manifest = {"version": version, "files": sorted(files + new_files)}
-    tmp = os.path.join(table_path, f"._v{version}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.rename(tmp, os.path.join(table_path, f"_v{version}.manifest.json"))
+    _commit_manifest(table_path, version, files + new_files)
     return version
 
 
@@ -565,12 +639,9 @@ def delete_where_snapshot(
         r["__file"]
         for r in df.filter(hit).select("__file").distinct().collect()
     }
-
-    def _uri(p: str) -> str:
-        return "file://" + os.path.abspath(p)
-
-    keep = [f for f in files if _uri(f) not in hit_uris]
-    rewrite = [f for f in files if _uri(f) in hit_uris]
+    keep, rewrite = _resolve_hit_files(
+        hit_uris, files, "delete_where_snapshot"
+    )
     version = prev + 1
     new_files: list[str] = []
     if rewrite:
@@ -587,11 +658,7 @@ def delete_where_snapshot(
             for f in os.listdir(data_dir)
             if f.endswith(".parquet")
         ]
-    manifest = {"version": version, "files": sorted(keep + new_files)}
-    tmp = os.path.join(table_path, f"._v{version}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.rename(tmp, os.path.join(table_path, f"_v{version}.manifest.json"))
+    _commit_manifest(table_path, version, keep + new_files)
     return version
 
 
@@ -605,7 +672,7 @@ def upsert_snapshot(
     commit ONE new snapshot in which every row whose key appears in
     ``updates`` is replaced by the update row and new keys append —
     the L2 replace-then-append merge at lake-snapshot grain, atomic
-    because the single manifest rename is the only commit point (a
+    because the single manifest publish (create-if-absent link) is the only commit point (a
     crash mid-merge leaves the prior snapshot current and only
     orphaned data files behind — exactly `commit_snapshot`'s
     discipline). Only files CONTAINING a matched key rewrite (the
@@ -654,12 +721,7 @@ def upsert_snapshot(
         .distinct()
         .collect()
     }
-
-    def _uri(p: str) -> str:
-        return "file://" + os.path.abspath(p)
-
-    keep = [f for f in files if _uri(f) not in hit_uris]
-    rewrite = [f for f in files if _uri(f) in hit_uris]
+    keep, rewrite = _resolve_hit_files(hit_uris, files, "upsert_snapshot")
     version = prev + 1
     new_files: list[str] = []
 
@@ -681,9 +743,5 @@ def upsert_snapshot(
             )
         )
     _write(updates)
-    manifest = {"version": version, "files": sorted(keep + new_files)}
-    tmp = os.path.join(table_path, f"._v{version}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.rename(tmp, os.path.join(table_path, f"_v{version}.manifest.json"))
+    _commit_manifest(table_path, version, keep + new_files)
     return version

@@ -32,7 +32,13 @@ def _gram_buckets(
     gram. 16^k buckets for k hex chars — md5 is byte-identical across
     engines, which is what lets a SQL oracle replay the bucketing
     (same move as x27's md5 shuffle order)."""
-    hex_chars = {16: 1, 256: 2, 4096: 3, 65536: 4}[n_buckets]
+    hex_prefix = {16: 1, 256: 2, 4096: 3, 65536: 4}
+    if n_buckets not in hex_prefix:
+        raise ValueError(
+            f"n_buckets must be one of {sorted(hex_prefix)} (a power of "
+            f"16, one md5 hex char per power), got {n_buckets}"
+        )
+    hex_chars = hex_prefix[n_buckets]
     t = docs.select(
         F.col(id_col), *extra, tokens(F.col(text_col)).alias("__t")
     ).filter(F.size("__t") >= 2)
@@ -70,8 +76,12 @@ def dsir_weights(
     conditional aggregation), the ≤ n_buckets weight table broadcasts,
     and the doc-grain sum is the single data-sized shuffle.
     """
+    # target grams carry no doc id (only raw docs are scored) — the
+    # discarded id slot must still union cleanly with raw's id column,
+    # whatever its type (a hard-coded long cast fails unionByName on
+    # string-keyed corpora)
     tg = _gram_buckets(target, n_buckets, text_col, id_col).select(
-        F.lit(None).cast("long").alias(id_col),
+        F.lit(None).cast(raw.schema[id_col].dataType).alias(id_col),
         F.lit(1).alias("__is_target"),
         "__bucket",
     )

@@ -223,6 +223,14 @@ def scd2_apply(
     same one-version-per-batch rule every MERGE-based SCD2 has).
     Closed history rows pass through untouched.
 
+    NULL key values never match (SQL join semantics — the same
+    contract as ``upsert_snapshot``): a NULL-keyed open row passes
+    through untouched and a NULL-keyed update row INSERTS as a new
+    open version; callers merging on nullable keys should surrogate
+    them first. Routed around the join explicitly below — inside a
+    full outer join a NULL key is indistinguishable from "no match",
+    which would otherwise fabricate all-NULL dimension rows.
+
     Scale shape: ONE key-grain equi-join of the open slice against
     the update batch decides changed/unchanged/new (batch side is
     the small side in steady state — AQE broadcasts it); closed rows
@@ -231,9 +239,19 @@ def scd2_apply(
     at most once regardless of history depth."""
     ucols = [F.col(f"u.{a}") for a in attrs]
     ccols = [F.col(f"c.{a}") for a in attrs]
-    open_rows = current.filter(F.col(to_col).isNull()).alias("c")
+    open_all = current.filter(F.col(to_col).isNull())
+    null_key_open = open_all.filter(F.col(key).isNull()).select(
+        key, *attrs, from_col, to_col
+    )
+    open_rows = open_all.filter(F.col(key).isNotNull()).alias("c")
     closed_rows = current.filter(F.col(to_col).isNotNull())
-    u = updates.alias("u")
+    null_key_new = updates.filter(F.col(key).isNull()).select(
+        F.col(key),
+        *[F.col(a) for a in attrs],
+        F.col(eff_col).alias(from_col),
+        F.lit(None).cast(current.schema[to_col].dataType).alias(to_col),
+    )
+    u = updates.filter(F.col(key).isNotNull()).alias("u")
 
     j = open_rows.join(u, F.col(f"c.{key}") == F.col(f"u.{key}"), "full")
     # null-safe: a NULL attribute on either side must still compare
@@ -280,4 +298,6 @@ def scd2_apply(
         .unionAll(unchanged)
         .unionAll(closed_out)
         .unionAll(new_open)
+        .unionAll(null_key_open)
+        .unionAll(null_key_new)
     )

@@ -205,11 +205,31 @@ def jdbc_table_exists(
             schema = conn.getSchema()
         except Exception:  # pre-JDBC-4.1 drivers: fall back to global
             schema = None
-        rs = conn.getMetaData().getTables(None, schema, "%", None)
+        meta = conn.getMetaData()
+        pattern = schema
+        if schema is not None:
+            # getTables treats schemaPattern as a LIKE pattern: a
+            # literal '_' (common in schema names) would also match
+            # sibling schemas, partially re-opening the cross-schema
+            # false positive this probe exists to close. Escape
+            # metacharacters with the driver's declared escape string —
+            # and since some drivers declare NO escape (Derby returns
+            # ''), additionally compare each row's TABLE_SCHEM exactly.
+            esc = meta.getSearchStringEscape() or ""
+            if esc:
+                pattern = (
+                    schema.replace(esc, esc + esc)
+                    .replace("_", esc + "_")
+                    .replace("%", esc + "%")
+                )
+        rs = meta.getTables(None, pattern, "%", None)
         try:
             while rs.next():
-                if rs.getString("TABLE_NAME").lower() == table.lower():
-                    return True
+                if rs.getString("TABLE_NAME").lower() != table.lower():
+                    continue
+                if schema is not None and rs.getString("TABLE_SCHEM") != schema:
+                    continue  # LIKE-pattern overmatch on a sibling schema
+                return True
             return False
         finally:
             rs.close()

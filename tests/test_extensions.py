@@ -1255,6 +1255,32 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     assert min(rows[0], rows[1]) > max(rows[2], rows[3])
 
 
+def test_dsir_weights_string_ids_and_bucket_validation(spark):
+    """ADVICE r09: the discarded target-side id literal must cast to
+    the RAW corpus's id type (a hard-coded long cast broke string-keyed
+    corpora at analysis time), and an unsupported n_buckets raises a
+    ValueError naming the supported values, not a bare KeyError."""
+    import pytest as _pytest
+
+    from stock_market_etl_spark.operators.importance import dsir_weights
+
+    target = spark.createDataFrame(
+        [("t1", "alpha beta gamma")], "doc_id string, text string"
+    )
+    raw = spark.createDataFrame(
+        [("r1", "alpha beta gamma"), ("r2", "zig zag quux")],
+        "doc_id string, text string",
+    )
+    rows = {
+        r.doc_id: r.log_weight
+        for r in dsir_weights(target, raw, n_buckets=256).collect()
+    }
+    assert set(rows) == {"r1", "r2"} and rows["r1"] > rows["r2"]
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        dsir_weights(target, raw, n_buckets=1000)
+
+
 def test_perplexity_buckets_balanced_and_ordered(spark, sf_smoke):
     """x59's CCNet invariants per language: equal-frequency tiers
     (sizes differ by ≤ 1), labels consistent with tier numbers, and

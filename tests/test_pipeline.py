@@ -287,6 +287,45 @@ def test_scd2_apply_semantics(spark):
     assert sorted(open_keys) == [1, 2, 3, 4, 5, 6, 9]
 
 
+def test_scd2_apply_null_keys_routed_not_fabricated(spark):
+    """NULL keys never match (ADVICE r09 / upsert_snapshot contract):
+    a NULL-keyed open row passes through untouched, a NULL-keyed
+    update row inserts as a new open version, and — the original bug —
+    a NULL-keyed update must NOT fabricate an all-NULL dimension row
+    via the full join's unmatched branch."""
+    import datetime
+
+    d0 = datetime.date(2020, 1, 1)
+    eff = datetime.date(2024, 6, 1)
+    current = spark.createDataFrame(
+        [
+            (1, "A", d0, None),
+            (None, "NK", d0, None),  # NULL-keyed open row
+        ],
+        "k long, seg string, valid_from date, valid_to date",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "A2", eff),
+            (None, "NU", eff),       # NULL-keyed update
+        ],
+        "k long, seg string, eff_date date",
+    )
+    out = pipeline.scd2_apply(current, updates, key="k", attrs=("seg",))
+    rows = {
+        (r["k"], r["seg"], r["valid_from"], r["valid_to"])
+        for r in out.collect()
+    }
+    assert rows == {
+        (1, "A", d0, eff), (1, "A2", eff, None),
+        (None, "NK", d0, None),      # passed through, not closed
+        (None, "NU", eff, None),     # appended as a new open version
+    }
+    # the fabricated all-NULL row (k NULL, seg NULL) must not exist
+    assert out.count() == len(rows)
+    assert not any(k is None and s is None for k, s, *_ in rows)
+
+
 def test_merge_agg_state_edges(spark):
     """merge_agg_state edge semantics: one-sided keys pass through
     (count adds vs 0, sum/min/max pass through via coalesce/least

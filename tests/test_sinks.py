@@ -352,6 +352,33 @@ def test_jdbc_upsert_authenticated_derby(spark, tmp_path):
         sinks.jdbc_upsert(inc, url, "auth_up", ("k",), DERBY_PROPS)
 
 
+def test_jdbc_table_exists_escapes_schema_pattern(spark, tmp_path):
+    """ADVICE r09: getTables' schemaPattern is a LIKE pattern, so an
+    unescaped schema named A_B also matches sibling schema AXB — a
+    table that exists only in AXB must NOT probe true from an A_B
+    connection (the cross-schema false positive would route a
+    bootstrap batch to an upsert against a missing table)."""
+    db = f"{tmp_path}/escdb"
+    url = f"jdbc:derby:{db}"
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    # user axb → Derby current schema AXB; first DDL creates the schema
+    conn = jvm.java.sql.DriverManager.getConnection(
+        f"{url};create=true;user=axb"
+    )
+    st = conn.createStatement()
+    st.executeUpdate("CREATE TABLE probe_t (k INT)")
+    st.close()
+    conn.close()
+
+    # from schema A_B the table must be invisible...
+    props_ab = dict(DERBY_PROPS, user="a_b")
+    assert not sinks.jdbc_table_exists(spark, url, "probe_t", props_ab)
+    # ...and from its own schema, visible
+    props_axb = dict(DERBY_PROPS, user="axb")
+    assert sinks.jdbc_table_exists(spark, url, "probe_t", props_axb)
+
+
 def test_write_clustered_footer_bands_disjoint(spark, sf_smoke, tmp_path):
     """write_clustered's pruning claim, verified on the files
     themselves: every output file's parquet footer must carry a
@@ -648,3 +675,62 @@ def test_cow_upsert_semantics(spark, sf_smoke, tmp_path):
     # byte-equal rows)
     v4 = upsert_snapshot(spark, table, updates, keys=("event_id",))
     assert _content(v4) == want
+
+
+def test_cow_ops_on_uri_encodable_path(spark, sf_smoke, tmp_path):
+    """ADVICE r09 (medium): input_file_name() returns a URL-ENCODED
+    URI, so a table path containing a space or '%' used to match no
+    manifest file — the delete silently no-opped (rows survived under
+    a 'successful' new version) and the upsert kept the old rows next
+    to the updates, duplicating keys. The decode fix must make both
+    operate correctly on such paths."""
+    from stock_market_etl_spark.io import (
+        commit_snapshot,
+        delete_where_snapshot,
+        read_snapshot,
+        upsert_snapshot,
+    )
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_id", "value"
+    ).filter(F.col("event_id") < 200)
+    table = str(tmp_path / "odd %dir name" / "table")
+    commit_snapshot(spark, table, ev)
+
+    v2 = delete_where_snapshot(spark, table, F.col("event_id") < 50)
+    got = {r["event_id"] for r in read_snapshot(spark, table, v2).collect()}
+    want = {r["event_id"] for r in ev.filter(F.col("event_id") >= 50).collect()}
+    assert got == want  # the delete really happened
+
+    updates = spark.createDataFrame(
+        [(100, -1.0), (9_999_999, 5.0)], "event_id long, value double"
+    )
+    if 100 in want:
+        v3 = upsert_snapshot(spark, table, updates, keys=("event_id",))
+        rows = read_snapshot(spark, table, v3).collect()
+        ids = [r["event_id"] for r in rows]
+        assert ids.count(100) == 1  # replaced, not duplicated
+        assert {r["value"] for r in rows if r["event_id"] == 100} == {-1.0}
+        assert 9_999_999 in ids
+
+
+def test_commit_manifest_refuses_concurrent_version(tmp_path):
+    """ADVICE r09: the snapshot commit point is create-if-absent, not
+    a clobbering rename — a second writer racing to the same version
+    must fail loudly, and the winner's manifest must survive intact."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from stock_market_etl_spark.io import _commit_manifest
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    _commit_manifest(table, 1, ["a.parquet"])
+    with _pytest.raises(RuntimeError, match="concurrent commit"):
+        _commit_manifest(table, 1, ["b.parquet"])
+    with open(os.path.join(table, "_v1.manifest.json")) as fh:
+        assert json.load(fh)["files"] == ["a.parquet"]
+    # no tmp litter left behind by either attempt
+    assert not [f for f in os.listdir(table) if f.endswith(".tmp")]
