@@ -171,6 +171,14 @@ BENCH_QUERIES = [
     # indicator stack (returns + TR/ATR + Bollinger over bars) fused
     # into f16's two exchanges (plan-asserted).
     "f18_market_pipeline",
+    # r09 addition: x69's SPARSE operating point (VERDICT r08 task 2)
+    # — SymSpell deletion-neighborhood fuzzy join over a structureless
+    # md5-name entity catalog with planted typos. x69 itself (the
+    # DENSE stress fixture: templated serial names, ~1.87 M TRUE
+    # pairs at sf0.1) stays out of BENCH like x31/x46: its output is
+    # near-quadratic BY DATA, and its 100×-density safety is the
+    # histogram-derived candidate budget guard, not the clock.
+    "x70_fuzzy_sparse_pairs",
 ]
 
 
@@ -178,35 +186,45 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-_UNITS = {"B": 1, "KiB": 1 << 10, "MiB": 1 << 20, "GiB": 1 << 30, "TiB": 1 << 40}
+def _stage_cursor(spark) -> int:
+    """Next unseen stage id — snapshot BEFORE a query so
+    `_shuffle_mb_since` can attribute exactly its stages. Stage ids
+    are monotone per SparkContext, so scanning forward from the last
+    cursor is exact for sequentially-run queries."""
+    store = spark.sparkContext._jsc.sc().statusStore()
+    sid = 0
+    while True:
+        try:
+            store.lastStageAttempt(sid)
+        except Exception:
+            return sid
+        sid += 1
 
 
-def _parse_bytes(s: str) -> float:
-    parts = s.strip().split()
+def _shuffle_mb_since(spark, cursor: int) -> float | None:
+    """Total stage-level 'shuffle bytes written' for every stage the
+    app ran at or after ``cursor`` — measured evidence for the
+    shuffle-economy claims in SCALE.md/PLANS.md.
+
+    Reads per-stage AppStatusStore data (the same numbers the UI REST
+    API serves), NOT the SQL execution metric map: the latter loses
+    AQE-replanned exchanges (accumulator ids re-register under the new
+    query stages and the execution-level map keeps the stale ids —
+    observed reading 0.0 for a query whose stages wrote 40 MB) and
+    only ever saw the LAST execution, undercounting queries with
+    internal bounded collects (density guards, k-means init). Stage
+    grain double-counts nothing and misses nothing. Best-effort: py4j
+    drift degrades to None, never breaks the bench."""
     try:
-        return float(parts[0]) * _UNITS.get(parts[1] if len(parts) > 1 else "B", 1)
-    except (ValueError, IndexError):
-        return 0.0
-
-
-def _last_exec_shuffle_mb(spark) -> float | None:
-    """Sum of 'shuffle bytes written' across the last SQL execution's
-    exchange nodes, from the SQL status store — measured evidence for
-    the shuffle-economy claims in SCALE.md/PLANS.md. Best-effort: any
-    py4j/version drift degrades to None, never breaks the bench."""
-    try:
-        store = spark._jsparkSession.sharedState().statusStore()
-        execs = store.executionsList()
-        last = execs.apply(execs.size() - 1)
-        vals = store.executionMetrics(last.executionId())
-        total = 0.0
-        it = last.metrics().iterator()
-        while it.hasNext():
-            m = it.next()
-            if m.name() == "shuffle bytes written":
-                v = vals.get(m.accumulatorId())
-                if v.isDefined():
-                    total += _parse_bytes(v.get())
+        store = spark.sparkContext._jsc.sc().statusStore()
+        total, sid = 0, cursor
+        while True:
+            try:
+                st = store.lastStageAttempt(sid)
+            except Exception:
+                break
+            total += st.shuffleWriteBytes()
+            sid += 1
         return round(total / (1 << 20), 3)
     except Exception:
         return None
@@ -260,10 +278,11 @@ def main() -> None:
             # from the previous rep otherwise add memory pressure and
             # timing noise
             spark.catalog.clearCache()
+            cursor = _stage_cursor(spark)
             t0 = time.perf_counter()
             _force(queries[name](spark, sf_dir))
             rep_times.append(round(time.perf_counter() - t0, 3))
-            mb = _last_exec_shuffle_mb(spark)
+            mb = _shuffle_mb_since(spark, cursor)
             if mb is not None:
                 shuffle_mb[name] = mb
         reps[name] = rep_times

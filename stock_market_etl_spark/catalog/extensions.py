@@ -2271,9 +2271,87 @@ def x69_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup a dimension catalog needs before l5's SCD2 keys mean
     anything). Deterministic end-to-end → full DuckDB hash oracle
     (same neighborhood, same standard edit distance); guaranteed-
-    complete blocking is property-tested in tests/test_extensions.py."""
+    complete blocking is property-tested in tests/test_extensions.py.
+
+    This fixture is the DENSE operating point by construction —
+    templated serial names differing only in digits, so the TRUE pair
+    set is itself near-quadratic (~1.87 M pairs at sf0.1) and the
+    candidate stream (~16.4 M, measured) is only ~6× overgeneration:
+    the blocking is efficient; the data is dense. The explicit
+    25 M candidate budget (histogram-derived, free — see
+    deletion_neighborhood_pairs) covers sf0.1 with headroom and turns
+    a 100× density melt into a one-line diagnosis instead of a dead
+    executor. The sparse operating point — the realistic entity-
+    catalog shape — is benched separately as x70."""
     cust = load_table(spark, sf_dir, "customer")
     return text_ops.deletion_neighborhood_pairs(
         cust, name_col="c_name", id_col="c_custkey",
         max_edits=2, max_ids_per_variant=500,
+        max_candidate_pairs=25_000_000,
+    )
+
+
+@_q(
+    "x70_fuzzy_sparse_pairs",
+    """WITH ent AS (
+         SELECT c_custkey AS id,
+                md5(CAST(c_custkey AS VARCHAR)) AS name
+         FROM customer
+         UNION ALL
+         SELECT c_custkey + 1000000000 AS id,
+                substring(md5(CAST(c_custkey AS VARCHAR)), 1, 4)
+                || substring(md5(CAST(c_custkey AS VARCHAR)), 6, 27)
+                  AS name
+         FROM customer WHERE c_custkey % 100 = 0),
+       v AS (
+         SELECT id, name,
+           list_distinct(flatten([
+             [name],
+             list_transform(range(1, length(name) + 1),
+               i -> substring(name, 1, i - 1)
+                    || substring(name, i + 1, length(name)))
+           ])) AS vs
+         FROM ent),
+       e AS (SELECT DISTINCT id, name, unnest(vs) AS var FROM v),
+       banned AS (SELECT var FROM (
+           SELECT var, count(*) AS n FROM e GROUP BY var)
+         WHERE n > 500),
+       ok AS (SELECT * FROM e
+              WHERE var NOT IN (SELECT var FROM banned)),
+       cand AS (SELECT DISTINCT a.id AS id_a, a.name AS na,
+                       b.id AS id_b, b.name AS nb
+                FROM ok a JOIN ok b
+                  ON a.var = b.var AND a.id < b.id)
+       SELECT id_a, id_b,
+              CAST(levenshtein(na, nb) AS BIGINT) AS dist
+       FROM cand WHERE levenshtein(na, nb) <= 1""",
+)
+def x70_fuzzy_sparse_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x69's SPARSE operating point — the realistic entity-catalog
+    shape, benched as its own row (VERDICT r08 task 2). The entity set
+    is deterministic and oracle-replayable: one md5-hex pseudo-name
+    per customer (structureless — random names share no deletion
+    variants, so near-neighbor density is ~zero) plus a PLANTED typo
+    entity for every 100th customer (its name with character 5
+    deleted — exactly Levenshtein 1 from its source). The output is
+    therefore the planted pair set: blocking recall is directly
+    visible in the row count, and the candidate stream stays within a
+    1 M budget that the dense x69 fixture would blow through ~16×
+    (the guard's one-line diagnosis vs a melted shuffle). Same
+    operator, same full DuckDB hash oracle, max_edits=1."""
+    cust = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    h = F.md5(key.cast("string"))
+    base = cust.select(key.alias("entity_id"), h.alias("name"))
+    typos = cust.filter(key % 100 == 0).select(
+        (key + F.lit(1_000_000_000)).alias("entity_id"),
+        F.concat(
+            F.substring(h, 1, 4), F.substring(h, 6, 27)
+        ).alias("name"),
+    )
+    return text_ops.deletion_neighborhood_pairs(
+        base.unionByName(typos),
+        name_col="name", id_col="entity_id",
+        max_edits=1, max_ids_per_variant=500,
+        max_candidate_pairs=1_000_000,
     )

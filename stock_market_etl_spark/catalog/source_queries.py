@@ -734,3 +734,114 @@ def b21_cow_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = upsert_snapshot(spark, table, restated, keys=("event_id",))
     return read_snapshot(spark, table, version=v)
+
+
+@_q(
+    "b22_lake_lifecycle",
+    """WITH base AS (
+         SELECT event_id, user_id, event_type,
+                round(value, 6) AS value
+         FROM events),
+       merged AS (
+         SELECT event_id, user_id,
+                round(CASE WHEN event_type = 'purchase'
+                           THEN value * 2 ELSE value END, 6) AS value
+         FROM base)
+       SELECT read_point, n_rows, n_users, value_sum FROM (
+         SELECT 'increment_v1_v2' AS read_point, count(*) AS n_rows,
+                count(DISTINCT user_id) AS n_users,
+                round(sum(value), 6) AS value_sum
+         FROM base WHERE event_id % 2 = 1
+         UNION ALL
+         SELECT 'pre_merge_v2', count(*), count(DISTINCT user_id),
+                round(sum(value), 6)
+         FROM base
+         UNION ALL
+         SELECT 'post_merge_v3', count(*), count(DISTINCT user_id),
+                round(sum(value), 6)
+         FROM merged
+         UNION ALL
+         SELECT 'post_compaction_v4', count(*), count(DISTINCT user_id),
+                round(sum(value), 6)
+         FROM merged)
+       ORDER BY read_point""",
+)
+def b22_lake_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B superset COMPOSED FLAGSHIP: the complete lakehouse table
+    lifecycle on ONE manifest-versioned table, every read point
+    oracle-checked in a single result (VERDICT r08 task 5) — the
+    b2/L2 idempotent-ingest discipline lifted to the snapshot lake
+    (reference semantics `scripts/ingest_hourly.py:117-131` +
+    `scripts/load_stock_metrics.py:57-89`, with history kept):
+
+    1. append v1 (even half) → 2. append v2 (odd half) →
+    3. copy-on-write MERGE v3 (every 'purchase' restated ×2, only
+    match-bearing files rewrite) → 4. COMPACTION v4 (the whole
+    content refolded into few right-sized files — io.compact_snapshot,
+    content-preserving by construction).
+
+    The returned frame carries one fingerprint row (count, distinct
+    users, value sum) per read point: the v1→v2 CDC increment (file-
+    set difference IS the odd half), the v2 time-travel read ACROSS
+    the later merge+compaction (pre-merge values — restatement audits
+    depend on this), the post-merge state, and the post-compaction
+    state (must equal post-merge — a compaction that loses or
+    duplicates a row breaks this row's hash). Crash paths, file-level
+    pruning, and concurrent-commit refusal are pinned in
+    tests/test_sinks.py.
+
+    Scale shape: each step is O(files-touched) metadata + the minimal
+    data motion (appends move new bytes, the merge rewrites only
+    match-bearing files, compaction pays one content pass — the cost
+    every compactor pays); no step rewrites manifest history, and
+    readers never block."""
+    import os
+
+    from stock_market_etl_spark.io import (
+        commit_snapshot,
+        compact_snapshot,
+        load_table,
+        read_increment,
+        read_snapshot,
+        upsert_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+    table = os.path.join(_scratch.fresh_dir("b22"), "table")
+    commit_snapshot(spark, table, ev.filter(F.col("event_id") % 2 == 0))
+    commit_snapshot(spark, table, ev.filter(F.col("event_id") % 2 == 1))
+    restated = ev.filter(F.col("event_type") == "purchase").withColumn(
+        "value", F.round(F.col("value") * 2, 6)
+    )
+    v3 = upsert_snapshot(spark, table, restated, keys=("event_id",))
+    v4 = compact_snapshot(spark, table, num_files=4)
+
+    def _fingerprint(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        ).select(
+            F.lit(tag).alias("read_point"), "n_rows", "n_users", "value_sum"
+        )
+
+    return (
+        _fingerprint(
+            read_increment(spark, table, from_version=1, to_version=2),
+            "increment_v1_v2",
+        )
+        .unionAll(
+            _fingerprint(read_snapshot(spark, table, 2), "pre_merge_v2")
+        )
+        .unionAll(
+            _fingerprint(read_snapshot(spark, table, v3), "post_merge_v3")
+        )
+        .unionAll(
+            _fingerprint(
+                read_snapshot(spark, table, v4), "post_compaction_v4"
+            )
+        )
+        .orderBy("read_point")
+    )

@@ -590,6 +590,81 @@ def read_increment(
     return spark.read.parquet(*new)
 
 
+def compact_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    max_records_per_file: int | None = None,
+    num_files: int | None = None,
+) -> int:
+    """Small-file COMPACTION as a new snapshot on a manifest-versioned
+    table (Iceberg's ``rewrite_data_files`` reduced to its load-bearing
+    parts): read the LATEST snapshot, rewrite its content through the
+    AQE REBALANCE writer into few right-sized files, and commit a
+    manifest listing ONLY the new files. Content is row-identical by
+    construction; prior versions keep reading the old files (time
+    travel works ACROSS a compaction), and the old files become
+    reclaimable once no live manifest references them (vacuum is a
+    directory walk against the manifest union — metadata-only).
+
+    The snapshot-family maintenance move a streaming lake sink needs:
+    b14's per-batch commits accumulate micro-files; this folds them
+    without blocking readers (the manifest publish is the only commit
+    point, same crash discipline as `commit_snapshot` — a crashed
+    compaction leaves orphan data files but no manifest, so readers
+    never see it). NOTE: `read_increment` remains valid only between
+    APPEND commits — a compaction rewrites files without adding rows,
+    so file-set differences across it are not row increments.
+
+    Scale shape: one full read + write of the CURRENT content — the
+    cost every compactor pays — but zero manifest-history rewrites and
+    no reader downtime. Returns the new version number.
+    """
+    import json
+    import os
+    import uuid as _uuid
+
+    def _latest(path: str) -> int:
+        if not os.path.isdir(path):
+            return 0
+        vs = [
+            int(f[2 : -len(".manifest.json")])
+            for f in os.listdir(path)
+            if f.startswith("_v") and f.endswith(".manifest.json")
+        ]
+        return max(vs, default=0)
+
+    prev = _latest(table_path)
+    if not prev:
+        raise ValueError(f"no committed snapshot under {table_path}")
+    with open(
+        os.path.join(table_path, f"_v{prev}.manifest.json")
+    ) as fh:
+        files = json.load(fh)["files"]
+
+    version = prev + 1
+    df = spark.read.parquet(*files)
+    if num_files:
+        df = df.hint("rebalance").coalesce(num_files)
+    else:
+        df = df.hint("rebalance")
+    data_dir = os.path.join(
+        table_path, "data", f"v{version}-{_uuid.uuid4().hex[:8]}"
+    )
+    writer = df.write.mode("error")
+    if max_records_per_file:
+        writer = writer.option(
+            "maxRecordsPerFile", str(max_records_per_file)
+        )
+    writer.parquet(data_dir)
+    new_files = [
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    ]
+    _commit_manifest(table_path, version, new_files)
+    return version
+
+
 def delete_where_snapshot(
     spark: SparkSession, table_path: str, condition
 ) -> int:

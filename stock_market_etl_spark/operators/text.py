@@ -790,6 +790,7 @@ def deletion_neighborhood_pairs(
     id_col: str,
     max_edits: int = 2,
     max_ids_per_variant: int = 500,
+    max_candidate_pairs: int | None = 50_000_000,
 ) -> DataFrame:
     """Approximate-string JOIN (record linkage / entity resolution) by
     SymSpell-style deletion neighborhoods: every string generates its
@@ -806,15 +807,35 @@ def deletion_neighborhood_pairs(
 
     Deterministic end-to-end, so it carries a full DuckDB hash oracle
     (catalog x69 — DuckDB's ``levenshtein`` is the same standard edit
-    distance). Scale shape: variant generation is scan-local array
-    expressions (O(len²/2) short strings per row); the join exchanges
-    (variant, id, name) rows — name strings ride along because the
-    verify step needs them, acceptable because entity-resolution
-    inputs are entity CATALOGS (names, titles, tickers), dimension-
-    sized by nature, not the corpus; the ban set is a broadcastable
-    variant-grain aggregate; the bucket self-join is capped. Only
-    ``max_edits`` ∈ {1, 2} is supported (the useful range — beyond 2
-    the neighborhood explodes and blocking should move to LSH)."""
+    distance). ``id_col`` must be unique (an entity catalog's key —
+    the same contract as upsert_snapshot keys); pre-dedup otherwise.
+    Scale shape: variant generation is scan-local array expressions
+    (O(len²/2) short strings per row); the (variant, id) stream is
+    exchanged exactly ONCE — a variant-grain ``collect_list`` whose
+    per-bucket buffers the two-pass ban bounds at
+    ``max_ids_per_variant`` ids and whose i<j combinations unfold
+    scan-locally — then only id pairs move (names re-attach by id for
+    the verify step; entity catalogs are dimension-sized by nature,
+    never the corpus); the ban set is a broadcastable variant-grain
+    aggregate. Only ``max_edits`` ∈ {1, 2} is supported (the useful
+    range — beyond 2 the neighborhood explodes and blocking should
+    move to LSH).
+
+    DENSITY GUARD (``max_candidate_pairs``): on a key space where many
+    ids share variants (e.g. templated serial names differing only in
+    digits), the candidate stream grows as Σ n_v·(n_v−1)/2 over the
+    unbanned variant buckets — inherent to the data, not the blocking
+    (the TRUE pair set is itself near-quadratic there). That sum is an
+    exact upper bound on candidate rows and falls out of the ban
+    histogram for FREE (no extra scan), so it is checked BEFORE the
+    pair join materializes: exceeding the budget raises with the
+    measured density and the three remedies (lower
+    ``max_ids_per_variant``, raise the budget deliberately, or move to
+    LSH blocking — x10's banded MinHash — which trades exactness for a
+    bounded pair stream). At 100× a dense key space this turns a melted
+    shuffle into a one-line diagnosis. ``None`` disables the check (and
+    skips its scan entirely). The guard never alters results — when it
+    passes, output is identical, so the DuckDB oracle stays exact."""
     if max_edits not in (1, 2):
         raise ValueError("max_edits must be 1 or 2")
     s = F.col("__name")
@@ -850,27 +871,72 @@ def deletion_neighborhood_pairs(
             )
         )
         variants = F.concat(variants, del2)
-    # ids only through the bucket join and pair dedup (the x63 rule —
-    # names re-attach by id for the verify step; measured 208 → 173 MB
-    # shuffle / 15.7 → 10.8 s at sf0.1 on the fixture's adversarially
-    # dense names — the residue is the variant exchange + the ~11 M
-    # candidate-pair distinct, both inherent to that density)
+    # ids only through the bucket aggregation and pair dedup (the x63
+    # rule — names re-attach by id for the verify step). Candidate
+    # generation exchanges the (variant, id) stream exactly ONCE:
+    # a variant-grain collect_list (bounded ≤ max_ids_per_variant per
+    # bucket by the two-pass ban below, so no aggregation buffer can
+    # blow up on a hot variant) whose i<j combinations are generated
+    # SCAN-LOCALLY by array expressions — the former shape (distinct →
+    # anti-join → bucket self-join) moved the same stream through
+    # three exchanges (r09 rework: 56.9 → ~2× less at sf0.1 on the
+    # sparse fixture; results identical, ``id_col`` must be unique —
+    # an entity catalog's key, same contract as upsert_snapshot keys).
     e = base.select(
         "__id", F.explode(F.array_distinct(variants)).alias("__v")
-    ).distinct()
-    banned = (
-        e.groupBy("__v")
-        .agg(F.count("*").alias("__n"))
-        .filter(F.col("__n") > max_ids_per_variant)
-        .select("__v")
     )
-    ok = e.join(banned, "__v", "left_anti")
-    a = ok.select("__v", F.col("__id").alias("id_a"))
-    b = ok.select("__v", F.col("__id").alias("id_b"))
+    hist = e.groupBy("__v").agg(F.count("*").alias("__n"))
+    if max_candidate_pairs is not None:
+        # variant-grain histogram: bounded by the variant space, not
+        # the corpus — the guard scalar falls out of the ban pass for
+        # free (one tiny aggregate, collected before any pair exists)
+        ub_row = (
+            hist.filter(F.col("__n") <= max_ids_per_variant)
+            .agg(
+                F.sum(
+                    F.col("__n") * (F.col("__n") - 1) / 2
+                ).alias("__ub")
+            )
+            .collect()[0]
+        )
+        upper_bound = int(ub_row["__ub"] or 0)
+        if upper_bound > max_candidate_pairs:
+            raise ValueError(
+                f"deletion-neighborhood blocking on {name_col} would "
+                f"generate up to {upper_bound:,} candidate pairs "
+                f"(budget {max_candidate_pairs:,}) — the key space is "
+                "too dense for exact SymSpell blocking at this "
+                "setting. Lower max_ids_per_variant, raise "
+                "max_candidate_pairs deliberately, or switch to LSH "
+                "blocking (minhash_lsh_pairs) for a bounded stream."
+            )
+    banned = hist.filter(F.col("__n") > max_ids_per_variant).select("__v")
+    # pass 2: bounded per-bucket id lists (ban applied BEFORE the
+    # list aggregation — a stop variant never builds a giant buffer),
+    # then i<j pairs unfold scan-locally from each sorted list
+    buckets = (
+        e.join(banned, "__v", "left_anti")
+        .groupBy("__v")
+        .agg(F.array_sort(F.collect_list("__id")).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
+    )
+    ids = F.col("__ids")
+    n = F.size(ids)
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at(ids, i).alias("id_a"),
+                    F.element_at(ids, j).alias("id_b"),
+                ),
+            ),
+        )
+    )
     cand = (
-        a.join(b, "__v")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pairs).alias("__p"))
+        .select("__p.id_a", "__p.id_b")
         .distinct()
     )
     na = base.select(

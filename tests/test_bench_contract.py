@@ -64,64 +64,76 @@ def test_bench_emits_contract_json():
 # 0.99 -> 3.8 MB), far outside the [0.5x, 1.6x] band — which in turn
 # is wide enough for partition-count overhead (the same queries move
 # <20% between 8 and 32 shuffle partitions).
+# ALL pins re-measured r09 under the stage-grain metric
+# (bench._shuffle_mb_since): the former SQL-execution-store reading
+# lost AQE-replanned exchange metrics (observed 0.0 for a query whose
+# stages wrote 40 MB) and saw only the LAST execution of multi-exec
+# queries. Stage grain counts every byte a query actually shuffled —
+# several figures moved (both directions) purely from the measurement
+# fix; the per-query rationales below are unchanged.
 SHUFFLE_MB_PINS = {
-    "f1_f2_metrics_pipeline": 6.0,
-    "x6_exact_dedup": 1.10,
-    "x10_minhash_lsh_pairs": 5.67,
-    "x17_embedding_near_dup_lsh": 3.10,
-    "x26_contamination": 4.75,
-    "x28_dataset_build": 1.90,
-    "x33_tfidf_topk": 21.26,
-    "x34_bm25_topk": 3.49,
-    "x44_shard_assignment": 1.03,
-    "x48_curation_pipeline_lsh": 2.93,
-    # re-pinned late-r08: block keys now shuffle as 32-byte binary
-    # sha2 digests (unhex) instead of 64-char hex — 5.49 -> 3.56 MB
-    "x49_paragraph_dedup": 3.56,
-    "x50_session_transcripts": 5.18,
-    # r08: x58 shuffles bucket ids + doc-grain partials only (the
+    "f1_f2_metrics_pipeline": 2.01,
+    "x6_exact_dedup": 0.37,
+    "x10_minhash_lsh_pairs": 0.88,
+    "x17_embedding_near_dup_lsh": 8.61,
+    "x26_contamination": 4.64,
+    "x28_dataset_build": 0.28,
+    "x33_tfidf_topk": 3.54,
+    "x34_bm25_topk": 0.39,
+    "x44_shard_assignment": 0.21,
+    "x48_curation_pipeline_lsh": 2.74,
+    # block keys shuffle as 32-byte binary sha2 digests (unhex),
+    # never 64-char hex
+    "x49_paragraph_dedup": 0.73,
+    "x50_session_transcripts": 1.73,
+    # x58 shuffles bucket ids + doc-grain partials only (the
     # 4096-bucket model broadcasts — a payload or SMJ regression would
     # jump this by orders of magnitude); e19's figure IS the hourly
     # partial grain (the contract: raw events never shuffle).
-    "x58_dsir_importance": 0.28,
-    "x59_perplexity_buckets": 0.74,
-    "e19_hourly_rollup_merge": 7.79,
-    # late-r08: x56's one exchange is the doc-grain TEXT repartition
-    # (the exploded gram stream — 92.8 MB when it shuffled — is
-    # aggregated in place); x57 composes it with x49's block dedup;
-    # x60's figure is the (binary-sha2, doc_id) ban aggregation +
-    # id-grain keep lists — a re-fattening means text or hex leaked
-    # back into a corpus-wide exchange.
-    "x56_gopher_repetition": 8.40,
-    "x57_gopher_pipeline": 19.81,
-    "x60_boilerplate_prune": 7.75,
-    # late-r08: e21's figure is the (user, day) partial-agg exchange +
+    "x58_dsir_importance": 0.11,
+    "x59_perplexity_buckets": 0.17,
+    "e19_hourly_rollup_merge": 3.35,
+    # x56's one exchange is the doc-grain TEXT repartition (the
+    # exploded gram stream is aggregated in place); x57 composes it
+    # with x49's block dedup; x60's figure is the (binary-sha2,
+    # doc_id) ban aggregation + id-grain keep lists — a re-fattening
+    # means text or hex leaked back into a corpus-wide exchange.
+    "x56_gopher_repetition": 2.10,
+    "x57_gopher_pipeline": 2.71,
+    "x60_boilerplate_prune": 1.21,
+    # e21's figure is the (user, day) partial-agg exchange +
     # daily-grain window/agg rows — a re-fattening means raw events
     # started shuffling. x61 moves ids+hashes only (payload bytes in
     # an exchange would blow this up by orders of magnitude); its
     # absolute figure is tiny so the band is generous.
-    "e21_market_beta": 5.79,
-    "x61_image_near_dup": 0.018,
-    # late-r08: x63's figure is LSH bucket keys + id-pair candidates +
-    # the id-keyed vector re-attach (raw vectors in the candidate
+    "e21_market_beta": 1.05,
+    "x61_image_near_dup": 0.006,
+    # x63's figure is LSH bucket keys + id-pair candidates + the
+    # id-keyed vector re-attach (raw vectors in the candidate
     # exchange would blow it up); x64's is spread()'s round-robin of
     # id+text (the only text motion — fingerprints leave as 8-byte
     # BIGINTs); x65 adds the fingerprint-grain dedup/ban/pair
     # exchanges on top — hex or text leaking back in means ~4x.
-    "x63_knn_label_propagation_lsh": 5.18,
-    "x64_winnow_fingerprints": 2.44,
-    "x65_winnow_near_dup": 7.31,
-    # late-r08: f15's figure is the (user, day) bar-partial exchange —
-    # raw ticks in the shuffle would scale it with tick volume; x67
+    "x63_knn_label_propagation_lsh": 6.02,
+    "x64_winnow_fingerprints": 0.81,
+    "x65_winnow_near_dup": 9.71,
+    # f15's figure is the (user, day) bar-partial exchange — raw
+    # ticks in the shuffle would scale it with tick volume; x67
     # moves band keys + id pairs + id-grain quality rows only.
-    "f15_ohlc_resample": 4.62,
-    "x67_keep_best_dedup_lsh": 0.36,
-    # late-r08: f16 = f15's bar-partial exchange + the bar-grain
-    # window re-key — raw ticks in either would scale it with volume;
-    # f18 fuses the whole indicator stack into the same two exchanges,
-    # so its figure must stay ~f16's (a jump means a third exchange).
-    "f16_atr": 7.05,
-    "f18_market_pipeline": 6.91,
+    "f15_ohlc_resample": 1.54,
+    "x67_keep_best_dedup_lsh": 1.11,
+    # f16 = f15's bar-partial exchange + the bar-grain window re-key —
+    # raw ticks in either would scale it with volume; f18 fuses the
+    # whole indicator stack into the same two exchanges, so its
+    # figure must stay ~f16's (a jump means a third exchange).
+    "f16_atr": 1.97,
+    "f18_market_pipeline": 1.94,
+    # r09: the sparse fuzzy-join operating point — ONE bounded
+    # variant-grain collect_list exchange + the guard histogram + a
+    # near-empty pair stream (planted typos only). A second variant
+    # exchange creeping back (the pre-r09 distinct → anti-join →
+    # self-join shape) means ~1.6x.
+    "x70_fuzzy_sparse_pairs": 35.58,
 }
 
 
@@ -132,15 +144,16 @@ def test_shuffle_bytes_hold_their_pins(spark):
     re-fattening with payload columns (dedup/LSH family), lost
     broadcast decisions, and lost exchange reuse — the regressions
     wall-clock noise hides."""
-    from bench import _force, _last_exec_shuffle_mb
+    from bench import _force, _shuffle_mb_since, _stage_cursor
     from stock_market_etl_spark.catalog import all_queries
 
     queries = all_queries()
     failures = []
     for name, pin in SHUFFLE_MB_PINS.items():
         spark.catalog.clearCache()
+        cursor = _stage_cursor(spark)
         _force(queries[name](spark, "/root/testdata/sf0.1"))
-        mb = _last_exec_shuffle_mb(spark)
+        mb = _shuffle_mb_since(spark, cursor)
         if mb is None:
             failures.append(f"{name}: shuffle metric unavailable")
         elif not (0.5 * pin <= mb <= 1.6 * pin):

@@ -225,6 +225,13 @@ SCALE_QUERIES = [
     # late-r08 addition: copy-on-write merge roundtrip (restated
     # rounded doubles → midpoint tolerance)
     ("b21_cow_upsert", False),
+    # r09 addition: the sparse fuzzy-join operating point (BIGINT
+    # ids/distances → exact; output is exactly the planted typo pairs)
+    ("x70_fuzzy_sparse_pairs", True),
+    # r09 addition: the composed lakehouse lifecycle flagship
+    # (fingerprint rows carry a rounded double sum → midpoint
+    # tolerance; counts/users are exact inside the same hash)
+    ("b22_lake_lifecycle", False),
 ]
 
 

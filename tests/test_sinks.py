@@ -714,6 +714,82 @@ def test_cow_ops_on_uri_encodable_path(spark, sf_smoke, tmp_path):
         assert 9_999_999 in ids
 
 
+def test_compact_snapshot_semantics(spark, sf_smoke, tmp_path):
+    """b22's compaction step: content is row-identical across the
+    compaction, the new manifest references ONLY new files, prior
+    versions still read their original files (time travel across a
+    compaction), file count actually shrinks, a crashed compaction
+    (data written, no manifest) leaves the table readable at the old
+    version, and compacting an empty table refuses."""
+    import glob
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from stock_market_etl_spark.io import (
+        commit_snapshot,
+        compact_snapshot,
+        read_snapshot,
+    )
+
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "value")
+    table = str(tmp_path / "table")
+    # many small commits → many small files
+    for m in range(4):
+        commit_snapshot(
+            spark, table, ev.filter(F.col("event_id") % 4 == m)
+        )
+
+    def _files(v):
+        with open(os.path.join(table, f"_v{v}.manifest.json")) as fh:
+            return set(json.load(fh)["files"])
+
+    before = sorted(
+        (r["event_id"], r["value"])
+        for r in read_snapshot(spark, table, 4).collect()
+    )
+    v5 = compact_snapshot(spark, table, num_files=2)
+    assert v5 == 5
+    # content preserved exactly; file count shrank; no old files
+    after = sorted(
+        (r["event_id"], r["value"])
+        for r in read_snapshot(spark, table, 5).collect()
+    )
+    assert after == before
+    assert len(_files(5)) <= 2 < len(_files(4))
+    assert not _files(5) & _files(4)
+    # prior version still reads its original content (time travel)
+    assert sorted(
+        (r["event_id"], r["value"])
+        for r in read_snapshot(spark, table, 4).collect()
+    ) == before
+
+    # crash path: simulate a compaction that wrote data but died
+    # before the manifest publish — the orphan directory must not
+    # change what any reader sees, and the NEXT compaction (version
+    # collision-free by the uuid attempt dir) succeeds
+    orphan = os.path.join(table, "data", "v6-deadbeef")
+    ev.limit(5).write.parquet(orphan)
+    assert sorted(
+        (r["event_id"], r["value"])
+        for r in read_snapshot(spark, table, 5).collect()
+    ) == before
+    v6 = compact_snapshot(spark, table, num_files=1)
+    assert v6 == 6
+    assert sorted(
+        (r["event_id"], r["value"])
+        for r in read_snapshot(spark, table, 6).collect()
+    ) == before
+    # the orphan's files were never referenced by any manifest
+    all_manifest_files = set().union(*(_files(v) for v in range(1, 7)))
+    orphan_files = set(glob.glob(os.path.join(orphan, "*.parquet")))
+    assert not orphan_files & all_manifest_files
+
+    with _pytest.raises(ValueError):
+        compact_snapshot(spark, str(tmp_path / "empty"))
+
+
 def test_commit_manifest_refuses_concurrent_version(tmp_path):
     """ADVICE r09: the snapshot commit point is create-if-absent, not
     a clobbering rename — a second writer racing to the same version
