@@ -800,3 +800,29 @@ def test_weighted_sample_is_take_ordered(spark, sf_smoke):
     totally ordered to pick 100 rows."""
     plan = _plan(all_queries()["x68_weighted_sample"](spark, sf_smoke))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_fuzzy_pairs_two_variant_exchanges(spark, sf_smoke):
+    """x70/x69's candidate generation (r09 rework): the FULL
+    (variant, id) stream must hit exactly ONE variant-keyed exchange —
+    the bounded collect_list aggregation whose i<j pairs unfold
+    scan-locally. The plan's only other __v exchange is the ban
+    histogram, which carries map-side-combined (variant, count)
+    partials, never ids. A THIRD __v exchange means the pre-r09 shape
+    (distinct → anti-join → bucket self-join: three passes of the
+    same stream) crept back."""
+    plan = _plan(all_queries()["x70_fuzzy_sparse_pairs"](spark, sf_smoke))
+    assert plan.count("Exchange hashpartitioning(__v") == 2
+    assert "collect_list" in plan
+
+
+def test_lake_lifecycle_reads_are_manifest_scoped(spark, sf_smoke):
+    """b22's four read points must each scan ONLY their manifest's
+    file list: exactly four parquet scans, one per read point — a
+    fifth scan (or a directory-glob over the table root) would mean a
+    read point re-derives from the directory instead of its manifest.
+    Content-level manifest scoping (compacted reads never touch old
+    files) is pinned in tests/test_sinks.py."""
+    df = all_queries()["b22_lake_lifecycle"](spark, sf_smoke)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 4

@@ -54,6 +54,8 @@ SHOWCASE = [
     ("d16_point_in_time_join", "PIT join runs as the as-of composition (one key exchange + ignore-nulls fill), never the interval BNLJ its oracle spells out"),
     ("f17_gap_fill", "day spine is a narrow Generate off the keys-sized span table; join + ffill window move bar-grain rows only"),
     ("f18_market_pipeline", "returns + TR/ATR + Bollinger fused: the whole indicator stack in two exchanges — one tick partial-agg, one shared bar-grain window re-key"),
+    ("x70_fuzzy_sparse_pairs", "fuzzy join candidate generation exchanges the (variant, id) stream ONCE — a bounded variant-grain collect_list (objectHashAggregate) whose i<j pairs unfold scan-locally; only id pairs move afterwards"),
+    ("b22_lake_lifecycle", "the four lifecycle read points union as four independent snapshot-scan aggregates — each reads exactly its manifest's file list, no cross-read-point exchange"),
 ]
 
 
