@@ -186,13 +186,34 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _stage_cursor(spark) -> int:
+def _stage_frontier(spark) -> int:
+    """Smallest id past every stage the app has run so far, derived
+    from the retained JOB list (newest jobs always retained) — the
+    correct cursor seed for a session that may already have evicted
+    its oldest stages. Returns 0 on a fresh session."""
+    try:
+        store = spark.sparkContext._jsc.sc().statusStore()
+        it = store.jobsList(None).iterator()
+        mx = -1
+        while it.hasNext():
+            sit = it.next().stageIds().iterator()
+            while sit.hasNext():
+                mx = max(mx, int(str(sit.next())))
+        return mx + 1
+    except Exception:
+        return 0
+
+
+def _stage_cursor(spark, start: int = 0) -> int:
     """Next unseen stage id — snapshot BEFORE a query so
     `_shuffle_mb_since` can attribute exactly its stages. Stage ids
     are monotone per SparkContext, so scanning forward from the last
-    cursor is exact for sequentially-run queries."""
+    cursor is exact for sequentially-run queries. ALWAYS pass the
+    previous cursor as ``start`` in a loop: the status store retains
+    only the newest ~1000 stages, so a scan from 0 would hit an
+    evicted id and stop short once a session has run enough queries."""
     store = spark.sparkContext._jsc.sc().statusStore()
-    sid = 0
+    sid = start
     while True:
         try:
             store.lastStageAttempt(sid)
@@ -261,6 +282,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     shuffle_mb: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
+    # seed PAST the warm-up pass's stages (oldest may already be
+    # evicted from the status store — a 0 seed would stop short there)
+    cursor = _stage_frontier(spark)
     for name in BENCH_QUERIES:
         # Steady-state wall time = min over REPS timed executions
         # (BASELINE.md's column is steady-state): a single timed run is
@@ -278,7 +302,7 @@ def main() -> None:
             # from the previous rep otherwise add memory pressure and
             # timing noise
             spark.catalog.clearCache()
-            cursor = _stage_cursor(spark)
+            cursor = _stage_cursor(spark, cursor)
             t0 = time.perf_counter()
             _force(queries[name](spark, sf_dir))
             rep_times.append(round(time.perf_counter() - t0, 3))

@@ -144,14 +144,23 @@ def test_shuffle_bytes_hold_their_pins(spark):
     re-fattening with payload columns (dedup/LSH family), lost
     broadcast decisions, and lost exchange reuse — the regressions
     wall-clock noise hides."""
-    from bench import _force, _shuffle_mb_since, _stage_cursor
+    from bench import (
+        _force,
+        _shuffle_mb_since,
+        _stage_cursor,
+        _stage_frontier,
+    )
     from stock_market_etl_spark.catalog import all_queries
 
     queries = all_queries()
     failures = []
+    # seed past whatever the shared test session already ran — its
+    # oldest stages may be evicted from the status store, and a 0 seed
+    # stops at the first evicted id, misreading every query as 0 MB
+    cursor = _stage_frontier(spark)
     for name, pin in SHUFFLE_MB_PINS.items():
         spark.catalog.clearCache()
-        cursor = _stage_cursor(spark)
+        cursor = _stage_cursor(spark, cursor)
         _force(queries[name](spark, "/root/testdata/sf0.1"))
         mb = _shuffle_mb_since(spark, cursor)
         if mb is None:
