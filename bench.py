@@ -188,17 +188,23 @@ def _force(df) -> None:
 
 def _stage_frontier(spark) -> int:
     """Smallest id past every stage the app has run so far, derived
-    from the retained JOB list (newest jobs always retained) — the
-    correct cursor seed for a session that may already have evicted
-    its oldest stages. Returns 0 on a fresh session."""
+    from the retained JOB list (JobData records every stage id its
+    job owns, including SKIPPED stages that never get a StageData
+    entry, and the newest jobs are always retained) — the correct
+    cursor seed for a session that may already have evicted its
+    oldest stages. jobsList returns newest-first, so scanning a
+    handful of head entries bounds the py4j round-trips regardless of
+    how many jobs the session has run. Returns 0 on a fresh session."""
     try:
         store = spark.sparkContext._jsc.sc().statusStore()
         it = store.jobsList(None).iterator()
         mx = -1
-        while it.hasNext():
+        seen = 0
+        while it.hasNext() and seen < 8:
             sit = it.next().stageIds().iterator()
             while sit.hasNext():
                 mx = max(mx, int(str(sit.next())))
+            seen += 1
         return mx + 1
     except Exception:
         return 0
@@ -206,20 +212,14 @@ def _stage_frontier(spark) -> int:
 
 def _stage_cursor(spark, start: int = 0) -> int:
     """Next unseen stage id — snapshot BEFORE a query so
-    `_shuffle_mb_since` can attribute exactly its stages. Stage ids
-    are monotone per SparkContext, so scanning forward from the last
-    cursor is exact for sequentially-run queries. ALWAYS pass the
-    previous cursor as ``start`` in a loop: the status store retains
-    only the newest ~1000 stages, so a scan from 0 would hit an
-    evicted id and stop short once a session has run enough queries."""
-    store = spark.sparkContext._jsc.sc().statusStore()
-    sid = start
-    while True:
-        try:
-            store.lastStageAttempt(sid)
-        except Exception:
-            return sid
-        sid += 1
+    `_shuffle_mb_since` can attribute exactly its stages. Derived
+    from the retained JOB list (each JobData records every stage id
+    its job owns, INCLUDING skipped stages that never get a StageData
+    entry — probing ids one-by-one would stop short at the first
+    skipped-stage gap and stick there forever). ``start`` floors the
+    result so a momentarily-empty job list can't move the cursor
+    backwards."""
+    return max(start, _stage_frontier(spark))
 
 
 def _shuffle_mb_since(spark, cursor: int) -> float | None:
@@ -234,18 +234,21 @@ def _shuffle_mb_since(spark, cursor: int) -> float | None:
     observed reading 0.0 for a query whose stages wrote 40 MB) and
     only ever saw the LAST execution, undercounting queries with
     internal bounded collects (density guards, k-means init). Stage
-    grain double-counts nothing and misses nothing. Best-effort: py4j
-    drift degrades to None, never breaks the bench."""
+    grain double-counts nothing and misses nothing.
+
+    The scan is bounded by the job-list frontier and tolerates gaps:
+    SKIPPED stages (reused exchanges) occupy ids but have no StageData
+    entry, so a stop-at-first-missing-id scan silently flatlines at
+    the first reuse. Best-effort: py4j drift degrades to None, never
+    breaks the bench."""
     try:
         store = spark.sparkContext._jsc.sc().statusStore()
-        total, sid = 0, cursor
-        while True:
+        total = 0
+        for sid in range(cursor, _stage_frontier(spark)):
             try:
-                st = store.lastStageAttempt(sid)
+                total += store.lastStageAttempt(sid).shuffleWriteBytes()
             except Exception:
-                break
-            total += st.shuffleWriteBytes()
-            sid += 1
+                continue  # skipped or evicted stage: no entry
         return round(total / (1 << 20), 3)
     except Exception:
         return None
