@@ -665,6 +665,108 @@ def compact_snapshot(
     return version
 
 
+def vacuum_snapshots(
+    table_path: str, keep_versions: int = 1, dry_run: bool = False
+) -> dict:
+    """Garbage-collect a manifest-versioned table: retain the newest
+    ``keep_versions`` manifests, delete older manifests, and delete
+    every data file referenced by NO retained manifest (files shared
+    with a retained version — copy-on-write carry-overs — survive).
+    Returns ``{"kept_versions": [...], "deleted_manifests": n,
+    "deleted_files": n, "freed_bytes": n}``; ``dry_run`` reports
+    without deleting.
+
+    The reclamation half of the lifecycle: appends/merges/compactions
+    never delete bytes (that is what keeps time travel and CDC exact),
+    so storage is bounded by an explicit, separate retention decision
+    — same split as Delta VACUUM / Iceberg expire_snapshots. Vacuuming
+    TRUNCATES history: time travel below the retention floor and
+    increments FROM vacuumed versions become errors (loud, because the
+    manifests are gone — never silently wrong data).
+
+    Metadata-only cost: one manifest-union set difference + a
+    directory walk — no Spark job, no data read, O(files) regardless
+    of table bytes. Single-writer discipline like the commit side:
+    run it from the table's maintenance owner, not concurrently with
+    a writer racing to commit a new version (a commit between the
+    retention scan and the deletes could reference a file being
+    deleted only if it rewrote history, which commits never do — new
+    commits only ADD files, so vacuum is safe with concurrent
+    appends; the unsafe race is two vacuums).
+    """
+    import json
+    import os
+
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    if not os.path.isdir(table_path):
+        raise ValueError(f"no committed snapshot under {table_path}")
+    versions = sorted(
+        int(f[2 : -len(".manifest.json")])
+        for f in os.listdir(table_path)
+        if f.startswith("_v") and f.endswith(".manifest.json")
+    )
+    if not versions:
+        raise ValueError(f"no committed snapshot under {table_path}")
+    kept = versions[-keep_versions:]
+    dropped = versions[: -keep_versions] if keep_versions < len(versions) else []
+
+    def _files(v: int) -> set[str]:
+        with open(
+            os.path.join(table_path, f"_v{v}.manifest.json")
+        ) as fh:
+            return set(json.load(fh)["files"])
+
+    live = {
+        os.path.abspath(f) for v in kept for f in _files(v)
+    }
+    # every file under data/ not referenced by a retained manifest —
+    # covers dropped versions' exclusive files AND crash-orphaned
+    # attempt directories that never got a manifest
+    data_root = os.path.join(table_path, "data")
+    on_disk = set()
+    for dirpath, _dirnames, filenames in os.walk(data_root):
+        for f in filenames:
+            if f.endswith(".parquet"):
+                on_disk.add(os.path.join(dirpath, f))
+    doomed = sorted(
+        f for f in on_disk if os.path.abspath(f) not in live
+    )
+    freed = sum(os.path.getsize(f) for f in doomed if os.path.exists(f))
+    if not dry_run:
+        for f in doomed:
+            os.remove(f)
+        # bottom-up: a directory whose parquet files are all gone is
+        # dead — clear its writer sidecars (_SUCCESS, .crc) and remove
+        # it; directories still holding live parquet (or live
+        # subdirectories) are untouched
+        for dirpath, _dirnames, _filenames in os.walk(
+            data_root, topdown=False
+        ):
+            if dirpath == data_root:
+                continue
+            entries = os.listdir(dirpath)
+            alive = any(
+                e.endswith(".parquet")
+                or os.path.isdir(os.path.join(dirpath, e))
+                for e in entries
+            )
+            if not alive:
+                for e in entries:
+                    os.remove(os.path.join(dirpath, e))
+                os.rmdir(dirpath)
+        for v in dropped:
+            os.remove(
+                os.path.join(table_path, f"_v{v}.manifest.json")
+            )
+    return {
+        "kept_versions": kept,
+        "deleted_manifests": len(dropped),
+        "deleted_files": len(doomed),
+        "freed_bytes": freed,
+    }
+
+
 def delete_where_snapshot(
     spark: SparkSession, table_path: str, condition
 ) -> int:

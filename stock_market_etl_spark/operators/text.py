@@ -879,7 +879,7 @@ def deletion_neighborhood_pairs(
     # blow up on a hot variant) whose i<j combinations are generated
     # SCAN-LOCALLY by array expressions — the former shape (distinct →
     # anti-join → bucket self-join) moved the same stream through
-    # three exchanges (r09 rework: 56.9 → ~2× less at sf0.1 on the
+    # three exchanges (r09 rework: 56.9 → 35.6 MB at sf0.1 on the
     # sparse fixture; results identical, ``id_col`` must be unique —
     # an entity catalog's key, same contract as upsert_snapshot keys).
     e = base.select(

@@ -790,6 +790,79 @@ def test_compact_snapshot_semantics(spark, sf_smoke, tmp_path):
         compact_snapshot(spark, str(tmp_path / "empty"))
 
 
+def test_vacuum_snapshots_semantics(spark, sf_smoke, tmp_path):
+    """The reclamation half of the lifecycle (io.vacuum_snapshots):
+    dry_run deletes nothing; a real vacuum keeps the newest N
+    versions readable BYTE-IDENTICALLY (copy-on-write carry-over
+    files shared with retained versions survive), deletes dropped
+    manifests + exclusively-referenced data files + crash orphans,
+    truncated history reads as a loud error, and keep_versions
+    validation refuses nonsense."""
+    import os
+
+    import pytest as _pytest
+
+    from stock_market_etl_spark.io import (
+        commit_snapshot,
+        delete_where_snapshot,
+        read_snapshot,
+        vacuum_snapshots,
+    )
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_id", "event_type"
+    )
+    table = str(tmp_path / "table")
+    commit_snapshot(spark, table, ev.filter(F.col("event_id") % 2 == 0))
+    commit_snapshot(spark, table, ev.filter(F.col("event_id") % 2 == 1))
+    # CoW delete: v3 rewrites match-bearing files, carries clean ones
+    v3 = delete_where_snapshot(
+        spark, table, F.col("event_type") == "error"
+    )
+    # crash orphan: data written, no manifest
+    orphan = os.path.join(table, "data", "v9-deadbeef")
+    ev.limit(3).write.parquet(orphan)
+    want = sorted(
+        r["event_id"] for r in read_snapshot(spark, table, v3).collect()
+    )
+
+    rep = vacuum_snapshots(table, keep_versions=1, dry_run=True)
+    assert rep["kept_versions"] == [3]
+    assert rep["deleted_files"] > 0
+    # dry run deleted nothing: v1 still reads
+    assert read_snapshot(spark, table, 1).count() > 0
+
+    rep = vacuum_snapshots(table, keep_versions=1)
+    assert rep["deleted_manifests"] == 2
+    # retained version reads identically (incl. carried-over files)
+    got = sorted(
+        r["event_id"] for r in read_snapshot(spark, table, v3).collect()
+    )
+    assert got == want
+    # truncated history is a loud error, not silent empty data
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, table, 1)
+    # orphan directory gone
+    assert not os.path.exists(orphan) or not os.listdir(orphan)
+    # every remaining data file is referenced by the kept manifest
+    import json as _json
+
+    with open(os.path.join(table, "_v3.manifest.json")) as fh:
+        live = {os.path.abspath(f) for f in _json.load(fh)["files"]}
+    on_disk = {
+        os.path.abspath(os.path.join(dp, f))
+        for dp, _, fs in os.walk(os.path.join(table, "data"))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert on_disk == live
+
+    with _pytest.raises(ValueError):
+        vacuum_snapshots(table, keep_versions=0)
+    with _pytest.raises(ValueError):
+        vacuum_snapshots(str(tmp_path / "empty"))
+
+
 def test_commit_manifest_refuses_concurrent_version(tmp_path):
     """ADVICE r09: the snapshot commit point is create-if-absent, not
     a clobbering rename — a second writer racing to the same version
