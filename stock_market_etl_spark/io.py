@@ -400,6 +400,30 @@ def write_zordered(
     )
 
 
+def _list_versions(table_path: str) -> list[int]:
+    """Sorted committed snapshot versions of a manifest-versioned
+    table — the ONE place the manifest naming scheme
+    (``_v{N}.manifest.json``) is parsed; every snapshot operation
+    (commit, compact, delete, merge, vacuum) discovers versions
+    through here so the scheme can never desynchronize between them.
+    Empty list if the table directory doesn't exist."""
+    import os
+
+    if not os.path.isdir(table_path):
+        return []
+    return sorted(
+        int(f[2 : -len(".manifest.json")])
+        for f in os.listdir(table_path)
+        if f.startswith("_v") and f.endswith(".manifest.json")
+    )
+
+
+def _latest_version(table_path: str) -> int:
+    """Latest committed version, 0 if none."""
+    versions = _list_versions(table_path)
+    return versions[-1] if versions else 0
+
+
 def _input_file_uri_to_path(uri: str) -> str:
     """Normalize a Spark ``input_file_name()`` value (a URL-encoded
     ``file:`` URI in local mode) back to an absolute filesystem path.
@@ -507,19 +531,9 @@ def commit_snapshot(
     import json
     import os
 
-    def _latest(path: str) -> int:
-        if not os.path.isdir(path):
-            return 0
-        vs = [
-            int(f[2 : -len(".manifest.json")])
-            for f in os.listdir(path)
-            if f.startswith("_v") and f.endswith(".manifest.json")
-        ]
-        return max(vs, default=0)
-
     import uuid
 
-    prev = _latest(table_path)
+    prev = _latest_version(table_path)
     version = prev + 1
     data_dir = os.path.join(
         table_path, "data", f"v{version}-{uuid.uuid4().hex[:8]}"
@@ -623,17 +637,7 @@ def compact_snapshot(
     import os
     import uuid as _uuid
 
-    def _latest(path: str) -> int:
-        if not os.path.isdir(path):
-            return 0
-        vs = [
-            int(f[2 : -len(".manifest.json")])
-            for f in os.listdir(path)
-            if f.startswith("_v") and f.endswith(".manifest.json")
-        ]
-        return max(vs, default=0)
-
-    prev = _latest(table_path)
+    prev = _latest_version(table_path)
     if not prev:
         raise ValueError(f"no committed snapshot under {table_path}")
     with open(
@@ -666,7 +670,10 @@ def compact_snapshot(
 
 
 def vacuum_snapshots(
-    table_path: str, keep_versions: int = 1, dry_run: bool = False
+    table_path: str,
+    keep_versions: int = 1,
+    dry_run: bool = False,
+    min_file_age_seconds: float = 3600.0,
 ) -> dict:
     """Garbage-collect a manifest-versioned table: retain the newest
     ``keep_versions`` manifests, delete older manifests, and delete
@@ -684,28 +691,29 @@ def vacuum_snapshots(
     increments FROM vacuumed versions become errors (loud, because the
     manifests are gone — never silently wrong data).
 
+    CONCURRENCY: vacuum is NOT safe against an in-flight commit —
+    a writer that has flushed data files but not yet published its
+    manifest looks exactly like a crash orphan, and deleting those
+    files would let the writer publish a manifest referencing missing
+    bytes (silent data loss). Two defenses, both on: run vacuum from
+    the table's single maintenance owner under the same exclusion as
+    commits, AND ``min_file_age_seconds`` (default 1 h, Delta's
+    retention-check idea) skips any unreferenced file younger than
+    the threshold — an in-flight write's files are by definition
+    young, so even a scheduling mistake reclaims only files that have
+    been orphaned for at least the window. Set 0 only in tests.
+
     Metadata-only cost: one manifest-union set difference + a
     directory walk — no Spark job, no data read, O(files) regardless
-    of table bytes. Single-writer discipline like the commit side:
-    run it from the table's maintenance owner, not concurrently with
-    a writer racing to commit a new version (a commit between the
-    retention scan and the deletes could reference a file being
-    deleted only if it rewrote history, which commits never do — new
-    commits only ADD files, so vacuum is safe with concurrent
-    appends; the unsafe race is two vacuums).
+    of table bytes.
     """
     import json
     import os
+    import time
 
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
-    if not os.path.isdir(table_path):
-        raise ValueError(f"no committed snapshot under {table_path}")
-    versions = sorted(
-        int(f[2 : -len(".manifest.json")])
-        for f in os.listdir(table_path)
-        if f.startswith("_v") and f.endswith(".manifest.json")
-    )
+    versions = _list_versions(table_path)
     if not versions:
         raise ValueError(f"no committed snapshot under {table_path}")
     kept = versions[-keep_versions:]
@@ -729,8 +737,12 @@ def vacuum_snapshots(
         for f in filenames:
             if f.endswith(".parquet"):
                 on_disk.add(os.path.join(dirpath, f))
+    now = time.time()
     doomed = sorted(
-        f for f in on_disk if os.path.abspath(f) not in live
+        f
+        for f in on_disk
+        if os.path.abspath(f) not in live
+        and now - os.path.getmtime(f) >= min_file_age_seconds
     )
     freed = sum(os.path.getsize(f) for f in doomed if os.path.exists(f))
     if not dry_run:
@@ -790,17 +802,7 @@ def delete_where_snapshot(
     import os
     import uuid as _uuid
 
-    def _latest(path: str) -> int:
-        if not os.path.isdir(path):
-            return 0
-        vs = [
-            int(f[2 : -len(".manifest.json")])
-            for f in os.listdir(path)
-            if f.startswith("_v") and f.endswith(".manifest.json")
-        ]
-        return max(vs, default=0)
-
-    prev = _latest(table_path)
+    prev = _latest_version(table_path)
     if not prev:
         raise ValueError(f"no committed snapshot under {table_path}")
     with open(
@@ -869,17 +871,7 @@ def upsert_snapshot(
     import os
     import uuid as _uuid
 
-    def _latest(path: str) -> int:
-        if not os.path.isdir(path):
-            return 0
-        vs = [
-            int(f[2 : -len(".manifest.json")])
-            for f in os.listdir(path)
-            if f.startswith("_v") and f.endswith(".manifest.json")
-        ]
-        return max(vs, default=0)
-
-    prev = _latest(table_path)
+    prev = _latest_version(table_path)
     if not prev:
         raise ValueError(f"no committed snapshot under {table_path}")
     with open(

@@ -826,9 +826,11 @@ def deletion_neighborhood_pairs(
     digits), the candidate stream grows as Σ n_v·(n_v−1)/2 over the
     unbanned variant buckets — inherent to the data, not the blocking
     (the TRUE pair set is itself near-quadratic there). That sum is an
-    exact upper bound on candidate rows and falls out of the ban
-    histogram for FREE (no extra scan), so it is checked BEFORE the
-    pair join materializes: exceeding the budget raises with the
+    exact upper bound on candidate rows, computed as ONE eager
+    variant-histogram job at construction time (the histogram is then
+    persisted and reused by the ban filter, so the main plan pays no
+    second aggregation) and checked BEFORE any pair materializes:
+    exceeding the budget raises with the
     measured density and the three remedies (lower
     ``max_ids_per_variant``, raise the budget deliberately, or move to
     LSH blocking — x10's banded MinHash — which trades exactness for a
@@ -879,7 +881,7 @@ def deletion_neighborhood_pairs(
     # blow up on a hot variant) whose i<j combinations are generated
     # SCAN-LOCALLY by array expressions — the former shape (distinct →
     # anti-join → bucket self-join) moved the same stream through
-    # three exchanges (r09 rework: 56.9 → 35.6 MB at sf0.1 on the
+    # three exchanges (r09 rework: 56.9 → 24.1 MB at sf0.1 on the
     # sparse fixture; results identical, ``id_col`` must be unique —
     # an entity catalog's key, same contract as upsert_snapshot keys).
     e = base.select(
@@ -887,9 +889,15 @@ def deletion_neighborhood_pairs(
     )
     hist = e.groupBy("__v").agg(F.count("*").alias("__n"))
     if max_candidate_pairs is not None:
-        # variant-grain histogram: bounded by the variant space, not
-        # the corpus — the guard scalar falls out of the ban pass for
-        # free (one tiny aggregate, collected before any pair exists)
+        # The guard is one variant-grain histogram pass (bounded by
+        # the variant space, never the corpus), collected EAGERLY at
+        # construction time — building the DataFrame runs this one
+        # Spark job, the price of refusing BEFORE any pair
+        # materializes. persist() so the ban filter below reuses the
+        # computed counts instead of re-aggregating the variant
+        # stream in the main plan (the dsir/LSH diamond convention:
+        # callers running batch loops clearCache()/unpersist).
+        hist = hist.persist()
         ub_row = (
             hist.filter(F.col("__n") <= max_ids_per_variant)
             .agg(
@@ -901,6 +909,7 @@ def deletion_neighborhood_pairs(
         )
         upper_bound = int(ub_row["__ub"] or 0)
         if upper_bound > max_candidate_pairs:
+            hist.unpersist()
             raise ValueError(
                 f"deletion-neighborhood blocking on {name_col} would "
                 f"generate up to {upper_bound:,} candidate pairs "
@@ -937,6 +946,10 @@ def deletion_neighborhood_pairs(
     cand = (
         buckets.select(F.explode(pairs).alias("__p"))
         .select("__p.id_a", "__p.id_b")
+        # a contract-violating duplicate id would sort adjacent and
+        # pair with itself via the positional i<j unfold — keep the
+        # old strict filter so that stays harmless, not (x, x, 0)
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
     na = base.select(

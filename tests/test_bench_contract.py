@@ -129,11 +129,12 @@ SHUFFLE_MB_PINS = {
     "f16_atr": 1.97,
     "f18_market_pipeline": 1.94,
     # r09: the sparse fuzzy-join operating point — ONE bounded
-    # variant-grain collect_list exchange + the guard histogram + a
-    # near-empty pair stream (planted typos only). A second variant
-    # exchange creeping back (the pre-r09 distinct → anti-join →
-    # self-join shape) means ~1.6x.
-    "x70_fuzzy_sparse_pairs": 35.58,
+    # variant-grain collect_list exchange + the guard histogram
+    # (computed once, persisted, reused by the ban filter) + a
+    # near-empty pair stream (planted typos only). The pre-r09
+    # distinct → anti-join → self-join shape creeping back means
+    # ~1.5-2.4x.
+    "x70_fuzzy_sparse_pairs": 24.05,
 }
 
 

@@ -802,18 +802,25 @@ def test_weighted_sample_is_take_ordered(spark, sf_smoke):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_fuzzy_pairs_two_variant_exchanges(spark, sf_smoke):
-    """x70/x69's candidate generation (r09 rework): the FULL
-    (variant, id) stream must hit exactly ONE variant-keyed exchange —
-    the bounded collect_list aggregation whose i<j pairs unfold
-    scan-locally. The plan's only other __v exchange is the ban
-    histogram, which carries map-side-combined (variant, count)
-    partials, never ids. A THIRD __v exchange means the pre-r09 shape
-    (distinct → anti-join → bucket self-join: three passes of the
-    same stream) crept back."""
+def test_fuzzy_pairs_no_variant_self_join(spark, sf_smoke):
+    """x70/x69's candidate generation (r09 rework): pairs unfold
+    SCAN-LOCALLY from a bounded variant-grain collect_list — the plan
+    must carry that aggregation plus the guard histogram's cache, and
+    must NOT contain the pre-r09 shape's signature: an INNER join
+    keyed on the variant column (the a⋈b bucket self-join that moved
+    the whole stream through a third exchange). The only __v-keyed
+    join allowed is the stop-variant LeftAnti. The byte-level
+    contract (one full-stream exchange, 35.6 MB at sf0.1) is pinned
+    in tests/test_bench_contract.py."""
+    import re
+
     plan = _plan(all_queries()["x70_fuzzy_sparse_pairs"](spark, sf_smoke))
-    assert plan.count("Exchange hashpartitioning(__v") == 2
     assert "collect_list" in plan
+    assert "InMemoryTableScan" in plan  # guard histogram reused, not rebuilt
+    inner_on_variant = re.search(
+        r"Join \[__v#\d+\], \[__v#\d+\], Inner", plan
+    )
+    assert not inner_on_variant, inner_on_variant.group(0)
 
 
 def test_lake_lifecycle_reads_are_manifest_scoped(spark, sf_smoke):

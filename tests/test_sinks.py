@@ -826,13 +826,21 @@ def test_vacuum_snapshots_semantics(spark, sf_smoke, tmp_path):
         r["event_id"] for r in read_snapshot(spark, table, v3).collect()
     )
 
+    # default min_file_age guard: everything here is seconds old, so
+    # a default-config vacuum must reclaim NOTHING (the in-flight-
+    # commit defense — young unreferenced files look like live writes)
     rep = vacuum_snapshots(table, keep_versions=1, dry_run=True)
+    assert rep["deleted_files"] == 0
+
+    rep = vacuum_snapshots(
+        table, keep_versions=1, dry_run=True, min_file_age_seconds=0
+    )
     assert rep["kept_versions"] == [3]
     assert rep["deleted_files"] > 0
     # dry run deleted nothing: v1 still reads
     assert read_snapshot(spark, table, 1).count() > 0
 
-    rep = vacuum_snapshots(table, keep_versions=1)
+    rep = vacuum_snapshots(table, keep_versions=1, min_file_age_seconds=0)
     assert rep["deleted_manifests"] == 2
     # retained version reads identically (incl. carried-over files)
     got = sorted(
