@@ -500,3 +500,40 @@ def n17_stream_agg_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_value", 6).alias("min_value"),
         F.round("max_value", 6).alias("max_value"),
     )
+
+
+@_q(
+    "n18_stream_snapshot_lake",
+    """SELECT event_id, user_id, event_type, round(value, 6) AS value
+       FROM events""",
+)
+def n18_stream_snapshot_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N: streaming ingestion into the MANIFEST-VERSIONED lake drained
+    end-to-end — a REAL Structured Streaming run where every
+    micro-batch commits as its own snapshot with the batch id as the
+    idempotency txn (streaming/core.py snapshot_lake_sink over
+    io.commit_snapshot): b14's exactly-once discipline composed with
+    the b18/b19 snapshot family, so a streaming feed gets time travel
+    at every batch boundary and downstream CDC consumers read
+    increments by pinned version instead of rescanning. Single-file
+    source ⇒ one batch ⇒ the latest snapshot equals the source
+    projection — full hash oracle; multi-batch version accretion,
+    per-version CDC increments, and redelivery idempotence (same txn
+    ⇒ no second commit) are pinned in tests/test_streaming.py."""
+    import os
+
+    from stock_market_etl_spark.io import read_snapshot
+
+    work = _scratch.fresh_dir("stream_snap_lake")
+    table = os.path.join(work, "table")
+    core.snapshot_lake_sink(
+        core.stream_events(spark, sf_dir).select(
+            "event_id", "user_id", "event_type",
+            F.round("value", 6).alias("value"),
+        ),
+        table,
+        os.path.join(work, "ckpt"),
+    )
+    from stock_market_etl_spark.io import _latest_version
+
+    return read_snapshot(spark, table, _latest_version(table))

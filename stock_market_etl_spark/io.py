@@ -468,7 +468,10 @@ def _resolve_hit_files(
 
 
 def _commit_manifest(
-    table_path: str, version: int, files: list[str]
+    table_path: str,
+    version: int,
+    files: list[str],
+    txn: str | None = None,
 ) -> None:
     """Atomically publish ``_v{version}.manifest.json``. The commit
     point is an ``os.link`` create-if-absent (POSIX ``link(2)`` fails
@@ -482,6 +485,8 @@ def _commit_manifest(
     import uuid
 
     manifest = {"version": version, "files": sorted(files)}
+    if txn is not None:
+        manifest["txn"] = txn
     tmp = os.path.join(
         table_path, f"._v{version}.{uuid.uuid4().hex[:8]}.tmp"
     )
@@ -499,8 +504,26 @@ def _commit_manifest(
         os.unlink(tmp)
 
 
+def _txn_version(table_path: str, txn_id: str) -> int | None:
+    """Version whose manifest records ``txn_id``, or None. Metadata-
+    only: one JSON read per committed version (manifests are KBs)."""
+    import json
+    import os
+
+    for v in _list_versions(table_path):
+        with open(
+            os.path.join(table_path, f"_v{v}.manifest.json")
+        ) as fh:
+            if json.load(fh).get("txn") == txn_id:
+                return v
+    return None
+
+
 def commit_snapshot(
-    spark: SparkSession, table_path: str, df: DataFrame
+    spark: SparkSession,
+    table_path: str,
+    df: DataFrame,
+    txn_id: str | None = None,
 ) -> int:
     """Append ``df`` to a MANIFEST-VERSIONED table and commit a new
     snapshot; returns the new version number. The time-travel
@@ -525,6 +548,17 @@ def commit_snapshot(
       (the training-data requirement: a dataset release pinned to
       version N re-reads identically after any number of appends).
 
+    ``txn_id`` makes the commit IDEMPOTENT (Delta's txn appId/version
+    idea): each manifest records the id that committed it, and a
+    commit whose ``txn_id`` already appears in ANY manifest returns
+    that version without writing a byte — at-least-once delivery
+    (streaming redelivery, job retries) yields exactly-once table
+    state. A crash after the data write but before the manifest
+    publish leaves only orphans (vacuum's job), so the retry
+    re-commits cleanly; two racers with the same txn_id are settled
+    by the create-if-absent manifest publish — the loser re-checks
+    and adopts the winner's version.
+
     At 100 TB the manifest is file-grain metadata (KBs per thousand
     files) and commits are O(new files) — never a lake rewrite.
     """
@@ -533,6 +567,10 @@ def commit_snapshot(
 
     import uuid
 
+    if txn_id is not None:
+        committed = _txn_version(table_path, txn_id)
+        if committed is not None:
+            return committed
     prev = _latest_version(table_path)
     version = prev + 1
     data_dir = os.path.join(
@@ -550,7 +588,16 @@ def commit_snapshot(
             os.path.join(table_path, f"_v{prev}.manifest.json")
         ) as fh:
             files = json.load(fh)["files"]
-    _commit_manifest(table_path, version, files + new_files)
+    try:
+        _commit_manifest(
+            table_path, version, files + new_files, txn=txn_id
+        )
+    except RuntimeError:
+        if txn_id is not None:
+            committed = _txn_version(table_path, txn_id)
+            if committed is not None:
+                return committed  # lost the race to our own retry
+        raise
     return version
 
 

@@ -885,6 +885,50 @@ def jdbc_serving_sink(
     return q
 
 
+def snapshot_lake_sink(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+) -> None:
+    """Streaming → MANIFEST-VERSIONED lake: every micro-batch commits
+    as its own snapshot (`io.commit_snapshot` with the batch id as the
+    idempotency txn), marrying b14's exactly-once discipline with the
+    b18/b19 snapshot family — the streaming lakehouse ingest shape:
+
+    - exactly-once from at-least-once: a redelivered batch's txn id is
+      already in a manifest, so the re-commit returns the existing
+      version without writing a byte (a crashed commit left no
+      manifest, so ITS retry re-commits cleanly — orphans are
+      vacuum's job);
+    - every batch boundary is a time-travel point: version N re-reads
+      byte-stably forever, and `read_increment(N-1, N)` IS batch N —
+      downstream CDC consumers pin the last version they processed
+      and read only new files, no timestamp column, no rescan;
+    - commits are O(batch files) metadata; the table never rewrites.
+
+    Contrast `lake_batch_sink` (per-batch-directory overwrite: same
+    exactly-once guarantee, no version history) — use this form when
+    downstream needs pinned releases or incremental reads."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from stock_market_etl_spark.io import commit_snapshot
+
+        commit_snapshot(
+            batch_df.sparkSession,
+            table_path,
+            batch_df,
+            txn_id=f"stream-batch-{batch_id}",
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def lake_batch_sink(
     stream_df: DataFrame,
     lake_path: str,

@@ -232,6 +232,9 @@ SCALE_QUERIES = [
     # (fingerprint rows carry a rounded double sum → midpoint
     # tolerance; counts/users are exact inside the same hash)
     ("b22_lake_lifecycle", False),
+    # r09 addition: streaming → manifest-versioned lake drain
+    # (rounded double value passthrough → midpoint tolerance)
+    ("n18_stream_snapshot_lake", False),
 ]
 
 

@@ -922,3 +922,68 @@ def test_agg_partials_multibatch_and_redelivery(spark, sf_smoke, tmp_path):
         os.path.join(lake, "batch_id=1")
     )
     assert rounded(core.read_agg_state(spark, lake)) == want
+
+
+def test_snapshot_lake_sink_versions_increments_redelivery(
+    spark, sf_smoke, tmp_path
+):
+    """n18's engine (streaming → manifest-versioned lake): three
+    arrival files drain as three micro-batches ⇒ three snapshot
+    versions; read_increment(N-1, N) is EXACTLY batch N (the CDC
+    contract at batch grain); the final snapshot equals the batch
+    union; and redelivering a batch (same txn id) commits nothing —
+    at-least-once delivery, exactly-once table state."""
+    import os
+
+    from stock_market_etl_spark.io import (
+        _latest_version,
+        commit_snapshot,
+        load_table,
+        read_increment,
+        read_snapshot,
+    )
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_id", "user_id", F.round("value", 6).alias("value")
+    )
+    src = str(tmp_path / "arrivals")
+    # three arrival files ⇒ three micro-batches under maxFilesPerTrigger=1
+    for k in range(3):
+        ev.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    table = str(tmp_path / "table")
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    core.snapshot_lake_sink(stream, table, str(tmp_path / "ckpt"))
+
+    assert _latest_version(table) == 3
+
+    def _ids(df):
+        return sorted(r["event_id"] for r in df.collect())
+
+    # final snapshot = the whole fixture
+    assert _ids(read_snapshot(spark, table, 3)) == _ids(ev)
+    # each version increment is exactly one micro-batch (one arrival
+    # file; FileStreamSource drains oldest-first, mod-3 slices landed
+    # in order k=0,1,2)
+    batches = [
+        _ids(read_increment(spark, table, v - 1, v)) for v in (1, 2, 3)
+    ]
+    assert sorted(sum(batches, [])) == _ids(ev)
+    for ids, k in zip(batches, (0, 1, 2)):
+        assert all(i % 3 == k for i in ids)
+
+    # redelivery: re-committing any batch's txn id is a no-op
+    before = _latest_version(table)
+    v = commit_snapshot(
+        spark, table, ev.limit(5), txn_id="stream-batch-0"
+    )
+    assert v <= before and _latest_version(table) == before
+    assert _ids(read_snapshot(spark, table, before)) == _ids(ev)
