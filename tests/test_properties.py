@@ -320,3 +320,120 @@ def test_pagerank_matches_reference(spark, edges, iters):
     for v in nodes:
         assert math.isclose(got[v], r[v], rel_tol=1e-9, abs_tol=1e-12), v
     assert math.isclose(sum(got.values()), 1.0, rel_tol=1e-9)
+
+
+# --- snapshot-lifecycle model check (b18-b22, r09) -----------------
+# A random program of lake operations against a Python reference
+# model: after EVERY commit the latest snapshot must equal the model,
+# every historical version must re-read exactly as it was when
+# committed (time travel across later merges/deletes/compactions),
+# and vacuum(keep=1) must preserve the latest content while making
+# truncated history a loud error.
+
+_lifecycle_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("append"),
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=9),
+                    st.integers(min_value=0, max_value=99),
+                ),
+                min_size=1,
+                max_size=4,
+            ),
+        ),
+        st.tuples(
+            st.just("upsert"),
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=9),
+                    st.integers(min_value=100, max_value=199),
+                ),
+                min_size=1,
+                max_size=3,
+                unique_by=lambda kv: kv[0],
+            ),
+        ),
+        st.tuples(
+            st.just("delete"), st.integers(min_value=0, max_value=9)
+        ),
+        st.tuples(st.just("compact"), st.just(0)),
+    ),
+    min_size=2,
+    max_size=5,
+)
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(ops=_lifecycle_ops)
+def test_snapshot_lifecycle_matches_model(spark, ops, tmp_path_factory):
+    """Model-based check of the whole snapshot family: any interleaving
+    of append / CoW upsert / CoW delete / compaction must keep (a) the
+    latest snapshot equal to a trivial Python reference model, (b)
+    every PRIOR version byte-stable as of its commit, and (c) vacuum
+    retention semantics (latest survives byte-identically, truncated
+    history errors loudly)."""
+    from collections import Counter
+
+    import pytest as _pytest
+
+    from stock_market_etl_spark.io import (
+        commit_snapshot,
+        compact_snapshot,
+        delete_where_snapshot,
+        read_snapshot,
+        upsert_snapshot,
+        vacuum_snapshots,
+    )
+
+    table = str(tmp_path_factory.mktemp("lifecycle") / "table")
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "k long, v long")
+
+    def snap(v):
+        return Counter(
+            (r["k"], r["v"]) for r in read_snapshot(spark, table, v).collect()
+        )
+
+    model: Counter = Counter()
+    history: dict[int, Counter] = {}
+    # the table must exist before upsert/delete/compact can run
+    first = [(0, 0)]
+    commit_snapshot(spark, table, df_of(first))
+    model.update(first)
+    history[1] = model.copy()
+
+    for op, arg in ops:
+        if op == "append":
+            v = commit_snapshot(spark, table, df_of(arg))
+            model.update(arg)
+        elif op == "upsert":
+            v = upsert_snapshot(spark, table, df_of(arg), keys=("k",))
+            keys = {k for k, _ in arg}
+            model = Counter(
+                {kv: n for kv, n in model.items() if kv[0] not in keys}
+            )
+            model.update(arg)
+        elif op == "delete":
+            v = delete_where_snapshot(spark, table, F.col("k") == arg)
+            model = Counter(
+                {kv: n for kv, n in model.items() if kv[0] != arg}
+            )
+        else:  # compact: content-preserving
+            v = compact_snapshot(spark, table, num_files=1)
+        history[v] = model.copy()
+        assert snap(v) == model, (op, arg)
+
+    # time travel: every version still reads as of its commit
+    for v, want in history.items():
+        assert snap(v) == want, f"version {v} drifted"
+
+    # vacuum: latest content survives, truncated history errors
+    latest = max(history)
+    vacuum_snapshots(table, keep_versions=1, min_file_age_seconds=0)
+    assert snap(latest) == history[latest]
+    if latest > 1:
+        with _pytest.raises(FileNotFoundError):
+            read_snapshot(spark, table, 1)
