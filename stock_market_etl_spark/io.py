@@ -502,14 +502,45 @@ def _commit_manifest(
         ) from None
     finally:
         os.unlink(tmp)
+    if txn is not None:
+        # O(1) txn lookup marker, hard-linked at the manifest's inode
+        # AFTER the commit point — losing it to a crash only degrades
+        # the next lookup to the manifest scan (see _txn_version)
+        try:
+            os.link(target, _txn_marker_path(table_path, txn))
+        except FileExistsError:
+            pass
+
+
+def _txn_marker_path(table_path: str, txn_id: str) -> str:
+    """Marker filename for a txn id — hashed so arbitrary ids are
+    path-safe; the marker itself verifies the full id."""
+    import hashlib
+    import os
+
+    h = hashlib.md5(txn_id.encode()).hexdigest()[:16]
+    return os.path.join(table_path, f"_txn-{h}.marker.json")
 
 
 def _txn_version(table_path: str, txn_id: str) -> int | None:
-    """Version whose manifest records ``txn_id``, or None. Metadata-
-    only: one JSON read per committed version (manifests are KBs)."""
+    """Version whose manifest records ``txn_id``, or None.
+
+    Fast path: the commit hard-links a per-txn MARKER at the manifest
+    (same inode), so the lookup every new commit pays is one O(1)
+    stat+read — a streaming sink committing its 10,000th batch must
+    not re-parse 10,000 growing manifests. The marker link is placed
+    AFTER the manifest commit point, so a crash between the two can
+    lose only the marker — the slow path (scan all manifests, one
+    JSON read each) still finds the txn and idempotence holds."""
     import json
     import os
 
+    marker = _txn_marker_path(table_path, txn_id)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            m = json.load(fh)
+        if m.get("txn") == txn_id:  # md5-prefix collision check
+            return m["version"]
     for v in _list_versions(table_path):
         with open(
             os.path.join(table_path, f"_v{v}.manifest.json")
@@ -818,6 +849,16 @@ def vacuum_snapshots(
             os.remove(
                 os.path.join(table_path, f"_v{v}.manifest.json")
             )
+        # txn markers hard-link manifest inodes, so a dropped
+        # manifest's marker would keep answering with a vacuumed
+        # version — drop markers below the retention floor too
+        kept_set = set(kept)
+        for f in os.listdir(table_path):
+            if f.startswith("_txn-") and f.endswith(".marker.json"):
+                mp = os.path.join(table_path, f)
+                with open(mp) as fh:
+                    if json.load(fh).get("version") not in kept_set:
+                        os.remove(mp)
     return {
         "kept_versions": kept,
         "deleted_manifests": len(dropped),

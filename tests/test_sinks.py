@@ -871,6 +871,55 @@ def test_vacuum_snapshots_semantics(spark, sf_smoke, tmp_path):
         vacuum_snapshots(str(tmp_path / "empty"))
 
 
+def test_txn_commit_idempotence_marker_and_fallback(
+    spark, sf_smoke, tmp_path
+):
+    """commit_snapshot(txn_id=...) exactly-once semantics: a repeated
+    txn returns the original version without committing; the O(1)
+    marker fast path exists after a txn commit; LOSING the marker
+    (crash between manifest link and marker link) degrades to the
+    manifest scan but idempotence still holds; vacuum drops markers
+    for truncated versions so a stale marker can't resurrect a
+    vacuumed version."""
+    import os
+
+    from stock_market_etl_spark.io import (
+        _latest_version,
+        _txn_marker_path,
+        _txn_version,
+        commit_snapshot,
+        read_snapshot,
+        vacuum_snapshots,
+    )
+
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "value")
+    table = str(tmp_path / "table")
+    v1 = commit_snapshot(spark, table, ev.limit(10), txn_id="batch-0")
+    assert v1 == 1
+    marker = _txn_marker_path(table, "batch-0")
+    assert os.path.exists(marker)
+
+    # repeat txn: same version back, nothing committed
+    v_again = commit_snapshot(spark, table, ev.limit(99), txn_id="batch-0")
+    assert v_again == 1 and _latest_version(table) == 1
+    assert read_snapshot(spark, table, 1).count() == 10
+
+    # crash-lost marker: scan fallback still finds the txn
+    os.remove(marker)
+    assert _txn_version(table, "batch-0") == 1
+    v_again = commit_snapshot(spark, table, ev.limit(99), txn_id="batch-0")
+    assert v_again == 1 and _latest_version(table) == 1
+
+    # new txns append; vacuum drops markers below the retention floor
+    commit_snapshot(spark, table, ev.limit(5), txn_id="batch-1")
+    commit_snapshot(spark, table, ev.limit(5), txn_id="batch-2")
+    vacuum_snapshots(table, keep_versions=1, min_file_age_seconds=0)
+    assert not os.path.exists(_txn_marker_path(table, "batch-1"))
+    assert os.path.exists(_txn_marker_path(table, "batch-2"))
+    assert _txn_version(table, "batch-1") is None
+    assert _txn_version(table, "batch-2") == 3
+
+
 def test_commit_manifest_refuses_concurrent_version(tmp_path):
     """ADVICE r09: the snapshot commit point is create-if-absent, not
     a clobbering rename — a second writer racing to the same version
