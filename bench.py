@@ -171,6 +171,11 @@ BENCH_QUERIES = [
     # indicator stack (returns + TR/ATR + Bollinger over bars) fused
     # into f16's two exchanges (plan-asserted).
     "f18_market_pipeline",
+    # r09 addition: alignment-free exact-substring duplicate spans
+    # (Lee et al. suffix-grade dedup as overlapping windows — the
+    # honest k-per-token hashing price; only (id, pos, digest) rows
+    # move, text never shuffles).
+    "x71_substring_dup_spans",
     # r09 addition: x69's SPARSE operating point (VERDICT r08 task 2)
     # — SymSpell deletion-neighborhood fuzzy join over a structureless
     # md5-name entity catalog with planted typos. x69 itself (the

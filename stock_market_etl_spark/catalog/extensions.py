@@ -2355,3 +2355,52 @@ def x70_fuzzy_sparse_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_edits=1, max_ids_per_variant=500,
         max_candidate_pairs=1_000_000,
     )
+
+
+@_q(
+    "x71_substring_dup_spans",
+    """WITH d AS (
+         SELECT doc_id,
+                string_split_regex(trim(text), '\\s+') AS toks
+         FROM documents),
+       b AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 8),
+       g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                    unhex(md5(array_to_string(toks[i:i+7], ' '))) AS h
+             FROM b, unnest(range(1, len(toks) - 6)) AS t(i)),
+       f AS (SELECT h FROM (
+               SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY h)
+             WHERE nd >= 2),
+       hits AS (SELECT doc_id, pos FROM g
+                WHERE h IN (SELECT h FROM f)),
+       marked AS (SELECT doc_id, pos,
+                    CASE WHEN lag(pos) OVER w IS NULL
+                           OR pos > lag(pos) OVER w + 8
+                         THEN 1 ELSE 0 END AS brk
+                  FROM hits
+                  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       grp AS (SELECT doc_id, pos,
+                      sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+                        AS gid
+               FROM marked)
+       SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+              CAST(max(pos) + 7 AS BIGINT) AS span_end
+       FROM grp GROUP BY doc_id, gid""",
+)
+def x71_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans at ARBITRARY alignment
+    (operators/dedup.py exact_substring_spans — Lee et al. 2021's
+    suffix-array dedup expressed as overlapping k=8-token windows):
+    every window shared by ≥ 2 distinct documents is flagged and
+    flagged windows merge into maximal per-doc token spans. Completes
+    the dedup ladder's missing rung: x6 whole-document identity →
+    x49/x60 fixed non-overlapping blocks (alignment-dependent) →
+    THIS (any shared ≥ k-token run, wherever it starts) → x64/x65
+    winnowing (probabilistic local fingerprints at a fraction of the
+    gram cost). Text never enters an exchange — (id, pos, 16-byte
+    binary digest) rows only; the flag set shrinks through its
+    HAVING, so AQE broadcasts the semi-join (x60's ban-set move).
+    Deterministic end-to-end → full DuckDB hash oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_substring_spans(
+        docs, k=8, min_docs=2, text_col="text", id_col="doc_id"
+    )

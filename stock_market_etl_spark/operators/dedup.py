@@ -1242,3 +1242,94 @@ def keep_best_dedup(
             F.round("__q", 6).alias("quality"),
         )
     )
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplicate SPANS at arbitrary alignment (the
+    suffix-array dedup of Lee et al. 2021, arXiv:2107.06499, expressed
+    as overlapping fixed-width windows): every ``k``-token window whose
+    content appears in ≥ ``min_docs`` DISTINCT documents is flagged,
+    and per document the flagged windows merge into maximal token
+    spans ``(span_start, span_end)`` (1-based, inclusive) — the spans
+    a curation pass cuts. Overlapping windows make the detection
+    alignment-free: any shared run of ≥ k tokens is caught wherever it
+    starts, which block-grain dedup (x49/x60's fixed non-overlapping
+    blocks) structurally cannot do; a shared run of length L ≥ k is
+    covered by exactly L−k+1 windows and merges back into one span.
+
+    Deterministic end-to-end → full DuckDB hash oracle (catalog x71):
+    md5 window hashes, islands by the standard gaps-and-islands
+    window (a break when the next flagged position starts past
+    prev+k — overlap/adjacency merges).
+
+    Scale shape: windows hash inside the scan (one md5 per token —
+    the overlapping-gram price; ~k× the gram COUNT of block dedup but
+    the same byte economy because only (id, pos, 16-byte binary
+    digest) rows ever move, never text). Three hash/id-grain
+    exchanges: the (hash, id) distinct for the cross-doc count, the
+    flagged-hash semi-join back onto the window stream (the flag set
+    shrinks by the HAVING, so AQE broadcasts it when small — x60's
+    ban-set move), and the per-doc islands window. At 100 TB this is
+    the honest cost of suffix-grade dedup — the published pipelines
+    pay the same pass."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(F.col(id_col), toks.alias("__t")).filter(
+        F.size("__t") >= k
+    )
+    t = F.col("__t")
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (k - 1)),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.unhex(F.md5(F.concat_ws(" ", F.slice(t, i, k)))).alias(
+                "h"
+            ),
+        ),
+    )
+    g = base.select(
+        F.col(id_col), F.explode(windows).alias("__w")
+    ).select(id_col, F.col("__w.pos").alias("__pos"), F.col("__w.h").alias("__h"))
+    flagged = (
+        g.select("__h", id_col)
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count("*").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    hits = g.join(flagged, "__h", "left_semi")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    brk = (
+        F.when(
+            F.lag("__pos").over(w).isNull()
+            | (F.col("__pos") > F.lag("__pos").over(w) + k),
+            1,
+        )
+        .otherwise(0)
+    )
+    # two passes: the break flag is itself a window expression, so it
+    # must materialize before the running sum that numbers islands
+    marked = hits.select(id_col, "__pos", brk.alias("__brk"))
+    grouped = marked.select(
+        id_col,
+        "__pos",
+        F.sum("__brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__gid"),
+    )
+    return (
+        grouped.groupBy(id_col, "__gid")
+        .agg(
+            F.min("__pos").cast("long").alias("span_start"),
+            (F.max("__pos") + (k - 1)).cast("long").alias("span_end"),
+        )
+        .select(id_col, "span_start", "span_end")
+    )

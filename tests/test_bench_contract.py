@@ -135,6 +135,11 @@ SHUFFLE_MB_PINS = {
     # distinct → anti-join → self-join shape creeping back means
     # ~1.5-2.4x.
     "x70_fuzzy_sparse_pairs": 24.05,
+    # r09: overlapping-window exact-substring spans — (id, pos,
+    # 16-byte digest) rows through the (hash,id) distinct, the
+    # flagged semi-join, and the per-doc islands window; TEXT in any
+    # of the three would multiply this several-fold.
+    "x71_substring_dup_spans": 10.08,
 }
 
 

@@ -1761,3 +1761,62 @@ def test_fuzzy_pairs_blocking_is_complete(spark):
         return d[n2]
 
     assert all(lev(by_name[a], by_name[b]) <= 2 for a, b in got)
+
+
+def test_exact_substring_spans_semantics(spark):
+    """x71's operator contract on planted structure: a shared >= k
+    run is caught at ANY alignment and merges into one maximal span
+    on each side; two disjoint shared runs give two spans; shared
+    runs shorter than k are invisible; a repeat confined to ONE
+    document does not flag (min_docs=2 is cross-document)."""
+    from stock_market_etl_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    shared = "s1 s2 s3 s4"  # k=4 run, planted at different offsets
+    other = "o1 o2 o3 o4"   # second disjoint shared run
+    docs = spark.createDataFrame(
+        [
+            # run at positions 3-6; second run at 9-12
+            (1, f"a1 a2 {shared} a3 a4 {other} a5"),
+            # same runs at different alignments (1-4 and 7-10)
+            (2, f"{shared} b1 b2 {other} b3"),
+            # shares only a 3-token (sub-k) prefix of the run
+            (3, "s1 s2 s3 c1 c2 c3 c4 c5"),
+            # internal repeat only — no other doc has this content
+            (4, "z1 z2 z3 z4 z1 z2 z3 z4"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in exact_substring_spans(
+            docs, k=4, min_docs=2, text_col="text", id_col="doc_id"
+        ).collect()
+    }
+    assert spans == {
+        (1, 3, 6), (1, 9, 12),
+        (2, 1, 4), (2, 7, 10),
+    }
+
+
+def test_exact_substring_spans_merge_long_run(spark):
+    """A shared run LONGER than k (covered by several overlapping
+    windows) must merge back into exactly one span spanning the whole
+    run — the alignment-free property block dedup lacks."""
+    from stock_market_etl_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    run = " ".join(f"r{i}" for i in range(10))  # 10-token shared run
+    docs = spark.createDataFrame(
+        [(1, f"x1 x2 {run} x3"), (2, f"{run} y1 y2 y3")],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in exact_substring_spans(
+            docs, k=4, min_docs=2
+        ).collect()
+    }
+    assert spans == {(1, 3, 12), (2, 1, 10)}

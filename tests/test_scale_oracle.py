@@ -235,6 +235,9 @@ SCALE_QUERIES = [
     # r09 addition: streaming → manifest-versioned lake drain
     # (rounded double value passthrough → midpoint tolerance)
     ("n18_stream_snapshot_lake", False),
+    # r09 addition: exact-substring duplicate spans (BIGINT span
+    # bounds over md5 window hashes → exact)
+    ("x71_substring_dup_spans", True),
 ]
 
 
