@@ -37,67 +37,76 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship (F1+F2) — permanent anchor
     "f1_f2_metrics_pipeline",
-    # --- r09 rotation (DRIVER_WINDOW.md consolidated slot-priority
-    # order, applied mechanically): CORRECTNESS_r08 came back 50/50
-    # green, so every r08 slot vacates. Tier 1 (red re-proofs) is
-    # empty. Tier 2: the 3 core canaries + the flagship anchor above.
+    # --- r10 rotation (DRIVER_WINDOW.md drafted slot-priority order,
+    # applied mechanically): CORRECTNESS_r09 came back 50/50 green,
+    # ledger stamped r09, so every r09 slot vacates. Tier 1 (red
+    # re-proofs) is empty. Tier 2: the 3 core canaries + the
+    # flagship anchor above.
     "q_compute_trends",
     "c4_watermark_filter",
     "e1_global_max_watermark",
-    # Tier 3 — first proofs, early-r08 overflow (waited longest), in
-    # the consolidated catalog-impact order:
-    "x58_dsir_importance",
-    "x59_perplexity_buckets",
-    "e19_hourly_rollup_merge",
-    "n15_stateful_running_totals",
-    "b14_stream_lake_sink",
-    "k7_volume_anomaly_gate",
-    "b15_python_datasource_sink",
-    "f13_bollinger",
-    "f14_vwap",
-    "x60_boilerplate_prune",
+    # Tier 3 — first proofs for the 4 r09-new oracle-bearing queries
+    # (all local green at sf0.01 AND sf0.1, the entire remaining
+    # first-proof backlog):
+    "x70_fuzzy_sparse_pairs",
+    "x71_substring_dup_spans",
+    "b22_lake_lifecycle",
+    "n18_stream_snapshot_lake",
+    # Tier 4 — changed-since-proof re-admits from the r09 ADVICE
+    # fixes: compact_snapshot moved from rebalance+coalesce to
+    # repartition (drifts b16 after its r09 green) and
+    # deletion_neighborhood_pairs' ban set became a collected
+    # broadcast with eager cache release (drifts x69 — x70 above is
+    # a first proof of the same code; b22/n18 absorb the io/streaming
+    # drifts as first proofs).
     "b16_compaction_roundtrip",
-    "e21_market_beta",
-    "h4_union_by_name",
-    "k8_column_profile",
-    "l5_scd2_dimension",
-    "x62_knn_label_propagation",
-    "x64_winnow_fingerprints",
-    "x65_winnow_near_dup",
-    # Tier 4 — first proofs, late-r08 additions, newest-last:
-    "f15_ohlc_resample",
-    "f16_atr",
-    "f17_gap_fill",
-    "f18_market_pipeline",
-    "n16_stream_ohlc_bars",
-    "n17_stream_agg_partials",
-    "d15_interpolation_join",
-    "d16_point_in_time_join",
-    "x66_keep_best_dedup",
-    "x68_weighted_sample",
     "x69_fuzzy_name_pairs",
-    "b17_corrupt_record_audit",
-    "b18_snapshot_time_travel",
-    "b19_snapshot_increment_read",
-    "b20_cow_delete",
-    "b21_cow_upsert",
-    "m8_arrow_optimized_udf",
-    "l6_incremental_agg_rollup",
-    # Tier 5 — h3_except's deferred freshness re-proof (its r08 slot
-    # went to the x49 changed-since-proof re-admit; impl unchanged
-    # since its r02 green — the oldest surviving ledger row).
-    "h3_except",
-    # Tier 6 — freshness cycling: the 8 remaining r03-era proofs
-    # (oldest after h3) + the oldest r04 row, per VERDICT r06 task 6.
-    "c2_conjunctive_eq_filter",
-    "c3_inequality_filter",
-    "c5_in_between_filter",
-    "h1_union_all",
-    "i2_year_extract",
-    "i5_arithmetic_chain",
-    "i6_string_normalize",
-    "j2_rename_columns",
-    "a1_parquet_scan",
+    # Tier 5 — freshness cycling, oldest-first per the ledger: the
+    # complete r04 cohort (31 rows — the oldest surviving proofs
+    # after a green r09)…
+    "a4_html_dimension_parse",
+    "a5_literal_source",
+    "b2_upsert_merge",
+    "d10_range_join_pairs",
+    "e14_avg_min_max_count",
+    "e15_percentiles",
+    "f6_rank_functions",
+    "f7_range_frame",
+    "g4_bottom_k",
+    "i8_timezone_convert",
+    "m1_pandas_udf_format",
+    "m2_grouped_agg_pandas_udf",
+    "m3_udtf_ohlc_unpivot",
+    "m4_grouped_map_zscore",
+    "n1_tumbling_window_agg",
+    "n2_sliding_window_agg",
+    "n3_session_window_agg",
+    "n6_stream_stream_join",
+    "n7_stream_stream_left_join",
+    "n8_chained_join_window",
+    "x1_token_count",
+    "x2_word_freq",
+    "x3_quality_score",
+    "x4_lang_id",
+    "x5_fingerprint",
+    "x9_multimodal_meta",
+    "x18_multimodal_resize",
+    "x19_frame_sample_counts",
+    "x20_bpe_token_count",
+    "x29_pii_redact",
+    "x30_repetition_ratio",
+    # …then the full r05 cohort (6 rows)…
+    "f8_sessionize",
+    "x32_audio_decode_meta",
+    "x33_tfidf_topk",
+    "x34_bm25_topk",
+    "x36_document_chunks",
+    "x37_bigram_lm_score",
+    # …then the oldest r06 rows as the remaining slots allow (3 of
+    # 13 — §2-core first; the other ten r06 rows cycle in r11).
+    "c1_projection",
+    "i1_cast",
+    "i9_conditional_format",
 )
 
 

@@ -2404,3 +2404,73 @@ def x71_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_substring_spans(
         docs, k=8, min_docs=2, text_col="text", id_col="doc_id"
     )
+
+
+@_q(
+    "x72_substring_dedup_cut",
+    """WITH d AS (
+         SELECT doc_id,
+                string_split_regex(trim(text), '\\s+') AS toks
+         FROM documents),
+       b AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 8),
+       g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                    unhex(md5(array_to_string(toks[i:i+7], ' '))) AS h
+             FROM b, unnest(range(1, len(toks) - 6)) AS t(i)),
+       f AS (SELECT h FROM (
+               SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY h)
+             WHERE nd >= 2),
+       hits AS (SELECT doc_id, pos FROM g
+                WHERE h IN (SELECT h FROM f)),
+       marked AS (SELECT doc_id, pos,
+                    CASE WHEN lag(pos) OVER w IS NULL
+                           OR pos > lag(pos) OVER w + 8
+                         THEN 1 ELSE 0 END AS brk
+                  FROM hits
+                  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       grp AS (SELECT doc_id, pos,
+                      sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+                        AS gid
+               FROM marked),
+       spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+                 FROM grp GROUP BY doc_id, gid),
+       tok AS (SELECT doc_id, unnest(toks) AS tok,
+                      unnest(generate_series(1, len(toks))) AS i
+               FROM d),
+       kept AS (SELECT t.doc_id, t.tok, t.i FROM tok t
+                WHERE NOT EXISTS (
+                  SELECT 1 FROM spans s
+                  WHERE s.doc_id = t.doc_id
+                    AND t.i BETWEEN s.s AND s.e))
+       SELECT d.doc_id,
+              coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '')
+                AS clean_text
+       FROM d LEFT JOIN kept k ON k.doc_id = d.doc_id
+       GROUP BY d.doc_id
+       ORDER BY d.doc_id""",
+)
+def x72_substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup LADDER'S ACTION RUNG (VERDICT r09 task 3): x71 flags
+    duplicate spans; this CUTS them — `operators/dedup.py cut_spans`
+    composed over `exact_substring_spans` (Lee et al. 2021's actual
+    dedup step: drop the shared ≥ k-token run at arbitrary alignment,
+    rejoin the remaining tokens; x49's doc-reassembly move for
+    alignment-free spans). Every document comes back: unflagged docs
+    whitespace-normalized and otherwise intact, flagged docs with
+    every duplicated span excised (the C4/x60 every-copy stance —
+    keep-one composes by exempting one doc per cluster upstream),
+    fully-duplicated docs as the empty string. Deterministic
+    end-to-end → full DuckDB hash oracle; planted-span semantics in
+    tests/test_extensions.py.
+
+    Scale shape: the flag pass is x71's (three hash/id-grain
+    exchanges, text never in a pair stream); the cut adds one id-grain
+    span aggregation + one id-grain join (AQE-broadcastable flagged
+    set) + scan-local array reassembly — the corpus text crosses at
+    most one exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = dedup.exact_substring_spans(
+        docs, k=8, min_docs=2, text_col="text", id_col="doc_id"
+    )
+    return dedup.cut_spans(
+        docs, spans, text_col="text", id_col="doc_id"
+    ).orderBy("doc_id")

@@ -845,3 +845,157 @@ def b22_lake_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("read_point")
     )
+
+
+@_q(
+    "b23_snapshot_skipping_read",
+    """WITH b AS (SELECT CAST(max(event_id) AS BIGINT) AS n FROM events)
+       SELECT event_id, user_id, event_type, round(value, 6) AS value
+       FROM events, b
+       WHERE event_id BETWEEN (n // 4) + 1 AND n // 2
+       ORDER BY event_id""",
+)
+def b23_snapshot_skipping_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """B superset: MANIFEST-LEVEL DATA SKIPPING on the snapshot lake
+    (VERDICT r09 task 2 — the one missing lakehouse piece): committing
+    with ``stat_columns`` records each file's parquet-footer min/max
+    in the manifest (Iceberg's lower/upper bounds), and
+    ``read_snapshot(predicate=...)`` prunes files whose bands cannot
+    match BEFORE Spark plans the scan — the manual key-range pruning
+    of the reference's transform step
+    (`/root/reference/scripts/transform.py:48-49`) lifted from
+    hand-written filters into table metadata. Four range-sliced
+    appends give every file a narrow event_id band; the mid-range
+    predicate then reads ONLY the second slice's files (file-pruning
+    asserted in tests/test_sinks.py and tests/test_plans.py), while
+    the residual filter keeps results stats-independent.
+
+    Scale shape: the prune is a driver-side band check over file-grain
+    metadata (zero tasks, O(files) not O(rows)); survivors still get
+    parquet row-group skipping inside the scan. At 100 TB a selective
+    read touches O(matching files) — partition pruning without
+    directory partitioning, composing with time travel (every version
+    keeps its own bands)."""
+    import os
+
+    from stock_market_etl_spark.io import (
+        commit_snapshot,
+        load_table,
+        read_snapshot,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+    # bounded scalar (watermark convention) — the slice boundaries
+    n = ev.agg(F.max("event_id")).collect()[0][0]
+    qs = [0, n // 4, n // 2, (3 * n) // 4, n]
+    table = os.path.join(_scratch.fresh_dir("b23"), "table")
+    version = 0
+    for lo, hi in zip(qs, qs[1:]):
+        version = commit_snapshot(
+            spark,
+            table,
+            ev.filter(
+                (F.col("event_id") > lo) & (F.col("event_id") <= hi)
+            ),
+            stat_columns=["event_id"],
+        )
+    return read_snapshot(
+        spark,
+        table,
+        version,
+        predicate=[("event_id", "between", (qs[1] + 1, qs[2]))],
+    ).orderBy("event_id")
+
+
+@_q(
+    "b24_snapshot_schema_evolution",
+    """WITH base AS (
+         SELECT event_id, round(value, 6) AS value FROM events)
+       SELECT read_point, n_rows, n_source_null, n_feed_b, value_sum
+       FROM (
+         SELECT 'v1_under_v2_contract' AS read_point,
+                count(*) AS n_rows,
+                count(*) AS n_source_null,
+                count(CASE WHEN FALSE THEN 1 END) AS n_feed_b,
+                round(sum(value), 6) AS value_sum
+         FROM base WHERE event_id % 2 = 0
+         UNION ALL
+         SELECT 'latest_merged',
+                count(*),
+                count(CASE WHEN event_id % 2 = 0 THEN 1 END),
+                count(CASE WHEN event_id % 2 = 1 THEN 1 END),
+                round(sum(value), 6)
+         FROM base)
+       ORDER BY read_point""",
+)
+def b24_snapshot_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """B superset: SCHEMA EVOLUTION on the snapshot lake (VERDICT r09
+    task 6 — b9's evolving-lake contract composed with b18's versioned
+    reads): v1 commits without ``source``, v2 appends WITH it, and
+    `io.read_snapshot_evolving` serves both faces — v1 re-read under
+    the v2 contract comes back in the v2 SHAPE with ``source`` as
+    typed NULLs (schema time travel without data time travel), and the
+    latest version merges both generations' footers so v1-era rows
+    carry NULL and v2-era rows their value. The fingerprints pin both
+    read points; the TYPE-drift refusal (a v3 that retypes ``value``
+    must raise, never cast silently) is tested in tests/test_sinks.py.
+
+    Scale shape: footer merging is metadata-only over the manifest's
+    file list; both read points remain column-pruned, filter-pushed
+    scans — no data rewrite ever accompanies a schema change (the
+    100 TB requirement: adding a column to a petabyte table is a
+    metadata act)."""
+    import os
+
+    from stock_market_etl_spark.io import (
+        commit_snapshot,
+        load_table,
+        read_snapshot_evolving,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round("value", 6).alias("value")
+    )
+    table = os.path.join(_scratch.fresh_dir("b24"), "table")
+    commit_snapshot(spark, table, ev.filter(F.col("event_id") % 2 == 0))
+    gen2 = ev.filter(F.col("event_id") % 2 == 1).withColumn(
+        "source", F.lit("feed_b")
+    )
+    v2 = commit_snapshot(spark, table, gen2)
+    contract = gen2.schema
+
+    def _fp(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            (F.count("*") - F.count("source")).alias("n_source_null"),
+            F.count(
+                F.when(F.col("source") == "feed_b", 1)
+            ).alias("n_feed_b"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        ).select(
+            F.lit(tag).alias("read_point"),
+            "n_rows",
+            "n_source_null",
+            "n_feed_b",
+            "value_sum",
+        )
+
+    return (
+        _fp(
+            read_snapshot_evolving(spark, table, 1, expected=contract),
+            "v1_under_v2_contract",
+        )
+        .unionAll(
+            _fp(
+                read_snapshot_evolving(spark, table, v2, expected=contract),
+                "latest_merged",
+            )
+        )
+        .orderBy("read_point")
+    )

@@ -467,11 +467,206 @@ def _resolve_hit_files(
     return keep, rewrite
 
 
+def _stat_encode(v):
+    """JSON-safe (tag, value) for a footer min/max value, or None for
+    types we don't prune on."""
+    import datetime
+
+    if isinstance(v, bool):  # bool is an int subclass — exclude first
+        return None
+    if isinstance(v, int):
+        return ("int", v)
+    if isinstance(v, float):
+        return ("float", v)
+    if isinstance(v, str):
+        return ("str", v)
+    if isinstance(v, bytes):
+        try:
+            return ("str", v.decode("utf-8"))
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, datetime.datetime):  # before date — subclass order
+        return ("ts", v.isoformat())
+    if isinstance(v, datetime.date):
+        return ("date", v.isoformat())
+    return None
+
+
+def _stat_decode(tag: str, v):
+    import datetime
+
+    if tag == "date":
+        return datetime.date.fromisoformat(v)
+    if tag == "ts":
+        return datetime.datetime.fromisoformat(v)
+    return v
+
+
+def _collect_file_stats(
+    files: list[str], columns: list[str]
+) -> dict[str, dict[str, dict]]:
+    """Per-file column min/max from the parquet FOOTERS (metadata-only
+    — no row decodes; pyarrow reads just the footer). Returns
+    ``{file: {col: {"t": tag, "min": v, "max": v}}}``. A column is
+    recorded only when EVERY row group in the file carries min/max for
+    it (any gap → no entry → the file is never pruned on that column
+    — stats can only skip, never lie)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, dict]] = {}
+    for path in files:
+        md = pq.ParquetFile(path).metadata
+        if md.num_rows == 0:
+            # a zero-row file (e.g. a CoW rewrite whose survivors all
+            # matched) can be skipped under ANY predicate
+            out[path] = {"__empty": True}
+            continue
+        idx = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }
+        per: dict[str, dict] = {}
+        for col in columns:
+            i = idx.get(col)
+            if i is None:
+                continue
+            lo = hi = None
+            ok = md.num_row_groups > 0
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None or st.min < lo else lo
+                hi = st.max if hi is None or st.max > hi else hi
+            if not ok:
+                continue
+            enc_lo, enc_hi = _stat_encode(lo), _stat_encode(hi)
+            if enc_lo is None or enc_hi is None:
+                continue
+            per[col] = {"t": enc_lo[0], "min": enc_lo[1], "max": enc_hi[1]}
+        if per:
+            out[path] = per
+    return out
+
+
+def _normalize_predicate(predicate) -> list[tuple]:
+    """Accept one condition or a conjunctive list; each condition is
+    ``(col, op, value)`` with op ∈ {==, =, <, <=, >, >=} or
+    ``(col, "between", (lo, hi))``. Returns the validated list."""
+    if not predicate:
+        return []
+    if isinstance(predicate, tuple):
+        predicate = [predicate]
+    ops = {"==", "=", "<", "<=", ">", ">=", "between"}
+    out = []
+    for cond in predicate:
+        col, op, val = cond
+        if op not in ops:
+            raise ValueError(f"unsupported predicate op: {op!r}")
+        if op == "between" and (
+            not isinstance(val, (tuple, list)) or len(val) != 2
+        ):
+            raise ValueError("between takes (lo, hi)")
+        out.append((col, op, val))
+    return out
+
+
+def _file_may_match(
+    file_stats: dict | None, predicate: list[tuple]
+) -> bool:
+    """Band check: can a row satisfying EVERY condition exist inside
+    this file's recorded [min, max] bands? Missing stats (whole file
+    or one column) always answer yes — skipping is an optimization,
+    never a correctness dependency."""
+    if not file_stats:
+        return True
+    if file_stats.get("__empty"):
+        return False  # zero rows — nothing can match
+    for col, op, val in predicate:
+        band = file_stats.get(col)
+        if band is None:
+            continue
+        lo = _stat_decode(band["t"], band["min"])
+        hi = _stat_decode(band["t"], band["max"])
+        try:
+            if op in ("==", "=") and not (lo <= val <= hi):
+                return False
+            if op == "<" and not (lo < val):
+                return False
+            if op == "<=" and not (lo <= val):
+                return False
+            if op == ">" and not (hi > val):
+                return False
+            if op == ">=" and not (hi >= val):
+                return False
+            if op == "between" and not (hi >= val[0] and lo <= val[1]):
+                return False
+        except TypeError:
+            # incomparable literal vs stored stat type — never prune
+            continue
+    return True
+
+
+def _predicate_expr(predicate: list[tuple]):
+    """The RESIDUAL filter: the same conditions as a Column expression,
+    applied after file pruning so results never depend on stats."""
+    expr = F.lit(True)
+    for col, op, val in predicate:
+        c = F.col(col)
+        if op in ("==", "="):
+            cond = c == F.lit(val)
+        elif op == "<":
+            cond = c < F.lit(val)
+        elif op == "<=":
+            cond = c <= F.lit(val)
+        elif op == ">":
+            cond = c > F.lit(val)
+        elif op == ">=":
+            cond = c >= F.lit(val)
+        else:  # between
+            cond = c.between(F.lit(val[0]), F.lit(val[1]))
+        expr = expr & cond
+    return expr
+
+
+def _carry_stats(
+    table_path: str,
+    prev: int,
+    kept_files: list[str],
+    new_files: list[str],
+    stat_columns: list[str] | None = None,
+) -> tuple[dict | None, list[str] | None]:
+    """Stats payload for a new manifest: inherit ``stat_columns`` from
+    the previous manifest unless given, CARRY the previous manifest's
+    per-file entries for files that survive by reference, and compute
+    footer stats for the new files. Returns (stats, stat_columns) —
+    (None, None) when the table doesn't record stats."""
+    import json
+    import os
+
+    prev_stats: dict = {}
+    if prev:
+        with open(
+            os.path.join(table_path, f"_v{prev}.manifest.json")
+        ) as fh:
+            m = json.load(fh)
+        prev_stats = m.get("stats", {})
+        if stat_columns is None:
+            stat_columns = m.get("stat_columns")
+    if stat_columns is None:
+        return None, None
+    stats = {f: prev_stats[f] for f in kept_files if f in prev_stats}
+    stats.update(_collect_file_stats(new_files, list(stat_columns)))
+    return stats, list(stat_columns)
+
+
 def _commit_manifest(
     table_path: str,
     version: int,
     files: list[str],
     txn: str | None = None,
+    stats: dict | None = None,
+    stat_columns: list[str] | None = None,
 ) -> None:
     """Atomically publish ``_v{version}.manifest.json``. The commit
     point is an ``os.link`` create-if-absent (POSIX ``link(2)`` fails
@@ -487,6 +682,14 @@ def _commit_manifest(
     manifest = {"version": version, "files": sorted(files)}
     if txn is not None:
         manifest["txn"] = txn
+    if stat_columns is not None:
+        # file-grain data-skipping statistics (Iceberg manifest
+        # lower/upper bounds reduced to load-bearing parts): which
+        # columns this table records, and per-file min/max bands —
+        # read_snapshot(predicate=...) prunes files on these before
+        # any scan plans
+        manifest["stat_columns"] = list(stat_columns)
+        manifest["stats"] = stats or {}
     tmp = os.path.join(
         table_path, f"._v{version}.{uuid.uuid4().hex[:8]}.tmp"
     )
@@ -555,6 +758,7 @@ def commit_snapshot(
     table_path: str,
     df: DataFrame,
     txn_id: str | None = None,
+    stat_columns: list[str] | None = None,
 ) -> int:
     """Append ``df`` to a MANIFEST-VERSIONED table and commit a new
     snapshot; returns the new version number. The time-travel
@@ -590,6 +794,18 @@ def commit_snapshot(
     by the create-if-absent manifest publish — the loser re-checks
     and adopts the winner's version.
 
+    ``stat_columns`` turns on FILE-GRAIN DATA SKIPPING (Iceberg's
+    manifest lower/upper bounds): the manifest records each new file's
+    parquet-footer min/max for those columns (metadata-only — no row
+    decodes), carried files keep their recorded bands, and later
+    commits INHERIT the column set automatically, so one opt-in at
+    table creation keeps the whole history prunable.
+    ``read_snapshot(predicate=...)`` then skips files whose bands
+    can't match before Spark ever plans a scan — at 100 TB this is
+    what makes a selective snapshot read O(matching files) instead of
+    O(table files): partition pruning without partitioning the
+    directory layout.
+
     At 100 TB the manifest is file-grain metadata (KBs per thousand
     files) and commits are O(new files) — never a lake rewrite.
     """
@@ -619,9 +835,17 @@ def commit_snapshot(
             os.path.join(table_path, f"_v{prev}.manifest.json")
         ) as fh:
             files = json.load(fh)["files"]
+    stats, stat_cols = _carry_stats(
+        table_path, prev, files, new_files, stat_columns
+    )
     try:
         _commit_manifest(
-            table_path, version, files + new_files, txn=txn_id
+            table_path,
+            version,
+            files + new_files,
+            txn=txn_id,
+            stats=stats,
+            stat_columns=stat_cols,
         )
     except RuntimeError:
         if txn_id is not None:
@@ -633,14 +857,30 @@ def commit_snapshot(
 
 
 def read_snapshot(
-    spark: SparkSession, table_path: str, version: int
+    spark: SparkSession,
+    table_path: str,
+    version: int,
+    predicate=None,
 ) -> DataFrame:
     """Read a manifest-versioned table AS OF ``version`` — exactly the
     files snapshot N committed, regardless of how many snapshots were
     appended since (`commit_snapshot`). A missing manifest is an
     explicit error, never an empty frame (a silently-empty time-travel
     read is how a pinned dataset release quietly becomes a different
-    dataset)."""
+    dataset).
+
+    ``predicate`` — one ``(col, op, value)`` condition (op ∈ {==, <,
+    <=, >, >=} or ``(col, "between", (lo, hi))``) or a conjunctive
+    list — enables MANIFEST-LEVEL DATA SKIPPING when the table records
+    stats (`commit_snapshot(stat_columns=...)`): files whose recorded
+    min/max bands cannot satisfy every condition are dropped from the
+    read BEFORE Spark plans the scan, and the same conditions are then
+    applied as a normal pushed-down filter on the surviving files —
+    results NEVER depend on the stats (missing bands simply skip
+    nothing). The two prune layers compose: the manifest skips whole
+    files driver-side with zero tasks; parquet footer stats then skip
+    row groups inside survivors. On a table without stats the
+    predicate degrades to the plain filter."""
     import json
     import os
 
@@ -648,7 +888,73 @@ def read_snapshot(
         os.path.join(table_path, f"_v{version}.manifest.json")
     ) as fh:
         manifest = json.load(fh)
-    return spark.read.parquet(*manifest["files"])
+    conds = _normalize_predicate(predicate)
+    files = manifest["files"]
+    if conds:
+        stats = manifest.get("stats", {})
+        pruned = [
+            f for f in files if _file_may_match(stats.get(f), conds)
+        ]
+        if not pruned:
+            # every file skipped — preserve the snapshot's schema via
+            # one footer (schema-only; the False filter reads no rows)
+            return spark.read.parquet(files[0]).where(F.lit(False))
+        return spark.read.parquet(*pruned).where(_predicate_expr(conds))
+    return spark.read.parquet(*files)
+
+
+def read_snapshot_evolving(
+    spark: SparkSession,
+    table_path: str,
+    version: int,
+    expected: "StructType | None" = None,
+) -> DataFrame:
+    """`read_snapshot` for a table whose COMMITS SPAN SCHEMA VERSIONS
+    — b9's evolving-lake contract composed with b18's time travel
+    (VERDICT r09 task 6). A long-lived snapshot table accretes columns
+    across releases while old files are never rewritten, so a version
+    whose manifest mixes generations needs ``mergeSchema`` (union of
+    the listed files' footers: late-added columns surface as NULL for
+    pre-evolution files instead of silently vanishing behind whichever
+    footer the default reader sampled), and an old version read TODAY
+    needs the CURRENT contract applied — ``expected`` conforms the
+    result exactly as `load_evolving` does: missing columns
+    materialize as typed NULLs (reading v1 under the v2 contract gives
+    the v2 shape with NULL history — schema time travel without data
+    time travel), extra columns drop, and a TYPE-drifted column is a
+    loud TypeError, never a silent cast.
+
+    Footer merging is metadata-only and scoped to the manifest's file
+    list; column pruning and filter pushdown still reach the scan."""
+    import json
+    import os
+
+    with open(
+        os.path.join(table_path, f"_v{version}.manifest.json")
+    ) as fh:
+        manifest = json.load(fh)
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *manifest["files"]
+    )
+    if expected is None:
+        return df
+    have = {f.name: f.dataType for f in df.schema.fields}
+    cols = []
+    for field in expected.fields:
+        got = have.get(field.name)
+        if got is None:
+            cols.append(
+                F.lit(None).cast(field.dataType).alias(field.name)
+            )
+        elif got != field.dataType:
+            raise TypeError(
+                f"schema drift on {field.name!r}: snapshot v{version} "
+                f"has {got}, contract wants {field.dataType} — "
+                "refusing to cast silently"
+            )
+        else:
+            cols.append(F.col(field.name))
+    return df.select(*cols)
 
 
 def read_increment(
@@ -725,8 +1031,13 @@ def compact_snapshot(
 
     version = prev + 1
     df = spark.read.parquet(*files)
+    # repartition, NOT coalesce: coalesce on top of the rebalance hint
+    # collapses the AQE-rebalanced partitions through a narrow
+    # dependency — undoing the size balancing AND capping the read
+    # side's parallelism at num_files. A full shuffle keeps the scan
+    # wide and sizes the write side independently.
     if num_files:
-        df = df.hint("rebalance").coalesce(num_files)
+        df = df.repartition(num_files)
     else:
         df = df.hint("rebalance")
     data_dir = os.path.join(
@@ -743,7 +1054,14 @@ def compact_snapshot(
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     ]
-    _commit_manifest(table_path, version, new_files)
+    stats, stat_cols = _carry_stats(table_path, prev, [], new_files)
+    _commit_manifest(
+        table_path,
+        version,
+        new_files,
+        stats=stats,
+        stat_columns=stat_cols,
+    )
     return version
 
 
@@ -767,7 +1085,14 @@ def vacuum_snapshots(
     — same split as Delta VACUUM / Iceberg expire_snapshots. Vacuuming
     TRUNCATES history: time travel below the retention floor and
     increments FROM vacuumed versions become errors (loud, because the
-    manifests are gone — never silently wrong data).
+    manifests are gone — never silently wrong data). It also truncates
+    the TXN-ID history `commit_snapshot`'s idempotence check scans
+    (txn ids live in the manifests): a redelivery of a batch whose
+    manifest was vacuumed re-commits as new rows. Txn idempotence
+    therefore holds only within the vacuum retention window — the same
+    contract as Delta, whose VACUUM retention must exceed the longest
+    possible redelivery lag; size ``keep_versions`` (or vacuum
+    cadence) above the source's redelivery horizon.
 
     CONCURRENCY: vacuum is NOT safe against an in-flight commit —
     a writer that has flushed data files but not yet published its
@@ -925,7 +1250,14 @@ def delete_where_snapshot(
             for f in os.listdir(data_dir)
             if f.endswith(".parquet")
         ]
-    _commit_manifest(table_path, version, keep + new_files)
+    stats, stat_cols = _carry_stats(table_path, prev, keep, new_files)
+    _commit_manifest(
+        table_path,
+        version,
+        keep + new_files,
+        stats=stats,
+        stat_columns=stat_cols,
+    )
     return version
 
 
@@ -1000,5 +1332,12 @@ def upsert_snapshot(
             )
         )
     _write(updates)
-    _commit_manifest(table_path, version, keep + new_files)
+    stats, stat_cols = _carry_stats(table_path, prev, keep, new_files)
+    _commit_manifest(
+        table_path,
+        version,
+        keep + new_files,
+        stats=stats,
+        stat_columns=stat_cols,
+    )
     return version

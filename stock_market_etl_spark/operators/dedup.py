@@ -1333,3 +1333,61 @@ def exact_substring_spans(
         )
         .select(id_col, "span_start", "span_end")
     )
+
+
+def cut_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_start: str = "span_start",
+    span_end: str = "span_end",
+) -> DataFrame:
+    """REASSEMBLE documents with flagged token spans CUT — the action
+    half of `exact_substring_spans` (Lee et al. 2021's actual dedup
+    step: drop the duplicated substring, keep the rest of the
+    document), x49's block-reassembly move lifted to ARBITRARY
+    alignment. ``spans`` is any ``(id, span_start, span_end)`` table
+    (1-based inclusive token positions); which spans to cut is the
+    flagger's policy decision — composing with
+    `exact_substring_spans` directly (catalog x72) cuts EVERY copy
+    (the C4/x60 every-copy stance; a keep-one variant composes by
+    exempting one doc per duplicate cluster before the cut). Returns
+    ``(id, clean_text)`` for EVERY input document — unflagged docs
+    pass through with whitespace-normalized text (tokens re-joined
+    single-spaced, the same normalization both engines' tokenizers
+    apply), fully-covered docs become the empty string.
+
+    Deterministic → full DuckDB hash oracle (catalog x72).
+
+    Scale shape: spans aggregate to per-doc lists (id-grain, bounded
+    by tokens/k per doc), one id-grain join attaches them to the
+    corpus (AQE broadcasts when the flagged set is small), and the
+    cut itself is scan-local array logic — token-kept tests run
+    per-position against the doc's own span list (O(tokens × spans)
+    inside the row, no exchange). Text crosses exactly one exchange
+    in the worst case, never a pair stream."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    span_lists = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col(span_start).alias("s"), F.col(span_end).alias("e")
+            )
+        ).alias("__spans")
+    )
+    base = docs.select(F.col(id_col), toks.alias("__t"))
+    joined = base.join(span_lists, id_col, "left")
+
+    def _keep(tok, i0):
+        pos = i0 + 1  # filter() index is 0-based; spans are 1-based
+        return F.coalesce(
+            ~F.exists(
+                "__spans", lambda sp: (pos >= sp["s"]) & (pos <= sp["e"])
+            ),
+            F.lit(True),  # no spans for this doc → keep every token
+        )
+
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.filter("__t", _keep)).alias("clean_text"),
+    )

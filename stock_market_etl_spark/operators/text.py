@@ -827,9 +827,15 @@ def deletion_neighborhood_pairs(
     unbanned variant buckets — inherent to the data, not the blocking
     (the TRUE pair set is itself near-quadratic there). That sum is an
     exact upper bound on candidate rows, computed as ONE eager
-    variant-histogram job at construction time (the histogram is then
-    persisted and reused by the ban filter, so the main plan pays no
-    second aggregation) and checked BEFORE any pair materializes:
+    variant-histogram job at construction time and checked BEFORE any
+    pair materializes. The same job counts the stop variants; when that
+    ban set is small enough to hold on the driver (the normal sparse
+    regime — it is bounded by rows/``max_ids_per_variant``), it is
+    collected and fed back as a BROADCAST anti-join and the histogram
+    cache is released eagerly (no persisted DataFrame outlives the
+    call); on a pathologically large ban set the main plan instead
+    recomputes the variant histogram lazily (one extra map-side-combine
+    aggregation — never a driver melt, never a leaked cache). Check:
     exceeding the budget raises with the
     measured density and the three remedies (lower
     ``max_ids_per_variant``, raise the budget deliberately, or move to
@@ -888,38 +894,67 @@ def deletion_neighborhood_pairs(
         "__id", F.explode(F.array_distinct(variants)).alias("__v")
     )
     hist = e.groupBy("__v").agg(F.count("*").alias("__n"))
+    # Lazy default: the ban set recomputed from the variant stream in
+    # the main plan (one map-side-combine count agg). The guarded
+    # branch below usually replaces it with a collected broadcast.
+    banned = hist.filter(F.col("__n") > max_ids_per_variant).select("__v")
     if max_candidate_pairs is not None:
         # The guard is one variant-grain histogram pass (bounded by
         # the variant space, never the corpus), collected EAGERLY at
         # construction time — building the DataFrame runs this one
         # Spark job, the price of refusing BEFORE any pair
-        # materializes. persist() so the ban filter below reuses the
-        # computed counts instead of re-aggregating the variant
-        # stream in the main plan (the dsir/LSH diamond convention:
-        # callers running batch loops clearCache()/unpersist).
+        # materializes. The histogram is persisted only ACROSS the
+        # guard's own two actions (bound check, ban-set collect) and
+        # released before returning — no cached DataFrame outlives
+        # the call (r09 ADVICE: the old code leaked it on success).
         hist = hist.persist()
-        ub_row = (
-            hist.filter(F.col("__n") <= max_ids_per_variant)
-            .agg(
+        try:
+            row = hist.agg(
                 F.sum(
-                    F.col("__n") * (F.col("__n") - 1) / 2
-                ).alias("__ub")
-            )
-            .collect()[0]
-        )
-        upper_bound = int(ub_row["__ub"] or 0)
-        if upper_bound > max_candidate_pairs:
+                    F.when(
+                        F.col("__n") <= max_ids_per_variant,
+                        F.col("__n") * (F.col("__n") - 1) / 2,
+                    )
+                ).alias("__ub"),
+                F.count(
+                    F.when(F.col("__n") > max_ids_per_variant, True)
+                ).alias("__nban"),
+            ).collect()[0]
+            upper_bound = int(row["__ub"] or 0)
+            if upper_bound > max_candidate_pairs:
+                raise ValueError(
+                    f"deletion-neighborhood blocking on {name_col} "
+                    f"would generate up to {upper_bound:,} candidate "
+                    f"pairs (budget {max_candidate_pairs:,}) — the "
+                    "key space is too dense for exact SymSpell "
+                    "blocking at this setting. Lower "
+                    "max_ids_per_variant, raise max_candidate_pairs "
+                    "deliberately, or switch to LSH blocking "
+                    "(minhash_lsh_pairs) for a bounded stream."
+                )
+            # Stop variants are rows-per-variant outliers, so the ban
+            # set is bounded by rows / max_ids_per_variant — driver-
+            # safe in any regime the pair budget admits. Collect it
+            # from the already-computed histogram and feed it back as
+            # a broadcast anti-join (cheaper than the agg-exchange the
+            # lazy form pays). The cap is pure defense: a ban set too
+            # big to collect falls back to the lazy recompute.
+            if int(row["__nban"] or 0) <= 2_000_000:
+                vals = [
+                    r[0]
+                    for r in hist.filter(
+                        F.col("__n") > max_ids_per_variant
+                    )
+                    .select("__v")
+                    .collect()
+                ]
+                banned = F.broadcast(
+                    df.sparkSession.createDataFrame(
+                        [(v,) for v in vals], "__v string"
+                    )
+                )
+        finally:
             hist.unpersist()
-            raise ValueError(
-                f"deletion-neighborhood blocking on {name_col} would "
-                f"generate up to {upper_bound:,} candidate pairs "
-                f"(budget {max_candidate_pairs:,}) — the key space is "
-                "too dense for exact SymSpell blocking at this "
-                "setting. Lower max_ids_per_variant, raise "
-                "max_candidate_pairs deliberately, or switch to LSH "
-                "blocking (minhash_lsh_pairs) for a bounded stream."
-            )
-    banned = hist.filter(F.col("__n") > max_ids_per_variant).select("__v")
     # pass 2: bounded per-bucket id lists (ban applied BEFORE the
     # list aggregation — a stop variant never builds a giant buffer),
     # then i<j pairs unfold scan-locally from each sorted list

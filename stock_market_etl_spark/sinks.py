@@ -227,7 +227,17 @@ def jdbc_table_exists(
             while rs.next():
                 if rs.getString("TABLE_NAME").lower() != table.lower():
                     continue
-                if schema is not None and rs.getString("TABLE_SCHEM") != schema:
+                # Case-INSENSITIVE, like TABLE_NAME above: a driver may
+                # report metadata rows in a different identifier case
+                # than Connection.getSchema() (storesUpperCase vs
+                # mixed-case metadata); an exact compare would turn
+                # every probe into a false negative and create-if-
+                # missing callers would try to recreate live tables.
+                row_schema = rs.getString("TABLE_SCHEM")
+                if schema is not None and (
+                    row_schema is None
+                    or row_schema.lower() != schema.lower()
+                ):
                     continue  # LIKE-pattern overmatch on a sibling schema
                 return True
             return False

@@ -18,6 +18,7 @@ DuckDB-oracle-checkable.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -899,7 +900,14 @@ def snapshot_lake_sink(
       already in a manifest, so the re-commit returns the existing
       version without writing a byte (a crashed commit left no
       manifest, so ITS retry re-commits cleanly — orphans are
-      vacuum's job);
+      vacuum's job). Txn ids are scoped by a hash of the checkpoint
+      location (Delta keys txn identity on (appId, version) for the
+      same reason): two different streaming queries writing one table,
+      or one query restarted with a FRESH checkpoint (batch ids reset
+      to 0), get distinct txn namespaces instead of silently colliding
+      with already-committed ids. Corollary: exactly-once holds across
+      restarts only while the checkpoint directory is kept — wiping it
+      makes the next run a new producer, exactly as in Delta;
     - every batch boundary is a time-travel point: version N re-reads
       byte-stably forever, and `read_increment(N-1, N)` IS batch N —
       downstream CDC consumers pin the last version they processed
@@ -910,6 +918,14 @@ def snapshot_lake_sink(
     exactly-once guarantee, no version history) — use this form when
     downstream needs pinned releases or incremental reads."""
 
+    # Stable per-producer namespace: the checkpoint path identifies the
+    # logical streaming query across restarts (its offsets/commit log
+    # lives there), so it is exactly the scope batch-id idempotence is
+    # valid in. StreamingQuery.id would also work but is only known
+    # after .start(); the checkpoint hash is available up front and
+    # survives restarts of the same checkpoint.
+    ns = hashlib.sha256(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         from stock_market_etl_spark.io import commit_snapshot
 
@@ -917,7 +933,7 @@ def snapshot_lake_sink(
             batch_df.sparkSession,
             table_path,
             batch_df,
-            txn_id=f"stream-batch-{batch_id}",
+            txn_id=f"stream-{ns}-batch-{batch_id}",
         )
 
     q = (

@@ -15,7 +15,9 @@ from stock_market_etl_spark.catalog import all_oracles, all_queries
 #: §2 rows deliberately covered by artifacts other than a catalog query
 #: (the README coverage map names each).
 NON_QUERY_ARTIFACTS = {
-    "A2": "io.load_jdbc — no database in this container",
+    "A2": "io.load_jdbc — executed against embedded Derby "
+    "(tests/test_sinks.py::test_jdbc_roundtrip and the "
+    "partition-parallel range scan test)",
     "B3": "sinks.py jdbc_append + tests/test_sinks.py",
     "B4": "sinks.py jdbc_overwrite + tests/test_sinks.py",
     "B5": "sinks.py delete_where + tests/test_sinks.py",

@@ -1820,3 +1820,62 @@ def test_exact_substring_spans_merge_long_run(spark):
         ).collect()
     }
     assert spans == {(1, 3, 12), (2, 1, 10)}
+
+
+def test_cut_spans_semantics(spark):
+    """x72's operator contract on planted structure (VERDICT r09 task
+    3): flagged spans are excised token-exactly at any alignment,
+    unflagged docs pass through whitespace-normalized, a doc outside
+    the span table passes through whole, explicit spans cut exactly
+    their positions, and a fully-covered doc becomes ''."""
+    from stock_market_etl_spark.operators.dedup import cut_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 a2 s1 s2 s3 s4 a3"),
+            (2, "s1  s2\ts3 s4 b1"),  # messy whitespace, span at 1-4
+            (3, "c1 c2 c3"),          # no spans — untouched
+            (4, "d1 d2 d3 d4"),       # fully covered
+        ],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 3, 6), (2, 1, 4), (4, 1, 4)],
+        "doc_id long, span_start long, span_end long",
+    )
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in cut_spans(docs, spans).collect()
+    }
+    assert got == {
+        1: "a1 a2 a3",
+        2: "b1",       # whitespace normalized, span cut at 1-4
+        3: "c1 c2 c3",
+        4: "",
+    }
+
+
+def test_cut_spans_composes_with_flagger(spark):
+    """End-to-end x72 shape: the flagger's spans, cut — the shared run
+    disappears from BOTH docs (every-copy stance), the private tokens
+    survive in order, and re-running the flagger on the cut corpus
+    finds nothing (the fixed point Lee et al.'s pipeline iterates
+    to)."""
+    from stock_market_etl_spark.operators.dedup import (
+        cut_spans,
+        exact_substring_spans,
+    )
+
+    run = " ".join(f"r{i}" for i in range(6))
+    docs = spark.createDataFrame(
+        [(1, f"x1 x2 {run} x3"), (2, f"{run} y1 y2")],
+        "doc_id long, text string",
+    )
+    spans = exact_substring_spans(docs, k=4, min_docs=2)
+    clean = cut_spans(docs, spans)
+    got = {r["doc_id"]: r["clean_text"] for r in clean.collect()}
+    assert got == {1: "x1 x2 x3", 2: "y1 y2"}
+    again = exact_substring_spans(
+        clean.withColumnRenamed("clean_text", "text"), k=4, min_docs=2
+    )
+    assert again.count() == 0

@@ -803,20 +803,26 @@ def test_weighted_sample_is_take_ordered(spark, sf_smoke):
 
 
 def test_fuzzy_pairs_no_variant_self_join(spark, sf_smoke):
-    """x70/x69's candidate generation (r09 rework): pairs unfold
-    SCAN-LOCALLY from a bounded variant-grain collect_list — the plan
-    must carry that aggregation plus the guard histogram's cache, and
-    must NOT contain the pre-r09 shape's signature: an INNER join
-    keyed on the variant column (the a⋈b bucket self-join that moved
-    the whole stream through a third exchange). The only __v-keyed
-    join allowed is the stop-variant LeftAnti. The byte-level
-    contract (one full-stream exchange, 35.6 MB at sf0.1) is pinned
-    in tests/test_bench_contract.py."""
+    """x70/x69's candidate generation (r09 rework + r10 ADVICE fix):
+    pairs unfold SCAN-LOCALLY from a bounded variant-grain
+    collect_list, and the plan must NOT contain the pre-r09 shape's
+    signature: an INNER join keyed on the variant column (the a⋈b
+    bucket self-join that moved the whole stream through a third
+    exchange). The only __v-keyed join allowed is the stop-variant
+    LeftAnti, whose right side is now a COLLECTED broadcast list (r10:
+    the guard job materializes the ban set and releases the histogram
+    cache eagerly) — so no InMemoryTableScan may appear either: its
+    presence would mean the persisted guard histogram leaked back into
+    the main plan. On this sparse fixture the ban set is empty, so
+    Catalyst's empty-relation propagation may elide the anti-join
+    entirely — the test asserts the forbidden shapes, not the
+    optimizer's elision. The byte-level contract (one full-stream
+    exchange) is pinned in tests/test_bench_contract.py."""
     import re
 
     plan = _plan(all_queries()["x70_fuzzy_sparse_pairs"](spark, sf_smoke))
     assert "collect_list" in plan
-    assert "InMemoryTableScan" in plan  # guard histogram reused, not rebuilt
+    assert "InMemoryTableScan" not in plan  # guard cache released
     inner_on_variant = re.search(
         r"Join \[__v#\d+\], \[__v#\d+\], Inner", plan
     )
@@ -833,3 +839,24 @@ def test_lake_lifecycle_reads_are_manifest_scoped(spark, sf_smoke):
     df = all_queries()["b22_lake_lifecycle"](spark, sf_smoke)
     plan = _plan(df)
     assert plan.count("Scan parquet") == 4
+
+
+def test_snapshot_skipping_read_scans_only_matching_files(
+    spark, sf_smoke
+):
+    """b23's read point must scan ONLY the files whose manifest bands
+    intersect the predicate — the mid-quartile range lives in exactly
+    one of four range-sliced appends, so the scan's file set must be a
+    STRICT subset of the manifest (file-grain skipping happened before
+    planning), every scanned file must come from the v2 slice's data
+    directory, and the filter must still be pushed into the surviving
+    scan (row-group skipping composes on top)."""
+    df = all_queries()["b23_snapshot_skipping_read"](spark, sf_smoke)
+    files = df.inputFiles()
+    assert files, "scan resolved no files"
+    dirs = {f.rsplit("/", 2)[-2] for f in files}
+    # all surviving files come from ONE commit's data dir (slice 2)
+    assert len(dirs) == 1 and next(iter(dirs)).startswith("v2-"), dirs
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(event_id" in plan or "GreaterThan(event_id" in plan

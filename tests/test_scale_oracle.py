@@ -238,6 +238,16 @@ SCALE_QUERIES = [
     # r09 addition: exact-substring duplicate spans (BIGINT span
     # bounds over md5 window hashes → exact)
     ("x71_substring_dup_spans", True),
+    # r10 addition: manifest-stats data-skipping read (rounded double
+    # value passthrough → midpoint tolerance; the pruning itself is
+    # plan/file-asserted in tests/test_plans.py + tests/test_sinks.py)
+    ("b23_snapshot_skipping_read", False),
+    # r10 addition: the span-CUT consumer over x71's flagger (string
+    # reassembly — exact)
+    ("x72_substring_dedup_cut", True),
+    # r10 addition: snapshot schema evolution (rounded double sum →
+    # midpoint tolerance; the refusal path is tests/test_sinks.py)
+    ("b24_snapshot_schema_evolution", False),
 ]
 
 

@@ -940,3 +940,295 @@ def test_commit_manifest_refuses_concurrent_version(tmp_path):
         assert json.load(fh)["files"] == ["a.parquet"]
     # no tmp litter left behind by either attempt
     assert not [f for f in os.listdir(table) if f.endswith(".tmp")]
+
+
+def test_commit_snapshot_threaded_writer_race(spark, sf_smoke, tmp_path):
+    """VERDICT r09 task 4: a REAL two-writer race on commit_snapshot —
+    the sequential test above proves the link(2) primitive refuses a
+    clobber; this one proves the end-to-end protocol under actual
+    thread interleaving. Both writers are forced (via a barrier inside
+    a wrapped _commit_manifest) to compute prev=N before either
+    publishes, so both race to version N+1: exactly one wins, the
+    loser sees the loud RuntimeError and retries the whole
+    commit_snapshot against the new latest, landing at N+2 — and BOTH
+    writers' rows survive in the final snapshot. Repeated 3× (fresh
+    table each time) to shake scheduling luck."""
+    import json
+    import os
+    import threading
+
+    from stock_market_etl_spark import io as io_mod
+    from stock_market_etl_spark.io import (
+        _latest_version,
+        commit_snapshot,
+        read_snapshot,
+    )
+
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "user_id")
+    base = ev.filter(F.col("event_id") % 3 == 0)
+    rows_a = ev.filter(F.col("event_id") % 3 == 1)
+    rows_b = ev.filter(F.col("event_id") % 3 == 2)
+    n_base, n_a, n_b = base.count(), rows_a.count(), rows_b.count()
+
+    real_commit = io_mod._commit_manifest
+
+    for attempt in range(3):
+        table = str(tmp_path / f"race{attempt}")
+        commit_snapshot(spark, table, base)  # v1, committed calmly
+
+        barrier = threading.Barrier(2, timeout=30)
+        seen_barrier = threading.local()
+        errors: list[Exception] = []
+
+        def synced_commit(*args, **kwargs):
+            # hold each thread's FIRST publish at the barrier so both
+            # have read prev=1 before either links; retries pass through
+            if not getattr(seen_barrier, "done", False):
+                seen_barrier.done = True
+                try:
+                    barrier.wait()
+                except threading.BrokenBarrierError:
+                    pass
+            return real_commit(*args, **kwargs)
+
+        def writer(df):
+            try:
+                try:
+                    commit_snapshot(spark, table, df)
+                except RuntimeError:
+                    # loud loss — retry against the new latest (the
+                    # documented caller protocol)
+                    commit_snapshot(spark, table, df)
+            except Exception as exc:  # pragma: no cover - fail loudly
+                errors.append(exc)
+
+        io_mod._commit_manifest = synced_commit
+        try:
+            threads = [
+                threading.Thread(target=writer, args=(df,))
+                for df in (rows_a, rows_b)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=120)
+        finally:
+            io_mod._commit_manifest = real_commit
+
+        assert not errors, errors
+        # exactly one winner at v2, the loser retried into v3
+        assert _latest_version(table) == 3
+        # every snapshot's file set is a superset of its parent's
+        # (append-only), and both writers' rows survive in v3
+        manifests = []
+        for v in (1, 2, 3):
+            with open(
+                os.path.join(table, f"_v{v}.manifest.json")
+            ) as fh:
+                manifests.append(set(json.load(fh)["files"]))
+        assert manifests[0] < manifests[1] < manifests[2]
+        assert read_snapshot(spark, table, 3).count() == n_base + n_a + n_b
+        assert read_snapshot(spark, table, 1).count() == n_base
+
+
+def test_snapshot_stats_skipping_semantics(spark, sf_smoke, tmp_path):
+    """VERDICT r09 task 2 — manifest-level file statistics + data
+    skipping: commits with stat_columns record per-file footer bands;
+    read_snapshot(predicate=...) must (a) scan ONLY band-matching
+    files, (b) return exactly what the plain filter returns, (c) keep
+    working across CoW upsert and compaction (stats carry/recompute),
+    and (d) never depend on stats for correctness (stripped stats ⇒
+    same rows, just no pruning)."""
+    import json
+    import os
+
+    from stock_market_etl_spark.io import (
+        commit_snapshot,
+        compact_snapshot,
+        read_snapshot,
+        upsert_snapshot,
+    )
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_id", "user_id", F.round("value", 6).alias("value")
+    )
+    n = ev.agg(F.max("event_id")).collect()[0][0]
+    qs = [0, n // 4, n // 2, (3 * n) // 4, n]
+    table = str(tmp_path / "t")
+    for lo, hi in zip(qs, qs[1:]):
+        v = commit_snapshot(
+            spark,
+            table,
+            ev.filter((F.col("event_id") > lo) & (F.col("event_id") <= hi)),
+            stat_columns=["event_id"],
+        )
+
+    with open(os.path.join(table, f"_v{v}.manifest.json")) as fh:
+        manifest = json.load(fh)
+    assert manifest["stat_columns"] == ["event_id"]
+    # every committed file carries an event_id band
+    assert set(manifest["stats"]) == set(manifest["files"])
+
+    pred = [("event_id", "between", (qs[1] + 1, qs[2]))]
+    pruned = read_snapshot(spark, table, v, predicate=pred)
+    expected = ev.filter(
+        (F.col("event_id") > qs[1]) & (F.col("event_id") <= qs[2])
+    )
+    # (a) only slice-2's files are scanned — strictly fewer than the
+    # manifest lists, and every survivor's band intersects the range
+    scanned = set(pruned.inputFiles())
+    assert 0 < len(scanned) < len(manifest["files"])
+    for f in manifest["files"]:
+        band = manifest["stats"][f]["event_id"]
+        intersects = band["max"] >= qs[1] + 1 and band["min"] <= qs[2]
+        assert (
+            any(f.endswith(os.path.basename(s)) for s in scanned)
+            == intersects
+        )
+    # (b) row-identical to the plain filter
+    assert (
+        sorted(r["event_id"] for r in pruned.collect())
+        == sorted(r["event_id"] for r in expected.collect())
+    )
+
+    # (c) stats survive CoW upsert (carried files keep bands, new
+    # files get computed ones) and compaction (full recompute)
+    restated = ev.filter(F.col("event_id") <= qs[1]).withColumn(
+        "value", F.round(F.col("value") * 2, 6)
+    )
+    v_up = upsert_snapshot(spark, table, restated, keys=("event_id",))
+    v_cp = compact_snapshot(spark, table, num_files=2)
+    for vv in (v_up, v_cp):
+        with open(os.path.join(table, f"_v{vv}.manifest.json")) as fh:
+            m = json.load(fh)
+        assert m["stat_columns"] == ["event_id"]
+        assert set(m["stats"]) == set(m["files"])
+        got = read_snapshot(spark, table, vv, predicate=pred)
+        assert (
+            sorted(r["event_id"] for r in got.collect())
+            == sorted(r["event_id"] for r in expected.collect())
+        )
+    # untouched slice files carried into v_up by REFERENCE with their
+    # stats entries intact (no recompute, byte-identical band dicts)
+    with open(os.path.join(table, f"_v{v_up}.manifest.json")) as fh:
+        m_up = json.load(fh)
+    carried = set(m_up["files"]) & set(manifest["files"])
+    assert carried  # the three clean slices
+    for f in carried:
+        assert m_up["stats"][f] == manifest["stats"][f]
+
+    # (d) stats stripped ⇒ no pruning, same rows (safety property)
+    bare = dict(manifest, stats={})
+    with open(os.path.join(table, f"_v{v}.manifest.json"), "w") as fh:
+        json.dump(bare, fh)
+    unpruned = read_snapshot(spark, table, v, predicate=pred)
+    assert len(set(unpruned.inputFiles())) == len(manifest["files"])
+    assert (
+        sorted(r["event_id"] for r in unpruned.collect())
+        == sorted(r["event_id"] for r in expected.collect())
+    )
+
+    # empty prune keeps the snapshot's schema, returns zero rows
+    nothing = read_snapshot(
+        spark, table, v, predicate=[("event_id", ">", n * 10)]
+    )
+    assert nothing.columns == ["event_id", "user_id", "value"]
+    assert nothing.count() == 0
+
+
+def test_file_may_match_band_logic():
+    """Pure-function truth table for the manifest prune check: every
+    op against a [10, 20] int band, plus the never-prune safety rails
+    (missing stats, missing column, incomparable literal)."""
+    from stock_market_etl_spark.io import _file_may_match
+
+    band = {"event_id": {"t": "int", "min": 10, "max": 20}}
+    cases = [
+        (("event_id", "==", 15), True),
+        (("event_id", "==", 9), False),
+        (("event_id", "==", 21), False),
+        (("event_id", "<", 10), False),
+        (("event_id", "<", 11), True),
+        (("event_id", "<=", 10), True),
+        (("event_id", "<=", 9), False),
+        (("event_id", ">", 20), False),
+        (("event_id", ">", 19), True),
+        (("event_id", ">=", 20), True),
+        (("event_id", ">=", 21), False),
+        (("event_id", "between", (21, 30)), False),
+        (("event_id", "between", (0, 9)), False),
+        (("event_id", "between", (20, 30)), True),
+        (("event_id", "between", (0, 10)), True),
+    ]
+    for cond, want in cases:
+        assert _file_may_match(band, [cond]) is want, cond
+    # conjunction: any single impossible condition prunes the file
+    assert (
+        _file_may_match(band, [("event_id", ">", 25), ("other", "==", 1)])
+        is False
+    )
+    # a zero-row file prunes under any predicate
+    assert _file_may_match({"__empty": True}, [("other", "==", 1)]) is False
+    # safety rails: no stats / unknown column / type mismatch ⇒ keep
+    assert _file_may_match(None, [("event_id", "==", 0)]) is True
+    assert _file_may_match({}, [("event_id", "==", 0)]) is True
+    assert _file_may_match(band, [("other", "==", 0)]) is True
+    assert _file_may_match(band, [("event_id", "==", "abc")]) is True
+
+
+def test_snapshot_schema_evolution_and_refusal(spark, sf_smoke, tmp_path):
+    """b24's engine: a snapshot table whose commits span schema
+    generations. mergeSchema surfaces the late-added column as NULL
+    for old files; the contract read conforms v1 to the v2 shape with
+    typed NULLs; and a commit that RETYPES a column is refused loudly
+    at contract read time — never silently cast."""
+    import pytest as _pytest
+
+    from stock_market_etl_spark.io import (
+        commit_snapshot,
+        read_snapshot_evolving,
+    )
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_id", F.round("value", 6).alias("value")
+    )
+    table = str(tmp_path / "t")
+    commit_snapshot(spark, table, ev.filter(F.col("event_id") % 2 == 0))
+    gen2 = ev.filter(F.col("event_id") % 2 == 1).withColumn(
+        "source", F.lit("feed_b")
+    )
+    v2 = commit_snapshot(spark, table, gen2)
+    contract = gen2.schema
+
+    # v1 under the v2 contract: v2 shape, source = typed NULL string
+    old = read_snapshot_evolving(spark, table, 1, expected=contract)
+    assert [f.name for f in old.schema.fields] == [
+        "event_id", "value", "source",
+    ]
+    assert dict(old.dtypes)["source"] == "string"
+    assert old.filter(F.col("source").isNotNull()).count() == 0
+
+    # latest merged: both generations, NULL exactly on v1-era rows
+    cur = read_snapshot_evolving(spark, table, v2, expected=contract)
+    assert cur.count() == ev.count()
+    assert (
+        cur.filter(F.col("source").isNull()).count()
+        == ev.filter(F.col("event_id") % 2 == 0).count()
+    )
+
+    # extra columns in the lake DROP under the contract
+    gen3 = gen2.withColumn("debug_flag", F.lit(True))
+    v3 = commit_snapshot(spark, table, gen3)
+    conformed = read_snapshot_evolving(spark, table, v3, expected=contract)
+    assert "debug_flag" not in conformed.columns
+
+    # TYPE drift refuses loudly: a commit retyping value → TypeError
+    drift = ev.withColumn("value", F.col("value").cast("string"))
+    v4 = commit_snapshot(spark, str(tmp_path / "t2"), drift)
+    commit_snapshot(  # same table, second generation, retyped column
+        spark, str(tmp_path / "t2"), ev.withColumn("source", F.lit("x"))
+    )
+    with _pytest.raises(TypeError, match="schema drift on 'value'"):
+        read_snapshot_evolving(
+            spark, str(tmp_path / "t2"), v4, expected=contract
+        ).collect()

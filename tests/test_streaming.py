@@ -980,10 +980,31 @@ def test_snapshot_lake_sink_versions_increments_redelivery(
     for ids, k in zip(batches, (0, 1, 2)):
         assert all(i % 3 == k for i in ids)
 
-    # redelivery: re-committing any batch's txn id is a no-op
+    # redelivery: re-committing any batch's txn id is a no-op. The
+    # sink scopes txn ids by a hash of the checkpoint path (r10
+    # ADVICE fix — Delta's (appId, version) idempotence key), so the
+    # redelivered id must carry the same scope the sink used.
+    import hashlib
+
+    ns = hashlib.sha256(
+        os.path.abspath(str(tmp_path / "ckpt")).encode()
+    ).hexdigest()[:12]
     before = _latest_version(table)
     v = commit_snapshot(
-        spark, table, ev.limit(5), txn_id="stream-batch-0"
+        spark, table, ev.limit(5), txn_id=f"stream-{ns}-batch-0"
     )
     assert v <= before and _latest_version(table) == before
     assert _ids(read_snapshot(spark, table, before)) == _ids(ev)
+
+    # …and the scoping is the point: a DIFFERENT producer (another
+    # query, or the same query restarted with a FRESH checkpoint —
+    # batch ids reset to 0) must NOT collide with this query's
+    # batch-0 txn. Pre-fix, its first batch would have been silently
+    # swallowed as a duplicate.
+    other_ns = hashlib.sha256(
+        os.path.abspath(str(tmp_path / "ckpt2")).encode()
+    ).hexdigest()[:12]
+    v2 = commit_snapshot(
+        spark, table, ev.limit(5), txn_id=f"stream-{other_ns}-batch-0"
+    )
+    assert v2 == before + 1 and _latest_version(table) == before + 1
