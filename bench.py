@@ -176,6 +176,11 @@ BENCH_QUERIES = [
     # honest k-per-token hashing price; only (id, pos, digest) rows
     # move, text never shuffles).
     "x71_substring_dup_spans",
+    # r10 addition: the span-CUT consumer — x71's flag pass plus the
+    # id-grain span join + scan-local reassembly; the corpus text
+    # crosses at most one exchange (the cut join), never a pair
+    # stream.
+    "x72_substring_dedup_cut",
     # r09 addition: x69's SPARSE operating point (VERDICT r08 task 2)
     # — SymSpell deletion-neighborhood fuzzy join over a structureless
     # md5-name entity catalog with planted typos. x69 itself (the

@@ -958,7 +958,11 @@ def read_snapshot_evolving(
 
 
 def read_increment(
-    spark: SparkSession, table_path: str, from_version: int, to_version: int
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int,
+    predicate=None,
 ) -> DataFrame:
     """Read exactly the rows ADDED between two snapshots of a
     manifest-versioned table (`commit_snapshot`) — the incremental-
@@ -968,7 +972,16 @@ def read_increment(
     file sets, exact by construction because commits are append-only
     and files are never rewritten). ``from_version = 0`` means "from
     the beginning" (the bootstrap read ≡ the full to_version
-    snapshot)."""
+    snapshot).
+
+    ``predicate`` composes manifest-level data skipping with the CDC
+    read (same contract as `read_snapshot`): on a stats-recording
+    table the increment's files are band-pruned before planning, the
+    residual filter keeps results stats-independent, and a fully
+    pruned increment returns an EMPTY frame in the snapshot's schema
+    (not an error — an increment that exists but contains nothing
+    matching is a normal selective-consumer outcome, unlike a
+    nonexistent increment, which still raises)."""
     import json
     import os
 
@@ -985,6 +998,16 @@ def read_increment(
         raise ValueError(
             f"no files added between v{from_version} and v{to_version}"
         )
+    conds = _normalize_predicate(predicate)
+    if conds:
+        with open(
+            os.path.join(table_path, f"_v{to_version}.manifest.json")
+        ) as fh:
+            stats = json.load(fh).get("stats", {})
+        pruned = [f for f in new if _file_may_match(stats.get(f), conds)]
+        if not pruned:
+            return spark.read.parquet(new[0]).where(F.lit(False))
+        return spark.read.parquet(*pruned).where(_predicate_expr(conds))
     return spark.read.parquet(*new)
 
 

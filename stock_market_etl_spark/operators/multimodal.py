@@ -666,7 +666,15 @@ def bmp_assets_from_documents(
     any scale. Duplicate texts yield byte-identical images (Hamming 0
     pairs — the fixture's exact-dup structure carries over) and
     shared-prefix texts yield visually-near images. Arrow-batched;
-    payloads are built executor-side and never visit the driver."""
+    payloads are built executor-side and never visit the driver.
+
+    The input is spread() BEFORE the Python stage: a narrow source (a
+    single-file fixture table — observed: the whole encode+decode+hash
+    pipeline collapsing into ONE task on a 32-core host, r10 watch
+    item) round-robins the (id, text) rows across the shuffle width,
+    so the compute-bound Arrow stages parallelize; only text crosses
+    that exchange — payload bytes are built after it and still never
+    enter one. At scale (files >= cores) spread() is a no-op."""
     n = width * height * 3
 
     def one(text: str) -> bytes:
@@ -684,7 +692,9 @@ def bmp_assets_from_documents(
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    from stock_market_etl_spark.operators.parallelism import spread
+
+    return spread(docs.select("doc_id", "text")).mapInPandas(
         batches,
         schema=T.StructType(
             [

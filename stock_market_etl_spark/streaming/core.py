@@ -890,6 +890,7 @@ def snapshot_lake_sink(
     stream_df: DataFrame,
     table_path: str,
     checkpoint: str,
+    stat_columns: list[str] | None = None,
 ) -> None:
     """Streaming → MANIFEST-VERSIONED lake: every micro-batch commits
     as its own snapshot (`io.commit_snapshot` with the batch id as the
@@ -914,6 +915,14 @@ def snapshot_lake_sink(
       and read only new files, no timestamp column, no rescan;
     - commits are O(batch files) metadata; the table never rewrites.
 
+    ``stat_columns`` opts the table into manifest-level data skipping
+    (`io.commit_snapshot(stat_columns=…)`): the FIRST batch creates
+    the table recording per-file footer min/max for those columns and
+    every later commit inherits the column set, so
+    `read_snapshot(predicate=…)` / `read_increment(predicate=…)`
+    prune files on a stream-fed table exactly as on a batch-built one
+    — the streaming half of the b23 lakehouse piece.
+
     Contrast `lake_batch_sink` (per-batch-directory overwrite: same
     exactly-once guarantee, no version history) — use this form when
     downstream needs pinned releases or incremental reads."""
@@ -934,6 +943,7 @@ def snapshot_lake_sink(
             table_path,
             batch_df,
             txn_id=f"stream-{ns}-batch-{batch_id}",
+            stat_columns=stat_columns,
         )
 
     q = (

@@ -103,11 +103,14 @@ SHUFFLE_MB_PINS = {
     "x60_boilerplate_prune": 1.21,
     # e21's figure is the (user, day) partial-agg exchange +
     # daily-grain window/agg rows — a re-fattening means raw events
-    # started shuffling. x61 moves ids+hashes only (payload bytes in
-    # an exchange would blow this up by orders of magnitude); its
-    # absolute figure is tiny so the band is generous.
+    # started shuffling. x61's figure is the spread() round-robin of
+    # the (id, TEXT) fixture rows (r10: the asset builder spreads a
+    # narrow source before its compute-bound Python stages — decode
+    # payloads still never enter an exchange; payload BYTES here
+    # would read ~3× the text) plus the tiny id+hash band rows
+    # (pre-r10 pin: 0.006 MB, bands only).
     "e21_market_beta": 1.05,
-    "x61_image_near_dup": 0.006,
+    "x61_image_near_dup": 0.83,
     # x63's figure is LSH bucket keys + id-pair candidates + the
     # id-keyed vector re-attach (raw vectors in the candidate
     # exchange would blow it up); x64's is spread()'s round-robin of
@@ -129,17 +132,23 @@ SHUFFLE_MB_PINS = {
     "f16_atr": 1.97,
     "f18_market_pipeline": 1.94,
     # r09: the sparse fuzzy-join operating point — ONE bounded
-    # variant-grain collect_list exchange + the guard histogram
-    # (computed once, persisted, reused by the ban filter) + a
-    # near-empty pair stream (planted typos only). The pre-r09
-    # distinct → anti-join → self-join shape creeping back means
-    # ~1.5-2.4x.
+    # variant-grain collect_list exchange + the guard histogram job
+    # (r10: its ban set is collected and broadcast back, cache
+    # released eagerly — the guard job's own agg exchange replaces
+    # the old InMemoryTableScan reuse byte-for-byte) + a near-empty
+    # pair stream (planted typos only). The pre-r09 distinct →
+    # anti-join → self-join shape creeping back means ~1.5-2.4x.
     "x70_fuzzy_sparse_pairs": 24.05,
     # r09: overlapping-window exact-substring spans — (id, pos,
     # 16-byte digest) rows through the (hash,id) distinct, the
     # flagged semi-join, and the per-doc islands window; TEXT in any
     # of the three would multiply this several-fold.
     "x71_substring_dup_spans": 10.08,
+    # r10: the span-CUT consumer = x71's three hash/id-grain
+    # exchanges + the per-doc span aggregation + ONE id-grain join
+    # where the corpus text crosses (the honest reassembly cost);
+    # text in the FLAG pass too would roughly double this.
+    "x72_substring_dedup_cut": 10.82,
 }
 
 

@@ -1232,3 +1232,54 @@ def test_snapshot_schema_evolution_and_refusal(spark, sf_smoke, tmp_path):
         read_snapshot_evolving(
             spark, str(tmp_path / "t2"), v4, expected=contract
         ).collect()
+
+
+def test_read_increment_with_predicate_prunes(spark, sf_smoke, tmp_path):
+    """read_increment(predicate=...) composes data skipping with the
+    CDC read: the increment's files band-prune before planning, rows
+    equal the plain filtered increment, and a fully-pruned increment
+    is an EMPTY frame in the snapshot schema (not an error)."""
+    from stock_market_etl_spark.io import commit_snapshot, read_increment
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_id", "user_id", F.round("value", 6).alias("value")
+    )
+    n = ev.agg(F.max("event_id")).collect()[0][0]
+    table = str(tmp_path / "t")
+    commit_snapshot(
+        spark,
+        table,
+        ev.filter(F.col("event_id") <= n // 2),
+        stat_columns=["event_id"],
+    )
+    # v2 appends two range slices => two files with disjoint bands
+    hi = ev.filter(F.col("event_id") > n // 2)
+    mid = (n // 2 + n) // 2
+    v2 = commit_snapshot(
+        spark,
+        table,
+        hi.repartitionByRange(2, "event_id"),
+    )
+    pred = [("event_id", ">", mid)]
+    inc = read_increment(spark, table, 1, v2, predicate=pred)
+    import json
+    import os
+
+    with open(os.path.join(table, f"_v{v2}.manifest.json")) as fh:
+        m = json.load(fh)
+    inc_files_all = [f for f in m["files"] if f"/v{v2}-" in f]
+    assert len(inc_files_all) == 2
+    assert 0 < len(set(inc.inputFiles())) < len(inc_files_all)
+    assert (
+        sorted(r["event_id"] for r in inc.collect())
+        == sorted(
+            r["event_id"]
+            for r in hi.filter(F.col("event_id") > mid).collect()
+        )
+    )
+    # fully pruned increment: empty frame, snapshot schema, no error
+    nothing = read_increment(
+        spark, table, 1, v2, predicate=[("event_id", ">", n * 10)]
+    )
+    assert nothing.columns == ["event_id", "user_id", "value"]
+    assert nothing.count() == 0

@@ -1008,3 +1008,50 @@ def test_snapshot_lake_sink_versions_increments_redelivery(
         spark, table, ev.limit(5), txn_id=f"stream-{other_ns}-batch-0"
     )
     assert v2 == before + 1 and _latest_version(table) == before + 1
+
+
+def test_snapshot_lake_sink_records_stats(spark, sf_smoke, tmp_path):
+    """The streaming half of b23: snapshot_lake_sink(stat_columns=...)
+    creates a stats-recording table on the FIRST micro-batch, later
+    batches inherit the column set, and a predicate read on the
+    stream-fed table prunes files exactly as on a batch-built one."""
+    import json
+    import os
+
+    from stock_market_etl_spark.io import (
+        _latest_version,
+        load_table,
+        read_snapshot,
+    )
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_id", "user_id", F.round("value", 6).alias("value")
+    )
+    n = ev.agg(F.max("event_id")).collect()[0][0]
+    src = str(tmp_path / "arrivals")
+    # two arrival files with DISJOINT event_id ranges ⇒ two batches
+    # whose committed files carry disjoint bands
+    for lo, hi in ((-1, n // 2), (n // 2, n)):  # ids start at 0
+        ev.filter(
+            (F.col("event_id") > lo) & (F.col("event_id") <= hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+    table = str(tmp_path / "table")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    core.snapshot_lake_sink(
+        stream, table, str(tmp_path / "ckpt"), stat_columns=["event_id"]
+    )
+    v = _latest_version(table)
+    assert v == 2
+    with open(os.path.join(table, f"_v{v}.manifest.json")) as fh:
+        m = json.load(fh)
+    assert m["stat_columns"] == ["event_id"]
+    assert set(m["stats"]) == set(m["files"])
+    pred = [("event_id", "<=", n // 2)]
+    got = read_snapshot(spark, table, v, predicate=pred)
+    assert 0 < len(set(got.inputFiles())) < len(m["files"])
+    assert got.count() == ev.filter(F.col("event_id") <= n // 2).count()
