@@ -1271,13 +1271,15 @@ def exact_substring_spans(
     Scale shape: windows hash inside the scan (one md5 per token —
     the overlapping-gram price; ~k× the gram COUNT of block dedup but
     the same byte economy because only (id, pos, 16-byte binary
-    digest) rows ever move, never text). Three hash/id-grain
-    exchanges: the (hash, id) distinct for the cross-doc count, the
-    flagged-hash semi-join back onto the window stream (the flag set
-    shrinks by the HAVING, so AQE broadcasts it when small — x60's
-    ban-set move), and the per-doc islands window. At 100 TB this is
-    the honest cost of suffix-grade dedup — the published pipelines
-    pay the same pass."""
+    digest) rows ever move, never text). Exchanges: the (hash, id)
+    distinct for the cross-doc count, and the per-doc islands window
+    over the flagged hits; the flag set shrinks through its HAVING so
+    AQE BROADCASTS the semi-join back onto the window stream — the
+    full (id, pos, h) stream itself never shuffles (x60's ban-set
+    move). The window hashing is recomputed by its two consumers by
+    design — see the inline note at ``g`` for why sharing it loses at
+    100 TB. This is the honest cost of suffix-grade dedup — the
+    published pipelines pay the same pass."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     base = docs.select(F.col(id_col), toks.alias("__t")).filter(
         F.size("__t") >= k
@@ -1292,6 +1294,16 @@ def exact_substring_spans(
             ),
         ),
     )
+    # The window stream is deliberately RECOMPUTED by its two
+    # consumers (the flag aggregation prunes to (h, id); the hit scan
+    # keeps (id, pos, h)) rather than exchanged or cached once:
+    # repartitioning to share it was tried (r10) and REJECTED — the
+    # branches' different pruned columns defeat ReuseExchange, so it
+    # only added a full-stream exchange the broadcast semi-join below
+    # never needed, and materializing a k×-corpus intermediate to
+    # save one scan-local hashing pass is exactly the trade a 100 TB
+    # corpus cannot afford (the cache would be corpus-sized; the
+    # recompute is a CPU pass inside an already-required scan).
     g = base.select(
         F.col(id_col), F.explode(windows).alias("__w")
     ).select(id_col, F.col("__w.pos").alias("__pos"), F.col("__w.h").alias("__h"))

@@ -56,6 +56,9 @@ SHOWCASE = [
     ("f18_market_pipeline", "returns + TR/ATR + Bollinger fused: the whole indicator stack in two exchanges — one tick partial-agg, one shared bar-grain window re-key"),
     ("x70_fuzzy_sparse_pairs", "fuzzy join candidate generation exchanges the (variant, id) stream ONCE — a bounded variant-grain collect_list (objectHashAggregate) whose i<j pairs unfold scan-locally; only id pairs move afterwards"),
     ("b22_lake_lifecycle", "the four lifecycle read points union as four independent snapshot-scan aggregates — each reads exactly its manifest's file list, no cross-read-point exchange"),
+    ("x71_substring_dup_spans", "overlapping k-token windows hash inside the scan; (id, pos, 16-byte digest) rows through the (hash,id) distinct + flagged semi-join + per-doc islands window — text never exchanges"),
+    ("x72_substring_dedup_cut", "x71's flag pass + the cut: per-doc span lists join back by id (AQE-broadcastable) and reassembly is scan-local array logic — corpus text crosses at most ONE exchange"),
+    ("b23_snapshot_skipping_read", "manifest band-prune happens BEFORE planning: the scan's InMemoryFileIndex lists only the matching slice's files; the residual BETWEEN filter still lands in PushedFilters"),
 ]
 
 
