@@ -437,3 +437,113 @@ def test_snapshot_lifecycle_matches_model(spark, ops, tmp_path_factory):
     if latest > 1:
         with _pytest.raises(FileNotFoundError):
             read_snapshot(spark, table, 1)
+
+
+_vals = st.integers(min_value=-50, max_value=50)
+_files = st.lists(  # each inner list = one file's column values
+    st.lists(_vals, min_size=0, max_size=8), min_size=1, max_size=6
+)
+_ops = st.sampled_from(["==", "<", "<=", ">", ">=", "between"])
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(
+    files=_files,
+    conds=st.lists(st.tuples(_ops, _vals, _vals), min_size=1, max_size=3),
+)
+def test_manifest_prune_never_drops_a_matching_file(files, conds):
+    """SOUNDNESS of the b23 manifest band check (pure function, no
+    Spark): for ANY file contents and ANY conjunctive predicate, a
+    file containing at least one row that satisfies every condition
+    must survive _file_may_match when its stats are the true min/max
+    of its rows. (Completeness is not required — keeping a
+    non-matching file is legal; dropping a matching one is data
+    loss.) Empty files carry the __empty marker and may always be
+    pruned."""
+    from stock_market_etl_spark.io import _file_may_match
+
+    predicate = []
+    for op, a, b in conds:
+        if op == "between":
+            predicate.append(("c", op, (min(a, b), max(a, b))))
+        else:
+            predicate.append(("c", op, a))
+
+    def row_matches(v):
+        for _, op, val in predicate:
+            if op == "==" and not v == val:
+                return False
+            if op == "<" and not v < val:
+                return False
+            if op == "<=" and not v <= val:
+                return False
+            if op == ">" and not v > val:
+                return False
+            if op == ">=" and not v >= val:
+                return False
+            if op == "between" and not (val[0] <= v <= val[1]):
+                return False
+        return True
+
+    for rows in files:
+        if not rows:
+            stats = {"__empty": True}
+            assert _file_may_match(stats, predicate) is False
+            continue
+        stats = {"c": {"t": "int", "min": min(rows), "max": max(rows)}}
+        if any(row_matches(v) for v in rows):
+            assert _file_may_match(stats, predicate) is True, (
+                rows,
+                predicate,
+            )
+
+
+_tok = st.text(alphabet="abcxyz", min_size=1, max_size=3)
+_doc = st.lists(_tok, min_size=0, max_size=20)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(docs=st.lists(_doc, min_size=1, max_size=5), k=st.sampled_from([2, 3]))
+def test_cut_spans_matches_python_reference(spark, docs, k):
+    """x72 differential: exact_substring_spans + cut_spans on random
+    token corpora must equal an independent Python reference (set-of-
+    window flagging + positional cut) — including overlap merging,
+    multi-span docs, fully-covered docs, and sub-k docs passing
+    through whitespace-normalized."""
+    from collections import defaultdict
+
+    from stock_market_etl_spark.operators.dedup import (
+        cut_spans,
+        exact_substring_spans,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = exact_substring_spans(
+        sdf, k=k, min_docs=2, text_col="text", id_col="doc_id"
+    )
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in cut_spans(sdf, spans).collect()
+    }
+
+    # independent reference: flag every k-window whose content occurs
+    # in >= 2 distinct docs, mark covered positions, cut, rejoin.
+    # NOTE the engines tokenize "" as [''] (split-of-empty contract).
+    toks_by_doc = {
+        i: (" ".join(t).split(" ") if t else [""]) for i, t in enumerate(docs)
+    }
+    owners = defaultdict(set)
+    for i, toks in toks_by_doc.items():
+        for p in range(len(toks) - k + 1):
+            owners[tuple(toks[p : p + k])].add(i)
+    want = {}
+    for i, toks in toks_by_doc.items():
+        covered = set()
+        for p in range(len(toks) - k + 1):
+            if len(owners[tuple(toks[p : p + k])]) >= 2:
+                covered.update(range(p, p + k))
+        want[i] = " ".join(
+            t for j, t in enumerate(toks) if j not in covered
+        )
+    assert got == want, (got, want)

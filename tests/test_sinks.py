@@ -1283,3 +1283,64 @@ def test_read_increment_with_predicate_prunes(spark, sf_smoke, tmp_path):
     )
     assert nothing.columns == ["event_id", "user_id", "value"]
     assert nothing.count() == 0
+
+
+def test_snapshot_stats_string_and_date_bands(spark, sf_smoke, tmp_path):
+    """b23's band check beyond ints: string and date columns record
+    footer bands and prune correctly (the _stat_encode tag round-trip
+    — dates come back from JSON as comparable date objects, strings
+    compare lexicographically), and a predicate on a column with NO
+    recorded band never prunes."""
+    import datetime
+
+    from stock_market_etl_spark.io import commit_snapshot, read_snapshot
+
+    od = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.to_date("o_orderdate").alias("o_date"),
+    )
+    table = str(tmp_path / "t")
+    # slices by order status => files with narrow string bands
+    statuses = [
+        r["o_orderstatus"]
+        for r in od.select("o_orderstatus").distinct().collect()
+    ]
+    assert len(statuses) >= 2
+    v = 0
+    for s in sorted(statuses):
+        v = commit_snapshot(
+            spark,
+            table,
+            od.filter(F.col("o_orderstatus") == s),
+            stat_columns=["o_orderstatus", "o_date"],
+        )
+    want_status = sorted(statuses)[0]
+    got = read_snapshot(
+        spark, table, v, predicate=[("o_orderstatus", "==", want_status)]
+    )
+    import json
+    import os
+
+    with open(os.path.join(table, f"_v{v}.manifest.json")) as fh:
+        m = json.load(fh)
+    assert 0 < len(set(got.inputFiles())) < len(m["files"])
+    assert got.count() == od.filter(
+        F.col("o_orderstatus") == want_status
+    ).count()
+    # date band: prune to orders at-or-before the global median date
+    mid = od.agg(
+        F.expr("percentile_approx(o_date, 0.5)").alias("m")
+    ).collect()[0]["m"]
+    assert isinstance(mid, datetime.date)
+    got_d = read_snapshot(spark, table, v, predicate=[("o_date", "<=", mid)])
+    assert got_d.count() == od.filter(F.col("o_date") <= mid).count()
+    # every file records a DATE-tagged band that decoded comparably
+    tags = {m["stats"][f]["o_date"]["t"] for f in m["files"]}
+    assert tags == {"date"}
+    # unknown column in the predicate: no pruning, plain filter result
+    got_u = read_snapshot(
+        spark, table, v, predicate=[("o_orderkey", ">=", 0)]
+    )
+    assert len(set(got_u.inputFiles())) == len(m["files"])
+    assert got_u.count() == od.count()
