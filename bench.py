@@ -181,6 +181,15 @@ BENCH_QUERIES = [
     # crosses at most one exchange (the cut join), never a pair
     # stream.
     "x72_substring_dedup_cut",
+    # r10 addition: source-reputation gate — one corpus scan folding
+    # to a source-grain aggregate; the rank window sorts only the
+    # dimension-sized source table.
+    "x73_source_reputation_gate",
+    # r10 addition: the incremental rung — batch windows vs the
+    # corpus (hash, count) index; per-batch cost is the batch's own
+    # windows + one hash-grain index join, corpus text never
+    # re-hashed when the index is materialized.
+    "x74_incremental_substring_spans",
     # r09 addition: x69's SPARSE operating point (VERDICT r08 task 2)
     # — SymSpell deletion-neighborhood fuzzy join over a structureless
     # md5-name entity catalog with planted typos. x69 itself (the

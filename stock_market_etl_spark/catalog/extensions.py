@@ -2474,3 +2474,113 @@ def x72_substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cut_spans(
         docs, spans, text_col="text", id_col="doc_id"
     ).orderBy("doc_id")
+
+
+@_q(
+    "x74_incremental_substring_spans",
+    """WITH d AS (
+         SELECT doc_id,
+                string_split_regex(trim(text), '\\s+') AS toks
+         FROM documents),
+       b AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 8),
+       g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                    unhex(md5(array_to_string(toks[i:i+7], ' '))) AS h
+             FROM b, unnest(range(1, len(toks) - 6)) AS t(i)),
+       f AS (SELECT h FROM (
+               SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY h)
+             WHERE nd >= 2),
+       hits AS (SELECT doc_id, pos FROM g
+                WHERE doc_id % 4 = 0
+                  AND h IN (SELECT h FROM f)),
+       marked AS (SELECT doc_id, pos,
+                    CASE WHEN lag(pos) OVER w IS NULL
+                           OR pos > lag(pos) OVER w + 8
+                         THEN 1 ELSE 0 END AS brk
+                  FROM hits
+                  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       grp AS (SELECT doc_id, pos,
+                      sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+                        AS gid
+               FROM marked)
+       SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+              CAST(max(pos) + 7 AS BIGINT) AS span_end
+       FROM grp GROUP BY doc_id, gid""",
+)
+def x74_incremental_substring_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The INCREMENTAL rung of the substring-dedup ladder
+    (operators/dedup.py exact_substring_spans_incremental): flag
+    duplicate spans in an ARRIVING BATCH (doc_id % 4 == 0) against
+    the existing corpus (the rest) WITHOUT re-hashing the corpus —
+    the x38/x39 batch-vs-corpus move lifted from document grain to
+    Lee et al.'s arbitrary-alignment spans. The oracle states the
+    identity the operator guarantees: the incremental result equals
+    the batch form over corpus ∪ batch restricted to batch docs
+    (disjoint id spaces — the incremental_dedup contract). The
+    corpus-index identity (prebuilt `corpus_window_hashes` ≡ inline
+    derivation) and min_docs generalization are pinned in
+    tests/test_extensions.py.
+
+    Scale shape: per batch, cost is the batch's own windows + one
+    hash-grain join against the materialized (hash, count) index —
+    corpus text contributes nothing after the one-time index build,
+    which is itself append-mergeable (counts sum by hash) as the
+    corpus grows."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    return dedup.exact_substring_spans_incremental(
+        corpus, batch, k=8, min_docs=2, text_col="text", id_col="doc_id"
+    )
+
+
+@_q(
+    "x73_source_reputation_gate",
+    f"""WITH t AS (
+          SELECT source, md5(text) AS h,
+            0.4 * least(1.0, len({_TOKS}) / 100.0)
+            + 0.3 * (1.0
+                - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                       AS DOUBLE) / length(text))
+            + 0.3 * (CAST(len(list_filter({_TOKS},
+                       x -> list_contains({_sql_list(STOPWORDS)}, x)))
+                       AS DOUBLE) / len({_TOKS})) AS q
+          FROM documents),
+        a AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 round(avg(q), 6) AS mean_quality,
+                 round(1.0 - count(DISTINCT h) * 1.0 / count(*), 6)
+                   AS dup_rate
+          FROM t GROUP BY source),
+        r AS (
+          SELECT *,
+                 row_number() OVER (ORDER BY mean_quality DESC, source)
+                   AS rk,
+                 count(*) OVER () AS n
+          FROM a)
+        SELECT source, n_docs, mean_quality, dup_rate,
+               (rk <= CAST(ceil(n / 2.0) AS BIGINT)
+                AND dup_rate <= 0.5) AS keep
+        FROM r ORDER BY source""",
+)
+def x73_source_reputation_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SOURCE-reputation curation gate (operators/text.py
+    source_reputation — RefinedWeb/Dolma-style domain-level filtering
+    at the fixture's source grain): per source, volume, mean document
+    quality (unrounded x3 scores averaged — the x45 rule), and
+    exact-dup rate; ``keep`` = top-half mean-quality rank (rounded
+    mean + source tiebreaker — the x62 round-before-ranking rule)
+    AND dup_rate ≤ 0.5. The grain most production pipelines gate
+    FIRST — a bad domain is cheaper to drop than its documents are to
+    score one by one. Composing the verdict onto the doc stream is a
+    broadcast semi-join (the source table is dimension-sized);
+    planted-junk semantics in tests/test_extensions.py.
+
+    Scale shape: one corpus scan → source-grain map-side-combined
+    aggregate; the rank window sorts only the source table
+    (dimension-sized), never the corpus; text never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.source_reputation(docs).orderBy("source")

@@ -1280,6 +1280,35 @@ def exact_substring_spans(
     design — see the inline note at ``g`` for why sharing it loses at
     100 TB. This is the honest cost of suffix-grade dedup — the
     published pipelines pay the same pass."""
+    # The window stream is deliberately RECOMPUTED by its two
+    # consumers (the flag aggregation prunes to (h, id); the hit scan
+    # keeps (id, pos, h)) rather than exchanged or cached once:
+    # repartitioning to share it was tried (r10) and REJECTED — the
+    # branches' different pruned columns defeat ReuseExchange, so it
+    # only added a full-stream exchange the broadcast semi-join below
+    # never needed, and materializing a k×-corpus intermediate to
+    # save one scan-local hashing pass is exactly the trade a 100 TB
+    # corpus cannot afford (the cache would be corpus-sized; the
+    # recompute is a CPU pass inside an already-required scan).
+    g = _window_hash_stream(docs, k, text_col, id_col)
+    flagged = (
+        g.select("__h", id_col)
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count("*").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    hits = g.join(flagged, "__h", "left_semi")
+    return _merge_flagged_spans(hits, k, id_col)
+
+
+def _window_hash_stream(
+    docs: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, __pos, __h) for every overlapping k-token window — hashed
+    INSIDE the scan (one md5 per token; 16-byte binary digests), the
+    shared front of the exact-substring family."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     base = docs.select(F.col(id_col), toks.alias("__t")).filter(
         F.size("__t") >= k
@@ -1294,28 +1323,15 @@ def exact_substring_spans(
             ),
         ),
     )
-    # The window stream is deliberately RECOMPUTED by its two
-    # consumers (the flag aggregation prunes to (h, id); the hit scan
-    # keeps (id, pos, h)) rather than exchanged or cached once:
-    # repartitioning to share it was tried (r10) and REJECTED — the
-    # branches' different pruned columns defeat ReuseExchange, so it
-    # only added a full-stream exchange the broadcast semi-join below
-    # never needed, and materializing a k×-corpus intermediate to
-    # save one scan-local hashing pass is exactly the trade a 100 TB
-    # corpus cannot afford (the cache would be corpus-sized; the
-    # recompute is a CPU pass inside an already-required scan).
-    g = base.select(
+    return base.select(
         F.col(id_col), F.explode(windows).alias("__w")
     ).select(id_col, F.col("__w.pos").alias("__pos"), F.col("__w.h").alias("__h"))
-    flagged = (
-        g.select("__h", id_col)
-        .distinct()
-        .groupBy("__h")
-        .agg(F.count("*").alias("__nd"))
-        .filter(F.col("__nd") >= min_docs)
-        .select("__h")
-    )
-    hits = g.join(flagged, "__h", "left_semi")
+
+
+def _merge_flagged_spans(hits: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Gaps-and-islands merge of flagged window positions into maximal
+    per-doc token spans (break when the next flagged position starts
+    past prev+k — overlap/adjacency merges)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy("__pos")
@@ -1345,6 +1361,87 @@ def exact_substring_spans(
         )
         .select(id_col, "span_start", "span_end")
     )
+
+
+def corpus_window_hashes(
+    corpus: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The MATERIALIZABLE index for incremental substring flagging:
+    per distinct window hash, the count of distinct corpus documents
+    holding it — ``(__h, __nd)``. Computed once per corpus release and
+    written to the lake beside the content-hash table (the
+    `corpus_signatures` / x39 pattern lifted to window grain), then
+    every arriving batch joins against it instead of re-hashing the
+    corpus. 16 B + 8 B per distinct window — a fraction of corpus
+    bytes, and append-mergeable (counts sum by hash) when the corpus
+    itself grows by appends of NEW doc ids."""
+    g = _window_hash_stream(corpus, k, text_col, id_col)
+    return (
+        g.select("__h", id_col)
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count("*").alias("__nd"))
+    )
+
+
+def exact_substring_spans_incremental(
+    corpus: DataFrame | None,
+    batch: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """`exact_substring_spans` for an ARRIVING BATCH against an
+    existing corpus — the incremental rung of the substring-dedup
+    ladder (x38/x39's batch-vs-corpus move lifted from document grain
+    to arbitrary-alignment spans): a batch window is flagged when the
+    DISTINCT documents holding its content across corpus ∪ batch
+    reach ``min_docs``, and flagged windows merge into maximal spans
+    exactly as in the batch form. By construction (disjoint id
+    spaces, the caller's contract — same as `incremental_dedup`) the
+    result EQUALS ``exact_substring_spans(corpus ∪ batch)`` restricted
+    to batch documents, without ever re-hashing the corpus: pass
+    ``corpus_index`` (a persisted `corpus_window_hashes` table) and
+    the corpus is never touched at all — the production shape, where
+    the index lives in the lake and each batch pays only its own
+    windows (catalog x74 is the oracle form that derives the index
+    inline).
+
+    Scale shape: batch windows hash inside the batch scan; the flag
+    decision is one hash-grain join of the batch's per-hash doc
+    counts (map-side combined, batch-sized) against the index,
+    followed by the flagged-hash semi-join back onto the batch
+    window stream (flag set shrinks ⇒ AQE broadcasts it) and the
+    per-doc islands window — the corpus contributes bytes only
+    through its (hash, count) index, never its text."""
+    if corpus_index is None:
+        if corpus is None:
+            raise ValueError("need corpus or corpus_index")
+        corpus_index = corpus_window_hashes(
+            corpus, k=k, text_col=text_col, id_col=id_col
+        )
+    gb = _window_hash_stream(batch, k, text_col, id_col)
+    batch_counts = (
+        gb.select("__h", id_col)
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count("*").alias("__bnd"))
+    )
+    flagged = (
+        batch_counts.join(corpus_index, "__h", "left")
+        .filter(
+            F.coalesce(F.col("__nd"), F.lit(0)) + F.col("__bnd")
+            >= min_docs
+        )
+        .select("__h")
+    )
+    hits = gb.join(flagged, "__h", "left_semi")
+    return _merge_flagged_spans(hits, k, id_col)
 
 
 def cut_spans(

@@ -1000,3 +1000,57 @@ def deletion_neighborhood_pairs(
         .filter(dist <= max_edits)
         .select("id_a", "id_b", dist.cast("long").alias("dist"))
     )
+
+
+def source_reputation(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """SOURCE-GRAIN curation gate (RefinedWeb/Dolma-style domain
+    filtering at the fixture's source grain): per source, document
+    volume, mean quality (the UNROUNDED per-doc `quality_score`
+    averaged — the x45 rule — then rounded for output), and exact-dup
+    rate (1 − distinct content hashes / docs, the within-source
+    redundancy signal URL-level dedup pipelines gate on). ``keep`` is
+    the reputation verdict a corpus build broadcasts against its doc
+    stream: the source ranks in the TOP HALF by mean quality (rank
+    over the ROUNDED mean with the source name as tiebreaker — the
+    x62 round-before-ranking rule, so the verdict is
+    oracle-replayable) AND its dup rate is ≤ 0.5.
+
+    Deterministic → full DuckDB hash oracle (catalog x73).
+
+    Scale shape: one corpus scan folds to a source-grain aggregate
+    (map-side combined count / sum / distinct-hash); the ranking
+    window runs over the SOURCE table — dimension-sized by nature
+    (domains, feeds), never the corpus — so its single-partition sort
+    is bounded; the doc-grain gate application is then a broadcast
+    semi-join, text never shuffles."""
+    t = F.col(text_col)
+    per = df.select(
+        F.col(source_col).alias("source"),
+        F.md5(t).alias("__h"),
+        quality_score(t).alias("__q"),
+    )
+    agg = per.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("__q"), 6).alias("mean_quality"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("__h") / F.count("*"), 6
+        ).alias("dup_rate"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("mean_quality").desc(), F.col("source"))
+    ranked = agg.select(
+        "*",
+        F.row_number().over(w).alias("__rk"),
+        F.count("*").over(Window.partitionBy()).alias("__n"),
+    )
+    keep = (
+        F.col("__rk") <= F.ceil(F.col("__n") / F.lit(2.0))
+    ) & (F.col("dup_rate") <= 0.5)
+    return ranked.select(
+        "source", "n_docs", "mean_quality", "dup_rate", keep.alias("keep")
+    )

@@ -149,6 +149,16 @@ SHUFFLE_MB_PINS = {
     # where the corpus text crosses (the honest reassembly cost);
     # text in the FLAG pass too would roughly double this.
     "x72_substring_dedup_cut": 10.82,
+    # r10: incremental substring spans — the catalog form derives the
+    # corpus (hash, count) index inline, so the figure is the
+    # corpus-side (h, id) distinct + the batch-side counts/semi-join/
+    # islands; batch TEXT (or corpus text post-index) in an exchange
+    # would multiply it.
+    "x74_incremental_substring_spans": 9.98,
+    # r10: source reputation — source-grain partial-agg rows only
+    # (count/sum/distinct-hash partials); corpus text in the exchange
+    # would be ~600x.
+    "x73_source_reputation_gate": 0.24,
 }
 
 

@@ -1879,3 +1879,113 @@ def test_cut_spans_composes_with_flagger(spark):
         clean.withColumnRenamed("clean_text", "text"), k=4, min_docs=2
     )
     assert again.count() == 0
+
+
+def test_incremental_substring_spans_identities(spark, sf_smoke):
+    """x74's two load-bearing identities on the real fixture: (1) the
+    incremental form equals the batch form over corpus ∪ batch
+    restricted to batch docs; (2) flagging against a PREBUILT
+    corpus_window_hashes index equals deriving it inline — the
+    materialized-index seam the production shape depends on."""
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators.dedup import (
+        corpus_window_hashes,
+        exact_substring_spans,
+        exact_substring_spans_incremental,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+
+    def rows(df):
+        return sorted(
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in df.collect()
+        )
+
+    inc = rows(exact_substring_spans_incremental(corpus, batch, k=8))
+    full = rows(
+        exact_substring_spans(docs, k=8, min_docs=2).filter(
+            F.col("doc_id") % 4 == 0
+        )
+    )
+    assert inc == full and inc  # identity, and non-trivially so
+    idx = corpus_window_hashes(corpus, k=8)
+    via_index = rows(
+        exact_substring_spans_incremental(
+            None, batch, k=8, corpus_index=idx
+        )
+    )
+    assert via_index == inc
+
+
+def test_incremental_substring_spans_min_docs(spark):
+    """min_docs counts DISTINCT docs across corpus ∪ batch: a run
+    held by two corpus docs + the batch doc flags at min_docs=3; a
+    run held by one corpus doc + the batch doc does not."""
+    from stock_market_etl_spark.operators.dedup import (
+        exact_substring_spans_incremental,
+    )
+
+    hot = "h1 h2 h3 h4"   # in 2 corpus docs
+    cold = "c1 c2 c3 c4"  # in 1 corpus doc
+    corpus = spark.createDataFrame(
+        [
+            (10, f"{hot} p1 p2"),
+            (11, f"q1 {hot} q2"),
+            (12, f"{cold} r1 r2"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1, f"a1 {hot} a2 {cold}")],
+        "doc_id long, text string",
+    )
+    spans3 = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in exact_substring_spans_incremental(
+            corpus, batch, k=4, min_docs=3
+        ).collect()
+    }
+    assert spans3 == {(1, 2, 5)}  # hot only
+    spans2 = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in exact_substring_spans_incremental(
+            corpus, batch, k=4, min_docs=2
+        ).collect()
+    }
+    assert spans2 == {(1, 2, 5), (1, 7, 10)}  # hot and cold
+
+
+def test_source_reputation_gate_semantics(spark):
+    """x73's planted-structure contract: a source of duplicated junk
+    (dup_rate 0.75 > 0.5) is dropped regardless of rank; a
+    high-quality distinct source keeps; with 3 sources the top
+    ceil(3/2)=2 by mean quality pass the rank gate, so the
+    mid-quality distinct source keeps and the junk source is the one
+    dropped; volumes and dup rates are exact."""
+    from stock_market_etl_spark.operators.text import source_reputation
+
+    good = "the market value is on a steady rise and the volume is in line with it"
+    mid = "prices move for reasons"
+    junk = "!!! ### !!!"
+    rows = (
+        [(i, good + f" extra{i}", "good_src") for i in range(4)]
+        + [(10 + i, mid + f" w{i}", "mid_src") for i in range(4)]
+        + [(20, junk, "junk_src")]
+        + [(21 + i, junk, "junk_src") for i in range(3)]  # 4 docs, 1 distinct
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    rep = {
+        r["source"]: r
+        for r in source_reputation(docs).collect()
+    }
+    assert rep["good_src"]["n_docs"] == 4
+    assert rep["junk_src"]["dup_rate"] == 0.75
+    assert rep["good_src"]["keep"] is True
+    assert rep["mid_src"]["keep"] is True
+    assert rep["junk_src"]["keep"] is False
+    assert rep["good_src"]["mean_quality"] > rep["junk_src"]["mean_quality"]

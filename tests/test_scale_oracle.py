@@ -248,6 +248,13 @@ SCALE_QUERIES = [
     # r10 addition: snapshot schema evolution (rounded double sum →
     # midpoint tolerance; the refusal path is tests/test_sinks.py)
     ("b24_snapshot_schema_evolution", False),
+    # r10 addition: incremental substring spans (BIGINT span bounds —
+    # exact; the oracle encodes the union-identity the operator
+    # guarantees)
+    ("x74_incremental_substring_spans", True),
+    # r10 addition: source-reputation gate (rounded mean-quality
+    # double → midpoint tolerance; counts/dup-rates integer-derived)
+    ("x73_source_reputation_gate", False),
 ]
 
 

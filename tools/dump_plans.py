@@ -59,6 +59,7 @@ SHOWCASE = [
     ("x71_substring_dup_spans", "overlapping k-token windows hash inside the scan; (id, pos, 16-byte digest) rows through the (hash,id) distinct + flagged semi-join + per-doc islands window — text never exchanges"),
     ("x72_substring_dedup_cut", "x71's flag pass + the cut: per-doc span lists join back by id (AQE-broadcastable) and reassembly is scan-local array logic — corpus text crosses at most ONE exchange"),
     ("b23_snapshot_skipping_read", "manifest band-prune happens BEFORE planning: the scan's InMemoryFileIndex lists only the matching slice's files; the residual BETWEEN filter still lands in PushedFilters"),
+    ("x74_incremental_substring_spans", "batch windows flag against the corpus (hash, count) index via one hash-grain join; corpus text feeds only the index derivation, batch text never exchanges"),
 ]
 
 
