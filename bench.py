@@ -185,6 +185,11 @@ BENCH_QUERIES = [
     # to a source-grain aggregate; the rank window sorts only the
     # dimension-sized source table.
     "x73_source_reputation_gate",
+    # r10 addition: composed curation flagship v4 — source gate
+    # (broadcast) → span cut → exact dedup → hash split in one plan;
+    # the gate halving the corpus FIRST makes the composed flag/cut
+    # cheaper than x72 alone.
+    "x75_curation_pipeline_v4",
     # r10 addition: the incremental rung — batch windows vs the
     # corpus (hash, count) index; per-batch cost is the batch's own
     # windows + one hash-grain index join, corpus text never

@@ -155,6 +155,11 @@ SHUFFLE_MB_PINS = {
     # islands; batch TEXT (or corpus text post-index) in an exchange
     # would multiply it.
     "x74_incremental_substring_spans": 9.98,
+    # r10: composed flagship v4 — the gate prunes sources BEFORE the
+    # flag/cut stages, so its figure sits BELOW x72's despite doing
+    # strictly more work; creeping back above x72's ~10.8 means the
+    # gate stopped pruning ahead of the window hashing.
+    "x75_curation_pipeline_v4": 5.97,
     # r10: source reputation — source-grain partial-agg rows only
     # (count/sum/distinct-hash partials); corpus text in the exchange
     # would be ~600x.

@@ -255,6 +255,9 @@ SCALE_QUERIES = [
     # r10 addition: source-reputation gate (rounded mean-quality
     # double → midpoint tolerance; counts/dup-rates integer-derived)
     ("x73_source_reputation_gate", False),
+    # r10 addition: composed curation flagship v4 (gate → span cut →
+    # exact dedup → hash split; integer/string outputs → exact)
+    ("x75_curation_pipeline_v4", True),
 ]
 
 

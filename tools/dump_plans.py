@@ -60,6 +60,7 @@ SHOWCASE = [
     ("x72_substring_dedup_cut", "x71's flag pass + the cut: per-doc span lists join back by id (AQE-broadcastable) and reassembly is scan-local array logic — corpus text crosses at most ONE exchange"),
     ("b23_snapshot_skipping_read", "manifest band-prune happens BEFORE planning: the scan's InMemoryFileIndex lists only the matching slice's files; the residual BETWEEN filter still lands in PushedFilters"),
     ("x74_incremental_substring_spans", "batch windows flag against the corpus (hash, count) index via one hash-grain join; corpus text feeds only the index derivation, batch text never exchanges"),
+    ("x75_curation_pipeline_v4", "composed flagship: the source gate is a BroadcastExchange semi-join ABOVE the scan, so the flag/cut/dedup stages all run on the pruned corpus — composition adds no exchange"),
 ]
 
 
