@@ -1989,3 +1989,56 @@ def test_source_reputation_gate_semantics(spark):
     assert rep["mid_src"]["keep"] is True
     assert rep["junk_src"]["keep"] is False
     assert rep["good_src"]["mean_quality"] > rep["junk_src"]["mean_quality"]
+
+
+def test_curation_v4_stage_ordering(spark, monkeypatch):
+    """x75's composition contract on planted structure: the source
+    gate drops the junk source's docs BEFORE span work; cutting the
+    shared run makes the two good docs byte-identical, so the exact
+    dedup AFTER the cut keeps exactly one — the stage ordering the
+    flagship's docstring claims (dedup before cut would keep both)."""
+    from stock_market_etl_spark.operators import text as text_ops
+    from stock_market_etl_spark.operators.dedup import (
+        cut_spans,
+        exact_substring_spans,
+    )
+
+    run = " ".join(f"r{i}" for i in range(8))
+    private = "alpha beta"
+    good = (
+        "the market value is on a steady rise and the volume is in line"
+    )
+    rows = (
+        # two docs identical AFTER the shared run is cut
+        [(1, f"{private} {run}", "src_a"), (2, f"{run} {private}", "src_a")]
+        # quality ballast so src_a ranks above the junk source
+        + [(3 + i, good + f" w{i}", "src_a") for i in range(3)]
+        + [(10 + i, "!!! ###", "src_junk") for i in range(4)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    rep = {r["source"]: r["keep"] for r in
+           text_ops.source_reputation(docs).collect()}
+    assert rep == {"src_a": True, "src_junk": False}
+    gated = docs.filter(F.col("source") == "src_a")
+    spans = exact_substring_spans(gated, k=8, min_docs=2)
+    clean = cut_spans(gated, spans)
+    got = {r["doc_id"]: r["clean_text"] for r in clean.collect()}
+    assert got[1] == private and got[2] == private  # identical post-cut
+    # the dedup stage must therefore keep exactly one of doc 1/2:
+    # replicate the flagship's keep-first rule
+    from pyspark.sql import Window
+
+    ne = clean.filter(F.col("clean_text") != "")
+    keep_id = F.min("doc_id").over(
+        Window.partitionBy(F.sha2(F.col("clean_text"), 256))
+    )
+    survivors = {
+        r["doc_id"]
+        for r in ne.select("doc_id", keep_id.alias("k"))
+        .filter(F.col("doc_id") == F.col("k"))
+        .collect()
+    }
+    assert 1 in survivors and 2 not in survivors
+    assert {3, 4, 5} <= survivors
