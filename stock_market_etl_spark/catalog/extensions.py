@@ -2244,7 +2244,10 @@ def x68_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                       || substring(name, j + 1, length(name)))))
            ])) AS vs
          FROM customer),
-       e AS (SELECT DISTINCT id, name, unnest(vs) AS var FROM v),
+       -- variants enter the blocking as md5 DIGESTS, mirroring the
+       -- engine's 16-byte exchange economy bit-for-bit (identical
+       -- hashing both sides => identical blocking, by construction)
+       e AS (SELECT DISTINCT id, name, md5(unnest(vs)) AS var FROM v),
        banned AS (SELECT var FROM (
            SELECT var, count(*) AS n FROM e GROUP BY var)
          WHERE n > 500),
@@ -2312,7 +2315,10 @@ def x69_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     || substring(name, i + 1, length(name)))
            ])) AS vs
          FROM ent),
-       e AS (SELECT DISTINCT id, name, unnest(vs) AS var FROM v),
+       -- variants enter the blocking as md5 DIGESTS, mirroring the
+       -- engine's 16-byte exchange economy bit-for-bit (identical
+       -- hashing both sides => identical blocking, by construction)
+       e AS (SELECT DISTINCT id, name, md5(unnest(vs)) AS var FROM v),
        banned AS (SELECT var FROM (
            SELECT var, count(*) AS n FROM e GROUP BY var)
          WHERE n > 500),

@@ -810,7 +810,9 @@ def deletion_neighborhood_pairs(
     distance). ``id_col`` must be unique (an entity catalog's key —
     the same contract as upsert_snapshot keys); pre-dedup otherwise.
     Scale shape: variant generation is scan-local array expressions
-    (O(len²/2) short strings per row); the (variant, id) stream is
+    (O(len²/2) short strings per row, leaving the scan as 16-byte
+    md5 digests — x49's binary economy, oracle-mirrored); the
+    (digest, id) stream is
     exchanged exactly ONCE — a variant-grain ``collect_list`` whose
     per-bucket buffers the two-pass ban bounds at
     ``max_ids_per_variant`` ids and whose i<j combinations unfold
@@ -881,7 +883,7 @@ def deletion_neighborhood_pairs(
         variants = F.concat(variants, del2)
     # ids only through the bucket aggregation and pair dedup (the x63
     # rule — names re-attach by id for the verify step). Candidate
-    # generation exchanges the (variant, id) stream exactly ONCE:
+    # generation exchanges the (digest, id) stream exactly ONCE:
     # a variant-grain collect_list (bounded ≤ max_ids_per_variant per
     # bucket by the two-pass ban below, so no aggregation buffer can
     # blow up on a hot variant) whose i<j combinations are generated
@@ -890,8 +892,25 @@ def deletion_neighborhood_pairs(
     # three exchanges (r09 rework: 56.9 → 24.1 MB at sf0.1 on the
     # sparse fixture; results identical, ``id_col`` must be unique —
     # an entity catalog's key, same contract as upsert_snapshot keys).
+    # Variants leave the scan as 16-byte md5 DIGESTS, never strings
+    # (x49's binary-digest economy): the whole candidate machinery —
+    # histogram, ban set, collect_list buckets — keys on digest
+    # equality, cutting the one full-stream exchange roughly in half
+    # for realistic name lengths. Correctness is untouched in the
+    # only way that matters for the oracle: DuckDB computes the SAME
+    # md5, so both engines see identical (hypothetical, 2^-128-grade)
+    # collisions and outputs stay bit-equal by construction; a
+    # collision could only ADD a candidate pair, which the exact
+    # levenshtein verify rejects — the SymSpell completeness argument
+    # survives with p≈2^-128 slack.
     e = base.select(
-        "__id", F.explode(F.array_distinct(variants)).alias("__v")
+        "__id",
+        F.explode(
+            F.transform(
+                F.array_distinct(variants),
+                lambda v: F.unhex(F.md5(v)),
+            )
+        ).alias("__v"),
     )
     hist = e.groupBy("__v").agg(F.count("*").alias("__n"))
     # Lazy default: the ban set recomputed from the variant stream in
@@ -950,7 +969,7 @@ def deletion_neighborhood_pairs(
                 ]
                 banned = F.broadcast(
                     df.sparkSession.createDataFrame(
-                        [(v,) for v in vals], "__v string"
+                        [(bytes(v),) for v in vals], "__v binary"
                     )
                 )
         finally:

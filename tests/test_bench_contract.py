@@ -134,11 +134,14 @@ SHUFFLE_MB_PINS = {
     # r09: the sparse fuzzy-join operating point — ONE bounded
     # variant-grain collect_list exchange + the guard histogram job
     # (r10: its ban set is collected and broadcast back, cache
-    # released eagerly — the guard job's own agg exchange replaces
-    # the old InMemoryTableScan reuse byte-for-byte) + a near-empty
-    # pair stream (planted typos only). The pre-r09 distinct →
-    # anti-join → self-join shape creeping back means ~1.5-2.4x.
-    "x70_fuzzy_sparse_pairs": 24.05,
+    # released eagerly) + a near-empty pair stream (planted typos
+    # only). r10 re-pin: variants exchange as 16-byte md5 DIGESTS
+    # (25.6 → 22.4 MB same-session A/B on this 32-char-name fixture;
+    # the real point is the BOUNDED key — 16 B/variant regardless of
+    # entity-name length, where strings scale the exchange with
+    # name bytes). The pre-r09 distinct → anti-join → self-join
+    # shape creeping back means ~1.5-2.4x.
+    "x70_fuzzy_sparse_pairs": 22.41,
     # r09: overlapping-window exact-substring spans — (id, pos,
     # 16-byte digest) rows through the (hash,id) distinct, the
     # flagged semi-join, and the per-doc islands window; TEXT in any
