@@ -547,3 +547,42 @@ def test_cut_spans_matches_python_reference(spark, docs, k):
             t for j, t in enumerate(toks) if j not in covered
         )
     assert got == want, (got, want)
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    docs=st.lists(_doc, min_size=2, max_size=6),
+    k=st.sampled_from([2, 3]),
+    split=st.integers(min_value=2, max_value=3),
+)
+def test_incremental_substring_spans_union_identity(spark, docs, k, split):
+    """x74 differential on random corpora: the incremental form over
+    any batch/corpus partition of a random doc set must equal the
+    batch form over the union restricted to batch docs — the identity
+    the operator's oracle encodes, here exercised across arbitrary
+    window structure instead of the fixture's."""
+    from stock_market_etl_spark.operators.dedup import (
+        exact_substring_spans,
+        exact_substring_spans_incremental,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = sdf.filter(F.col("doc_id") % split == 0)
+    corpus = sdf.filter(F.col("doc_id") % split != 0)
+
+    def spans(df):
+        return sorted(
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in df.collect()
+        )
+
+    inc = spans(
+        exact_substring_spans_incremental(corpus, batch, k=k, min_docs=2)
+    )
+    full = spans(
+        exact_substring_spans(sdf, k=k, min_docs=2).filter(
+            F.col("doc_id") % split == 0
+        )
+    )
+    assert inc == full
