@@ -37,76 +37,74 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship (F1+F2) — permanent anchor
     "f1_f2_metrics_pipeline",
-    # --- r10 rotation (DRIVER_WINDOW.md drafted slot-priority order,
-    # applied mechanically): CORRECTNESS_r09 came back 50/50 green,
-    # ledger stamped r09, so every r09 slot vacates. Tier 1 (red
+    # --- r11 rotation (DRIVER_WINDOW.md drafted slot-priority order,
+    # applied mechanically): CORRECTNESS_r10 came back 50/50 green,
+    # ledger stamped r10, so every r10 slot vacates. Tier 1 (red
     # re-proofs) is empty. Tier 2: the 3 core canaries + the
     # flagship anchor above.
     "q_compute_trends",
     "c4_watermark_filter",
     "e1_global_max_watermark",
-    # Tier 3 — first proofs for the 4 r09-new oracle-bearing queries
+    # Tier 3 — first proofs for the 6 r10-new oracle-bearing queries
     # (all local green at sf0.01 AND sf0.1, the entire remaining
-    # first-proof backlog):
-    "x70_fuzzy_sparse_pairs",
-    "x71_substring_dup_spans",
-    "b22_lake_lifecycle",
+    # first-proof backlog — closes the 195→201 driver-grade gap):
+    "b23_snapshot_skipping_read",
+    "b24_snapshot_schema_evolution",
+    "x72_substring_dedup_cut",
+    "x73_source_reputation_gate",
+    "x74_incremental_substring_spans",
+    "x75_curation_pipeline_v4",
+    # Tier 4 — changed-since-proof re-admit: the r10 ADVICE legacy-txn
+    # migration shim (streaming/core.py snapshot_lake_sink) drifted
+    # n18's impl hash after its r10 green; re-verified green against
+    # its unchanged oracle post-change. Takes the 30th freshness slot
+    # (x16_embedding_near_dup cycles in r12 with the other r07 x-rows).
     "n18_stream_snapshot_lake",
-    # Tier 4 — changed-since-proof re-admits from the r09 ADVICE
-    # fixes: compact_snapshot moved from rebalance+coalesce to
-    # repartition (drifts b16 after its r09 green) and
-    # deletion_neighborhood_pairs' ban set became a collected
-    # broadcast with eager cache release (drifts x69 — x70 above is
-    # a first proof of the same code; b22/n18 absorb the io/streaming
-    # drifts as first proofs).
-    "b16_compaction_roundtrip",
-    "x69_fuzzy_name_pairs",
     # Tier 5 — freshness cycling, oldest-first per the ledger: the
-    # complete r04 cohort (31 rows — the oldest surviving proofs
-    # after a green r09)…
-    "a4_html_dimension_parse",
-    "a5_literal_source",
-    "b2_upsert_merge",
-    "d10_range_join_pairs",
-    "e14_avg_min_max_count",
-    "e15_percentiles",
-    "f6_rank_functions",
-    "f7_range_frame",
-    "g4_bottom_k",
-    "i8_timezone_convert",
-    "m1_pandas_udf_format",
-    "m2_grouped_agg_pandas_udf",
-    "m3_udtf_ohlc_unpivot",
-    "m4_grouped_map_zscore",
-    "n1_tumbling_window_agg",
-    "n2_sliding_window_agg",
-    "n3_session_window_agg",
-    "n6_stream_stream_join",
-    "n7_stream_stream_left_join",
-    "n8_chained_join_window",
-    "x1_token_count",
-    "x2_word_freq",
-    "x3_quality_score",
-    "x4_lang_id",
-    "x5_fingerprint",
-    "x9_multimodal_meta",
-    "x18_multimodal_resize",
-    "x19_frame_sample_counts",
-    "x20_bpe_token_count",
-    "x29_pii_redact",
-    "x30_repetition_ratio",
-    # …then the full r05 cohort (6 rows)…
-    "f8_sessionize",
-    "x32_audio_decode_meta",
-    "x33_tfidf_topk",
-    "x34_bm25_topk",
-    "x36_document_chunks",
-    "x37_bigram_lm_score",
-    # …then the oldest r06 rows as the remaining slots allow (3 of
-    # 13 — §2-core first; the other ten r06 rows cycle in r11).
-    "c1_projection",
-    "i1_cast",
-    "i9_conditional_format",
+    # complete remaining r06 cohort (10 rows — the oldest surviving
+    # proofs after a green r10)…
+    "b9_schema_evolution_read",
+    "e7_null_count_audit",
+    "e8_distinct_list",
+    "j1_unpivot",
+    "n9_stream_dedup_ingest",
+    "n11_stream_static_enrich",
+    "x6_exact_dedup",
+    "x26_contamination",
+    "x42_temperature_mix",
+    "x44_shard_assignment",
+    # …then 29 of the 45 r07 rows: §2-core lettered rows first; the
+    # 16 remaining r07 x-extension rows (x7, x8, x16, x22–x28, x31,
+    # x38, x41, x45–x47, x50) cycle in r12.
+    "b1_partitioned_write_roundtrip",
+    "b7_csv_roundtrip",
+    "b8_json_roundtrip",
+    "b10_orc_roundtrip",
+    "b11_bucketed_colocated_join",
+    "c6_single_eq_filter",
+    "d1_broadcast_left_join",
+    "d2_dim_fact_inner_join",
+    "d4_left_anti_join",
+    "e3_grouped_max",
+    "e4_grouped_last_max_by",
+    "e6_dedup_on_keys",
+    "f1_lag_pct_change",
+    "f3_cumulative_return",
+    "f4_latest_row_per_key",
+    "f5_scale_by_scalar",
+    "g1_multikey_sort",
+    "g3_top_k",
+    "i4_null_fill",
+    "k1_schema_contract_audit",
+    "k3_k4_quality_gate",
+    "l3_cross_store_dedup",
+    "l4_year_range_resume",
+    "m5_map_in_arrow",
+    "n12_stream_session_transcripts",
+    "q_final_returns",
+    "q_latest_snapshot",
+    "q_relative_returns",
+    "q_top_movers",
 )
 
 
