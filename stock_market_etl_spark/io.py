@@ -856,6 +856,27 @@ def commit_snapshot(
     return version
 
 
+def _empty_like_files(spark: SparkSession, files: list[str]) -> DataFrame:
+    """Empty frame in the UNION schema of ``files`` — the shape a
+    fully-pruned snapshot/increment read must present. Anchoring on
+    ``files[0]`` is wrong twice over: manifests sort lexicographically
+    ('v10-' < 'v2-'), so on a schema-evolved table the picked file can
+    predate late-added columns, and a zero-file manifest would raise
+    IndexError. ``mergeSchema`` reads only footers at resolve time and
+    Catalyst folds the False filter to an empty LocalRelation, so no
+    data is scanned."""
+    if not files:
+        raise ValueError(
+            "manifest lists zero files — cannot derive a schema for "
+            "the empty read (corrupt or hand-edited manifest?)"
+        )
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*files)
+        .where(F.lit(False))
+    )
+
+
 def read_snapshot(
     spark: SparkSession,
     table_path: str,
@@ -890,15 +911,20 @@ def read_snapshot(
         manifest = json.load(fh)
     conds = _normalize_predicate(predicate)
     files = manifest["files"]
+    if not files:
+        raise ValueError(
+            f"snapshot v{version} of {table_path} lists zero files — "
+            "corrupt or hand-edited manifest?"
+        )
     if conds:
         stats = manifest.get("stats", {})
         pruned = [
             f for f in files if _file_may_match(stats.get(f), conds)
         ]
         if not pruned:
-            # every file skipped — preserve the snapshot's schema via
-            # one footer (schema-only; the False filter reads no rows)
-            return spark.read.parquet(files[0]).where(F.lit(False))
+            # every file skipped — preserve the snapshot's full union
+            # schema (schema-only; the False filter reads no rows)
+            return _empty_like_files(spark, files)
         return spark.read.parquet(*pruned).where(_predicate_expr(conds))
     return spark.read.parquet(*files)
 
@@ -1006,7 +1032,7 @@ def read_increment(
             stats = json.load(fh).get("stats", {})
         pruned = [f for f in new if _file_may_match(stats.get(f), conds)]
         if not pruned:
-            return spark.read.parquet(new[0]).where(F.lit(False))
+            return _empty_like_files(spark, new)
         return spark.read.parquet(*pruned).where(_predicate_expr(conds))
     return spark.read.parquet(*new)
 

@@ -222,21 +222,31 @@ def jdbc_table_exists(
                     .replace("_", esc + "_")
                     .replace("%", esc + "%")
                 )
+        # Fold identifiers the way THIS driver stores unquoted ones
+        # (storesUpperCaseIdentifiers → upper, lower → lower, mixed →
+        # exact). Unconditional lower() would false-positive two
+        # schemas differing only by case on a case-preserving backend
+        # (create-if-missing would then skip creation); an exact
+        # compare would false-negative on folding backends whose
+        # metadata rows differ in case from Connection.getSchema().
+        try:
+            if meta.storesUpperCaseIdentifiers():
+                fold = str.upper
+            elif meta.storesLowerCaseIdentifiers():
+                fold = str.lower
+            else:
+                fold = str  # mixed-case-preserving: exact compare
+        except Exception:  # metadata call unsupported: old behavior
+            fold = str.lower
         rs = meta.getTables(None, pattern, "%", None)
         try:
             while rs.next():
-                if rs.getString("TABLE_NAME").lower() != table.lower():
+                if fold(rs.getString("TABLE_NAME")) != fold(table):
                     continue
-                # Case-INSENSITIVE, like TABLE_NAME above: a driver may
-                # report metadata rows in a different identifier case
-                # than Connection.getSchema() (storesUpperCase vs
-                # mixed-case metadata); an exact compare would turn
-                # every probe into a false negative and create-if-
-                # missing callers would try to recreate live tables.
                 row_schema = rs.getString("TABLE_SCHEM")
                 if schema is not None and (
                     row_schema is None
-                    or row_schema.lower() != schema.lower()
+                    or fold(row_schema) != fold(schema)
                 ):
                     continue  # LIKE-pattern overmatch on a sibling schema
                 return True

@@ -936,8 +936,17 @@ def snapshot_lake_sink(
     ns = hashlib.sha256(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from stock_market_etl_spark.io import commit_snapshot
+        from stock_market_etl_spark.io import _txn_version, commit_snapshot
 
+        # Migration shim: tables written before txn ids were
+        # checkpoint-scoped committed batches as 'stream-batch-{id}'.
+        # Without this probe, the first restart after the id-format
+        # change replays the last committed batch under the new id and
+        # commits it as duplicate rows. A legacy hit can only come from
+        # a pre-change producer (new producers never write the legacy
+        # format), so treating it as committed is safe.
+        if _txn_version(table_path, f"stream-batch-{batch_id}") is not None:
+            return
         commit_snapshot(
             batch_df.sparkSession,
             table_path,

@@ -1344,3 +1344,61 @@ def test_snapshot_stats_string_and_date_bands(spark, sf_smoke, tmp_path):
     )
     assert len(set(got_u.inputFiles())) == len(m["files"])
     assert got_u.count() == od.count()
+
+
+def test_fully_pruned_read_presents_union_schema(spark, tmp_path):
+    """ADVICE r10 — a fully-pruned read_snapshot/read_increment must
+    derive its empty frame's schema from the WHOLE snapshot, not
+    files[0]: manifests list files lexicographically, so on a
+    schema-evolved table the first file can predate late-added columns
+    and the empty result would come back in the wrong (v1) shape. Also
+    pins the zero-file-manifest guard (explicit ValueError, not
+    IndexError)."""
+    import json
+    import os
+
+    from stock_market_etl_spark.io import (
+        commit_snapshot,
+        read_increment,
+        read_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    v1_rows = spark.range(0, 10).select(
+        F.col("id").alias("event_id"), F.lit(1.0).alias("value")
+    )
+    commit_snapshot(spark, table, v1_rows, stat_columns=["event_id"])
+    v2_rows = spark.range(10, 20).select(
+        F.col("id").alias("event_id"),
+        F.lit(2.0).alias("value"),
+        F.lit("late").alias("extra"),  # column added in generation 2
+    )
+    v2 = commit_snapshot(spark, table, v2_rows, stat_columns=["event_id"])
+
+    # generation-1 files sort first in the manifest, so the old
+    # files[0] anchor would have dropped 'extra' from the empty shape
+    with open(os.path.join(table, f"_v{v2}.manifest.json")) as fh:
+        m = json.load(fh)
+    first = spark.read.parquet(m["files"][0])
+    assert "extra" not in first.columns
+
+    nothing = read_snapshot(
+        spark, table, v2, predicate=[("event_id", ">", 10_000)]
+    )
+    assert nothing.count() == 0
+    assert set(nothing.columns) == {"event_id", "value", "extra"}
+    inc_nothing = read_increment(
+        spark, table, 0, v2, predicate=[("event_id", ">", 10_000)]
+    )
+    assert inc_nothing.count() == 0
+    assert set(inc_nothing.columns) == {"event_id", "value", "extra"}
+
+    # zero-file manifest: loud refusal on any read path
+    broken = str(tmp_path / "broken")
+    os.makedirs(broken)
+    with open(os.path.join(broken, "_v1.manifest.json"), "w") as fh:
+        json.dump({"files": []}, fh)
+    import pytest
+
+    with pytest.raises(ValueError, match="zero files"):
+        read_snapshot(spark, broken, 1)

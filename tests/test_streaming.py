@@ -1055,3 +1055,44 @@ def test_snapshot_lake_sink_records_stats(spark, sf_smoke, tmp_path):
     got = read_snapshot(spark, table, v, predicate=pred)
     assert 0 < len(set(got.inputFiles())) < len(m["files"])
     assert got.count() == ev.filter(F.col("event_id") <= n // 2).count()
+
+
+def test_snapshot_lake_sink_honors_legacy_txn_ids(
+    spark, sf_smoke, tmp_path
+):
+    """ADVICE r10 migration shim: tables written BEFORE txn ids were
+    checkpoint-scoped committed batches as 'stream-batch-{id}'. A
+    restart after the id-format change must NOT replay an
+    already-committed batch under the new scoped id — the sink probes
+    the legacy id and treats a hit as committed."""
+    from stock_market_etl_spark.io import (
+        _latest_version,
+        commit_snapshot,
+        load_table,
+        read_snapshot,
+    )
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_id", "user_id", F.round("value", 6).alias("value")
+    )
+    batch0 = ev.filter(F.col("event_id") % 2 == 0)
+    src = str(tmp_path / "arrivals")
+    batch0.coalesce(1).write.parquet(src)
+    table = str(tmp_path / "table")
+
+    # pre-upgrade state: batch 0 already committed under the LEGACY id
+    commit_snapshot(spark, table, batch0, txn_id="stream-batch-0")
+    assert _latest_version(table) == 1
+
+    # post-upgrade restart replays batch 0 (fresh checkpoint simulates
+    # the replayed offset under a new id namespace): nothing may land
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(src)
+    )
+    core.snapshot_lake_sink(stream, table, str(tmp_path / "ckpt"))
+    assert _latest_version(table) == 1
+    got = sorted(
+        r["event_id"] for r in read_snapshot(spark, table, 1).collect()
+    )
+    assert got == sorted(r["event_id"] for r in batch0.collect())
