@@ -1959,10 +1959,16 @@ def x61_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded ≡ brute-force pair-set equality, and fixture exact-dup
     carryover (duplicate texts → Hamming-0 pairs). 8×8 assets tile
     the first 192 text bytes, so the fixture's shared-prefix docs
-    (13 groups at sf0.001) surface as real Hamming-0 pairs."""
+    (13 groups at sf0.001) surface as real Hamming-0 pairs.
+
+    The fixture encode→decode→hash runs FUSED in one Arrow stage
+    (bmp_ahash_from_documents, r10 VERDICT: the chained two-stage
+    form shipped each payload across the Arrow boundary twice and
+    the dispatch floor dominated on tiny images); fused ≡ two-stage
+    is identity-tested."""
     docs = load_table(spark, sf_dir, "documents")
-    assets = multimodal.bmp_assets_from_documents(docs, width=8, height=8)
-    return multimodal.image_near_dup(assets, max_hamming=3)
+    hashed = multimodal.bmp_ahash_from_documents(docs, width=8, height=8)
+    return multimodal.near_dup_pairs_from_hashes(hashed, max_hamming=3)
 
 
 @_q(

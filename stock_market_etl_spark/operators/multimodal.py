@@ -607,6 +607,18 @@ def image_near_dup(
     per-bucket fan-out is bounded by the band cardinality (2^16
     buckets per band position), the same economy as the text LSH
     family."""
+    return near_dup_pairs_from_hashes(
+        image_ahash(assets, hash_size=hash_size), max_hamming=max_hamming
+    )
+
+
+def near_dup_pairs_from_hashes(
+    hashed: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """The integer half of :func:`image_near_dup`, split out so
+    callers that already hold ``(asset_id, ahash)`` — a fused
+    fixture stage, a lake table of previously-computed hashes — skip
+    the decode map entirely. Same banded pigeonhole contract."""
     if not 0 <= max_hamming <= 3:
         raise ValueError(
             "max_hamming must be in [0, 3]: 4-band pigeonhole blocking "
@@ -618,7 +630,7 @@ def image_near_dup(
     # MapInPandas subtree per join side. 8 B/image cached; the 100 TB
     # shape lands the hash column in the lake once and consumers join
     # against it (cf. hyperplane_lsh_buckets).
-    h = image_ahash(assets, hash_size=hash_size).persist()
+    h = hashed.persist()
     bands = h.select(
         "asset_id",
         "ahash",
@@ -703,4 +715,48 @@ def bmp_assets_from_documents(
                 T.StructField("payload", T.BinaryType()),
             ]
         ),
+    )
+
+
+def bmp_ahash_from_documents(
+    docs: DataFrame,
+    width: int = 16,
+    height: int = 16,
+    hash_size: int = 8,
+) -> DataFrame:
+    """:func:`bmp_assets_from_documents` ∘ :func:`image_ahash` FUSED
+    into one Arrow stage (r10 VERDICT: the chained form ships every
+    BMP payload across the JVM↔Python Arrow boundary twice — built in
+    the encode map, serialized back to the JVM, then re-serialized
+    into the hash map's worker; on thousands of tiny images the
+    per-stage Arrow dispatch floor, not compute, dominated the bench
+    row). Here the payload is encoded, decoded, and hashed inside one
+    Python worker and only ``(asset_id, ahash)`` — 16 B/row — ever
+    returns to the JVM. Identity with the two-stage form is pinned in
+    tests/test_extensions.py; production tables with real payloads
+    keep using :func:`image_ahash`."""
+    n = width * height * 3
+
+    def one(text: str) -> int:
+        b = text.encode("utf-8") or b"\x00"
+        reps = -(-n // len(b))
+        return ahash_bytes(
+            encode_bmp(width, height, (b * reps)[:n]), hash_size
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "ahash": pd.Series(
+                        [one(t) for t in pdf["text"]], dtype="int64"
+                    ),
+                }
+            )
+
+    from stock_market_etl_spark.operators.parallelism import spread
+
+    return spread(docs.select("doc_id", "text")).mapInPandas(
+        batches, schema=AHASH_SCHEMA
     )

@@ -1428,6 +1428,34 @@ def test_image_near_dup_fixture_dup_carryover(spark, sf_smoke):
         assert pairs.get((r["doc_id"], r["doc_id"] + offset)) == 0
 
 
+def test_bmp_ahash_fused_equals_two_stage(spark, sf_smoke):
+    """x61's fused fixture stage (bmp_ahash_from_documents — encode,
+    decode, and hash in ONE Arrow map) must produce bit-identical
+    hashes to the chained bmp_assets_from_documents ∘ image_ahash
+    form it replaced (r10 VERDICT fuse), at both the query's 8×8
+    geometry and the default 16×16."""
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text"
+    )
+    for w, h in ((8, 8), (16, 16)):
+        fused = {
+            r["asset_id"]: r["ahash"]
+            for r in mm.bmp_ahash_from_documents(
+                docs, width=w, height=h
+            ).collect()
+        }
+        chained = {
+            r["asset_id"]: r["ahash"]
+            for r in mm.image_ahash(
+                mm.bmp_assets_from_documents(docs, width=w, height=h)
+            ).collect()
+        }
+        assert fused == chained and fused
+
+
 def test_knn_label_lsh_evidence(spark, sf_correct):
     """Three-fold evidence for the LSH kNN labeler (x63):
     1. identity seam — the shared vote tail fed the FULL query×labeled
@@ -1761,6 +1789,59 @@ def test_fuzzy_pairs_blocking_is_complete(spark):
         return d[n2]
 
     assert all(lev(by_name[a], by_name[b]) <= 2 for a, b in got)
+
+
+def test_fuzzy_pairs_density_guard_and_ban(spark):
+    """deletion_neighborhood_pairs' density guard (single-action form,
+    r11): a key space whose unbanned buckets exceed the pair budget
+    refuses with the measured density BEFORE any pair materializes;
+    stop variants (buckets over max_ids_per_variant) are banned and
+    generate no pairs; and the guard never alters results — guard-on
+    equals guard-off on a passing input."""
+    import pytest
+
+    from stock_market_etl_spark.operators.text import (
+        deletion_neighborhood_pairs,
+    )
+
+    # 40 identical names: every variant bucket holds 40 ids
+    dense = spark.createDataFrame(
+        [(i, "abcdefgh") for i in range(40)], ["id", "name"]
+    )
+    with pytest.raises(ValueError, match="candidate pairs"):
+        deletion_neighborhood_pairs(
+            dense, "name", "id", max_edits=1, max_candidate_pairs=100
+        )
+
+    # same input with the buckets BANNED (cap 2 < 40): nothing pairs,
+    # the bound is 0, and the guard passes
+    assert (
+        deletion_neighborhood_pairs(
+            dense,
+            "name",
+            "id",
+            max_edits=1,
+            max_ids_per_variant=2,
+            max_candidate_pairs=100,
+        ).count()
+        == 0
+    )
+
+    # sparse input: guard-on ≡ guard-off (the guard never alters
+    # results), planted distance-1 pair found either way
+    sparse = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "abcdefg"), (3, "zzzzyyyyxxxx")],
+        ["id", "name"],
+    )
+    def run(budget):
+        return sorted(
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in deletion_neighborhood_pairs(
+                sparse, "name", "id",
+                max_edits=1, max_candidate_pairs=budget,
+            ).collect()
+        )
+    assert run(1_000) == run(None) == [(1, 2, 1)]
 
 
 def test_exact_substring_spans_semantics(spark):
