@@ -830,14 +830,15 @@ def deletion_neighborhood_pairs(
     (the TRUE pair set is itself near-quadratic there). That sum is an
     exact upper bound on candidate rows, computed as ONE eager
     variant-histogram job at construction time and checked BEFORE any
-    pair materializes. The same job counts the stop variants; when that
-    ban set is small enough to hold on the driver (the normal sparse
-    regime — it is bounded by rows/``max_ids_per_variant``), it is
-    collected and fed back as a BROADCAST anti-join and the histogram
-    cache is released eagerly (no persisted DataFrame outlives the
-    call); on a pathologically large ban set the main plan instead
-    recomputes the variant histogram lazily (one extra map-side-combine
-    aggregation — never a driver melt, never a leaked cache). Check:
+    pair materializes. The same single aggregate row carries the stop
+    variants themselves (bounded by rows/``max_ids_per_variant``
+    16-byte digests — driver-safe on any dimension-sized entity
+    catalog), which feed back as a BROADCAST anti-join; nothing is
+    persisted, so no cache can leak (r09 ADVICE) and the variant
+    stream is generated exactly twice total (guard + main plan, both
+    scan-local). On a pathologically large collected ban set the main
+    plan falls back to recomputing the histogram lazily (one extra
+    map-side-combine aggregation — never a fat broadcast). Check:
     exceeding the budget raises with the
     measured density and the three remedies (lower
     ``max_ids_per_variant``, raise the budget deliberately, or move to
@@ -918,62 +919,56 @@ def deletion_neighborhood_pairs(
     # branch below usually replaces it with a collected broadcast.
     banned = hist.filter(F.col("__n") > max_ids_per_variant).select("__v")
     if max_candidate_pairs is not None:
-        # The guard is one variant-grain histogram pass (bounded by
+        # The guard is ONE variant-grain histogram pass (bounded by
         # the variant space, never the corpus), collected EAGERLY at
         # construction time — building the DataFrame runs this one
         # Spark job, the price of refusing BEFORE any pair
-        # materializes. The histogram is persisted only ACROSS the
-        # guard's own two actions (bound check, ban-set collect) and
-        # released before returning — no cached DataFrame outlives
-        # the call (r09 ADVICE: the old code leaked it on success).
-        hist = hist.persist()
-        try:
-            row = hist.agg(
-                F.sum(
-                    F.when(
-                        F.col("__n") <= max_ids_per_variant,
-                        F.col("__n") * (F.col("__n") - 1) / 2,
-                    )
-                ).alias("__ub"),
-                F.count(
-                    F.when(F.col("__n") > max_ids_per_variant, True)
-                ).alias("__nban"),
-            ).collect()[0]
-            upper_bound = int(row["__ub"] or 0)
-            if upper_bound > max_candidate_pairs:
-                raise ValueError(
-                    f"deletion-neighborhood blocking on {name_col} "
-                    f"would generate up to {upper_bound:,} candidate "
-                    f"pairs (budget {max_candidate_pairs:,}) — the "
-                    "key space is too dense for exact SymSpell "
-                    "blocking at this setting. Lower "
-                    "max_ids_per_variant, raise max_candidate_pairs "
-                    "deliberately, or switch to LSH blocking "
-                    "(minhash_lsh_pairs) for a bounded stream."
+        # materializes. Bound, ban count, AND ban set ride a single
+        # aggregate row, so the guard is one action with no persist —
+        # the former persist + two-action form materialized the
+        # histogram cache and re-ran the variant generation, ~40%
+        # wall-clock overhead on a sparse fixture (r11 profile). The
+        # collect_list is driver-safe in any admissible regime: stop
+        # variants are rows-per-variant outliers, so the list is
+        # bounded by total_ids / max_ids_per_variant 16-byte digests
+        # on an entity catalog that is dimension-sized by nature.
+        row = hist.agg(
+            F.sum(
+                F.when(
+                    F.col("__n") <= max_ids_per_variant,
+                    F.col("__n") * (F.col("__n") - 1) / 2,
                 )
-            # Stop variants are rows-per-variant outliers, so the ban
-            # set is bounded by rows / max_ids_per_variant — driver-
-            # safe in any regime the pair budget admits. Collect it
-            # from the already-computed histogram and feed it back as
-            # a broadcast anti-join (cheaper than the agg-exchange the
-            # lazy form pays). The cap is pure defense: a ban set too
-            # big to collect falls back to the lazy recompute.
-            if int(row["__nban"] or 0) <= 2_000_000:
-                vals = [
-                    r[0]
-                    for r in hist.filter(
-                        F.col("__n") > max_ids_per_variant
-                    )
-                    .select("__v")
-                    .collect()
-                ]
-                banned = F.broadcast(
-                    df.sparkSession.createDataFrame(
-                        [(bytes(v),) for v in vals], "__v binary"
-                    )
+            ).alias("__ub"),
+            F.collect_list(
+                F.when(
+                    F.col("__n") > max_ids_per_variant, F.col("__v")
                 )
-        finally:
-            hist.unpersist()
+            ).alias("__ban"),
+        ).collect()[0]
+        upper_bound = int(row["__ub"] or 0)
+        if upper_bound > max_candidate_pairs:
+            raise ValueError(
+                f"deletion-neighborhood blocking on {name_col} "
+                f"would generate up to {upper_bound:,} candidate "
+                f"pairs (budget {max_candidate_pairs:,}) — the "
+                "key space is too dense for exact SymSpell "
+                "blocking at this setting. Lower "
+                "max_ids_per_variant, raise max_candidate_pairs "
+                "deliberately, or switch to LSH blocking "
+                "(minhash_lsh_pairs) for a bounded stream."
+            )
+        # Feed the ban set back as a broadcast anti-join (cheaper
+        # than the agg-exchange the lazy form pays). The cap is pure
+        # defense: a pathologically large ban set (possible only
+        # far outside the entity-catalog contract) falls back to the
+        # lazy recompute instead of a fat broadcast.
+        vals = row["__ban"] or []
+        if len(vals) <= 2_000_000:
+            banned = F.broadcast(
+                df.sparkSession.createDataFrame(
+                    [(bytes(v),) for v in vals], "__v binary"
+                )
+            )
     # pass 2: bounded per-bucket id lists (ban applied BEFORE the
     # list aggregation — a stop variant never builds a giant buffer),
     # then i<j pairs unfold scan-locally from each sorted list
