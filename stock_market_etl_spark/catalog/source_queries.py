@@ -84,6 +84,54 @@ def a5_literal_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "a2_jdbc_scan",
+    """SELECT s_suppkey, s_name, s_nationkey,
+              round(s_acctbal, 6) AS s_acctbal
+       FROM supplier""",
+)
+def a2_jdbc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: relational scan over JDBC, partition-parallel — the
+    reference's warehouse read (`scripts/app.py:31-44`,
+    `scripts/load_stock_metrics.py:40-49`: SQL pushed to Postgres)
+    against embedded Derby, the pure-Java RDBMS on Spark's own
+    classpath; production swaps only URL/driver. The fixture's
+    supplier dimension is loaded over JDBC (B4 writer), then read
+    back with ``partitionColumn`` + bounds so the scan splits into
+    parallel range queries — N connections each streaming a key
+    range, the 100 TB shape — and compared against the parquet truth
+    (full hash oracle: the round-trip must be lossless). Derby folds
+    unquoted identifiers upper, so the pushed SQL quotes the writer's
+    case-preserved columns; DOUBLE is rounded on BOTH sides."""
+    import os
+
+    from stock_market_etl_spark.io import load_jdbc, load_table
+    from stock_market_etl_spark.sinks import jdbc_overwrite
+
+    work = _scratch.fresh_dir("a2_jdbc_scan")
+    url = f"jdbc:derby:{os.path.join(work, 'dimdb')};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.round("s_acctbal", 6).alias("s_acctbal"),
+    )
+    hi = sup.agg(F.max("s_suppkey")).collect()[0][0]
+    jdbc_overwrite(sup, url, "supplier_dim", props)
+    return load_jdbc(
+        spark,
+        url,
+        'SELECT "s_suppkey", "s_name", "s_nationkey", "s_acctbal" '
+        "FROM supplier_dim",
+        partition_column='"s_suppkey"',
+        num_partitions=4,
+        lower_bound=1,
+        upper_bound=int(hi) + 1,
+        properties=props,
+    )
+
+
+@_q(
     "a1_parquet_scan",
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
        FROM lineitem""",

@@ -258,6 +258,10 @@ SCALE_QUERIES = [
     # r10 addition: composed curation flagship v4 (gate → span cut →
     # exact dedup → hash split; integer/string outputs → exact)
     ("x75_curation_pipeline_v4", True),
+    # r11 addition: the Derby-backed partition-parallel JDBC scan —
+    # the round-trip must be lossless at 10× too (acctbal DOUBLE is
+    # rounded identically on both sides pre-write → exact)
+    ("a2_jdbc_scan", True),
 ]
 
 
