@@ -54,12 +54,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x73_source_reputation_gate",
     "x74_incremental_substring_spans",
     "x75_curation_pipeline_v4",
-    # Tier 4 — changed-since-proof re-admit: the r10 ADVICE legacy-txn
-    # migration shim (streaming/core.py snapshot_lake_sink) drifted
-    # n18's impl hash after its r10 green; re-verified green against
-    # its unchanged oracle post-change. Takes the 30th freshness slot
-    # (x16_embedding_near_dup cycles in r12 with the other r07 x-rows).
+    # Tier 4 — changed-since-proof re-admits (each re-verified green
+    # against its unchanged oracle post-change, taking the last
+    # freshness slots; evictees cycle in r12):
+    # - n18: the r10 ADVICE legacy-txn migration shim
+    #   (streaming/core.py snapshot_lake_sink) drifted its hash.
+    # - x69/x70: deletion_neighborhood_pairs' density guard collapsed
+    #   to a single aggregate action (bound + ban set in one row, no
+    #   persist) after their r10 greens.
     "n18_stream_snapshot_lake",
+    "x69_fuzzy_name_pairs",
+    "x70_fuzzy_sparse_pairs",
     # Tier 5 — freshness cycling, oldest-first per the ledger: the
     # complete remaining r06 cohort (10 rows — the oldest surviving
     # proofs after a green r10)…
@@ -73,9 +78,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x26_contamination",
     "x42_temperature_mix",
     "x44_shard_assignment",
-    # …then 29 of the 45 r07 rows: §2-core lettered rows first; the
-    # 16 remaining r07 x-extension rows (x7, x8, x16, x22–x28, x31,
-    # x38, x41, x45–x47, x50) cycle in r12.
+    # …then 27 of the 45 r07 rows: §2-core lettered rows first; the
+    # 18 remaining r07 rows (x7, x8, x16, x22–x28, x31, x38, x41,
+    # x45–x47, x50, q_relative_returns, q_top_movers) cycle in r12.
     "b1_partitioned_write_roundtrip",
     "b7_csv_roundtrip",
     "b8_json_roundtrip",
@@ -103,8 +108,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "n12_stream_session_transcripts",
     "q_final_returns",
     "q_latest_snapshot",
-    "q_relative_returns",
-    "q_top_movers",
 )
 
 
