@@ -1387,6 +1387,57 @@ def corpus_window_hashes(
     )
 
 
+def write_window_index(
+    corpus: DataFrame,
+    path: str,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize `corpus_window_hashes` to ``path/{window_hashes,
+    meta}`` — the once-per-corpus-release step of the substring-dedup
+    lifecycle (the window-grain sibling of `write_corpus_signatures`
+    and `similarity.write_ivf_index`). After this, every arriving
+    batch pays only its own windows plus one hash-grain join against
+    the artifact; corpus text never re-hashes
+    (`exact_substring_spans_incremental(corpus_index=...)`).
+
+    ``k`` is part of the index's identity — probing with a different
+    window width would silently match nothing (different window
+    content ⇒ different digests) and flag no spans, so it is recorded
+    in a one-row meta table and `read_window_index` refuses a
+    mismatch loudly. The artifact is (16 B digest + 8 B count) per
+    DISTINCT window — a fraction of corpus bytes — and
+    append-mergeable: counts sum by hash when the corpus grows by
+    appends of new doc ids."""
+    idx = corpus_window_hashes(
+        corpus, k=k, text_col=text_col, id_col=id_col
+    )
+    idx.write.mode("overwrite").parquet(f"{path}/window_hashes")
+    corpus.sparkSession.createDataFrame(
+        [(int(k),)], "k int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_window_index(
+    spark: SparkSession, path: str, k: int | None = None
+) -> tuple[DataFrame, int]:
+    """Load a materialized `write_window_index` artifact as the
+    ``(corpus_index, k)`` pair
+    `exact_substring_spans_incremental(corpus_index=...)` takes.
+    Passing ``k`` asserts the caller's window width against the
+    recorded one — a silent mismatch would flag nothing, so it is a
+    loud ValueError instead."""
+    built_k = int(spark.read.parquet(f"{path}/meta").collect()[0]["k"])
+    if k is not None and k != built_k:
+        raise ValueError(
+            f"window index at {path} was built with k={built_k}, "
+            f"probe requested k={k} — digests would never match; "
+            "rebuild the index or probe at its k"
+        )
+    return spark.read.parquet(f"{path}/window_hashes"), built_k
+
+
 def exact_substring_spans_incremental(
     corpus: DataFrame | None,
     batch: DataFrame,

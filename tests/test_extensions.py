@@ -2001,6 +2001,46 @@ def test_incremental_substring_spans_identities(spark, sf_smoke):
     assert via_index == inc
 
 
+def test_window_index_write_read_roundtrip(spark, sf_smoke, tmp_path):
+    """b25's artifact seam: probing a WRITTEN-AND-READ-BACK window
+    index equals the inline derivation bit-for-bit; the recorded k
+    round-trips; and probing at a different window width is a loud
+    refusal (digests would silently never match)."""
+    import pytest
+
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators.dedup import (
+        exact_substring_spans_incremental,
+        read_window_index,
+        write_window_index,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    path = str(tmp_path / "substring_index")
+    write_window_index(corpus, path, k=8)
+    idx, built_k = read_window_index(spark, path, k=8)
+    assert built_k == 8
+
+    def rows(df):
+        return sorted(
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in df.collect()
+        )
+
+    via_artifact = rows(
+        exact_substring_spans_incremental(
+            None, batch, k=built_k, corpus_index=idx
+        )
+    )
+    inline = rows(exact_substring_spans_incremental(corpus, batch, k=8))
+    assert via_artifact == inline and via_artifact
+
+    with pytest.raises(ValueError, match="k=8"):
+        read_window_index(spark, path, k=6)
+
+
 def test_incremental_substring_spans_min_docs(spark):
     """min_docs counts DISTINCT docs across corpus ∪ batch: a run
     held by two corpus docs + the batch doc flags at min_docs=3; a

@@ -262,6 +262,10 @@ SCALE_QUERIES = [
     # the round-trip must be lossless at 10× too (acctbal DOUBLE is
     # rounded identically on both sides pre-write → exact)
     ("a2_jdbc_scan", True),
+    # r11 addition: the materialized substring-index lifecycle —
+    # probe-the-artifact must equal x74's inline form at 10× (BIGINT
+    # span bounds over md5 window digests → exact)
+    ("b25_window_index_lifecycle", True),
 ]
 
 
