@@ -537,3 +537,85 @@ def n18_stream_snapshot_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stock_market_etl_spark.io import _latest_version
 
     return read_snapshot(spark, table, _latest_version(table))
+
+
+@_q(
+    "n19_stream_substring_gate",
+    # x74's span derivation (batch = doc_id % 4 = 0 vs the corpus
+    # release) composed with x72's cut, restricted to the arriving
+    # batch — the single-micro-batch identity makes the drained gate
+    # hash-checkable like n9.
+    """WITH d AS (
+         SELECT doc_id,
+                string_split_regex(trim(text), '\\s+') AS toks
+         FROM documents),
+       b AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 8),
+       g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                    unhex(md5(array_to_string(toks[i:i+7], ' '))) AS h
+             FROM b, unnest(range(1, len(toks) - 6)) AS t(i)),
+       f AS (SELECT h FROM (
+               SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY h)
+             WHERE nd >= 2),
+       hits AS (SELECT doc_id, pos FROM g
+                WHERE doc_id % 4 = 0
+                  AND h IN (SELECT h FROM f)),
+       marked AS (SELECT doc_id, pos,
+                    CASE WHEN lag(pos) OVER w IS NULL
+                           OR pos > lag(pos) OVER w + 8
+                         THEN 1 ELSE 0 END AS brk
+                  FROM hits
+                  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       grp AS (SELECT doc_id, pos,
+                      sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+                        AS gid
+               FROM marked),
+       spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+                 FROM grp GROUP BY doc_id, gid),
+       batch AS (SELECT doc_id, toks FROM d WHERE doc_id % 4 = 0),
+       tok AS (SELECT doc_id, unnest(toks) AS tok,
+                      unnest(generate_series(1, len(toks))) AS i
+               FROM batch),
+       kept AS (SELECT t.doc_id, t.tok, t.i FROM tok t
+                WHERE NOT EXISTS (
+                  SELECT 1 FROM spans s
+                  WHERE s.doc_id = t.doc_id
+                    AND t.i BETWEEN s.s AND s.e))
+       SELECT batch.doc_id,
+              coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '')
+                AS clean_text
+       FROM batch LEFT JOIN kept k ON k.doc_id = batch.doc_id
+       GROUP BY batch.doc_id
+       ORDER BY batch.doc_id""",
+)
+def n19_stream_substring_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """N: the substring-dedup gate drained end-to-end — a REAL
+    Structured Streaming run (file source → foreachBatch flag-vs-
+    materialized-index + span cut → parquet append), probing the b25
+    artifact from a stream (`streaming/core.substring_gate_sink`).
+    The corpus release (doc_id % 4 != 0) is indexed ONCE with
+    `dedup.write_window_index`; the batch docs (doc_id % 4 == 0)
+    arrive as one file ⇒ one micro-batch, so the landed table must
+    equal the batch form (x74's spans cut per x72) — a full hash
+    oracle like n9/n18; multi-batch replay + redelivery idempotence
+    are asserted in tests/test_streaming.py."""
+    import os
+
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators import dedup
+
+    corpus = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 != 0
+    )
+    work = _scratch.fresh_dir("substring_gate")
+    index_path = os.path.join(work, "substring_index")
+    dedup.write_window_index(corpus, index_path, k=8)
+    stream = core.stream_documents(
+        spark, sf_dir, glob="documents.parquet"
+    ).filter(F.col("doc_id") % 4 == 0)
+    out_path = os.path.join(work, "clean")
+    core.substring_gate_sink(
+        stream, out_path, os.path.join(work, "ckpt"), index_path
+    )
+    return spark.read.parquet(out_path)

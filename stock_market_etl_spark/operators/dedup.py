@@ -1419,6 +1419,35 @@ def write_window_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
+def merge_window_index(
+    index: DataFrame,
+    new_docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fold NEW documents into an existing `corpus_window_hashes`
+    index WITHOUT re-hashing the indexed corpus — the incremental
+    release step the index's append-mergeable design exists for:
+    per-hash distinct-doc counts SUM when doc id spaces are disjoint
+    (the `incremental_dedup` contract — an id on both sides would
+    double-count its windows). ``merge_window_index(index, batch) ≡
+    corpus_window_hashes(corpus ∪ batch)`` is pinned in
+    tests/test_extensions.py.
+
+    Scale shape: the new docs pay one window-hash pass + a hash-grain
+    map-side-combined sum against the index — increment-sized work;
+    the indexed corpus contributes only its (16 B, 8 B) rows."""
+    new_counts = corpus_window_hashes(
+        new_docs, k=k, text_col=text_col, id_col=id_col
+    )
+    return (
+        index.unionByName(new_counts)
+        .groupBy("__h")
+        .agg(F.sum("__nd").alias("__nd"))
+    )
+
+
 def read_window_index(
     spark: SparkSession, path: str, k: int | None = None
 ) -> tuple[DataFrame, int]:

@@ -2163,3 +2163,30 @@ def test_curation_v4_stage_ordering(spark, monkeypatch):
     }
     assert 1 in survivors and 2 not in survivors
     assert {3, 4, 5} <= survivors
+
+
+def test_merge_window_index_equals_rebuild(spark, sf_smoke):
+    """The window index's append-mergeable claim, pinned:
+    merge_window_index(index(corpus), batch) must equal
+    corpus_window_hashes(corpus ∪ batch) exactly (disjoint id spaces
+    — the incremental contract)."""
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators.dedup import (
+        corpus_window_hashes,
+        merge_window_index,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+
+    def rows(df):
+        return sorted(
+            (bytes(r["__h"]), r["__nd"]) for r in df.collect()
+        )
+
+    merged = rows(
+        merge_window_index(corpus_window_hashes(corpus, k=8), batch, k=8)
+    )
+    rebuilt = rows(corpus_window_hashes(docs, k=8))
+    assert merged == rebuilt and merged

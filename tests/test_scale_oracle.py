@@ -266,6 +266,10 @@ SCALE_QUERIES = [
     # probe-the-artifact must equal x74's inline form at 10× (BIGINT
     # span bounds over md5 window digests → exact)
     ("b25_window_index_lifecycle", True),
+    # r11 addition: the streamed substring gate (flag vs the b25
+    # artifact + span cut, drained end-to-end; string reassembly →
+    # exact)
+    ("n19_stream_substring_gate", True),
 ]
 
 

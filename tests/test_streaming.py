@@ -1096,3 +1096,72 @@ def test_snapshot_lake_sink_honors_legacy_txn_ids(
         r["event_id"] for r in read_snapshot(spark, table, 1).collect()
     )
     assert got == sorted(r["event_id"] for r in batch0.collect())
+
+
+def test_substring_gate_multibatch_and_redelivery(spark, tmp_path):
+    """n19's engine on planted structure: (1) a batch doc sharing a
+    >= k run with the INDEXED corpus is cut; (2) two docs sharing a
+    run WITHIN one micro-batch cut each other (batch-internal
+    duplication counts); (3) a later batch sharing a run only with an
+    EARLIER batch is NOT cut — the frozen-release contract the
+    docstring states (merge_window_index is the release step); (4) a
+    full redelivery (fresh checkpoint, same files) lands nothing."""
+    from stock_market_etl_spark.operators.dedup import write_window_index
+
+    run = "r1 r2 r3 r4"  # the k=4 shared run
+    corpus = spark.createDataFrame(
+        [(1, f"c1 c2 {run} c3 c4")], ["doc_id", "text"]
+    )
+    index_path = str(tmp_path / "idx")
+    write_window_index(corpus, index_path, k=4)
+
+    src = str(tmp_path / "arrivals")
+    batch1 = spark.createDataFrame(
+        [
+            (100, f"a1 a2 {run} a3 a4"),     # shares run with corpus → cut
+            (101, "b1 b2 b3 b4 b5 b6 b7"),   # clean
+            (102, "q1 q2 s1 s2 s3 s4 q3"),   # shares s-run with 103 → cut
+            (103, "q4 q5 s1 s2 s3 s4 q6"),   # batch-internal pair → cut
+        ],
+        ["doc_id", "text"],
+    )
+    batch2 = spark.createDataFrame(
+        # shares b-run only with batch1's 101 — index is frozen, so NOT cut
+        [(200, "z1 b1 b2 b3 b4 z2")],
+        ["doc_id", "text"],
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "clean")
+
+    def run_gate(ckpt):
+        stream = (
+            spark.readStream.schema(batch1.schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        core.substring_gate_sink(
+            stream, out, str(tmp_path / ckpt), index_path
+        )
+
+    run_gate("ckpt1")
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[100] == "a1 a2 a3 a4"
+    assert got[101] == "b1 b2 b3 b4 b5 b6 b7"
+    assert got[102] == "q1 q2 q3"
+    assert got[103] == "q4 q5 q6"
+    assert got[200] == "z1 b1 b2 b3 b4 z2"  # frozen release: untouched
+    assert len(got) == 5
+
+    # full redelivery: fresh checkpoint, same files — nothing lands
+    run_gate("ckpt2")
+    again = spark.read.parquet(out)
+    assert again.count() == 5
+    assert {
+        r["doc_id"]: r["clean_text"] for r in again.collect()
+    } == got
