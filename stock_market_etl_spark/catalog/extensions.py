@@ -2745,3 +2745,68 @@ def x75_curation_pipeline_v4(
         .cast("long")
         .alias("n_tokens_clean"),
     ).orderBy("doc_id")
+
+
+@_q(
+    "x76_substring_dedup_keep_one",
+    # x72's chain with the keep-one rule: a window is charged to
+    # every holder EXCEPT its keeper (min doc_id holding the content)
+    """WITH d AS (
+         SELECT doc_id,
+                string_split_regex(trim(text), '\\s+') AS toks
+         FROM documents),
+       b AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 8),
+       g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                    unhex(md5(array_to_string(toks[i:i+7], ' '))) AS h
+             FROM b, unnest(range(1, len(toks) - 6)) AS t(i)),
+       f AS (SELECT h, min(doc_id) AS keeper
+             FROM g GROUP BY h
+             HAVING count(DISTINCT doc_id) >= 2),
+       hits AS (SELECT g.doc_id, g.pos FROM g JOIN f ON g.h = f.h
+                WHERE g.doc_id <> f.keeper),
+       marked AS (SELECT doc_id, pos,
+                    CASE WHEN lag(pos) OVER w IS NULL
+                           OR pos > lag(pos) OVER w + 8
+                         THEN 1 ELSE 0 END AS brk
+                  FROM hits
+                  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       grp AS (SELECT doc_id, pos,
+                      sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+                        AS gid
+               FROM marked),
+       spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+                 FROM grp GROUP BY doc_id, gid),
+       tok AS (SELECT doc_id, unnest(toks) AS tok,
+                      unnest(generate_series(1, len(toks))) AS i
+               FROM d),
+       kept AS (SELECT t.doc_id, t.tok, t.i FROM tok t
+                WHERE NOT EXISTS (
+                  SELECT 1 FROM spans s
+                  WHERE s.doc_id = t.doc_id
+                    AND t.i BETWEEN s.s AND s.e))
+       SELECT d.doc_id,
+              coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '')
+                AS clean_text
+       FROM d LEFT JOIN kept k ON k.doc_id = d.doc_id
+       GROUP BY d.doc_id
+       ORDER BY d.doc_id""",
+)
+def x76_substring_dedup_keep_one(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lee et al.'s KEEP-ONE substring dedup (their published policy —
+    one occurrence of each duplicated substring survives) as flag →
+    cut: `dedup.exact_substring_spans_keep_one` charges each flagged
+    window to every holder except its min-doc_id keeper, then
+    `cut_spans` excises the spans; exact-duplicate fixture docs
+    resolve to "first doc keeps its text verbatim, the rest cut" —
+    the x72 complement (x72/x60 cut EVERY copy, C4's stance).
+    Deterministic end-to-end → full DuckDB hash oracle; the
+    keeper-survives semantics are pinned in tests/test_extensions.py.
+
+    Scale shape: identical to x71/x72 — the flag aggregate carries
+    one extra 8-byte min(id); text still crosses exactly one id-grain
+    join for the reassembly."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = dedup.exact_substring_spans_keep_one(docs, k=8, min_docs=2)
+    return dedup.cut_spans(docs, spans).orderBy("doc_id")

@@ -1303,6 +1303,53 @@ def exact_substring_spans(
     return _merge_flagged_spans(hits, k, id_col)
 
 
+def exact_substring_spans_keep_one(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`exact_substring_spans` with Lee et al.'s KEEP-ONE policy
+    (their published dedup keeps one occurrence of each duplicated
+    substring; x71/x72's every-copy stance is C4's): each flagged
+    window is charged to every holder EXCEPT its KEEPER — the minimum
+    ``id_col`` among the documents holding that window content — so
+    exact-duplicate documents resolve to "min id keeps its text,
+    the rest cut", and a duplicated paragraph survives verbatim in
+    its first holder. Keeper choice is per WINDOW (content identity),
+    which makes the rule deterministic and oracle-replayable with no
+    cluster construction; the honest caveat (shared with practical
+    suffix-dedup keep-one): when overlapping runs have different
+    keepers, a keeper's copy can still lose positions to the
+    neighbouring run's span — only identical-extent duplication is
+    guaranteed to survive in full.
+
+    Deterministic → full DuckDB hash oracle (catalog x76 cuts these
+    spans). Scale shape: identical to `exact_substring_spans` — the
+    flag aggregate carries one extra 8-byte min(id) column; the hit
+    join swaps left_semi for an inner join plus a scan-local keeper
+    inequality."""
+    g = _window_hash_stream(docs, k, text_col, id_col)
+    flagged = (
+        g.select("__h", id_col)
+        .distinct()
+        .groupBy("__h")
+        .agg(
+            F.count("*").alias("__nd"),
+            F.min(id_col).alias("__keeper"),
+        )
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h", "__keeper")
+    )
+    hits = (
+        g.join(flagged, "__h")
+        .filter(F.col(id_col) != F.col("__keeper"))
+        .select(id_col, "__pos")
+    )
+    return _merge_flagged_spans(hits, k, id_col)
+
+
 def _window_hash_stream(
     docs: DataFrame, k: int, text_col: str, id_col: str
 ) -> DataFrame:

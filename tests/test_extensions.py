@@ -2190,3 +2190,36 @@ def test_merge_window_index_equals_rebuild(spark, sf_smoke):
     )
     rebuilt = rows(corpus_window_hashes(docs, k=8))
     assert merged == rebuilt and merged
+
+
+def test_substring_keep_one_semantics(spark):
+    """x76's keeper contract on planted structure: the min-doc_id
+    holder of a duplicated run keeps its text verbatim while every
+    other holder is cut; an exact-duplicate document pair resolves to
+    first-keeps / second-empties; clean docs pass through."""
+    from stock_market_etl_spark.operators.dedup import (
+        cut_spans,
+        exact_substring_spans_keep_one,
+    )
+
+    dup = "R1 R2 R3 R4"
+    docs = spark.createDataFrame(
+        [
+            (1, f"p1 p2 {dup} p3"),   # keeper of the shared run
+            (2, f"z1 {dup} z2"),      # cut
+            (10, "e1 e2 e3 e4 e5"),   # exact-dup pair: keeper
+            (11, "e1 e2 e3 e4 e5"),   # exact-dup pair: fully covered
+            (20, "c1 c2 c3"),         # clean, short
+        ],
+        ["doc_id", "text"],
+    )
+    spans = exact_substring_spans_keep_one(docs, k=4, min_docs=2)
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in cut_spans(docs, spans).collect()
+    }
+    assert got[1] == f"p1 p2 {dup} p3"
+    assert got[2] == "z1 z2"
+    assert got[10] == "e1 e2 e3 e4 e5"
+    assert got[11] == ""
+    assert got[20] == "c1 c2 c3"

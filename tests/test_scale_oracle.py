@@ -270,6 +270,9 @@ SCALE_QUERIES = [
     # artifact + span cut, drained end-to-end; string reassembly →
     # exact)
     ("n19_stream_substring_gate", True),
+    # r11 addition: keep-one substring dedup (Lee et al.'s published
+    # policy — min-id keeper survives; string reassembly → exact)
+    ("x76_substring_dedup_keep_one", True),
 ]
 
 
