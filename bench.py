@@ -195,6 +195,10 @@ BENCH_QUERIES = [
     # windows + one hash-grain index join, corpus text never
     # re-hashed when the index is materialized.
     "x74_incremental_substring_spans",
+    # r11 addition: the keep-one policy rung — x72's plan with one
+    # extra 8-byte min(id) in the flag aggregate and an inner join +
+    # scan-local keeper inequality instead of the left_semi.
+    "x76_substring_dedup_keep_one",
     # r09 addition: x69's SPARSE operating point (VERDICT r08 task 2)
     # — SymSpell deletion-neighborhood fuzzy join over a structureless
     # md5-name entity catalog with planted typos. x69 itself (the

@@ -2810,3 +2810,62 @@ def x76_substring_dedup_keep_one(
     docs = load_table(spark, sf_dir, "documents")
     spans = dedup.exact_substring_spans_keep_one(docs, k=8, min_docs=2)
     return dedup.cut_spans(docs, spans).orderBy("doc_id")
+
+
+@_q(
+    "x77_containment_pairs",
+    # mirrors word_tokens (lowercase + empty-token removal) and the
+    # md5 gram ban EXACTLY — identical hashing both sides makes the
+    # blocking and the scores bit-equal by construction
+    r"""WITH d AS (
+         SELECT doc_id,
+                list_filter(
+                  string_split_regex(lower(trim(text)), '\s+'),
+                  t -> t <> '') AS toks
+         FROM documents),
+       b AS (SELECT doc_id,
+                    list_distinct(list_transform(
+                      range(1, len(toks) - 3),
+                      i -> md5(array_to_string(toks[i:i+4], ' '))))
+                      AS grams
+             FROM d WHERE len(toks) >= 5),
+       e AS (SELECT doc_id, unnest(grams) AS h FROM b),
+       banned AS (SELECT h FROM (
+           SELECT h, count(*) AS n FROM e GROUP BY h)
+         WHERE n > 500),
+       ok AS (SELECT doc_id, h FROM e
+              WHERE h NOT IN (SELECT h FROM banned)),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+                FROM ok a JOIN ok b2
+                  ON a.h = b2.h AND a.doc_id < b2.doc_id)
+       SELECT c.id_a, c.id_b,
+              round(CAST(len(list_intersect(sa.grams, sb.grams))
+                           AS DOUBLE)
+                    / least(len(sa.grams), len(sb.grams)), 6)
+                AS containment
+       FROM cand c
+       JOIN b sa ON sa.doc_id = c.id_a
+       JOIN b sb ON sb.doc_id = c.id_b
+       WHERE round(CAST(len(list_intersect(sa.grams, sb.grams))
+                          AS DOUBLE)
+                   / least(len(sa.grams), len(sb.grams)), 6) >= 0.5""",
+)
+def x77_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by word-5-gram CONTAINMENT
+    (`dedup.containment_pairs` — |A∩B| / min(|A|,|B|)): the
+    similarity that catches a short document quoted inside a long
+    one, which Jaccard structurally cannot (length skew caps Jaccard
+    at |short|/|long| for complete inclusion; x7's blocked form even
+    length-windows such pairs away on purpose). Candidates share a
+    non-stop gram (md5 ban oracle-mirrored like x69, so parity is
+    exact by construction); scores compute over the FULL gram sets.
+    Deterministic end-to-end → full DuckDB hash oracle;
+    planted-containment semantics in tests/test_extensions.py.
+
+    Scale shape: 16-byte gram digests through one (digest, id)
+    exchange with hot grams banned first; id pairs + two id-grain
+    array re-attach joins; text never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        docs, ngram=5, threshold=0.5, max_ids_per_gram=500
+    )

@@ -157,6 +157,108 @@ def jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 5,
+    threshold: float = 0.5,
+    max_ids_per_gram: int = 500,
+) -> DataFrame:
+    """ASYMMETRIC near-duplicate pairs by n-gram CONTAINMENT —
+    ``|A∩B| / min(|A|,|B|)`` over distinct word-``ngram`` sets — the
+    similarity that catches a short document quoted inside a long one,
+    which Jaccard structurally cannot (length skew caps Jaccard at
+    |short|/|long| no matter how complete the inclusion; x7's blocked
+    form even prunes such pairs by its length window on purpose).
+    Returns ``(id_a, id_b, containment)`` with ``id_a < id_b`` and
+    containment ≥ ``threshold``, rounded to 6dp (oracle parity).
+
+    Candidates share at least one NON-STOP gram: grams held by more
+    than ``max_ids_per_gram`` documents are banned from candidate
+    generation (boilerplate would pair everything through one bucket —
+    winnow's stop rule, x69's ban). The ban is oracle-MIRRORED (both
+    engines compute identical md5 gram counts), so output parity is
+    exact by construction; the honest caveat is shared with every
+    banned-bucket blocker: a pair whose every shared gram is
+    boilerplate generates no candidate — by design, since such a pair
+    is boilerplate-similar, not content-similar. Containment itself is
+    computed over the FULL gram sets (ban affects candidate
+    generation only), so reported scores are exact.
+
+    Scale shape: grams leave the scan as 16-byte md5 digests; the
+    (digest, id) stream exchanges for the gram-grain candidate join
+    (hot grams banned first, bounding every bucket), then only id
+    pairs move; the per-doc digest ARRAYS re-attach by id for the
+    exact intersection — two id-grain joins, arrays bounded by doc
+    length, text never shuffles. Same economy as the x49/x69
+    families."""
+    toks = word_tokens(F.col(text_col))
+    base = (
+        df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+        .filter(F.size("__toks") >= ngram)
+        .select(
+            "__id",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.size("__toks") - (ngram - 1)
+                    ),
+                    lambda i: F.unhex(
+                        F.md5(
+                            F.concat_ws(
+                                " ", F.slice("__toks", i, ngram)
+                            )
+                        )
+                    ),
+                )
+            ).alias("__grams"),
+        )
+        .persist()  # gram once: candidate stream + both array sides
+    )
+    e = base.select("__id", F.explode("__grams").alias("__h"))
+    banned = (
+        e.groupBy("__h")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > max_ids_per_gram)
+        .select("__h")
+    )
+    ok = e.join(banned, "__h", "left_anti")
+    cand = (
+        ok.alias("a")
+        .join(
+            ok.alias("b"),
+            (F.col("a.__h") == F.col("b.__h"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    ga = base.select(
+        F.col("__id").alias("id_a"), F.col("__grams").alias("__ga")
+    )
+    gb = base.select(
+        F.col("__id").alias("id_b"), F.col("__grams").alias("__gb")
+    )
+    inter = F.size(F.array_intersect("__ga", "__gb"))
+    denom = F.least(F.size("__ga"), F.size("__gb"))
+    out = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter.cast("double") / denom, 6).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return out
+
+
 def word_tokens(text_col: Column) -> Column:
     """Lowercase whitespace tokens (JVM-side regex split)."""
     return F.array_remove(F.split(F.lower(F.trim(text_col)), r"\s+"), "")

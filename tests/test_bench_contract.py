@@ -167,6 +167,11 @@ SHUFFLE_MB_PINS = {
     # (count/sum/distinct-hash partials); corpus text in the exchange
     # would be ~600x.
     "x73_source_reputation_gate": 0.24,
+    # r11: keep-one substring cut — x72's exchanges + one extra
+    # 8-byte min(id) keeper riding the flag aggregate (the ~1 MB
+    # delta over x72's 10.8); keeper text or a cluster table in an
+    # exchange would blow well past it.
+    "x76_substring_dedup_keep_one": 11.80,
 }
 
 

@@ -2223,3 +2223,34 @@ def test_substring_keep_one_semantics(spark):
     assert got[10] == "e1 e2 e3 e4 e5"
     assert got[11] == ""
     assert got[20] == "c1 c2 c3"
+
+
+def test_containment_pairs_semantics(spark):
+    """x77's asymmetry contract on planted structure: a short doc
+    fully quoted inside a long one scores containment 1.0 even though
+    their Jaccard is tiny; disjoint docs produce no pair; the stop-
+    gram ban suppresses pairs whose ONLY shared content is
+    boilerplate held by > max_ids_per_gram docs."""
+    from stock_market_etl_spark.operators.dedup import containment_pairs
+
+    quote = "q1 q2 q3 q4 q5 q6"  # 2 distinct 5-grams
+    filler = " ".join(f"f{i}" for i in range(40))
+    boiler = "b1 b2 b3 b4 b5"
+    rows = [
+        (1, quote),                     # short doc
+        (2, f"{filler} {quote}"),       # long doc quoting it verbatim
+        (3, "z1 z2 z3 z4 z5 z6 z7"),    # unrelated
+    ]
+    # boilerplate gram shared by many docs → banned at cap 3
+    rows += [(100 + i, f"{boiler} u{i} v{i}") for i in range(6)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(
+            docs, ngram=5, threshold=0.5, max_ids_per_gram=3
+        ).collect()
+    }
+    assert got[(1, 2)] == 1.0  # full inclusion despite length skew
+    assert not any(3 in p for p in got)
+    # boilerplate-only overlap: banned gram generates no candidates
+    assert not any(a >= 100 and b >= 100 for a, b in got)

@@ -273,6 +273,10 @@ SCALE_QUERIES = [
     # r11 addition: keep-one substring dedup (Lee et al.'s published
     # policy — min-id keeper survives; string reassembly → exact)
     ("x76_substring_dedup_keep_one", True),
+    # r11 addition: asymmetric containment pairs (md5 gram ban
+    # oracle-mirrored; the rounded score is filtered on BOTH sides of
+    # the same rounded value, so the boundary can't split — exact)
+    ("x77_containment_pairs", True),
 ]
 
 
