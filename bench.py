@@ -199,6 +199,11 @@ BENCH_QUERIES = [
     # extra 8-byte min(id) in the flag aggregate and an inner join +
     # scan-local keeper inequality instead of the left_semi.
     "x76_substring_dedup_keep_one",
+    # r11 addition: asymmetric containment pairs — 16-byte gram
+    # digests through one (digest, id) exchange (hot grams banned),
+    # id pairs, two id-grain array re-attach joins; text never
+    # shuffles.
+    "x77_containment_pairs",
     # r09 addition: x69's SPARSE operating point (VERDICT r08 task 2)
     # — SymSpell deletion-neighborhood fuzzy join over a structureless
     # md5-name entity catalog with planted typos. x69 itself (the
@@ -370,6 +375,9 @@ def main() -> None:
             {"metric": "bench_detail", "reps": reps, "shuffle_mb": shuffle_mb}
         )
     )
+    # compact separators: at 63 queries the default ", "/": " pushed
+    # the headline past the driver's ~2 KB tail capture (2008 chars,
+    # caught by the contract test r11)
     print(
         json.dumps(
             {
@@ -378,7 +386,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()
