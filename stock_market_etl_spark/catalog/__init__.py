@@ -60,11 +60,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # - n18: the r10 ADVICE legacy-txn migration shim
     #   (streaming/core.py snapshot_lake_sink) drifted its hash.
     # - x69/x70: deletion_neighborhood_pairs' density guard collapsed
-    #   to a single aggregate action (bound + ban set in one row, no
-    #   persist) after their r10 greens.
+    #   to one scalar-row aggregate (lazy ban, no persist) after
+    #   their r10 greens.
+    # - b18–b21: the r11 manifest-schema change rewrote their read
+    #   paths (reads plan against the recorded table schema); the
+    #   drift tracer's body-import blind spot missed them (fixed in
+    #   tools/proof_ledger the same round), so they re-enter
+    #   explicitly. All re-verified green locally post-change.
     "n18_stream_snapshot_lake",
     "x69_fuzzy_name_pairs",
     "x70_fuzzy_sparse_pairs",
+    "b18_snapshot_time_travel",
+    "b19_snapshot_increment_read",
+    "b20_cow_delete",
+    "b21_cow_upsert",
     # Tier 5 — freshness cycling, oldest-first per the ledger: the
     # complete remaining r06 cohort (10 rows — the oldest surviving
     # proofs after a green r10)…
@@ -78,9 +87,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x26_contamination",
     "x42_temperature_mix",
     "x44_shard_assignment",
-    # …then 27 of the 45 r07 rows: §2-core lettered rows first; the
-    # 18 remaining r07 rows (x7, x8, x16, x22–x28, x31, x38, x41,
-    # x45–x47, x50, q_relative_returns, q_top_movers) cycle in r12.
+    # …then 23 of the 45 r07 rows: §2-core lettered rows first; the
+    # 22 remaining r07 rows (x7, x8, x16, x22–x25, x27, x28, x31,
+    # x38, x41, x45–x47, x50, q_relative_returns, q_top_movers, m5,
+    # n12, q_final_returns, q_latest_snapshot — x26 is r06-proven and
+    # already in this window) cycle in r12.
     "b1_partitioned_write_roundtrip",
     "b7_csv_roundtrip",
     "b8_json_roundtrip",
@@ -104,10 +115,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "k3_k4_quality_gate",
     "l3_cross_store_dedup",
     "l4_year_range_resume",
-    "m5_map_in_arrow",
-    "n12_stream_session_transcripts",
-    "q_final_returns",
-    "q_latest_snapshot",
 )
 
 

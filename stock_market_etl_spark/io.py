@@ -168,9 +168,11 @@ def load_jdbc(
 
     Spark pushes filters/projections into the remote database; with
     ``partition_column`` + bounds the scan splits into parallel range
-    queries instead of one connection streaming the whole table. Not
-    exercisable in this container (no database) — the self-contained
-    engine serves the same role via ``spark.table`` on registered views.
+    queries instead of one connection streaming the whole table.
+    Exercised end-to-end against embedded Derby (on Spark's own
+    classpath) including the partition-parallel branch — catalog
+    query ``a2_jdbc_scan`` (full hash oracle) and
+    tests/test_sinks.py; production swaps only URL/driver.
     """
     reader = spark.read.format("jdbc").option("url", url)
     if partition_column is not None:
@@ -660,6 +662,79 @@ def _carry_stats(
     return stats, list(stat_columns)
 
 
+def _merge_table_schema(prev: "StructType | None", new: "StructType"):
+    """Union a table's recorded schema with a commit's frame schema —
+    the manifest-schema evolution rule: fields merge BY NAME, a
+    same-name type mismatch is a loud TypeError (never a silent
+    cast — the read_snapshot_evolving policy), field order is
+    prev-then-appended (so existing readers see stable column order),
+    and every field is forced nullable (a carried pre-evolution file
+    yields NULLs for late-added columns, so the table-level contract
+    must admit them)."""
+    from pyspark.sql import types as T
+
+    if prev is None:
+        fields = []
+        have = {}
+    else:
+        fields = [
+            T.StructField(f.name, f.dataType, True) for f in prev.fields
+        ]
+        have = {f.name: f.dataType for f in prev.fields}
+    for f in new.fields:
+        got = have.get(f.name)
+        if got is None:
+            fields.append(T.StructField(f.name, f.dataType, True))
+        elif got != f.dataType:
+            raise TypeError(
+                f"schema drift on {f.name!r}: table records {got}, "
+                f"commit brings {f.dataType} — refusing to cast "
+                "silently (rewrite the table or conform the frame)"
+            )
+    return T.StructType(fields)
+
+
+def _manifest_schema(spark: SparkSession, manifest: dict):
+    """The snapshot's table schema: the manifest's recorded schema
+    (written by every commit since r11 — the Iceberg move: schema is
+    table metadata, not a footer sample), falling back for
+    pre-change manifests to a one-time mergeSchema footer union over
+    the manifest's file list. Every read path derives its schema
+    here, so the result shape can never depend on predicate
+    selectivity or footer sampling order."""
+    from pyspark.sql import types as T
+
+    if "schema" in manifest:
+        return T.StructType.fromJson(manifest["schema"])
+    files = manifest["files"]
+    if not files:
+        raise ValueError(
+            "manifest lists zero files and records no schema — "
+            "corrupt or hand-edited manifest?"
+        )
+    return (
+        spark.read.option("mergeSchema", "true").parquet(*files).schema
+    )
+
+
+def _prev_manifest_schema(
+    spark: SparkSession, table_path: str, prev: int
+):
+    """Previous snapshot's recorded table schema (or the footer-union
+    fallback for pre-change manifests), None for a fresh table —
+    the schema every rewrite-bearing commit (compact, CoW delete,
+    upsert) must carry forward."""
+    import json
+    import os
+
+    if not prev:
+        return None
+    with open(
+        os.path.join(table_path, f"_v{prev}.manifest.json")
+    ) as fh:
+        return _manifest_schema(spark, json.load(fh))
+
+
 def _commit_manifest(
     table_path: str,
     version: int,
@@ -667,6 +742,7 @@ def _commit_manifest(
     txn: str | None = None,
     stats: dict | None = None,
     stat_columns: list[str] | None = None,
+    schema=None,
 ) -> None:
     """Atomically publish ``_v{version}.manifest.json``. The commit
     point is an ``os.link`` create-if-absent (POSIX ``link(2)`` fails
@@ -682,6 +758,11 @@ def _commit_manifest(
     manifest = {"version": version, "files": sorted(files)}
     if txn is not None:
         manifest["txn"] = txn
+    if schema is not None:
+        # the table's column contract (union across generations,
+        # types strict) — reads plan against THIS, never a footer
+        # sample, so result shape can't vary with file pruning
+        manifest["schema"] = schema.jsonValue()
     if stat_columns is not None:
         # file-grain data-skipping statistics (Iceberg manifest
         # lower/upper bounds reduced to load-bearing parts): which
@@ -830,11 +911,14 @@ def commit_snapshot(
         if f.endswith(".parquet")
     ]
     files = []
+    prev_schema = None
     if prev:
         with open(
             os.path.join(table_path, f"_v{prev}.manifest.json")
         ) as fh:
-            files = json.load(fh)["files"]
+            prev_manifest = json.load(fh)
+        files = prev_manifest["files"]
+        prev_schema = _manifest_schema(spark, prev_manifest)
     stats, stat_cols = _carry_stats(
         table_path, prev, files, new_files, stat_columns
     )
@@ -846,6 +930,7 @@ def commit_snapshot(
             txn=txn_id,
             stats=stats,
             stat_columns=stat_cols,
+            schema=_merge_table_schema(prev_schema, df.schema),
         )
     except RuntimeError:
         if txn_id is not None:
@@ -856,25 +941,21 @@ def commit_snapshot(
     return version
 
 
-def _empty_like_files(spark: SparkSession, files: list[str]) -> DataFrame:
-    """Empty frame in the UNION schema of ``files`` — the shape a
-    fully-pruned snapshot/increment read must present. Anchoring on
-    ``files[0]`` is wrong twice over: manifests sort lexicographically
-    ('v10-' < 'v2-'), so on a schema-evolved table the picked file can
-    predate late-added columns, and a zero-file manifest would raise
-    IndexError. ``mergeSchema`` reads only footers at resolve time and
-    Catalyst folds the False filter to an empty LocalRelation, so no
-    data is scanned."""
+def _read_manifest_files(
+    spark: SparkSession, manifest: dict, files: list[str]
+) -> DataFrame:
+    """Scan ``files`` (a subset of the manifest's list) in the
+    SNAPSHOT's schema — the one consistency rule every read path goes
+    through: whether a predicate pruned zero, some, or no files, the
+    result presents the manifest-recorded table schema (late-added
+    columns surface as NULL for pre-evolution files), never whichever
+    footer Spark happened to sample. A fully-pruned read is an empty
+    LocalRelation in the same shape; a zero-file manifest without a
+    recorded schema is a loud error (see `_manifest_schema`)."""
+    schema = _manifest_schema(spark, manifest)
     if not files:
-        raise ValueError(
-            "manifest lists zero files — cannot derive a schema for "
-            "the empty read (corrupt or hand-edited manifest?)"
-        )
-    return (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*files)
-        .where(F.lit(False))
-    )
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)
 
 
 def read_snapshot(
@@ -922,11 +1003,11 @@ def read_snapshot(
             f for f in files if _file_may_match(stats.get(f), conds)
         ]
         if not pruned:
-            # every file skipped — preserve the snapshot's full union
-            # schema (schema-only; the False filter reads no rows)
-            return _empty_like_files(spark, files)
-        return spark.read.parquet(*pruned).where(_predicate_expr(conds))
-    return spark.read.parquet(*files)
+            return _read_manifest_files(spark, manifest, [])
+        return _read_manifest_files(spark, manifest, pruned).where(
+            _predicate_expr(conds)
+        )
+    return _read_manifest_files(spark, manifest, files)
 
 
 def read_snapshot_evolving(
@@ -959,9 +1040,7 @@ def read_snapshot_evolving(
         os.path.join(table_path, f"_v{version}.manifest.json")
     ) as fh:
         manifest = json.load(fh)
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *manifest["files"]
-    )
+    df = _read_manifest_files(spark, manifest, manifest["files"])
     if expected is None:
         return df
     have = {f.name: f.dataType for f in df.schema.fields}
@@ -1011,30 +1090,31 @@ def read_increment(
     import json
     import os
 
-    def _files(v: int) -> list[str]:
-        if v == 0:
-            return []
+    def _manifest(v: int) -> dict:
         with open(
             os.path.join(table_path, f"_v{v}.manifest.json")
         ) as fh:
-            return json.load(fh)["files"]
+            return json.load(fh)
 
-    new = sorted(set(_files(to_version)) - set(_files(from_version)))
+    to_manifest = _manifest(to_version)
+    from_files = (
+        set(_manifest(from_version)["files"]) if from_version else set()
+    )
+    new = sorted(set(to_manifest["files"]) - from_files)
     if not new:
         raise ValueError(
             f"no files added between v{from_version} and v{to_version}"
         )
     conds = _normalize_predicate(predicate)
     if conds:
-        with open(
-            os.path.join(table_path, f"_v{to_version}.manifest.json")
-        ) as fh:
-            stats = json.load(fh).get("stats", {})
+        stats = to_manifest.get("stats", {})
         pruned = [f for f in new if _file_may_match(stats.get(f), conds)]
         if not pruned:
-            return _empty_like_files(spark, new)
-        return spark.read.parquet(*pruned).where(_predicate_expr(conds))
-    return spark.read.parquet(*new)
+            return _read_manifest_files(spark, to_manifest, [])
+        return _read_manifest_files(spark, to_manifest, pruned).where(
+            _predicate_expr(conds)
+        )
+    return _read_manifest_files(spark, to_manifest, new)
 
 
 def compact_snapshot(
@@ -1076,10 +1156,15 @@ def compact_snapshot(
     with open(
         os.path.join(table_path, f"_v{prev}.manifest.json")
     ) as fh:
-        files = json.load(fh)["files"]
+        prev_manifest = json.load(fh)
+    files = prev_manifest["files"]
 
     version = prev + 1
-    df = spark.read.parquet(*files)
+    # read in the TABLE schema (manifest-recorded), not a footer
+    # sample: compacting an evolved table must rewrite every row in
+    # the full table shape or the rewrite silently drops late-added
+    # columns from pre-evolution files' rows
+    df = _read_manifest_files(spark, prev_manifest, files)
     # repartition, NOT coalesce: coalesce on top of the rebalance hint
     # collapses the AQE-rebalanced partitions through a narrow
     # dependency — undoing the size balancing AND capping the read
@@ -1110,6 +1195,7 @@ def compact_snapshot(
         new_files,
         stats=stats,
         stat_columns=stat_cols,
+        schema=_prev_manifest_schema(spark, table_path, prev),
     )
     return version
 
@@ -1270,10 +1356,15 @@ def delete_where_snapshot(
     with open(
         os.path.join(table_path, f"_v{prev}.manifest.json")
     ) as fh:
-        files = json.load(fh)["files"]
+        prev_manifest = json.load(fh)
+    files = prev_manifest["files"]
 
     hit = F.coalesce(condition, F.lit(False))
-    df = spark.read.parquet(*files).withColumn(
+    # table-schema reads (manifest-recorded): the rewrite of an
+    # evolved table must keep rows in the full table shape, and the
+    # hit predicate must see late-added columns as NULL on
+    # pre-evolution files instead of failing to resolve
+    df = _read_manifest_files(spark, prev_manifest, files).withColumn(
         "__file", F.input_file_name()
     )
     hit_uris = {
@@ -1287,7 +1378,7 @@ def delete_where_snapshot(
     new_files: list[str] = []
     if rewrite:
         survivors = (
-            spark.read.parquet(*rewrite)
+            _read_manifest_files(spark, prev_manifest, rewrite)
             .filter(~hit)
         )
         data_dir = os.path.join(
@@ -1306,6 +1397,7 @@ def delete_where_snapshot(
         keep + new_files,
         stats=stats,
         stat_columns=stat_cols,
+        schema=_manifest_schema(spark, prev_manifest),
     )
     return version
 
@@ -1346,10 +1438,11 @@ def upsert_snapshot(
     with open(
         os.path.join(table_path, f"_v{prev}.manifest.json")
     ) as fh:
-        files = json.load(fh)["files"]
+        prev_manifest = json.load(fh)
+    files = prev_manifest["files"]
 
     key_rows = updates.select(*keys).distinct()
-    cur = spark.read.parquet(*files).withColumn(
+    cur = _read_manifest_files(spark, prev_manifest, files).withColumn(
         "__file", F.input_file_name()
     )
     hit_uris = {
@@ -1376,7 +1469,7 @@ def upsert_snapshot(
 
     if rewrite:
         _write(
-            spark.read.parquet(*rewrite).join(
+            _read_manifest_files(spark, prev_manifest, rewrite).join(
                 key_rows, list(keys), "left_anti"
             )
         )
@@ -1388,5 +1481,8 @@ def upsert_snapshot(
         keep + new_files,
         stats=stats,
         stat_columns=stat_cols,
+        schema=_merge_table_schema(
+            _manifest_schema(spark, prev_manifest), updates.schema
+        ),
     )
     return version

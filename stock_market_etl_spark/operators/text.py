@@ -829,16 +829,13 @@ def deletion_neighborhood_pairs(
     unbanned variant buckets — inherent to the data, not the blocking
     (the TRUE pair set is itself near-quadratic there). That sum is an
     exact upper bound on candidate rows, computed as ONE eager
-    variant-histogram job at construction time and checked BEFORE any
-    pair materializes. The same single aggregate row carries the stop
-    variants themselves (bounded by rows/``max_ids_per_variant``
-    16-byte digests — driver-safe on any dimension-sized entity
-    catalog), which feed back as a BROADCAST anti-join; nothing is
-    persisted, so no cache can leak (r09 ADVICE) and the variant
-    stream is generated exactly twice total (guard + main plan, both
-    scan-local). On a pathologically large collected ban set the main
-    plan falls back to recomputing the histogram lazily (one extra
-    map-side-combine aggregation — never a fat broadcast). Check:
+    variant-histogram job at construction time (one scalar row back)
+    and checked BEFORE any pair materializes. The ban set itself is
+    never collected: it stays a lazy HAVING-shrunk aggregate that AQE
+    broadcasts onto the anti-join, so the guard is driver-safe at ANY
+    density; nothing is persisted, so no cache can leak (r09 ADVICE),
+    and the variant stream is generated exactly twice total (guard +
+    main plan, both scan-local). Check:
     exceeding the budget raises with the
     measured density and the three remedies (lower
     ``max_ids_per_variant``, raise the budget deliberately, or move to
@@ -914,36 +911,29 @@ def deletion_neighborhood_pairs(
         ).alias("__v"),
     )
     hist = e.groupBy("__v").agg(F.count("*").alias("__n"))
-    # Lazy default: the ban set recomputed from the variant stream in
-    # the main plan (one map-side-combine count agg). The guarded
-    # branch below usually replaces it with a collected broadcast.
+    # The ban set stays a LAZY aggregate in the main plan: its HAVING
+    # makes it stop-variant-sized, so AQE broadcasts the anti-join
+    # side, and nothing about the ban ever materializes on the driver
+    # — structurally safe at ANY density. (r11: the collected-
+    # broadcast form measured wall-clock-identical and carried an
+    # unbounded collect_list row as its "fallback"; the persist +
+    # two-action r10 form before it cost ~25% extra. This is the
+    # simple shape that survives pathology.)
     banned = hist.filter(F.col("__n") > max_ids_per_variant).select("__v")
     if max_candidate_pairs is not None:
         # The guard is ONE variant-grain histogram pass (bounded by
         # the variant space, never the corpus), collected EAGERLY at
         # construction time — building the DataFrame runs this one
         # Spark job, the price of refusing BEFORE any pair
-        # materializes. Bound, ban count, AND ban set ride a single
-        # aggregate row, so the guard is one action with no persist —
-        # the former persist + two-action form materialized the
-        # histogram cache and re-ran the variant generation, ~40%
-        # wall-clock overhead on a sparse fixture (r11 profile). The
-        # collect_list is driver-safe in any admissible regime: stop
-        # variants are rows-per-variant outliers, so the list is
-        # bounded by total_ids / max_ids_per_variant 16-byte digests
-        # on an entity catalog that is dimension-sized by nature.
+        # materializes. One scalar row comes back; the ban set is NOT
+        # collected.
         row = hist.agg(
             F.sum(
                 F.when(
                     F.col("__n") <= max_ids_per_variant,
                     F.col("__n") * (F.col("__n") - 1) / 2,
                 )
-            ).alias("__ub"),
-            F.collect_list(
-                F.when(
-                    F.col("__n") > max_ids_per_variant, F.col("__v")
-                )
-            ).alias("__ban"),
+            ).alias("__ub")
         ).collect()[0]
         upper_bound = int(row["__ub"] or 0)
         if upper_bound > max_candidate_pairs:
@@ -956,18 +946,6 @@ def deletion_neighborhood_pairs(
                 "max_ids_per_variant, raise max_candidate_pairs "
                 "deliberately, or switch to LSH blocking "
                 "(minhash_lsh_pairs) for a bounded stream."
-            )
-        # Feed the ban set back as a broadcast anti-join (cheaper
-        # than the agg-exchange the lazy form pays). The cap is pure
-        # defense: a pathologically large ban set (possible only
-        # far outside the entity-catalog contract) falls back to the
-        # lazy recompute instead of a fat broadcast.
-        vals = row["__ban"] or []
-        if len(vals) <= 2_000_000:
-            banned = F.broadcast(
-                df.sparkSession.createDataFrame(
-                    [(bytes(v),) for v in vals], "__v binary"
-                )
             )
     # pass 2: bounded per-bucket id lists (ban applied BEFORE the
     # list aggregation — a stop variant never builds a giant buffer),

@@ -978,6 +978,7 @@ def snapshot_lake_sink(
     table_path: str,
     checkpoint: str,
     stat_columns: list[str] | None = None,
+    legacy_txn_compat: bool = False,
 ) -> None:
     """Streaming → MANIFEST-VERSIONED lake: every micro-batch commits
     as its own snapshot (`io.commit_snapshot` with the batch id as the
@@ -995,7 +996,13 @@ def snapshot_lake_sink(
       to 0), get distinct txn namespaces instead of silently colliding
       with already-committed ids. Corollary: exactly-once holds across
       restarts only while the checkpoint directory is kept — wiping it
-      makes the next run a new producer, exactly as in Delta;
+      makes the next run a new producer, exactly as in Delta.
+      ``legacy_txn_compat=True`` is the ONE-TIME migration step for a
+      producer resuming its own pre-format-change checkpoint on a
+      table with bare 'stream-batch-{id}' history (see the in-batch
+      comment); leave it False everywhere else — a new producer with
+      it on would have its first batches swallowed by another
+      producer's legacy ids;
     - every batch boundary is a time-travel point: version N re-reads
       byte-stably forever, and `read_increment(N-1, N)` IS batch N —
       downstream CDC consumers pin the last version they processed
@@ -1025,14 +1032,23 @@ def snapshot_lake_sink(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         from stock_market_etl_spark.io import _txn_version, commit_snapshot
 
-        # Migration shim: tables written before txn ids were
-        # checkpoint-scoped committed batches as 'stream-batch-{id}'.
-        # Without this probe, the first restart after the id-format
-        # change replays the last committed batch under the new id and
-        # commits it as duplicate rows. A legacy hit can only come from
-        # a pre-change producer (new producers never write the legacy
-        # format), so treating it as committed is safe.
-        if _txn_version(table_path, f"stream-batch-{batch_id}") is not None:
+        # OPT-IN migration shim (``legacy_txn_compat``): tables written
+        # before txn ids were checkpoint-scoped committed batches as
+        # 'stream-batch-{id}'. A producer RESUMING ITS OWN pre-change
+        # checkpoint must pass True for its first post-upgrade run, or
+        # the replayed last batch commits as duplicate rows under the
+        # new scoped id. It must stay False (the default) for any NEW
+        # producer: bare legacy ids carry no namespace, so a new
+        # stream's batches 0..N would collide with another producer's
+        # history and be silently swallowed — and the probe itself
+        # costs an O(versions) manifest scan per batch whenever the
+        # marker fast-path misses, a price only the migration window
+        # should pay.
+        if (
+            legacy_txn_compat
+            and _txn_version(table_path, f"stream-batch-{batch_id}")
+            is not None
+        ):
             return
         commit_snapshot(
             batch_df.sparkSession,

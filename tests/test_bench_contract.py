@@ -142,9 +142,15 @@ SHUFFLE_MB_PINS = {
     # (25.6 → 22.4 MB same-session A/B on this 32-char-name fixture;
     # the real point is the BOUNDED key — 16 B/variant regardless of
     # entity-name length, where strings scale the exchange with
-    # name bytes). The pre-r09 distinct → anti-join → self-join
-    # shape creeping back means ~1.5-2.4x.
-    "x70_fuzzy_sparse_pairs": 22.41,
+    # name bytes). r11 re-pin 22.41 → 28.87: the ban set went from a
+    # collected broadcast (an unbounded driver collect_list at
+    # pathological density) to the lazy HAVING-shrunk aggregate the
+    # main plan anti-joins — structurally driver-safe at any density
+    # for one extra map-side-combined hist exchange of the variant
+    # stream (~6.5 MB here), wall-clock identical. The pre-r09
+    # distinct → anti-join → self-join shape creeping back means
+    # ~1.5-2x.
+    "x70_fuzzy_sparse_pairs": 28.87,
     # r09: overlapping-window exact-substring spans — (id, pos,
     # 16-byte digest) rows through the (hash,id) distinct, the
     # flagged semi-join, and the per-doc islands window; TEXT in any

@@ -860,3 +860,29 @@ def test_snapshot_skipping_read_scans_only_matching_files(
     plan = _plan(df)
     assert "PushedFilters" in plan
     assert "GreaterThanOrEqual(event_id" in plan or "GreaterThan(event_id" in plan
+
+
+def test_keep_one_spans_same_shape_as_flagger(spark, sf_smoke):
+    """x76 must keep x71/x72's plan economy: no cartesian anywhere,
+    the flag aggregate's (digest-grain) exchanges bounded at three
+    (flag distinct+agg, islands window, cut's span-list agg), and the
+    shrunk flag/span sides joined by BROADCAST — the keeper column
+    must not force the window stream through a sort-merge join."""
+    plan = _plan(
+        all_queries()["x76_substring_dedup_keep_one"](spark, sf_smoke)
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_containment_pairs_grams_once_no_cartesian(spark, sf_smoke):
+    """x77's gram arrays must materialize ONCE (persist feeding the
+    candidate stream AND both re-attach sides — InMemoryTableScan is
+    the signal, the x61/x65 precedent) with no cartesian product;
+    candidates come from the gram-equality join, pairs re-attach by
+    id."""
+    plan = _plan(all_queries()["x77_containment_pairs"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan

@@ -1222,16 +1222,23 @@ def test_snapshot_schema_evolution_and_refusal(spark, sf_smoke, tmp_path):
     conformed = read_snapshot_evolving(spark, table, v3, expected=contract)
     assert "debug_flag" not in conformed.columns
 
-    # TYPE drift refuses loudly: a commit retyping value → TypeError
+    # TYPE drift refuses loudly, at BOTH seams (r11: schema is
+    # manifest metadata). Read side: a table whose recorded type
+    # disagrees with the caller's contract → TypeError at the
+    # contract read. Commit side: a commit retyping an existing
+    # column is refused BEFORE it can poison the table.
     drift = ev.withColumn("value", F.col("value").cast("string"))
     v4 = commit_snapshot(spark, str(tmp_path / "t2"), drift)
-    commit_snapshot(  # same table, second generation, retyped column
-        spark, str(tmp_path / "t2"), ev.withColumn("source", F.lit("x"))
-    )
     with _pytest.raises(TypeError, match="schema drift on 'value'"):
         read_snapshot_evolving(
             spark, str(tmp_path / "t2"), v4, expected=contract
         ).collect()
+    with _pytest.raises(TypeError, match="schema drift on 'value'"):
+        commit_snapshot(  # second generation retypes value → refused
+            spark,
+            str(tmp_path / "t2"),
+            ev.withColumn("source", F.lit("x")),
+        )
 
 
 def test_read_increment_with_predicate_prunes(spark, sf_smoke, tmp_path):
@@ -1347,13 +1354,13 @@ def test_snapshot_stats_string_and_date_bands(spark, sf_smoke, tmp_path):
 
 
 def test_fully_pruned_read_presents_union_schema(spark, tmp_path):
-    """ADVICE r10 — a fully-pruned read_snapshot/read_increment must
-    derive its empty frame's schema from the WHOLE snapshot, not
-    files[0]: manifests list files lexicographically, so on a
-    schema-evolved table the first file can predate late-added columns
-    and the empty result would come back in the wrong (v1) shape. Also
-    pins the zero-file-manifest guard (explicit ValueError, not
-    IndexError)."""
+    """ADVICE r10 + r11 review: EVERY read path of a snapshot —
+    unpruned, partially pruned, and fully pruned — must present the
+    manifest-recorded table schema, never a per-footer sample, so the
+    result shape can't vary with predicate selectivity (pre-fix, a
+    predicate pruning to gen-1 files silently dropped the late-added
+    column). Also pins the zero-file-manifest guard (explicit
+    ValueError, not IndexError)."""
     import json
     import os
 
@@ -1392,6 +1399,20 @@ def test_fully_pruned_read_presents_union_schema(spark, tmp_path):
     )
     assert inc_nothing.count() == 0
     assert set(inc_nothing.columns) == {"event_id", "value", "extra"}
+
+    # PARTIALLY pruned to gen-1 files only: same union shape, 'extra'
+    # is NULL for every surviving pre-evolution row (the r11 review's
+    # failure case — pre-fix this frame had no 'extra' at all)
+    gen1_only = read_snapshot(
+        spark, table, v2, predicate=[("event_id", "<", 5)]
+    )
+    assert set(gen1_only.columns) == {"event_id", "value", "extra"}
+    assert gen1_only.count() == 5
+    assert gen1_only.filter(F.col("extra").isNotNull()).count() == 0
+    # unpruned read: same shape again, gen-2 rows carry their values
+    full = read_snapshot(spark, table, v2)
+    assert set(full.columns) == {"event_id", "value", "extra"}
+    assert full.filter(F.col("extra") == "late").count() == 10
 
     # zero-file manifest: loud refusal on any read path
     broken = str(tmp_path / "broken")

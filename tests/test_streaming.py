@@ -1060,11 +1060,12 @@ def test_snapshot_lake_sink_records_stats(spark, sf_smoke, tmp_path):
 def test_snapshot_lake_sink_honors_legacy_txn_ids(
     spark, sf_smoke, tmp_path
 ):
-    """ADVICE r10 migration shim: tables written BEFORE txn ids were
-    checkpoint-scoped committed batches as 'stream-batch-{id}'. A
-    restart after the id-format change must NOT replay an
-    already-committed batch under the new scoped id — the sink probes
-    the legacy id and treats a hit as committed."""
+    """ADVICE r10 migration shim, OPT-IN form: a producer resuming
+    its own pre-format-change run passes ``legacy_txn_compat=True``
+    and the replayed batch 0 (already committed as the bare
+    'stream-batch-0') lands nothing; a NEW producer with the default
+    False must NOT have its batches swallowed by that legacy history
+    — its rows land under its own scoped ids."""
     from stock_market_etl_spark.io import (
         _latest_version,
         commit_snapshot,
@@ -1084,18 +1085,29 @@ def test_snapshot_lake_sink_honors_legacy_txn_ids(
     commit_snapshot(spark, table, batch0, txn_id="stream-batch-0")
     assert _latest_version(table) == 1
 
-    # post-upgrade restart replays batch 0 (fresh checkpoint simulates
-    # the replayed offset under a new id namespace): nothing may land
     schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(schema).format("parquet").load(src)
-    )
-    core.snapshot_lake_sink(stream, table, str(tmp_path / "ckpt"))
+
+    def run(ckpt, **kw):
+        stream = (
+            spark.readStream.schema(schema).format("parquet").load(src)
+        )
+        core.snapshot_lake_sink(stream, table, str(tmp_path / ckpt), **kw)
+
+    # post-upgrade restart of the SAME producer (fresh checkpoint
+    # simulates the replayed offset): with the migration flag on,
+    # nothing may land
+    run("ckpt", legacy_txn_compat=True)
     assert _latest_version(table) == 1
     got = sorted(
         r["event_id"] for r in read_snapshot(spark, table, 1).collect()
     )
     assert got == sorted(r["event_id"] for r in batch0.collect())
+
+    # a NEW producer (default False) ingesting into the legacy table:
+    # its batch 0 must COMMIT despite the bare legacy 'stream-batch-0'
+    # marker — the pre-fix unconditional probe silently dropped it
+    run("ckpt_new_producer")
+    assert _latest_version(table) == 2
 
 
 def test_substring_gate_multibatch_and_redelivery(spark, tmp_path):

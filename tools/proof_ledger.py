@@ -24,6 +24,11 @@ proof are never conflated.
 CLI:
   python -m tools.proof_ledger update CORRECTNESS_r05.json r05
       refresh hash + proven-round for every green row of that file
+  python -m tools.proof_ledger rehash <reason...>
+      recompute every impl_hash after upgrading the hash FUNCTION
+      itself (code unchanged, measurement changed) - proven rounds
+      and evidence grades untouched, reason recorded per entry;
+      only run right after a green full-catalog local verify
   python -m tools.proof_ledger accept-local name [name ...]
       re-hash named entries after a foundational change, grading the
       evidence "local-oracle" (run tests/test_catalog_oracle.py green
@@ -46,7 +51,11 @@ PACKAGE = "stock_market_etl_spark"
 def _package_callables(fn) -> list:
     """Functions/classes from our package reachable from ``fn``'s code:
     direct globals plus one attribute hop through package modules
-    (catalog fns call ``dedup.exact_dedup`` via the module alias)."""
+    (catalog fns call ``dedup.exact_dedup`` via the module alias),
+    PLUS anything imported inside the function body (r11: body-level
+    ``from ...io import read_snapshot`` binds a LOCAL, invisible to
+    __globals__ — the blind spot that let an io.py read-path change
+    slip past the drift test)."""
     out = []
     code = getattr(fn, "__code__", None)
     gl = getattr(fn, "__globals__", None)
@@ -68,6 +77,58 @@ def _package_callables(fn) -> list:
                     out.append(sub)
         elif callable(obj) and getattr(obj, "__module__", "").startswith(PACKAGE):
             out.append(obj)
+    out.extend(_body_imports(fn))
+    return out
+
+
+def _body_imports(fn) -> list:
+    """Package callables bound by import statements INSIDE ``fn``'s
+    body (AST pass over the source; deferred imports are the catalog
+    convention for io/operator helpers)."""
+    import ast
+    import importlib
+    import textwrap
+
+    try:
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+    except (OSError, TypeError, SyntaxError):
+        return []
+    out = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and node.module:
+            mod_name = node.module
+            if node.level:  # relative import inside the package
+                base = getattr(fn, "__module__", "") or ""
+                parts = base.split(".")
+                if node.level <= len(parts):
+                    mod_name = (
+                        ".".join(parts[: len(parts) - node.level])
+                        + "."
+                        + node.module
+                    )
+            if not mod_name.startswith(PACKAGE):
+                continue
+            try:
+                mod = importlib.import_module(mod_name)
+            except ImportError:
+                continue
+            names = set(getattr(fn, "__code__").co_names)
+            for alias in node.names:
+                sub = getattr(mod, alias.name, None)
+                if isinstance(sub, types.ModuleType):
+                    # body-imported MODULE (from ...operators import
+                    # dedup): hop its attributes by co_names, same as
+                    # the global-module branch
+                    for attr in names:
+                        s2 = getattr(sub, attr, None)
+                        if callable(s2) and getattr(
+                            s2, "__module__", ""
+                        ).startswith(PACKAGE):
+                            out.append(s2)
+                elif callable(sub) and getattr(
+                    sub, "__module__", ""
+                ).startswith(PACKAGE):
+                    out.append(sub)
     return out
 
 
@@ -133,6 +194,32 @@ def cmd_update(correctness_file: str, round_tag: str) -> None:
     print(f"refreshed {len(refreshed)} entries from {correctness_file}")
 
 
+def cmd_rehash(reason: list[str]) -> None:
+    """Recompute every entry's impl_hash WITHOUT touching proven
+    round or evidence grade — for upgrades of the HASH FUNCTION
+    itself (the code didn't change; the measurement did). Requires a
+    reason, recorded per entry as the audit trail, and is only
+    honest immediately after a full local verify of the whole
+    catalog — run it in the same session as a green
+    tools.verify_queries --all / driver-gate simulation."""
+    if not reason:
+        raise SystemExit("rehash requires a reason string")
+    note = " ".join(reason)
+    queries, oracles = _catalog()
+    ledger = load_ledger()
+    changed = 0
+    for name, entry in ledger.items():
+        if name not in queries:
+            continue
+        new = impl_hash(name, queries, oracles)
+        if new != entry["impl_hash"]:
+            entry["impl_hash"] = new
+            entry["rehash_note"] = note
+            changed += 1
+    save_ledger(ledger)
+    print(f"rehashed {changed} entries ({note})")
+
+
 def cmd_accept_local(names: list[str]) -> None:
     queries, oracles = _catalog()
     ledger = load_ledger()
@@ -151,5 +238,7 @@ if __name__ == "__main__":
         cmd_update(sys.argv[2], sys.argv[3])
     elif len(sys.argv) >= 2 and sys.argv[1] == "accept-local":
         cmd_accept_local(sys.argv[2:])
+    elif len(sys.argv) >= 2 and sys.argv[1] == "rehash":
+        cmd_rehash(sys.argv[2:])
     else:
         raise SystemExit(__doc__)
