@@ -61,6 +61,9 @@ SHOWCASE = [
     ("b23_snapshot_skipping_read", "manifest band-prune happens BEFORE planning: the scan's InMemoryFileIndex lists only the matching slice's files; the residual BETWEEN filter still lands in PushedFilters"),
     ("x74_incremental_substring_spans", "batch windows flag against the corpus (hash, count) index via one hash-grain join; corpus text feeds only the index derivation, batch text never exchanges"),
     ("x75_curation_pipeline_v4", "composed flagship: the source gate is a BroadcastExchange semi-join ABOVE the scan, so the flag/cut/dedup stages all run on the pruned corpus — composition adds no exchange"),
+    ("x76_substring_dedup_keep_one", "x72's shape with the keeper: the flag aggregate carries one extra 8-byte min(id) and the hit join is a BroadcastHashJoin + scan-local keeper inequality — no SortMergeJoin, no cartesian"),
+    ("x77_containment_pairs", "gram arrays materialize ONCE (InMemoryTableScan feeds the banned-bucket candidate join and both id-grain array re-attach sides); 16-byte digests + id pairs exchange, text never does"),
+    ("b25_window_index_lifecycle", "the batch probes the READ-BACK (hash, count) artifact: batch-side counts join the index parquet hash-grain, the flagged set broadcasts back, corpus text appears in NO stage"),
 ]
 
 
