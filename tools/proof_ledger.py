@@ -115,6 +115,18 @@ def _body_imports(fn) -> list:
             names = set(getattr(fn, "__code__").co_names)
             for alias in node.names:
                 sub = getattr(mod, alias.name, None)
+                if sub is None:
+                    # `from pkg.operators import sessions` binds a
+                    # SUBMODULE that is an attribute of the package
+                    # only after something imported it — resolve it
+                    # explicitly or the hash depends on import order
+                    # (caught by a suite-order flake, r11)
+                    try:
+                        sub = importlib.import_module(
+                            f"{mod_name}.{alias.name}"
+                        )
+                    except ImportError:
+                        continue
                 if isinstance(sub, types.ModuleType):
                     # body-imported MODULE (from ...operators import
                     # dedup): hop its attributes by co_names, same as
