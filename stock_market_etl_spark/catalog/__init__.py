@@ -74,6 +74,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "b19_snapshot_increment_read",
     "b20_cow_delete",
     "b21_cow_upsert",
+    # - b22/n14: the second review pass's fixes drifted them too
+    #   (single-compute manifest schema through compaction;
+    #   supportsMixedCaseIdentifiers in the JDBC fold) — both
+    #   re-verified green post-change.
+    "b22_lake_lifecycle",
+    "n14_stream_jdbc_serving",
     # Tier 5 — freshness cycling, oldest-first per the ledger: the
     # complete remaining r06 cohort (10 rows — the oldest surviving
     # proofs after a green r10)…
@@ -87,11 +93,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "x26_contamination",
     "x42_temperature_mix",
     "x44_shard_assignment",
-    # …then 23 of the 45 r07 rows: §2-core lettered rows first; the
-    # 22 remaining r07 rows (x7, x8, x16, x22–x25, x27, x28, x31,
+    # …then 21 of the 45 r07 rows: §2-core lettered rows first; the
+    # 24 remaining r07 rows (x7, x8, x16, x22–x25, x27, x28, x31,
     # x38, x41, x45–x47, x50, q_relative_returns, q_top_movers, m5,
-    # n12, q_final_returns, q_latest_snapshot — x26 is r06-proven and
-    # already in this window) cycle in r12.
+    # n12, q_final_returns, q_latest_snapshot, l3, l4 — x26 is
+    # r06-proven and already in this window) cycle in r12.
     "b1_partitioned_write_roundtrip",
     "b7_csv_roundtrip",
     "b8_json_roundtrip",
@@ -113,8 +119,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "i4_null_fill",
     "k1_schema_contract_audit",
     "k3_k4_quality_gate",
-    "l3_cross_store_dedup",
-    "l4_year_range_resume",
 )
 
 

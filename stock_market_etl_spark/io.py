@@ -662,15 +662,42 @@ def _carry_stats(
     return stats, list(stat_columns)
 
 
+def _nullable_type(dt):
+    """``dt`` with nullability relaxed RECURSIVELY (array containsNull,
+    map valueContainsNull, nested struct fields): the table-level
+    contract must admit NULLs everywhere because a carried
+    pre-evolution file yields them for late-added columns, and two
+    frames whose types differ ONLY in nested nullability (collect_list
+    emits containsNull=false, the parquet read-back says true) are
+    data-compatible — treating that as drift would wedge a streaming
+    producer."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_nullable_type(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _nullable_type(dt.keyType), _nullable_type(dt.valueType), True
+        )
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _nullable_type(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    return dt
+
+
 def _merge_table_schema(prev: "StructType | None", new: "StructType"):
     """Union a table's recorded schema with a commit's frame schema —
     the manifest-schema evolution rule: fields merge BY NAME, a
     same-name type mismatch is a loud TypeError (never a silent
     cast — the read_snapshot_evolving policy), field order is
     prev-then-appended (so existing readers see stable column order),
-    and every field is forced nullable (a carried pre-evolution file
-    yields NULLs for late-added columns, so the table-level contract
-    must admit them)."""
+    and nullability is relaxed recursively before comparing and
+    storing (`_nullable_type` — nullability differences are
+    data-compatible, never drift)."""
     from pyspark.sql import types as T
 
     if prev is None:
@@ -678,17 +705,19 @@ def _merge_table_schema(prev: "StructType | None", new: "StructType"):
         have = {}
     else:
         fields = [
-            T.StructField(f.name, f.dataType, True) for f in prev.fields
+            T.StructField(f.name, _nullable_type(f.dataType), True)
+            for f in prev.fields
         ]
-        have = {f.name: f.dataType for f in prev.fields}
+        have = {f.name: _nullable_type(f.dataType) for f in prev.fields}
     for f in new.fields:
+        want = _nullable_type(f.dataType)
         got = have.get(f.name)
         if got is None:
-            fields.append(T.StructField(f.name, f.dataType, True))
-        elif got != f.dataType:
+            fields.append(T.StructField(f.name, want, True))
+        elif got != want:
             raise TypeError(
                 f"schema drift on {f.name!r}: table records {got}, "
-                f"commit brings {f.dataType} — refusing to cast "
+                f"commit brings {want} — refusing to cast "
                 "silently (rewrite the table or conform the frame)"
             )
     return T.StructType(fields)
@@ -715,24 +744,6 @@ def _manifest_schema(spark: SparkSession, manifest: dict):
     return (
         spark.read.option("mergeSchema", "true").parquet(*files).schema
     )
-
-
-def _prev_manifest_schema(
-    spark: SparkSession, table_path: str, prev: int
-):
-    """Previous snapshot's recorded table schema (or the footer-union
-    fallback for pre-change manifests), None for a fresh table —
-    the schema every rewrite-bearing commit (compact, CoW delete,
-    upsert) must carry forward."""
-    import json
-    import os
-
-    if not prev:
-        return None
-    with open(
-        os.path.join(table_path, f"_v{prev}.manifest.json")
-    ) as fh:
-        return _manifest_schema(spark, json.load(fh))
 
 
 def _commit_manifest(
@@ -901,15 +912,6 @@ def commit_snapshot(
             return committed
     prev = _latest_version(table_path)
     version = prev + 1
-    data_dir = os.path.join(
-        table_path, "data", f"v{version}-{uuid.uuid4().hex[:8]}"
-    )
-    df.write.mode("error").parquet(data_dir)
-    new_files = [
-        os.path.join(data_dir, f)
-        for f in os.listdir(data_dir)
-        if f.endswith(".parquet")
-    ]
     files = []
     prev_schema = None
     if prev:
@@ -919,6 +921,18 @@ def commit_snapshot(
             prev_manifest = json.load(fh)
         files = prev_manifest["files"]
         prev_schema = _manifest_schema(spark, prev_manifest)
+    # refuse type drift BEFORE any bytes land: a retyped column must
+    # not pay a full data write (and leave orphan files) per attempt
+    schema = _merge_table_schema(prev_schema, df.schema)
+    data_dir = os.path.join(
+        table_path, "data", f"v{version}-{uuid.uuid4().hex[:8]}"
+    )
+    df.write.mode("error").parquet(data_dir)
+    new_files = [
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    ]
     stats, stat_cols = _carry_stats(
         table_path, prev, files, new_files, stat_columns
     )
@@ -930,7 +944,7 @@ def commit_snapshot(
             txn=txn_id,
             stats=stats,
             stat_columns=stat_cols,
-            schema=_merge_table_schema(prev_schema, df.schema),
+            schema=schema,
         )
     except RuntimeError:
         if txn_id is not None:
@@ -942,7 +956,7 @@ def commit_snapshot(
 
 
 def _read_manifest_files(
-    spark: SparkSession, manifest: dict, files: list[str]
+    spark: SparkSession, manifest: dict, files: list[str], schema=None
 ) -> DataFrame:
     """Scan ``files`` (a subset of the manifest's list) in the
     SNAPSHOT's schema — the one consistency rule every read path goes
@@ -951,8 +965,13 @@ def _read_manifest_files(
     columns surface as NULL for pre-evolution files), never whichever
     footer Spark happened to sample. A fully-pruned read is an empty
     LocalRelation in the same shape; a zero-file manifest without a
-    recorded schema is a loud error (see `_manifest_schema`)."""
-    schema = _manifest_schema(spark, manifest)
+    recorded schema is a loud error (see `_manifest_schema`).
+    Operations that read a manifest more than once (CoW delete/upsert
+    scan + rewrite + commit) pass ``schema`` to pay the derivation —
+    free on post-r11 manifests, a footer-union job on legacy ones —
+    exactly once."""
+    if schema is None:
+        schema = _manifest_schema(spark, manifest)
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*files)
@@ -1158,13 +1177,16 @@ def compact_snapshot(
     ) as fh:
         prev_manifest = json.load(fh)
     files = prev_manifest["files"]
+    table_schema = _manifest_schema(spark, prev_manifest)
 
     version = prev + 1
     # read in the TABLE schema (manifest-recorded), not a footer
     # sample: compacting an evolved table must rewrite every row in
     # the full table shape or the rewrite silently drops late-added
     # columns from pre-evolution files' rows
-    df = _read_manifest_files(spark, prev_manifest, files)
+    df = _read_manifest_files(
+        spark, prev_manifest, files, schema=table_schema
+    )
     # repartition, NOT coalesce: coalesce on top of the rebalance hint
     # collapses the AQE-rebalanced partitions through a narrow
     # dependency — undoing the size balancing AND capping the read
@@ -1195,7 +1217,7 @@ def compact_snapshot(
         new_files,
         stats=stats,
         stat_columns=stat_cols,
-        schema=_prev_manifest_schema(spark, table_path, prev),
+        schema=table_schema,
     )
     return version
 
@@ -1358,15 +1380,16 @@ def delete_where_snapshot(
     ) as fh:
         prev_manifest = json.load(fh)
     files = prev_manifest["files"]
+    table_schema = _manifest_schema(spark, prev_manifest)
 
     hit = F.coalesce(condition, F.lit(False))
     # table-schema reads (manifest-recorded): the rewrite of an
     # evolved table must keep rows in the full table shape, and the
     # hit predicate must see late-added columns as NULL on
     # pre-evolution files instead of failing to resolve
-    df = _read_manifest_files(spark, prev_manifest, files).withColumn(
-        "__file", F.input_file_name()
-    )
+    df = _read_manifest_files(
+        spark, prev_manifest, files, schema=table_schema
+    ).withColumn("__file", F.input_file_name())
     hit_uris = {
         r["__file"]
         for r in df.filter(hit).select("__file").distinct().collect()
@@ -1378,7 +1401,9 @@ def delete_where_snapshot(
     new_files: list[str] = []
     if rewrite:
         survivors = (
-            _read_manifest_files(spark, prev_manifest, rewrite)
+            _read_manifest_files(
+                spark, prev_manifest, rewrite, schema=table_schema
+            )
             .filter(~hit)
         )
         data_dir = os.path.join(
@@ -1397,7 +1422,7 @@ def delete_where_snapshot(
         keep + new_files,
         stats=stats,
         stat_columns=stat_cols,
-        schema=_manifest_schema(spark, prev_manifest),
+        schema=table_schema,
     )
     return version
 
@@ -1440,11 +1465,16 @@ def upsert_snapshot(
     ) as fh:
         prev_manifest = json.load(fh)
     files = prev_manifest["files"]
+    table_schema = _manifest_schema(spark, prev_manifest)
 
+    # refuse type drift BEFORE any scan or write happens (the
+    # commit_snapshot rule: a retyped update column must not pay the
+    # rewrite and leave orphans per attempt)
+    merged_schema = _merge_table_schema(table_schema, updates.schema)
     key_rows = updates.select(*keys).distinct()
-    cur = _read_manifest_files(spark, prev_manifest, files).withColumn(
-        "__file", F.input_file_name()
-    )
+    cur = _read_manifest_files(
+        spark, prev_manifest, files, schema=table_schema
+    ).withColumn("__file", F.input_file_name())
     hit_uris = {
         r["__file"]
         for r in cur.join(key_rows, list(keys), "left_semi")
@@ -1469,9 +1499,9 @@ def upsert_snapshot(
 
     if rewrite:
         _write(
-            _read_manifest_files(spark, prev_manifest, rewrite).join(
-                key_rows, list(keys), "left_anti"
-            )
+            _read_manifest_files(
+                spark, prev_manifest, rewrite, schema=table_schema
+            ).join(key_rows, list(keys), "left_anti")
         )
     _write(updates)
     stats, stat_cols = _carry_stats(table_path, prev, keep, new_files)
@@ -1481,8 +1511,6 @@ def upsert_snapshot(
         keep + new_files,
         stats=stats,
         stat_columns=stat_cols,
-        schema=_merge_table_schema(
-            _manifest_schema(spark, prev_manifest), updates.schema
-        ),
+        schema=merged_schema,
     )
     return version

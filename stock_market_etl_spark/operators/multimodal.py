@@ -668,6 +668,17 @@ def near_dup_pairs_from_hashes(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def _tiled_rgb(text: str, n: int) -> bytes:
+    """The ONE definition of the text→pixel tiling rule (UTF-8 bytes
+    repeated row-major to ``n`` bytes; empty text tiles a zero byte)
+    shared by the two-stage fixture builder and the fused hash stage —
+    the x61 fused ≡ two-stage identity depends on these never
+    diverging."""
+    b = text.encode("utf-8") or b"\x00"
+    reps = -(-n // len(b))
+    return (b * reps)[:n]
+
+
 def bmp_assets_from_documents(
     docs: DataFrame, width: int = 16, height: int = 16
 ) -> DataFrame:
@@ -690,9 +701,7 @@ def bmp_assets_from_documents(
     n = width * height * 3
 
     def one(text: str) -> bytes:
-        b = text.encode("utf-8") or b"\x00"
-        reps = -(-n // len(b))
-        return encode_bmp(width, height, (b * reps)[:n])
+        return encode_bmp(width, height, _tiled_rgb(text, n))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -738,10 +747,8 @@ def bmp_ahash_from_documents(
     n = width * height * 3
 
     def one(text: str) -> int:
-        b = text.encode("utf-8") or b"\x00"
-        reps = -(-n // len(b))
         return ahash_bytes(
-            encode_bmp(width, height, (b * reps)[:n]), hash_size
+            encode_bmp(width, height, _tiled_rgb(text, n)), hash_size
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -222,20 +222,25 @@ def jdbc_table_exists(
                     .replace("_", esc + "_")
                     .replace("%", esc + "%")
                 )
-        # Fold identifiers the way THIS driver stores unquoted ones
-        # (storesUpperCaseIdentifiers → upper, lower → lower, mixed →
-        # exact). Unconditional lower() would false-positive two
-        # schemas differing only by case on a case-preserving backend
-        # (create-if-missing would then skip creation); an exact
-        # compare would false-negative on folding backends whose
-        # metadata rows differ in case from Connection.getSchema().
+        # Fold identifiers the way THIS driver matches unquoted ones.
+        # Exact compare is only correct when the backend is truly
+        # case-SENSITIVE (supportsMixedCaseIdentifiers); a backend
+        # that stores identifiers as written but matches them
+        # case-insensitively (SQLite, MySQL lower_case_table_names=2
+        # — storesMixed false, supportsMixed false) must fold, or
+        # probing 'stock_metrics' against a live 'Stock_Metrics'
+        # false-negatives and a bootstrap caller recreates the table.
+        # Unconditional lower() would instead false-positive two
+        # schemas differing only by case on a case-sensitive backend.
         try:
             if meta.storesUpperCaseIdentifiers():
                 fold = str.upper
             elif meta.storesLowerCaseIdentifiers():
                 fold = str.lower
+            elif meta.supportsMixedCaseIdentifiers():
+                fold = str  # genuinely case-sensitive: exact compare
             else:
-                fold = str  # mixed-case-preserving: exact compare
+                fold = str.lower  # stored as-written, matched folded
         except Exception:  # metadata call unsupported: old behavior
             fold = str.lower
         rs = meta.getTables(None, pattern, "%", None)

@@ -87,32 +87,51 @@ def _body_imports(fn) -> list:
     convention for io/operator helpers)."""
     import ast
     import importlib
+    import importlib.util
     import textwrap
 
     try:
         tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
     except (OSError, TypeError, SyntaxError):
         return []
-    out = []
+    names = set(getattr(fn, "__code__").co_names)
+
+    def _hop_module(sub) -> None:
+        # body-imported MODULE (from ...operators import dedup, or
+        # import pkg.io as io): hop its attributes by co_names, same
+        # as the global-module branch
+        for attr in names:
+            s2 = getattr(sub, attr, None)
+            if callable(s2) and getattr(s2, "__module__", "").startswith(
+                PACKAGE
+            ):
+                out.append(s2)
+
+    out: list = []
     for node in ast.walk(tree):
-        if isinstance(node, ast.ImportFrom) and node.module:
-            mod_name = node.module
-            if node.level:  # relative import inside the package
-                base = getattr(fn, "__module__", "") or ""
-                parts = base.split(".")
-                if node.level <= len(parts):
-                    mod_name = (
-                        ".".join(parts[: len(parts) - node.level])
-                        + "."
-                        + node.module
-                    )
+        if isinstance(node, ast.ImportFrom) and node.module is not None:
+            # standard package-relative resolution (a hand-rolled
+            # slice mis-resolves functions defined in a package
+            # __init__ — review r11); the anchor is fn's module if it
+            # IS a package, else its parent package
+            base = getattr(fn, "__module__", "") or ""
+            base_mod = sys.modules.get(base)
+            anchor = (
+                base
+                if base_mod is not None and hasattr(base_mod, "__path__")
+                else base.rpartition(".")[0]
+            )
+            prefix = "." * node.level + node.module
+            try:
+                mod_name = importlib.util.resolve_name(prefix, anchor)
+            except (ImportError, ValueError):
+                continue
             if not mod_name.startswith(PACKAGE):
                 continue
             try:
                 mod = importlib.import_module(mod_name)
             except ImportError:
                 continue
-            names = set(getattr(fn, "__code__").co_names)
             for alias in node.names:
                 sub = getattr(mod, alias.name, None)
                 if sub is None:
@@ -128,19 +147,21 @@ def _body_imports(fn) -> list:
                     except ImportError:
                         continue
                 if isinstance(sub, types.ModuleType):
-                    # body-imported MODULE (from ...operators import
-                    # dedup): hop its attributes by co_names, same as
-                    # the global-module branch
-                    for attr in names:
-                        s2 = getattr(sub, attr, None)
-                        if callable(s2) and getattr(
-                            s2, "__module__", ""
-                        ).startswith(PACKAGE):
-                            out.append(s2)
+                    _hop_module(sub)
                 elif callable(sub) and getattr(
                     sub, "__module__", ""
                 ).startswith(PACKAGE):
                     out.append(sub)
+        elif isinstance(node, ast.Import):
+            # plain `import stock_market_etl_spark.io as sio` in the
+            # body — the remaining blind spot of the same class
+            for alias in node.names:
+                if not alias.name.startswith(PACKAGE):
+                    continue
+                try:
+                    _hop_module(importlib.import_module(alias.name))
+                except ImportError:
+                    continue
     return out
 
 
