@@ -57,3 +57,44 @@ def test_changed_queries_are_in_window():
         "add to DRIVER_WINDOW for re-proof, or accept-local with "
         "rationale after a green local oracle run"
     )
+
+
+def test_impl_hash_tracks_body_imports():
+    """The drift tracer's r11 blind-spot fixes, pinned: callables
+    bound by body-level `from pkg.mod import fn`, body-level
+    submodule aliases (`from pkg.operators import dedup`), and plain
+    `import pkg.mod as alias` all land in the hash closure — and
+    resolution is deterministic regardless of what was imported
+    first."""
+    from tools.proof_ledger import _package_callables
+
+    def q_from_import(spark, sf_dir):
+        from stock_market_etl_spark.io import read_snapshot
+
+        return read_snapshot(spark, sf_dir, 1)
+
+    def q_submodule_alias(spark, sf_dir):
+        from stock_market_etl_spark.operators import dedup
+
+        return dedup.exact_dedup(None)
+
+    def q_plain_import(spark, sf_dir):
+        import stock_market_etl_spark.io as sio
+
+        return sio.read_snapshot(spark, sf_dir, 1)
+
+    def names(fn):
+        return {
+            f"{c.__module__}.{c.__qualname__}"
+            for c in _package_callables(fn)
+        }
+
+    io_target = "stock_market_etl_spark.io.read_snapshot"
+    assert io_target in names(q_from_import)
+    assert io_target in names(q_plain_import)
+    assert (
+        "stock_market_etl_spark.operators.dedup.exact_dedup"
+        in names(q_submodule_alias)
+    )
+    # deterministic across calls (the x50 suite-order flake class)
+    assert names(q_from_import) == names(q_from_import)

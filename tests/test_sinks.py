@@ -1423,3 +1423,63 @@ def test_fully_pruned_read_presents_union_schema(spark, tmp_path):
 
     with pytest.raises(ValueError, match="zero files"):
         read_snapshot(spark, broken, 1)
+
+
+def test_merge_table_schema_properties():
+    """The manifest-schema merge rule's algebra, pinned directly:
+    idempotence (merge(s, s) == nullable(s)), append order
+    (prev-then-new), recursive nullability relaxation on arrays /
+    maps / nested structs (data-compatible, never drift), and loud
+    refusal on a real type change."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from stock_market_etl_spark.io import (
+        _merge_table_schema,
+        _nullable_type,
+    )
+
+    arr_strict = T.ArrayType(T.StringType(), containsNull=False)
+    nested = T.StructType(
+        [T.StructField("x", T.LongType(), nullable=False)]
+    )
+    s1 = T.StructType(
+        [
+            T.StructField("a", T.LongType(), nullable=False),
+            T.StructField("tags", arr_strict, nullable=True),
+            T.StructField("m", T.MapType(T.StringType(), nested, False)),
+        ]
+    )
+    # idempotence: merging a schema with itself is its relaxed form
+    merged = _merge_table_schema(s1, s1)
+    assert merged == _nullable_type(s1)
+    assert all(f.nullable for f in merged.fields)
+    assert merged["tags"].dataType.containsNull is True
+    assert merged["m"].dataType.valueContainsNull is True
+    assert merged["m"].dataType.valueType["x"].nullable is True
+
+    # nested-nullability-only difference is NOT drift (collect_list
+    # emits containsNull=False, parquet read-back says True)
+    s2 = T.StructType(
+        [T.StructField("tags", T.ArrayType(T.StringType(), True))]
+    )
+    s1b = T.StructType([T.StructField("tags", arr_strict)])
+    assert _merge_table_schema(s1b, s2) == _nullable_type(s1b)
+
+    # append keeps prev order and adds new fields at the end
+    s3 = T.StructType(
+        [
+            T.StructField("b", T.StringType()),
+            T.StructField("a", T.LongType()),
+        ]
+    )
+    out = _merge_table_schema(s1, s3)
+    assert [f.name for f in out.fields] == ["a", "tags", "m", "b"]
+
+    # a real type change refuses loudly
+    s4 = T.StructType([T.StructField("a", T.StringType())])
+    with pytest.raises(TypeError, match="schema drift on 'a'"):
+        _merge_table_schema(s1, s4)
+
+    # fresh table: merge(None, s) is the relaxed commit schema
+    assert _merge_table_schema(None, s1) == _nullable_type(s1)
