@@ -215,6 +215,25 @@ BENCH_QUERIES = [
 ]
 
 
+def _headline_val(v: float) -> float | int:
+    """Per-query seconds for the HEADLINE line at 2 significant
+    figures — sub-second rows keep the 2-decimal resolution the r11
+    verdict asked for; multi-second rows drop a noise digit. Full
+    3-decimal rep times still ride the detail line. Why: the driver
+    records only the last ~2 KB of output and at 63 queries the
+    3-decimal headline measured 1905/2000 chars (r11 verdict task 3);
+    2 sig figs buys ~90 chars of growth headroom without losing ratio
+    signal (worst-case rounding error 2.5%, far below the 2× perf
+    gate's resolution). Integral results collapse to int (29.0 → 29)
+    for two more chars per big row."""
+    if v <= 0:
+        return 0.0
+    import math
+
+    r = round(v, max(0, 1 - int(math.floor(math.log10(v)))))
+    return int(r) if r == int(r) else r
+
+
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -362,7 +381,8 @@ def main() -> None:
         reps[name] = rep_times
         timings[name] = min(rep_times)
 
-    total = round(sum(timings.values()), 3)
+    head_queries = {n: _headline_val(v) for n, v in timings.items()}
+    total = round(sum(head_queries.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # TWO JSON lines, detail first: the driver's record keeps only the
@@ -384,7 +404,7 @@ def main() -> None:
                 "metric": "bench_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": head_queries,
                 "sf": sf_val,
             },
             separators=(",", ":"),

@@ -37,88 +37,79 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship (F1+F2) — permanent anchor
     "f1_f2_metrics_pipeline",
-    # --- r11 rotation (DRIVER_WINDOW.md drafted slot-priority order,
-    # applied mechanically): CORRECTNESS_r10 came back 50/50 green,
-    # ledger stamped r10, so every r10 slot vacates. Tier 1 (red
+    # --- r12 rotation (DRIVER_WINDOW.md drafted slot-priority order,
+    # applied mechanically): CORRECTNESS_r11 came back 50/50 green,
+    # ledger stamped r11, so every r11 slot vacates. Tier 1 (red
     # re-proofs) is empty. Tier 2: the 3 core canaries + the
     # flagship anchor above.
     "q_compute_trends",
     "c4_watermark_filter",
     "e1_global_max_watermark",
-    # Tier 3 — first proofs for the 6 r10-new oracle-bearing queries
-    # (all local green at sf0.01 AND sf0.1, the entire remaining
-    # first-proof backlog — closes the 195→201 driver-grade gap):
-    "b23_snapshot_skipping_read",
+    # Tier 3 — first proofs for the 5 r11-new oracle-bearing queries
+    # (all local green at sf0.01 AND sf0.1, judge-verified in the
+    # r11 VERDICT; closes the 201→206 driver-grade gap):
+    "a2_jdbc_scan",
+    "b25_window_index_lifecycle",
+    "n19_stream_substring_gate",
+    "x76_substring_dedup_keep_one",
+    "x77_containment_pairs",
+    # Tier 4 — changed-since-proof re-admits from this round's
+    # ADVICE fixes, re-verified green against their unchanged
+    # oracles post-change:
+    # - b24/b9: the contract read seams (read_snapshot_evolving,
+    #   load_evolving) now compare _nullable_type on BOTH sides so
+    #   nested-nullability contracts aren't false drift (the commit
+    #   seam's rule, applied at read time).
     "b24_snapshot_schema_evolution",
-    "x72_substring_dedup_cut",
-    "x73_source_reputation_gate",
-    "x74_incremental_substring_spans",
-    "x75_curation_pipeline_v4",
-    # Tier 4 — changed-since-proof re-admits (each re-verified green
-    # against its unchanged oracle post-change, taking the last
-    # freshness slots; evictees cycle in r12):
-    # - n18: the r10 ADVICE legacy-txn migration shim
-    #   (streaming/core.py snapshot_lake_sink) drifted its hash.
-    # - x69/x70: deletion_neighborhood_pairs' density guard collapsed
-    #   to one scalar-row aggregate (lazy ban, no persist) after
-    #   their r10 greens.
-    # - b18–b21: the r11 manifest-schema change rewrote their read
-    #   paths (reads plan against the recorded table schema); the
-    #   drift tracer's body-import blind spot missed them (fixed in
-    #   tools/proof_ledger the same round), so they re-enter
-    #   explicitly. All re-verified green locally post-change.
-    "n18_stream_snapshot_lake",
-    "x69_fuzzy_name_pairs",
-    "x70_fuzzy_sparse_pairs",
-    "b18_snapshot_time_travel",
-    "b19_snapshot_increment_read",
-    "b20_cow_delete",
-    "b21_cow_upsert",
-    # - b22/n14: the second review pass's fixes drifted them too
-    #   (single-compute manifest schema through compaction;
-    #   supportsMixedCaseIdentifiers in the JDBC fold) — both
-    #   re-verified green post-change.
-    "b22_lake_lifecycle",
-    "n14_stream_jdbc_serving",
-    # Tier 5 — freshness cycling, oldest-first per the ledger: the
-    # complete remaining r06 cohort (10 rows — the oldest surviving
-    # proofs after a green r10)…
     "b9_schema_evolution_read",
-    "e7_null_count_audit",
-    "e8_distinct_list",
-    "j1_unpivot",
-    "n9_stream_dedup_ingest",
-    "n11_stream_static_enrich",
-    "x6_exact_dedup",
-    "x26_contamination",
-    "x42_temperature_mix",
-    "x44_shard_assignment",
-    # …then 21 of the 45 r07 rows: §2-core lettered rows first; the
-    # 24 remaining r07 rows (x7, x8, x16, x22–x25, x27, x28, x31,
-    # x38, x41, x45–x47, x50, q_relative_returns, q_top_movers, m5,
-    # n12, q_final_returns, q_latest_snapshot, l3, l4 — x26 is
-    # r06-proven and already in this window) cycle in r12.
-    "b1_partitioned_write_roundtrip",
-    "b7_csv_roundtrip",
-    "b8_json_roundtrip",
-    "b10_orc_roundtrip",
-    "b11_bucketed_colocated_join",
-    "c6_single_eq_filter",
-    "d1_broadcast_left_join",
-    "d2_dim_fact_inner_join",
-    "d4_left_anti_join",
-    "e3_grouped_max",
-    "e4_grouped_last_max_by",
-    "e6_dedup_on_keys",
-    "f1_lag_pct_change",
-    "f3_cumulative_return",
-    "f4_latest_row_per_key",
-    "f5_scale_by_scalar",
-    "g1_multikey_sort",
-    "g3_top_k",
-    "i4_null_fill",
-    "k1_schema_contract_audit",
-    "k3_k4_quality_gate",
+    # Tier 5 — freshness cycling, oldest-first per the ledger: the
+    # COMPLETE r07 cohort (24 rows — the oldest surviving proofs
+    # after a green r11), dashboard queries first (the reference's
+    # primary user-facing surface, VERDICT r11 task 7)…
+    "q_final_returns",
+    "q_relative_returns",
+    "q_latest_snapshot",
+    "q_top_movers",
+    "l3_cross_store_dedup",
+    "l4_year_range_resume",
+    "m5_map_in_arrow",
+    "n12_stream_session_transcripts",
+    "x7_jaccard_pairs",
+    "x8_cosine_topk",
+    "x16_embedding_near_dup",
+    "x22_deterministic_split",
+    "x23_stratified_sample",
+    "x24_sequence_pack",
+    "x25_quota_cap",
+    "x27_deterministic_shuffle",
+    "x28_dataset_build",
+    "x31_dup_clusters",
+    "x38_incremental_dedup",
+    "x41_leakage_safe_split",
+    "x45_corpus_report",
+    "x46_curation_pipeline",
+    "x47_corpus_diff",
+    "x50_session_transcripts",
+    # …then 15 of the 45 r08 rows, §2-core lettered rows first; the
+    # 30 remaining r08 rows (c7, c8, e2, e5, e9, e10, e11, e12,
+    # e13b, e17, e18, f9, f10, f11, f12, g2, h2, i3, i7, i10, i11,
+    # k5, k6, m6, m7, n13, x49, x51–x54, x56, x57 minus the 15
+    # below) cycle in r13.
+    "b12_clustered_scan_prune",
+    "b13_zorder_scan_prune",
+    "d3_self_join_time_align",
+    "d5_left_semi_join",
+    "d6_cross_join",
+    "d7_full_outer_join",
+    "d8_asof_join",
+    "d9_star_join_revenue",
+    "d11_interval_overlap_pairs",
+    "d12_asof_forward_tolerance",
+    "d13_asof_nearest",
+    "d14_salted_join",
+    "c7_filter_on_window_result",
+    "c8_empty_guard",
+    "e2_scalar_fn_agg",
 )
 
 

@@ -303,7 +303,11 @@ def load_evolving(
             cols.append(
                 F.lit(None).cast(field.dataType).alias(field.name)
             )
-        elif got != field.dataType:
+        elif _nullable_type(got) != _nullable_type(field.dataType):
+            # nullability differences (incl. nested containsNull /
+            # valueContainsNull) are data-compatible, never drift —
+            # the same rule the commit seam applies when merging
+            # manifest schemas (_merge_table_schema)
             raise TypeError(
                 f"schema drift on {field.name!r}: lake has {got}, "
                 f"contract wants {field.dataType} — refusing to cast "
@@ -1070,7 +1074,13 @@ def read_snapshot_evolving(
             cols.append(
                 F.lit(None).cast(field.dataType).alias(field.name)
             )
-        elif got != field.dataType:
+        elif _nullable_type(got) != _nullable_type(field.dataType):
+            # relax BOTH sides: _merge_table_schema stores the
+            # manifest schema nullability-relaxed, so an exact
+            # compare would reject any contract declaring e.g.
+            # ArrayType(..., containsNull=False) — the read seam
+            # must apply the commit seam's nullability-is-not-drift
+            # rule (ADVICE r11)
             raise TypeError(
                 f"schema drift on {field.name!r}: snapshot v{version} "
                 f"has {got}, contract wants {field.dataType} — "

@@ -1574,6 +1574,7 @@ def merge_window_index(
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    built_k: int | None = None,
 ) -> DataFrame:
     """Fold NEW documents into an existing `corpus_window_hashes`
     index WITHOUT re-hashing the indexed corpus — the incremental
@@ -1584,9 +1585,22 @@ def merge_window_index(
     corpus_window_hashes(corpus ∪ batch)`` is pinned in
     tests/test_extensions.py.
 
+    ``built_k`` is the window width the index was BUILT at — pass the
+    second element of the `read_window_index` pair. A merge at a
+    different ``k`` would silently produce a mixed-width index whose
+    counts never match the new docs' digests (later probes under-flag
+    with no error), so a mismatch is the same loud ValueError
+    `read_window_index` raises, applied at the write seam too.
+
     Scale shape: the new docs pay one window-hash pass + a hash-grain
     map-side-combined sum against the index — increment-sized work;
     the indexed corpus contributes only its (16 B, 8 B) rows."""
+    if built_k is not None and built_k != k:
+        raise ValueError(
+            f"window index was built with k={built_k}, merge "
+            f"requested k={k} — a mixed-width index under-flags "
+            "silently; rebuild the index or merge at its k"
+        )
     new_counts = corpus_window_hashes(
         new_docs, k=k, text_col=text_col, id_col=id_col
     )

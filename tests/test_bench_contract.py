@@ -42,21 +42,31 @@ def test_bench_emits_contract_json():
     assert payload["queries"] and all(
         isinstance(v, (int, float)) for v in payload["queries"].values()
     )
-    assert abs(sum(payload["queries"].values()) - payload["value"]) < 0.05
+    # headline total is the sum of the headline's own (rounded)
+    # per-query values — self-consistent to float noise
+    assert abs(sum(payload["queries"].values()) - payload["value"]) < 0.002
     assert payload["sf"] == 0.001
     # the driver records only the last ~2 KB of output: the headline
     # line must be LAST and fit the capture whole or the round's
-    # BENCH_r{N}.json loses its own head (observed r05)
+    # BENCH_r{N}.json loses its own head (observed r05). The tighter
+    # bound is the r11-verdict headroom ask: per-query values ride at
+    # 2 significant figures (bench._headline_val) so adding rows
+    # doesn't silently push the line past the capture — at sf0.1
+    # naming this measured 1818 chars, ~180 chars ≈ 7 typical rows of
+    # slack; revisit the printed set before the bound, not after.
     assert json_lines[-1] == json.dumps(payload, separators=(",", ":"))
-    assert len(json_lines[-1]) < 2000, len(json_lines[-1])
+    assert len(json_lines[-1]) < 1900, len(json_lines[-1])
     # per-rep evidence rides the detail line: every query ships all
-    # rep times, and the headline number is their min (noise vs
-    # regression in one glance)
+    # rep times at full 3-decimal precision, and the headline number
+    # is their min through the headline rounding (noise vs regression
+    # in one glance)
+    from bench import _headline_val
+
     assert detail["metric"] == "bench_detail"
     assert set(detail["reps"]) == set(payload["queries"])
     for name, rep_times in detail["reps"].items():
         assert len(rep_times) == 3
-        assert min(rep_times) == payload["queries"][name]
+        assert _headline_val(min(rep_times)) == payload["queries"][name]
 
 
 # Pinned per-query shuffle bytes at sf0.1 under the test session

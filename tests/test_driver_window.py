@@ -98,3 +98,70 @@ def test_impl_hash_tracks_body_imports():
     )
     # deterministic across calls (the x50 suite-order flake class)
     assert names(q_from_import) == names(q_from_import)
+
+
+def test_rehash_separates_tracer_drift_from_code_drift(
+    tmp_path, monkeypatch, capsys
+):
+    """ADVICE r11: a blind rehash can't tell tracer-upgrade drift
+    from real code drift run in the same round. cmd_rehash must
+    re-measure each drifted entry under the OLD tracer too and only
+    auto-refresh entries whose old-tracer hash is unchanged — real
+    code drift stays untouched and is listed for accept-local or
+    window re-admission."""
+    import json
+
+    import tools.proof_ledger as pl
+
+    lp = tmp_path / "ledger.json"
+    lp.write_text(
+        json.dumps(
+            {
+                "q_tracer_only": {
+                    "proven": "r05",
+                    "impl_hash": "oldhash_t",
+                    "evidence": "driver",
+                },
+                "q_code_drift": {
+                    "proven": "r05",
+                    "impl_hash": "oldhash_c",
+                    "evidence": "driver",
+                },
+            }
+        )
+    )
+    monkeypatch.setattr(pl, "LEDGER_PATH", lp)
+    monkeypatch.setattr(
+        pl,
+        "_catalog",
+        lambda: ({"q_tracer_only": None, "q_code_drift": None}, {}),
+    )
+    # new tracer: both entries read differently now
+    monkeypatch.setattr(pl, "impl_hash", lambda n, q, o: f"new_{n}")
+    # old tracer applied to CURRENT code: q_tracer_only still matches
+    # its ledgered hash (pure measurement change); q_code_drift does
+    # not (the code itself moved)
+    monkeypatch.setattr(
+        pl,
+        "_tracer_from_ref",
+        lambda ref: (
+            lambda n, q, o: "oldhash_t" if n == "q_tracer_only" else "MOVED"
+        ),
+    )
+    pl.cmd_rehash(["tracer upgrade"], baseline="HEAD")
+    out = json.loads(lp.read_text())
+    assert out["q_tracer_only"]["impl_hash"] == "new_q_tracer_only"
+    assert out["q_tracer_only"]["rehash_note"] == "tracer upgrade"
+    assert out["q_tracer_only"]["proven"] == "r05"  # grade untouched
+    assert out["q_code_drift"]["impl_hash"] == "oldhash_c"  # untouched
+    assert "rehash_note" not in out["q_code_drift"]
+    assert "q_code_drift" in capsys.readouterr().out
+
+
+def test_tracer_from_ref_loads_old_measurement():
+    """The old-tracer loader really resolves a callable impl_hash
+    from a git ref (HEAD always exists in this repo)."""
+    from tools.proof_ledger import _tracer_from_ref
+
+    old = _tracer_from_ref("HEAD")
+    assert callable(old)

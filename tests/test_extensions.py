@@ -2192,6 +2192,36 @@ def test_merge_window_index_equals_rebuild(spark, sf_smoke):
     assert merged == rebuilt and merged
 
 
+def test_merge_window_index_refuses_k_mismatch(spark, tmp_path):
+    """ADVICE r11: merging at a width other than the index's BUILT k
+    would silently produce a mixed-width index that under-flags on
+    later probes — the (index, built_k) pair from read_window_index
+    must trip the same loud ValueError the read seam raises, and the
+    guard must not fire when the widths agree."""
+    import pytest
+
+    from stock_market_etl_spark.operators.dedup import (
+        merge_window_index,
+        read_window_index,
+        write_window_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d x y")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "idx")
+    write_window_index(docs, path, k=4)
+    idx, built_k = read_window_index(spark, path)
+    batch = spark.createDataFrame(
+        [(10, "a b c d z w")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="built with k=4"):
+        merge_window_index(idx, batch, k=8, built_k=built_k)
+    ok = merge_window_index(idx, batch, k=built_k, built_k=built_k)
+    assert ok.count() > 0
+
+
 def test_substring_keep_one_semantics(spark):
     """x76's keeper contract on planted structure: the min-doc_id
     holder of a duplicated run keeps its text verbatim while every

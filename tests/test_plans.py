@@ -886,3 +886,68 @@ def test_containment_pairs_grams_once_no_cartesian(spark, sf_smoke):
     plan = _plan(all_queries()["x77_containment_pairs"](spark, sf_smoke))
     assert "CartesianProduct" not in plan
     assert "InMemoryTableScan" in plan
+
+
+def test_jdbc_scan_partition_parallel(spark, sf_smoke):
+    """a2's 100 TB shape: the JDBC read must split into N parallel
+    range queries — one connection streaming the whole table is the
+    single-task scan this operator exists to avoid. The relation must
+    report numPartitions=4 and the RDD must materialize 4 partitions
+    (Derby here; production swaps URL/driver only)."""
+    df = all_queries()["a2_jdbc_scan"](spark, sf_smoke)
+    assert df.rdd.getNumPartitions() == 4
+    plan = _plan(df)
+    assert "JDBCRelation" in plan
+    assert "numPartitions=4" in plan
+
+
+def test_window_index_build_shuffles_digests_only(spark, sf_smoke):
+    """b25's build half (corpus_window_hashes): exchanges are digest
+    grain only — the (hash, id) distinct plus the hash-grain count
+    make at most TWO hash exchanges, keyed on the 16-byte digest /
+    8-byte id, never on text. At 100 TB the index build's shuffle is
+    a fraction of corpus bytes or it isn't an index."""
+    import re
+
+    from stock_market_etl_spark.operators.dedup import (
+        corpus_window_hashes,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    plan = _plan(corpus_window_hashes(docs, k=8))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
+
+
+def test_stream_substring_gate_batch_plan(spark, sf_smoke, tmp_path):
+    """n19's per-batch body, pinned via its documented
+    single-micro-batch twin (the n9 move): landed-id anti-join +
+    index probe + span cut compose with NO cartesian and the
+    batch-sized sides joined by BROADCAST — each micro-batch pays
+    batch-sized work plus one hash-grain probe of the b25 artifact,
+    regardless of corpus size."""
+    from stock_market_etl_spark.operators.dedup import (
+        cut_spans,
+        exact_substring_spans_incremental,
+        read_window_index,
+        write_window_index,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    path = str(tmp_path / "idx")
+    write_window_index(corpus, path, k=8)
+    idx, built_k = read_window_index(spark, path)
+    landed = batch.limit(0).select("doc_id")
+    fresh = batch.join(landed, "doc_id", "left_anti")
+    spans = exact_substring_spans_incremental(
+        None, fresh, k=built_k, corpus_index=idx
+    )
+    out = cut_spans(fresh, spans, text_col="text", id_col="doc_id")
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

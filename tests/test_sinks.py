@@ -1241,6 +1241,60 @@ def test_snapshot_schema_evolution_and_refusal(spark, sf_smoke, tmp_path):
         )
 
 
+def test_contract_nullability_is_not_drift(spark, tmp_path):
+    """ADVICE r11: the manifest stores schemas nullability-relaxed
+    (_merge_table_schema), so a contract declaring e.g.
+    ArrayType(..., containsNull=False) must NOT read as drift — the
+    read seams (read_snapshot_evolving AND load_evolving) apply the
+    commit seam's nullability-is-not-drift rule. Element-type drift
+    inside the array still refuses loudly."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from stock_market_etl_spark.io import (
+        commit_snapshot,
+        load_evolving,
+        read_snapshot_evolving,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0])],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType(), False),
+                T.StructField(
+                    "vals", T.ArrayType(T.DoubleType(), False), False
+                ),
+            ]
+        ),
+    )
+    strict = df.schema  # containsNull=False / nullable=False contract
+
+    table = str(tmp_path / "snap")
+    v1 = commit_snapshot(spark, table, df)
+    got = read_snapshot_evolving(spark, table, v1, expected=strict)
+    assert got.count() == 2 and set(got.columns) == {"id", "vals"}
+
+    lake = str(tmp_path / "lake")
+    df.write.parquet(lake)
+    got2 = load_evolving(spark, lake, expected=strict)
+    assert got2.count() == 2
+
+    # the relax is nullability-ONLY: element-type drift still refuses
+    retyped = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField(
+                "vals", T.ArrayType(T.StringType(), False), False
+            ),
+        ]
+    )
+    with _pytest.raises(TypeError, match="schema drift on 'vals'"):
+        read_snapshot_evolving(spark, table, v1, expected=retyped)
+    with _pytest.raises(TypeError, match="schema drift on 'vals'"):
+        load_evolving(spark, lake, expected=retyped)
+
+
 def test_read_increment_with_predicate_prunes(spark, sf_smoke, tmp_path):
     """read_increment(predicate=...) composes data skipping with the
     CDC read: the increment's files band-prune before planning, rows

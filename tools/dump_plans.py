@@ -63,7 +63,25 @@ SHOWCASE = [
     ("x75_curation_pipeline_v4", "composed flagship: the source gate is a BroadcastExchange semi-join ABOVE the scan, so the flag/cut/dedup stages all run on the pruned corpus — composition adds no exchange"),
     ("x76_substring_dedup_keep_one", "x72's shape with the keeper: the flag aggregate carries one extra 8-byte min(id) and the hit join is a BroadcastHashJoin + scan-local keeper inequality — no SortMergeJoin, no cartesian"),
     ("x77_containment_pairs", "gram arrays materialize ONCE (InMemoryTableScan feeds the banned-bucket candidate join and both id-grain array re-attach sides); 16-byte digests + id pairs exchange, text never does"),
-    ("b25_window_index_lifecycle", "the batch probes the READ-BACK (hash, count) artifact: batch-side counts join the index parquet hash-grain, the flagged set broadcasts back, corpus text appears in NO stage"),
+    ("b25_window_index_lifecycle", "the batch probes the READ-BACK (hash, count) artifact: batch-side counts join the index parquet hash-grain, the flagged set broadcasts back, corpus text appears in NO stage; the BUILD half's exchanges are digest-grain only (tests/test_plans.py::test_window_index_build_shuffles_digests_only)"),
+    ("a2_jdbc_scan", "the JDBC relation splits into 4 parallel range queries (numPartitions=4 on the scan node) — N connections each streaming a key range, never one connection streaming the table (tests/test_plans.py::test_jdbc_scan_partition_parallel)"),
+]
+
+#: Operators whose scale-relevant plan can't be dumped through
+#: queries() (streaming sinks): documented here so every operator's
+#: plan assertion is named in PLANS.md, per the r11 verdict.
+EXTRA_NOTES = [
+    (
+        "n19_stream_substring_gate",
+        "per-micro-batch body pinned via its single-micro-batch twin "
+        "(tests/test_plans.py::test_stream_substring_gate_batch_plan): "
+        "landed-id anti-join + b25-index probe + span cut compose "
+        "with no cartesian and broadcast joins on the batch-sized "
+        "sides — each batch pays batch-sized work plus one hash-grain "
+        "probe of the artifact, regardless of corpus size. Exactly-"
+        "once and frozen-release behavior are data-level contracts "
+        "pinned in tests/test_streaming.py.",
+    ),
 ]
 
 
@@ -92,6 +110,9 @@ def main() -> None:
         out += [f"## {name}", "", f"*Evidence:* {evidence}", "", "```"]
         out.append(buf.getvalue().rstrip())
         out += ["```", ""]
+
+    for name, note in EXTRA_NOTES:
+        out += [f"## {name}", "", f"*Evidence:* {note}", ""]
 
     with open(os.path.join(REPO_ROOT, "PLANS.md"), "w") as f:
         f.write("\n".join(out))

@@ -24,11 +24,15 @@ proof are never conflated.
 CLI:
   python -m tools.proof_ledger update CORRECTNESS_r05.json r05
       refresh hash + proven-round for every green row of that file
-  python -m tools.proof_ledger rehash <reason...>
-      recompute every impl_hash after upgrading the hash FUNCTION
-      itself (code unchanged, measurement changed) - proven rounds
-      and evidence grades untouched, reason recorded per entry;
-      only run right after a green full-catalog local verify
+  python -m tools.proof_ledger rehash [--baseline REF] <reason...>
+      refresh impl_hashes after upgrading the hash FUNCTION itself
+      (code unchanged, measurement changed) - each drifted entry is
+      re-measured under the OLD tracer (at --baseline, default HEAD)
+      too, and only pure tracer-drift auto-refreshes; entries whose
+      old-tracer hash ALSO drifted have real code changes and are
+      listed for accept-local / window re-admission instead.
+      Proven rounds and evidence grades untouched, reason recorded
+      per entry; only run right after a green full-catalog verify
   python -m tools.proof_ledger accept-local name [name ...]
       re-hash named entries after a foundational change, grading the
       evidence "local-oracle" (run tests/test_catalog_oracle.py green
@@ -227,30 +231,69 @@ def cmd_update(correctness_file: str, round_tag: str) -> None:
     print(f"refreshed {len(refreshed)} entries from {correctness_file}")
 
 
-def cmd_rehash(reason: list[str]) -> None:
-    """Recompute every entry's impl_hash WITHOUT touching proven
-    round or evidence grade — for upgrades of the HASH FUNCTION
-    itself (the code didn't change; the measurement did). Requires a
-    reason, recorded per entry as the audit trail, and is only
-    honest immediately after a full local verify of the whole
-    catalog — run it in the same session as a green
-    tools.verify_queries --all / driver-gate simulation."""
+def _tracer_from_ref(ref: str):
+    """Load the impl_hash function as it existed at a git ref — the
+    OLD tracer. Exec'd in an isolated module namespace so the old
+    measurement runs against the CURRENT code without touching this
+    module's state."""
+    import subprocess
+
+    src = subprocess.run(
+        ["git", "show", f"{ref}:tools/proof_ledger.py"],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=Path(__file__).resolve().parent.parent,
+    ).stdout
+    mod = types.ModuleType("_old_proof_ledger")
+    mod.__file__ = str(Path(__file__))
+    exec(compile(src, f"<tools/proof_ledger.py@{ref}>", "exec"), mod.__dict__)
+    return mod.impl_hash
+
+
+def cmd_rehash(reason: list[str], baseline: str = "HEAD") -> None:
+    """Refresh impl_hashes after upgrading the HASH FUNCTION itself
+    (the code didn't change; the measurement did) WITHOUT touching
+    proven round or evidence grade — but only where that story is
+    provable. A blind refresh can't distinguish tracer-upgrade drift
+    from real code drift run in the same round (ADVICE r11): a missed
+    consumer of a code change would keep driver-grade evidence for
+    never-re-proven code.
+
+    So each drifted entry is re-measured under BOTH tracers: the old
+    one (``--baseline`` git ref, default HEAD — the committed tracer
+    before this session's upgrade) applied to the current code, and
+    the new one. Only entries whose OLD-tracer hash still equals the
+    ledgered hash — i.e. the code is bit-identical under the old
+    measurement, the drift is purely tracer-induced — auto-refresh.
+    The rest have real code drift and are left untouched and listed;
+    route them through accept-local or window re-admission."""
     if not reason:
         raise SystemExit("rehash requires a reason string")
     note = " ".join(reason)
+    old_impl_hash = _tracer_from_ref(baseline)
     queries, oracles = _catalog()
     ledger = load_ledger()
-    changed = 0
+    changed, code_drift = 0, []
     for name, entry in ledger.items():
         if name not in queries:
             continue
         new = impl_hash(name, queries, oracles)
-        if new != entry["impl_hash"]:
+        if new == entry["impl_hash"]:
+            continue
+        if old_impl_hash(name, queries, oracles) == entry["impl_hash"]:
             entry["impl_hash"] = new
             entry["rehash_note"] = note
             changed += 1
+        else:
+            code_drift.append(name)
     save_ledger(ledger)
-    print(f"rehashed {changed} entries ({note})")
+    print(f"rehashed {changed} tracer-only-drift entries ({note})")
+    if code_drift:
+        print(
+            "REAL code drift (untouched — accept-local or re-admit "
+            f"to the window): {' '.join(sorted(code_drift))}"
+        )
 
 
 def cmd_accept_local(names: list[str]) -> None:
@@ -272,6 +315,11 @@ if __name__ == "__main__":
     elif len(sys.argv) >= 2 and sys.argv[1] == "accept-local":
         cmd_accept_local(sys.argv[2:])
     elif len(sys.argv) >= 2 and sys.argv[1] == "rehash":
-        cmd_rehash(sys.argv[2:])
+        rest = sys.argv[2:]
+        base = "HEAD"
+        if rest and rest[0] == "--baseline":
+            base = rest[1]
+            rest = rest[2:]
+        cmd_rehash(rest, baseline=base)
     else:
         raise SystemExit(__doc__)
