@@ -204,6 +204,16 @@ BENCH_QUERIES = [
     # id pairs, two id-grain array re-attach joins; text never
     # shuffles.
     "x77_containment_pairs",
+    # r12 addition: batch hard-negative mining (the DPR recipe) — M
+    # queries scored in ONE corpus token pass (persisted (doc, term)
+    # tf diamond; corpus stats fold into one scalar broadcast, per-doc
+    # length rides the tf aggregate — no doc-grain length join) +
+    # two-phase per-query top-k, positives dropped broadcast-anti.
+    "x78_hard_negative_mining",
+    # r12 addition: per-doc drop-reason lineage for the gate → dedup
+    # pipeline — digests computed scan-side, ONE digest-grain keeper
+    # exchange, text never shuffles.
+    "x79_curation_lineage",
     # r09 addition: x69's SPARSE operating point (VERDICT r08 task 2)
     # — SymSpell deletion-neighborhood fuzzy join over a structureless
     # md5-name entity catalog with planted typos. x69 itself (the

@@ -2869,3 +2869,124 @@ def x77_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(
         docs, ngram=5, threshold=0.5, max_ids_per_gram=500
     )
+
+
+@_q(
+    "x78_hard_negative_mining",
+    r"""WITH qmap(query_id, term) AS (
+         VALUES ('q_ann', 'vector'), ('q_ann', 'hash'),
+                ('q_ann', 'spark'),
+                ('q_win', 'window'), ('q_win', 'sort'),
+                ('q_win', 'merge'),
+                ('q_scan', 'scan'), ('q_scan', 'batch')),
+       positives AS (
+         SELECT ['q_ann', 'q_win', 'q_scan'][CAST(doc_id % 37 AS INT) + 1]
+                    AS query_id,
+                doc_id
+         FROM documents WHERE doc_id % 37 < 3),
+       toks AS (
+         SELECT doc_id,
+                unnest(string_split_regex(trim(text), '\s+')) AS term
+         FROM documents),
+       dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       stats AS (SELECT avg(dl) AS avgdl FROM dl),
+       n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term IN (SELECT term FROM qmap)
+              GROUP BY doc_id, term),
+       dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       scored AS (
+         SELECT qmap.query_id, tf.doc_id,
+                round(sum(
+                  ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                  * (tf * 2.2)
+                  / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+                ), 6) AS bm25
+         FROM tf JOIN qmap USING (term) JOIN dl USING (doc_id)
+              JOIN dfc USING (term), stats, n
+         GROUP BY qmap.query_id, tf.doc_id),
+       negs AS (
+         SELECT s.query_id, s.doc_id, s.bm25
+         FROM scored s ANTI JOIN positives p
+           ON s.query_id = p.query_id AND s.doc_id = p.doc_id),
+       ranked AS (
+         SELECT query_id, doc_id, bm25,
+                CAST(row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+         FROM negs)
+       SELECT query_id, doc_id, bm25, rank
+       FROM ranked WHERE rank <= 5""",
+)
+def x78_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval training
+    (`text.bm25_hard_negatives` — the DPR recipe): per query in a
+    BATCH, the top-5 BM25 documents that are not known positives.
+    The reference serves retrieval-style dashboards one query at a
+    time (`scripts/app.py:75-97`); training-data preparation scores
+    every query in the batch in ONE corpus pass — the token stream is
+    filtered once by the union of all query terms, df/avgdl/N are
+    query-independent broadcasts, and the per-query top-k runs
+    two-phase ((query, doc_id % 64) then query grain) so no single
+    task ranks a whole query's candidates. Positives here are a
+    deterministic doc_id rule (the labeled-relevance stand-in);
+    production swaps in the real qrels table."""
+    docs = load_table(spark, sf_dir, "documents")
+    qids = ["q_ann", "q_win", "q_scan"]
+    positives = (
+        docs.select((F.col("doc_id") % 37).alias("__m"), "doc_id")
+        .filter(F.col("__m") < len(qids))
+        .select(
+            F.element_at(
+                F.array(*[F.lit(q) for q in qids]),
+                F.col("__m").cast("int") + 1,
+            ).alias("query_id"),
+            "doc_id",
+        )
+    )
+    return text_ops.bm25_hard_negatives(
+        docs,
+        {
+            "q_ann": ["vector", "hash", "spark"],
+            "q_win": ["window", "sort", "merge"],
+            "q_scan": ["scan", "batch"],
+        },
+        positives,
+        k=5,
+    )
+
+
+@_q(
+    "x79_curation_lineage",
+    """WITH meta AS (
+         SELECT doc_id, n_chars, lang, text,
+                (n_chars >= 200 AND lang IN ('en', 'de', 'fr')) AS ok
+         FROM documents),
+       keepers AS (
+         SELECT text, min(doc_id) AS kept_by
+         FROM meta WHERE ok GROUP BY text)
+       SELECT m.doc_id,
+              CASE WHEN m.n_chars < 200 THEN 'too_short'
+                   WHEN m.lang NOT IN ('en', 'de', 'fr')
+                        THEN 'lang_blocked'
+                   WHEN m.doc_id <> k.kept_by THEN 'exact_dup'
+                   ELSE 'kept' END AS verdict,
+              CASE WHEN m.ok AND m.doc_id <> k.kept_by
+                   THEN k.kept_by END AS kept_by
+       FROM meta m LEFT JOIN keepers k USING (text)""",
+)
+def x79_curation_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document drop-reason lineage for the gate → exact-dedup
+    pipeline (`dedup.curation_lineage`): every input doc gets the
+    FIRST rule that drops it (too_short → lang_blocked → exact_dup →
+    kept) plus the surviving copy's id for exact_dup rows — the audit
+    table that answers "why did doc X disappear?" after a composed
+    x46/x75 run. Dedup keepers are chosen among GATE SURVIVORS only
+    (a doc whose twin died at a gate is not a duplicate), matching
+    sequential-gate execution exactly. Digests are computed
+    scan-side; the keeper aggregate and join move (digest, id, lang,
+    n_chars) rows only — text never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.curation_lineage(
+        docs, min_chars=200, allowed_langs=("en", "de", "fr")
+    )

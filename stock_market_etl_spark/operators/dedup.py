@@ -1743,3 +1743,61 @@ def cut_spans(
         F.col(id_col),
         F.concat_ws(" ", F.filter("__t", _keep)).alias("clean_text"),
     )
+
+
+def curation_lineage(
+    docs: DataFrame,
+    min_chars: int = 200,
+    allowed_langs: tuple[str, ...] = ("en", "de", "fr"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document drop-reason audit for a gate → exact-dedup
+    curation pipeline — the lineage table a pipeline operator needs
+    when a stakeholder asks "why did doc X disappear?". For every
+    input document: ``verdict`` is the FIRST rule that drops it
+    (``too_short`` → ``lang_blocked`` → ``exact_dup`` → ``kept``,
+    matching the sequential-gate semantics of the composed x46/x75
+    pipelines) and ``kept_by`` names the surviving copy for
+    ``exact_dup`` rows (NULL otherwise).
+
+    Sequential-gate subtlety: dedup keepers are chosen among GATE
+    SURVIVORS only — a document whose identical twin was dropped as
+    too-short is NOT a duplicate (that content no longer exists
+    upstream of the dedup stage), exactly as running the gates then
+    `exact_dedup` would behave.
+
+    Scale shape: content digests are computed scan-side, so text
+    never enters an exchange — the keeper aggregate and the
+    digest-grain join back move (16 B digest, 8 B id, lang,
+    n_chars) rows only (the x6/x60 payload discipline)."""
+    eligible = (F.col("n_chars") >= min_chars) & F.col("lang").isin(
+        list(allowed_langs)
+    )
+    meta = docs.select(
+        F.col(id_col),
+        "n_chars",
+        "lang",
+        F.sha2(F.col(text_col).cast("binary"), 256).alias("__h"),
+        eligible.alias("__ok"),
+    )
+    keepers = (
+        meta.filter(F.col("__ok"))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias("__kept_by"))
+    )
+    return meta.join(keepers, "__h", "left").select(
+        F.col(id_col),
+        F.when(F.col("n_chars") < min_chars, F.lit("too_short"))
+        .when(
+            ~F.col("lang").isin(list(allowed_langs)),
+            F.lit("lang_blocked"),
+        )
+        .when(F.col(id_col) != F.col("__kept_by"), F.lit("exact_dup"))
+        .otherwise(F.lit("kept"))
+        .alias("verdict"),
+        F.when(
+            F.col("__ok") & (F.col(id_col) != F.col("__kept_by")),
+            F.col("__kept_by"),
+        ).alias("kept_by"),
+    )

@@ -422,6 +422,129 @@ def bm25_topk(
     )
 
 
+def bm25_hard_negatives(
+    docs,
+    queries: dict[str, list[str]],
+    positives: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_chunks: int = 64,
+) -> DataFrame:
+    """Hard-negative mining for retrieval training (the DPR recipe,
+    Karpukhin et al. 2020): for EVERY query in a batch, the top-``k``
+    BM25-scoring documents that are NOT known positives — the
+    near-miss examples contrastive training needs. Returns
+    ``(query_id, doc_id, bm25, rank)`` with rank 1..k per query.
+
+    Scale shape — three moves beyond `bm25_topk`:
+
+    - **One token pass for M queries.** The exploded token stream is
+      filtered ONCE by the union of all query terms (tiny IN-list),
+      aggregated to (doc, term) tf — document frequency is
+      query-independent, so df comes off that grain before the
+      broadcast (term → query_id) map fans matches out to query
+      grain. M queries cost one corpus pass, not M.
+    - **No doc-length join.** Per-doc length is ``size(tokens)``
+      computed scan-side and carried THROUGH the tf aggregate
+      (``first(dl)`` rides the existing (doc, term) exchange), and
+      avgdl + N fold into ONE scalar-row aggregate off a narrow
+      no-shuffle scan — where `bm25_topk` pays a corpus-wide explode
+      + groupBy + doc-grain join for dl, this form pays zero extra
+      exchanges for the corpus stats.
+    - **Two-phase per-query top-k.** A row_number window partitioned
+      by query_id alone would funnel every scored doc of a query
+      through ONE task (the x44 global-window hazard). Phase 1 ranks
+      within (query_id, doc_id % n_chunks) — parallel, bounded
+      output of k rows per chunk; phase 2 ranks the ≤ k·n_chunks
+      survivors per query. Identical result (a global top-k is a
+      top-k of per-chunk top-ks), never a single hot task — and the
+      engine's WindowGroupLimit partial pass composes underneath,
+      bounding even the phase-1 exchange to k rows per input
+      partition.
+
+    Positives drop via left_anti on (query_id, doc_id); ranking ties
+    break on the 6-decimal rounded score then doc_id, so the result
+    is deterministic and oracle-stable cross-engine."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    term_map = spark.createDataFrame(
+        [
+            (qid, t)
+            for qid, terms in sorted(queries.items())
+            for t in sorted(set(terms))
+        ],
+        "query_id string, term string",
+    )
+    all_terms = sorted({t for terms in queries.values() for t in terms})
+
+    stats = docs.select(
+        F.size(tokens(F.col(text_col))).alias("__dl")
+    ).agg(
+        F.avg("__dl").alias("avgdl"),
+        F.count("*").cast("double").alias("n_docs"),
+    )
+
+    toks = docs.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).alias("dl"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    # tf feeds BOTH df_counts and the scored stream — without the
+    # persist Spark re-executes the whole corpus explode per consumer
+    # (the x77 diamond). tf itself is small: one row per (matching
+    # doc, query term).
+    tf = (
+        toks.filter(F.col("term").isin(all_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        .persist()
+    )
+    df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(term_map), "term")
+        .join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+    )
+    negs = scored.join(positives, ["query_id", id_col], "left_anti")
+
+    order = (F.col("bm25").desc(), F.col(id_col))
+    w_chunk = Window.partitionBy(
+        "query_id", (F.col(id_col) % n_chunks)
+    ).orderBy(*order)
+    w_query = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        negs.withColumn("__cr", F.row_number().over(w_chunk))
+        .filter(F.col("__cr") <= k)
+        .withColumn("rank", F.row_number().over(w_query))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "bm25", "rank")
+    )
+
+
 def chunk_documents(
     docs,
     chunk_tokens: int = 64,

@@ -196,6 +196,17 @@ SHUFFLE_MB_PINS = {
     # id-grain gram-ARRAY re-attach joins (arrays bounded by doc
     # length); text in any exchange would multiply this.
     "x77_containment_pairs": 9.49,
+    # r12: batch hard-negative mining — ONE (doc, term) tf exchange
+    # of the query-term-filtered token stream (per-doc length rides
+    # it; corpus stats broadcast as a scalar row) + the tiny df/
+    # window-survivor exchanges; a doc-grain length JOIN creeping
+    # back in (the bm25_topk shape) or text in the tf rows would
+    # multiply this.
+    "x78_hard_negative_mining": 1.11,
+    # r12: curation lineage — one digest-grain keeper aggregate +
+    # the (digest, id, lang, n_chars) join rows; text in the
+    # exchange would scale this with corpus bytes.
+    "x79_curation_lineage": 0.17,
 }
 
 

@@ -2284,3 +2284,108 @@ def test_containment_pairs_semantics(spark):
     assert not any(3 in p for p in got)
     # boilerplate-only overlap: banned gram generates no candidates
     assert not any(a >= 100 and b >= 100 for a, b in got)
+
+
+def test_hard_negatives_semantics(spark):
+    """x78's contract on planted structure: positives never appear,
+    ranking follows BM25 (a doc with more query-term hits outranks a
+    lighter one at equal length), rank is 1..k dense per query, and
+    the two-phase chunked top-k equals the single-window form
+    bit-for-bit (the identity seam — phase 1 must never cut a global
+    top-k survivor)."""
+    from pyspark.sql import Window
+
+    from stock_market_etl_spark.operators.text import (
+        bm25_hard_negatives,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha alpha pad pad pad"),   # heavy hitter
+            (2, "alpha alpha beta pad pad pad"),    # mid
+            (3, "alpha pad pad pad pad pad"),       # light
+            (4, "pad pad pad pad pad pad"),         # no match
+            (5, "alpha alpha alpha alpha pad pad"), # heaviest → positive
+        ],
+        "doc_id long, text string",
+    )
+    positives = spark.createDataFrame(
+        [("q1", 5)], "query_id string, doc_id long"
+    )
+    out = bm25_hard_negatives(
+        docs, {"q1": ["alpha", "beta"]}, positives, k=3
+    ).collect()
+    got = [(r["query_id"], r["doc_id"], r["rank"]) for r in out]
+    # positive 5 excluded; 4 never scored; 2 outranks 3 (beta hit),
+    # 1 vs 2: doc 1 has 3×alpha, doc 2 has 2×alpha+1×beta — beta is
+    # rarer (df 1 vs 4) so its idf dominates and doc 2 wins
+    assert ("q1", 5, 1) not in [(q, d, 1) for q, d, _ in got]
+    assert all(d != 5 and d != 4 for _, d, _ in got)
+    assert sorted(r for _, _, r in got) == [1, 2, 3]
+    by_rank = {r: d for _, d, r in got}
+    assert by_rank[1] == 2 and by_rank[2] == 1 and by_rank[3] == 3
+
+    # identity seam: chunked two-phase ≡ single global window, on a
+    # corpus large enough that chunks actually split the candidates
+    big = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha "),
+            F.when(F.col("id") % 3 == 0, F.lit("beta ")).otherwise(
+                F.lit("pad ")
+            ),
+            F.lit("pad pad"),
+        ).alias("text"),
+    )
+    nopos = spark.createDataFrame(
+        [], "query_id string, doc_id long"
+    )
+    two_phase = bm25_hard_negatives(
+        big, {"q1": ["alpha", "beta"]}, nopos, k=7, n_chunks=16
+    )
+    one_chunk = bm25_hard_negatives(
+        big, {"q1": ["alpha", "beta"]}, nopos, k=7, n_chunks=1
+    )
+    key = lambda df: sorted(
+        (r["query_id"], r["doc_id"], r["bm25"], r["rank"])
+        for r in df.collect()
+    )
+    assert key(two_phase) == key(one_chunk) and len(key(two_phase)) == 7
+
+
+def test_curation_lineage_semantics(spark):
+    """x79's verdict precedence and the sequential-gate subtlety on
+    planted docs: first-match rule wins, dedup keepers are chosen
+    among gate SURVIVORS only (a doc whose identical twin died at a
+    gate is NOT a duplicate), and kept_by names the keeper exactly
+    for exact_dup rows."""
+    from stock_market_etl_spark.operators.dedup import curation_lineage
+
+    long_txt = "w " * 150
+    docs = spark.createDataFrame(
+        [
+            (1, long_txt, "en", 300),        # kept (keeper of 1/2)
+            (2, long_txt, "en", 300),        # exact_dup of 1
+            (3, long_txt, "zh", 300),        # lang_blocked (same text!)
+            (4, "tiny", "en", 4),            # too_short
+            (5, "tiny", "zh", 4),            # too_short wins over lang
+            (6, "unique body " * 30, "fr", 360),  # kept
+            (7, "orphan twin", "en", 250),   # kept — its only twin (8)
+            (8, "orphan twin", "en", 100),   # too_short → 7 not a dup
+        ],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    # NOTE: n_chars is the fixture's stored audit column; planted
+    # values are authoritative (rule reads the column, not length()).
+    rows = {
+        r["doc_id"]: (r["verdict"], r["kept_by"])
+        for r in curation_lineage(docs, min_chars=200).collect()
+    }
+    assert rows[1] == ("kept", None)
+    assert rows[2] == ("exact_dup", 1)
+    assert rows[3] == ("lang_blocked", None)  # gate fires before dup
+    assert rows[4] == ("too_short", None)
+    assert rows[5] == ("too_short", None)     # precedence over lang
+    assert rows[6] == ("kept", None)
+    assert rows[7] == ("kept", None)          # twin died at gate
+    assert rows[8] == ("too_short", None)

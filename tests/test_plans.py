@@ -951,3 +951,33 @@ def test_stream_substring_gate_batch_plan(spark, sf_smoke, tmp_path):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_hard_negatives_single_token_pass(spark, sf_smoke):
+    """x78's 100 TB stance: the (doc, term) tf table materializes
+    ONCE (persist — df-counts and the scored stream both read the
+    InMemoryTableScan, never a second corpus explode), the corpus
+    stats ride ONE bounded scalar-row BNLJ, per-doc length arrives
+    through the tf aggregate (no doc-grain length join), and the
+    per-query ranking never falls into a cartesian or sort-merge
+    join."""
+    plan = _plan(all_queries()["x78_hard_negative_mining"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "InMemoryTableScan" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "WindowGroupLimit" in plan  # rank-k prunes before shuffling
+
+
+def test_curation_lineage_digest_grain_only(spark, sf_smoke):
+    """x79's exchanges are digest grain only: ONE hash exchange (the
+    keeper min-id aggregate on the 32-byte content digest) keyed on
+    the digest, never text, and the keeper table joins back via
+    broadcast/hash join — no cartesian, no text shuffle."""
+    import re
+
+    plan = _plan(all_queries()["x79_curation_lineage"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)

@@ -277,6 +277,11 @@ SCALE_QUERIES = [
     # oracle-mirrored; the rounded score is filtered on BOTH sides of
     # the same rounded value, so the boundary can't split — exact)
     ("x77_containment_pairs", True),
+    # r12 additions: batch hard-negative mining (BM25 doubles →
+    # midpoint tolerance) and the drop-reason lineage audit
+    # (strings + ids → exact).
+    ("x78_hard_negative_mining", False),
+    ("x79_curation_lineage", True),
 ]
 
 

@@ -65,6 +65,8 @@ SHOWCASE = [
     ("x77_containment_pairs", "gram arrays materialize ONCE (InMemoryTableScan feeds the banned-bucket candidate join and both id-grain array re-attach sides); 16-byte digests + id pairs exchange, text never does"),
     ("b25_window_index_lifecycle", "the batch probes the READ-BACK (hash, count) artifact: batch-side counts join the index parquet hash-grain, the flagged set broadcasts back, corpus text appears in NO stage; the BUILD half's exchanges are digest-grain only (tests/test_plans.py::test_window_index_build_shuffles_digests_only)"),
     ("a2_jdbc_scan", "the JDBC relation splits into 4 parallel range queries (numPartitions=4 on the scan node) — N connections each streaming a key range, never one connection streaming the table (tests/test_plans.py::test_jdbc_scan_partition_parallel)"),
+    ("x78_hard_negative_mining", "M queries in ONE corpus token pass: the (doc, term) tf table materializes once (InMemoryTableScan feeds df-counts AND the scored stream), per-doc length rides the tf aggregate (no doc-grain length join), corpus stats are one bounded scalar-row BNLJ, positives drop broadcast-anti, and the per-query top-k runs two-phase with WindowGroupLimit partials bounding every exchange (tests/test_plans.py::test_hard_negatives_single_token_pass)"),
+    ("x79_curation_lineage", "drop-reason lineage in one digest-grain move: content digests compute scan-side, the keeper min-id aggregate is the ONLY hash exchange (keyed on the 32-byte digest, never text), and the keeper table joins back broadcast (tests/test_plans.py::test_curation_lineage_digest_grain_only)"),
 ]
 
 #: Operators whose scale-relevant plan can't be dumped through
