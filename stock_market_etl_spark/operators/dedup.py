@@ -1571,31 +1571,34 @@ def write_window_index(
 def merge_window_index(
     index: DataFrame,
     new_docs: DataFrame,
+    built_k: int,
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    built_k: int | None = None,
 ) -> DataFrame:
     """Fold NEW documents into an existing `corpus_window_hashes`
     index WITHOUT re-hashing the indexed corpus — the incremental
     release step the index's append-mergeable design exists for:
     per-hash distinct-doc counts SUM when doc id spaces are disjoint
     (the `incremental_dedup` contract — an id on both sides would
-    double-count its windows). ``merge_window_index(index, batch) ≡
-    corpus_window_hashes(corpus ∪ batch)`` is pinned in
+    double-count its windows). ``merge_window_index(index, batch,
+    built_k) ≡ corpus_window_hashes(corpus ∪ batch)`` is pinned in
     tests/test_extensions.py.
 
-    ``built_k`` is the window width the index was BUILT at — pass the
-    second element of the `read_window_index` pair. A merge at a
-    different ``k`` would silently produce a mixed-width index whose
-    counts never match the new docs' digests (later probes under-flag
-    with no error), so a mismatch is the same loud ValueError
-    `read_window_index` raises, applied at the write seam too.
+    ``built_k`` is the window width the index was BUILT at and is
+    REQUIRED — pass the second element of the `read_window_index`
+    pair (an inline builder passes the k it just built with). It is
+    mandatory, not opt-in, because the caller merging at the wrong k
+    is precisely the caller who doesn't know the artifact's k: a
+    mixed-width index under-flags on later probes with no error, so
+    the mismatch is the same loud ValueError `read_window_index`
+    raises, applied unconditionally at the write seam too (review
+    r12 — the r11-ADVICE opt-in form left the hazard open).
 
     Scale shape: the new docs pay one window-hash pass + a hash-grain
     map-side-combined sum against the index — increment-sized work;
     the indexed corpus contributes only its (16 B, 8 B) rows."""
-    if built_k is not None and built_k != k:
+    if built_k != k:
         raise ValueError(
             f"window index was built with k={built_k}, merge "
             f"requested k={k} — a mixed-width index under-flags "

@@ -481,10 +481,18 @@ def bm25_hard_negatives(
     )
     all_terms = sorted({t for terms in queries.values() for t in terms})
 
-    stats = docs.select(
-        F.size(tokens(F.col(text_col))).alias("__dl")
-    ).agg(
-        F.avg("__dl").alias("avgdl"),
+    # avg over non-null text only: with ANSI off, size(split(NULL))
+    # is -1, which would poison avgdl — the explode-based twin (and
+    # the SQL oracle's unnest) simply emit no rows for a NULL doc, so
+    # the null-guard keeps the two conventions identical. n_docs
+    # counts EVERY doc (the oracle's count(*)), null text included.
+    stats = docs.agg(
+        F.avg(
+            F.when(
+                F.col(text_col).isNotNull(),
+                F.size(tokens(F.col(text_col))),
+            )
+        ).alias("avgdl"),
         F.count("*").cast("double").alias("n_docs"),
     )
 

@@ -103,13 +103,16 @@ def test_impl_hash_tracks_body_imports():
 def test_rehash_separates_tracer_drift_from_code_drift(
     tmp_path, monkeypatch, capsys
 ):
-    """ADVICE r11: a blind rehash can't tell tracer-upgrade drift
-    from real code drift run in the same round. cmd_rehash must
-    re-measure each drifted entry under the OLD tracer too and only
-    auto-refresh entries whose old-tracer hash is unchanged — real
-    code drift stays untouched and is listed for accept-local or
-    window re-admission."""
+    """ADVICE r11 + review r12: a blind rehash can't tell
+    tracer-upgrade drift from real code drift run in the same round —
+    and measuring with the OLD tracer would inherit the blind spots
+    the upgrade fixes. cmd_rehash must compare the CURRENT tracer's
+    hash of the baseline-ref code against its hash of the current
+    code: equal → pure measurement change, refresh; different → real
+    code drift, untouched and listed. --baseline is mandatory."""
     import json
+
+    import pytest
 
     import tools.proof_ledger as pl
 
@@ -136,19 +139,20 @@ def test_rehash_separates_tracer_drift_from_code_drift(
         "_catalog",
         lambda: ({"q_tracer_only": None, "q_code_drift": None}, {}),
     )
-    # new tracer: both entries read differently now
+    # new tracer on CURRENT code: both entries read differently now
     monkeypatch.setattr(pl, "impl_hash", lambda n, q, o: f"new_{n}")
-    # old tracer applied to CURRENT code: q_tracer_only still matches
-    # its ledgered hash (pure measurement change); q_code_drift does
-    # not (the code itself moved)
+    # new tracer on BASELINE code: q_tracer_only's code is unchanged
+    # (baseline hash == current hash → the ledger delta is the
+    # measurement); q_code_drift's code moved since the proofs
     monkeypatch.setattr(
         pl,
-        "_tracer_from_ref",
-        lambda ref: (
-            lambda n, q, o: "oldhash_t" if n == "q_tracer_only" else "MOVED"
-        ),
+        "_package_hashes_at_ref",
+        lambda ref, names: {
+            "q_tracer_only": "new_q_tracer_only",
+            "q_code_drift": "baseline_other",
+        },
     )
-    pl.cmd_rehash(["tracer upgrade"], baseline="HEAD")
+    pl.cmd_rehash(["tracer upgrade"], baseline="r11-stamp")
     out = json.loads(lp.read_text())
     assert out["q_tracer_only"]["impl_hash"] == "new_q_tracer_only"
     assert out["q_tracer_only"]["rehash_note"] == "tracer upgrade"
@@ -156,12 +160,27 @@ def test_rehash_separates_tracer_drift_from_code_drift(
     assert out["q_code_drift"]["impl_hash"] == "oldhash_c"  # untouched
     assert "rehash_note" not in out["q_code_drift"]
     assert "q_code_drift" in capsys.readouterr().out
+    # baseline is REQUIRED — no silent default that misclassifies
+    # when the session's changes are already committed
+    with pytest.raises(SystemExit, match="baseline"):
+        pl.cmd_rehash(["another reason"])
 
 
-def test_tracer_from_ref_loads_old_measurement():
-    """The old-tracer loader really resolves a callable impl_hash
-    from a git ref (HEAD always exists in this repo)."""
-    from tools.proof_ledger import _tracer_from_ref
+def test_package_hashes_at_ref_measures_baseline_code():
+    """The baseline measurement really runs the current tracer over
+    a git ref's package code: for a ledgered query whose
+    implementation is untouched in the working tree, the HEAD
+    measurement equals the live one."""
+    from tools.proof_ledger import (
+        _package_hashes_at_ref,
+        impl_hash,
+        load_ledger,
+    )
+    from stock_market_etl_spark.catalog import all_oracles, all_queries
 
-    old = _tracer_from_ref("HEAD")
-    assert callable(old)
+    name = "c6_single_eq_filter"
+    assert name in load_ledger()
+    q, o = all_queries(), all_oracles()
+    live = impl_hash(name, q, o)
+    at_head = _package_hashes_at_ref("HEAD", [name])
+    assert at_head == {name: live}

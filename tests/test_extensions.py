@@ -2186,7 +2186,9 @@ def test_merge_window_index_equals_rebuild(spark, sf_smoke):
         )
 
     merged = rows(
-        merge_window_index(corpus_window_hashes(corpus, k=8), batch, k=8)
+        merge_window_index(
+            corpus_window_hashes(corpus, k=8), batch, built_k=8, k=8
+        )
     )
     rebuilt = rows(corpus_window_hashes(docs, k=8))
     assert merged == rebuilt and merged
@@ -2217,9 +2219,12 @@ def test_merge_window_index_refuses_k_mismatch(spark, tmp_path):
         [(10, "a b c d z w")], "doc_id long, text string"
     )
     with pytest.raises(ValueError, match="built with k=4"):
-        merge_window_index(idx, batch, k=8, built_k=built_k)
-    ok = merge_window_index(idx, batch, k=built_k, built_k=built_k)
+        merge_window_index(idx, batch, built_k, k=8)
+    ok = merge_window_index(idx, batch, built_k, k=built_k)
     assert ok.count() > 0
+    # built_k is REQUIRED — the guard cannot be skipped by omission
+    with pytest.raises(TypeError):
+        merge_window_index(idx, batch)
 
 
 def test_substring_keep_one_semantics(spark):
@@ -2389,3 +2394,68 @@ def test_curation_lineage_semantics(spark):
     assert rows[6] == ("kept", None)
     assert rows[7] == ("kept", None)          # twin died at gate
     assert rows[8] == ("too_short", None)
+
+
+def test_hard_negatives_null_text_oracle_parity(spark, tmp_path):
+    """The NULL-text convention, pinned cross-engine (review r12): a
+    NULL document contributes to n_docs but NOT to avgdl (the SQL
+    unnest emits no rows for it; with ANSI off Spark's size(split(
+    NULL)) is -1 and would poison the average without the null
+    guard). Engine and DuckDB must score identically on a corpus
+    containing a NULL doc."""
+    import duckdb
+
+    from stock_market_etl_spark.operators.text import (
+        bm25_hard_negatives,
+    )
+
+    rows = [
+        (1, "alpha alpha beta pad"),
+        (2, "alpha pad pad pad"),
+        (3, "beta beta pad pad pad pad"),
+        (4, "pad pad"),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "docs.parquet")
+    docs.coalesce(1).write.parquet(path)
+
+    nopos = spark.createDataFrame([], "query_id string, doc_id long")
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["bm25"], r["rank"])
+        for r in bm25_hard_negatives(
+            docs, {"q1": ["alpha", "beta"]}, nopos, k=10
+        ).collect()
+    )
+
+    want = sorted(
+        (q, d, b, r)
+        for q, d, b, r in duckdb.connect()
+        .execute(
+            rf"""WITH docs AS (SELECT * FROM '{path}/*.parquet'),
+            toks AS (SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\s+')) AS term
+                     FROM docs),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            stats AS (SELECT avg(dl) AS avgdl FROM dl),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM docs),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                   WHERE term IN ('alpha', 'beta') GROUP BY doc_id, term),
+            dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            scored AS (
+              SELECT 'q1' AS query_id, tf.doc_id,
+                     round(sum(
+                       ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2)
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+                     ), 6) AS bm25
+              FROM tf JOIN dl USING (doc_id) JOIN dfc USING (term), stats, n
+              GROUP BY tf.doc_id)
+            SELECT query_id, doc_id, bm25,
+                   CAST(row_number() OVER (
+                     ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+            FROM scored"""
+        )
+        .fetchall()
+    )
+    assert got == want and len(got) == 3

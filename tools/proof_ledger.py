@@ -24,15 +24,17 @@ proof are never conflated.
 CLI:
   python -m tools.proof_ledger update CORRECTNESS_r05.json r05
       refresh hash + proven-round for every green row of that file
-  python -m tools.proof_ledger rehash [--baseline REF] <reason...>
+  python -m tools.proof_ledger rehash --baseline REF <reason...>
       refresh impl_hashes after upgrading the hash FUNCTION itself
-      (code unchanged, measurement changed) - each drifted entry is
-      re-measured under the OLD tracer (at --baseline, default HEAD)
-      too, and only pure tracer-drift auto-refreshes; entries whose
-      old-tracer hash ALSO drifted have real code changes and are
-      listed for accept-local / window re-admission instead.
-      Proven rounds and evidence grades untouched, reason recorded
-      per entry; only run right after a green full-catalog verify
+      (code unchanged, measurement changed). --baseline is REQUIRED:
+      the ref the ledgered proofs were computed at (the round-stamp
+      commit). Each drifted entry is re-measured by the CURRENT
+      tracer over that ref's package code (throwaway git worktree);
+      only entries whose code is bit-identical since the proofs
+      auto-refresh — the rest are real code drift, listed for
+      accept-local / window re-admission. Proven rounds and evidence
+      grades untouched, reason recorded per entry; only run right
+      after a green full-catalog verify
   python -m tools.proof_ledger accept-local name [name ...]
       re-hash named entries after a foundational change, grading the
       evidence "local-oracle" (run tests/test_catalog_oracle.py green
@@ -231,27 +233,63 @@ def cmd_update(correctness_file: str, round_tag: str) -> None:
     print(f"refreshed {len(refreshed)} entries from {correctness_file}")
 
 
-def _tracer_from_ref(ref: str):
-    """Load the impl_hash function as it existed at a git ref — the
-    OLD tracer. Exec'd in an isolated module namespace so the old
-    measurement runs against the CURRENT code without touching this
-    module's state."""
+def _package_hashes_at_ref(ref: str, names: list[str]) -> dict:
+    """Hashes of the named entries computed by the CURRENT tracer
+    over the PACKAGE CODE as of ``ref``: the ref is materialized in a
+    throwaway git worktree and this module's ``impl_hash`` runs there
+    in a subprocess — the worktree package on sys.path, the tracer
+    loaded by file from THIS checkout. Measuring baseline and current
+    code with the SAME (new) tracer is what makes the rehash
+    classification sound: an old-tracer measurement would inherit
+    exactly the blind spots the tracer upgrade exists to fix (review
+    r12 — e.g. r11's body-import hole would have classified drift it
+    couldn't see as 'tracer-only')."""
+    import json as _json
     import subprocess
+    import tempfile
 
-    src = subprocess.run(
-        ["git", "show", f"{ref}:tools/proof_ledger.py"],
-        capture_output=True,
-        text=True,
-        check=True,
-        cwd=Path(__file__).resolve().parent.parent,
-    ).stdout
-    mod = types.ModuleType("_old_proof_ledger")
-    mod.__file__ = str(Path(__file__))
-    exec(compile(src, f"<tools/proof_ledger.py@{ref}>", "exec"), mod.__dict__)
-    return mod.impl_hash
+    repo = Path(__file__).resolve().parent.parent
+    tracer = repo / "tools" / "proof_ledger.py"
+    with tempfile.TemporaryDirectory() as td:
+        wt = str(Path(td) / "baseline")
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", wt, ref],
+            cwd=repo,
+            check=True,
+            capture_output=True,
+        )
+        try:
+            script = (
+                "import importlib.util, json, sys\n"
+                f"sys.path.insert(0, {wt!r})\n"
+                "spec = importlib.util.spec_from_file_location("
+                f"'cur_tracer', {str(tracer)!r})\n"
+                "mod = importlib.util.module_from_spec(spec)\n"
+                "spec.loader.exec_module(mod)\n"
+                "from stock_market_etl_spark.catalog import "
+                "all_queries, all_oracles\n"
+                "q, o = all_queries(), all_oracles()\n"
+                "names = json.loads(sys.argv[1])\n"
+                "print(json.dumps({n: mod.impl_hash(n, q, o) "
+                "for n in names if n in q}))\n"
+            )
+            out = subprocess.run(
+                [sys.executable, "-c", script, _json.dumps(list(names))],
+                cwd=wt,
+                check=True,
+                capture_output=True,
+                text=True,
+            )
+            return _json.loads(out.stdout.strip().splitlines()[-1])
+        finally:
+            subprocess.run(
+                ["git", "worktree", "remove", "--force", wt],
+                cwd=repo,
+                capture_output=True,
+            )
 
 
-def cmd_rehash(reason: list[str], baseline: str = "HEAD") -> None:
+def cmd_rehash(reason: list[str], baseline: str | None = None) -> None:
     """Refresh impl_hashes after upgrading the HASH FUNCTION itself
     (the code didn't change; the measurement did) WITHOUT touching
     proven round or evidence grade — but only where that story is
@@ -260,30 +298,41 @@ def cmd_rehash(reason: list[str], baseline: str = "HEAD") -> None:
     consumer of a code change would keep driver-grade evidence for
     never-re-proven code.
 
-    So each drifted entry is re-measured under BOTH tracers: the old
-    one (``--baseline`` git ref, default HEAD — the committed tracer
-    before this session's upgrade) applied to the current code, and
-    the new one. Only entries whose OLD-tracer hash still equals the
-    ledgered hash — i.e. the code is bit-identical under the old
-    measurement, the drift is purely tracer-induced — auto-refresh.
-    The rest have real code drift and are left untouched and listed;
-    route them through accept-local or window re-admission."""
+    ``--baseline`` is REQUIRED: the git ref the ledgered proofs were
+    computed at (normally the round-stamp commit). Each drifted entry
+    is re-measured by the CURRENT tracer over that ref's package code
+    (`_package_hashes_at_ref`); baseline-hash == current-hash means
+    the implementing code is bit-identical since the proofs, so the
+    ledger delta is pure measurement change → refresh. Anything else
+    is real code drift → left untouched and listed for accept-local
+    or window re-admission. Both sides use the NEW tracer on purpose:
+    comparing via the OLD tracer would inherit its blind spots — code
+    drift the old tracer couldn't see would masquerade as
+    tracer-only (review r12)."""
     if not reason:
         raise SystemExit("rehash requires a reason string")
+    if baseline is None:
+        raise SystemExit(
+            "rehash requires --baseline REF — the ref the ledgered "
+            "proofs were computed at (the round-stamp commit); "
+            "a default would misclassify drift when the session's "
+            "code changes are already committed"
+        )
     note = " ".join(reason)
-    old_impl_hash = _tracer_from_ref(baseline)
     queries, oracles = _catalog()
     ledger = load_ledger()
+    drifted = {
+        name: impl_hash(name, queries, oracles)
+        for name, entry in ledger.items()
+        if name in queries
+        and impl_hash(name, queries, oracles) != entry["impl_hash"]
+    }
+    base = _package_hashes_at_ref(baseline, list(drifted)) if drifted else {}
     changed, code_drift = 0, []
-    for name, entry in ledger.items():
-        if name not in queries:
-            continue
-        new = impl_hash(name, queries, oracles)
-        if new == entry["impl_hash"]:
-            continue
-        if old_impl_hash(name, queries, oracles) == entry["impl_hash"]:
-            entry["impl_hash"] = new
-            entry["rehash_note"] = note
+    for name, new in drifted.items():
+        if base.get(name) == new:
+            ledger[name]["impl_hash"] = new
+            ledger[name]["rehash_note"] = note
             changed += 1
         else:
             code_drift.append(name)
@@ -316,8 +365,10 @@ if __name__ == "__main__":
         cmd_accept_local(sys.argv[2:])
     elif len(sys.argv) >= 2 and sys.argv[1] == "rehash":
         rest = sys.argv[2:]
-        base = "HEAD"
+        base = None
         if rest and rest[0] == "--baseline":
+            if len(rest) < 2:
+                raise SystemExit("--baseline requires a git ref")
             base = rest[1]
             rest = rest[2:]
         cmd_rehash(rest, baseline=base)
