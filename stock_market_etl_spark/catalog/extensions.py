@@ -2990,3 +2990,60 @@ def x79_curation_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.curation_lineage(
         docs, min_chars=200, allowed_langs=("en", "de", "fr")
     )
+
+
+@_q(
+    "x80_score_drift_psi",
+    f"""WITH t AS (
+         SELECT source,
+           round(0.4 * least(1.0, CAST(len({_TOKS}) AS BIGINT) / 100.0)
+             + 0.3 * (1.0
+                 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                        AS DOUBLE) / length(text))
+             + 0.3 * CAST(len(list_filter({_TOKS},
+                      x -> list_contains({_sql_list(STOPWORDS)}, x)))
+                        AS DOUBLE) / len({_TOKS}), 6) AS q,
+           CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS in_old,
+           CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END AS in_new
+         FROM documents),
+       hist AS (
+         SELECT source, least(9, CAST(floor(q * 10) AS INT)) AS bin,
+                CAST(sum(in_old) AS DOUBLE) AS old_n,
+                CAST(sum(in_new) AS DOUBLE) AS new_n
+         FROM t GROUP BY source, least(9, CAST(floor(q * 10) AS INT))),
+       tot AS (
+         SELECT source, sum(old_n) AS old_tot, sum(new_n) AS new_tot
+         FROM hist GROUP BY source),
+       terms AS (
+         SELECT h.source,
+                (greatest(old_n / old_tot, 1e-4)
+                 - greatest(new_n / new_tot, 1e-4))
+                * ln(greatest(old_n / old_tot, 1e-4)
+                     / greatest(new_n / new_tot, 1e-4)) AS term
+         FROM hist h JOIN tot USING (source)),
+       agg AS (
+         SELECT source, round(sum(term), 6) AS psi
+         FROM terms GROUP BY source)
+       SELECT source, psi, psi >= 0.2 AS drift_flag FROM agg""",
+)
+def x80_score_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the quality-score DISTRIBUTION
+    between two corpus releases, per source (`importance.psi_drift`
+    over `text.quality_score`, k6's release slices) — the standard
+    ML-pipeline drift monitor. k6 gates volume/share/mean-length
+    movement; x80 catches the shift k6 is blind to: a source whose
+    count and mean are flat but whose score SHAPE moved (a scraper
+    change collapsing a bimodal distribution reads identical means).
+    PSI ≥ 0.2 is the conventional alarm. One scan tags both releases
+    (no self-join), one (source, bin) conditional aggregate, and a
+    bin-histogram-sized join — documents never shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        F.round(text_ops.quality_score(F.col("text")), 6).alias("q"),
+        F.when(F.col("doc_id") % 3 != 0, 1).otherwise(0).alias("in_old"),
+        F.when(F.col("doc_id") % 5 != 0, 1).otherwise(0).alias("in_new"),
+    )
+    return importance.psi_drift(
+        scored, "q", "source", "in_old", "in_new", bins=10
+    )

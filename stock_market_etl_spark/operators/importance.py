@@ -125,3 +125,75 @@ def dsir_weights(
             F.round(F.sum("__w"), 6).alias("log_weight"),
         )
     )
+
+
+def psi_drift(
+    scored: DataFrame,
+    score_col: str,
+    group_col: str,
+    old_col: str,
+    new_col: str,
+    bins: int = 10,
+    eps: float = 1e-4,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Population Stability Index of a score DISTRIBUTION between two
+    releases, per group — the standard ML-pipeline drift monitor
+    (PSI = Σ_bins (p−q)·ln(p/q); ≥0.2 is the conventional
+    "significant shift" alarm). Complements the volume/mean gate
+    (k6): a source whose document count and mean quality are flat can
+    still silently swap its score SHAPE (e.g. bimodal collapse after
+    an upstream scraper change), which only a binned distribution
+    comparison sees.
+
+    ``scored`` carries a [0, 1] score (ROUND it to 6dp upstream so
+    both engines bin identical values), the group column, and two 0/1
+    release-membership flags (``old_col``/``new_col`` — k6's
+    one-scan, no-self-join tagging move). Empty-side bins clamp to
+    ``eps`` (the standard PSI smoothing; a bin empty in BOTH releases
+    contributes nothing and never materializes).
+
+    Scale shape: ONE corpus scan folds to the (group, bin)
+    conditional aggregate (map-side partial; B·|groups| rows), and
+    group totals come from a WINDOW over that histogram — no second
+    aggregate, no join, no re-derivation of the scan (a totals-join
+    diamond would execute the corpus aggregate twice). Everything
+    after the first exchange is histogram-sized."""
+    from pyspark.sql import Window
+
+    bin_col = F.least(
+        F.lit(bins - 1), F.floor(F.col(score_col) * bins)
+    ).cast("int")
+    hist = (
+        scored.select(
+            F.col(group_col),
+            bin_col.alias("__bin"),
+            F.col(old_col).alias("__old"),
+            F.col(new_col).alias("__new"),
+        )
+        .groupBy(group_col, "__bin")
+        .agg(
+            F.sum("__old").cast("double").alias("__old_n"),
+            F.sum("__new").cast("double").alias("__new_n"),
+        )
+    )
+    w = Window.partitionBy(group_col)
+    p = F.greatest(
+        F.col("__old_n") / F.sum("__old_n").over(w), F.lit(eps)
+    )
+    q = F.greatest(
+        F.col("__new_n") / F.sum("__new_n").over(w), F.lit(eps)
+    )
+    return (
+        hist.select(
+            F.col(group_col),
+            ((p - q) * F.log(p / q)).alias("__term"),
+        )
+        .groupBy(group_col)
+        .agg(F.round(F.sum("__term"), 6).alias("psi"))
+        .select(
+            group_col,
+            "psi",
+            (F.col("psi") >= threshold).alias("drift_flag"),
+        )
+    )

@@ -2459,3 +2459,47 @@ def test_hard_negatives_null_text_oracle_parity(spark, tmp_path):
         .fetchall()
     )
     assert got == want and len(got) == 3
+
+
+def test_psi_drift_semantics(spark):
+    """x80's discriminating case on planted shape: a source whose
+    score distribution is IDENTICAL across releases reads psi ≈ 0; a
+    source whose count AND mean are unchanged but whose shape moved
+    (unimodal 0.45 → bimodal 0.05/0.85) must alarm — exactly the
+    shift the k6 volume/mean gate is blind to. Empty-side bins clamp
+    to eps instead of dividing by zero."""
+    from stock_market_etl_spark.operators.importance import psi_drift
+
+    rows = []
+    # stable: same 20 scores in both releases
+    for i in range(20):
+        rows.append(("stable", round(0.05 * (i % 10) + 0.03, 6), 1, 1))
+    # shifted: old release all mid-scores; new release bimodal with
+    # the SAME count and mean
+    for i in range(20):
+        rows.append(("shifted", 0.45, 1, 0))
+        rows.append(("shifted", 0.05 if i % 2 == 0 else 0.85, 0, 1))
+    df = spark.createDataFrame(
+        rows, "source string, q double, in_old int, in_new int"
+    )
+    got = {
+        r["source"]: (r["psi"], r["drift_flag"])
+        for r in psi_drift(
+            df, "q", "source", "in_old", "in_new", bins=10
+        ).collect()
+    }
+    assert got["stable"][0] < 0.01 and got["stable"][1] is False
+    assert got["shifted"][0] >= 0.2 and got["shifted"][1] is True
+    # the planted shift is mean-invariant — k6's gate would pass it
+    from pyspark.sql import functions as SF
+
+    means = (
+        df.filter("source = 'shifted'")
+        .groupBy()
+        .agg(
+            (SF.sum(SF.col("q") * SF.col("in_old")) / SF.sum("in_old")).alias("mo"),
+            (SF.sum(SF.col("q") * SF.col("in_new")) / SF.sum("in_new")).alias("mn"),
+        )
+        .collect()[0]
+    )
+    assert abs(means["mo"] - means["mn"]) < 1e-9

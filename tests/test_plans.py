@@ -981,3 +981,17 @@ def test_curation_lineage_digest_grain_only(spark, sf_smoke):
     assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), m.group(0)
+
+
+def test_psi_drift_histogram_grain_only(spark, sf_smoke):
+    """x80's exchanges carry bin histograms, never documents: text is
+    pruned at the scan (only source/score/flags project out), the
+    (source, bin) aggregate and the group totals are the only hash
+    exchanges (≤3 with the join), and nothing is cartesian."""
+    import re
+
+    plan = _plan(all_queries()["x80_score_drift_psi"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan[:2000]
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)

@@ -586,3 +586,140 @@ def test_incremental_substring_spans_union_identity(spark, docs, k, split):
         )
     )
     assert inc == full
+
+
+_psi_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["s0", "s1"]),
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False, width=32),
+        st.booleans(),
+        st.booleans(),
+    ),
+    min_size=4,
+    max_size=60,
+).filter(
+    # every group present in a release must have ≥1 row on each side
+    # it claims, else totals are 0 (catalog rule guarantees this)
+    lambda rows: all(
+        any(r[0] == g and r[2] for r in rows)
+        and any(r[0] == g and r[3] for r in rows)
+        for g in {r[0] for r in rows}
+    )
+)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(rows=_psi_rows)
+def test_psi_drift_matches_reference(spark, rows):
+    """psi_drift against a plain-Python PSI: identical per-group
+    values (6dp) on arbitrary score/membership data, and PSI ≥ 0
+    always (each (p−q)·ln(p/q) term is non-negative)."""
+    import math
+
+    from stock_market_etl_spark.operators.importance import psi_drift
+
+    bins, eps = 10, 1e-4
+    df = spark.createDataFrame(
+        [(g, round(q, 6), int(o), int(n)) for g, q, o, n in rows],
+        "source string, q double, in_old int, in_new int",
+    )
+    got = {
+        r["source"]: r["psi"]
+        for r in psi_drift(
+            df, "q", "source", "in_old", "in_new", bins=bins, eps=eps
+        ).collect()
+    }
+
+    def ref(g):
+        hist = {}
+        for s, q, o, n in rows:
+            if s != g:
+                continue
+            b = min(bins - 1, int(math.floor(round(q, 6) * bins)))
+            old, new = hist.get(b, (0, 0))
+            hist[b] = (old + int(o), new + int(n))
+        ot = sum(o for o, _ in hist.values())
+        nt = sum(n for _, n in hist.values())
+        psi = 0.0
+        for o, n in hist.values():
+            p = max(o / ot, eps)
+            qq = max(n / nt, eps)
+            psi += (p - qq) * math.log(p / qq)
+        return round(psi, 6)
+
+    for g in got:
+        assert abs(got[g] - ref(g)) <= 1e-6, (g, got[g], ref(g))
+        assert got[g] >= -1e-9  # PSI is non-negative by construction
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.sampled_from(
+                ["alpha beta pad", "alpha pad pad", "beta beta", "pad pad"]
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_hard_negatives_invariants(spark, docs, k):
+    """Structural invariants on arbitrary corpora: ranks are a dense
+    1..min(k, |scored∖positives|) prefix per query, no positive ever
+    appears, every emitted doc matched ≥1 query term, and scores are
+    non-increasing with rank."""
+    from stock_market_etl_spark.operators.text import bm25_hard_negatives
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pos_ids = [d for d, _ in docs][: len(docs) // 2]
+    positives = spark.createDataFrame(
+        [("q1", d) for d in pos_ids], "query_id string, doc_id long"
+    )
+    out = bm25_hard_negatives(
+        df, {"q1": ["alpha", "beta"]}, positives, k=k, n_chunks=4
+    ).collect()
+    matched = {
+        d for d, t in docs if ("alpha" in t or "beta" in t)
+    } - set(pos_ids)
+    assert len(out) == min(k, len(matched))
+    ranks = sorted(r["rank"] for r in out)
+    assert ranks == list(range(1, len(out) + 1))
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    assert all(r["doc_id"] not in pos_ids for r in out)
+    assert all(r["doc_id"] in matched for r in out)
+    scores = [r["bm25"] for r in by_rank]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_curation_lineage_partition_invariant(spark, sf_smoke):
+    """Lineage is a PARTITION of the input: every doc gets exactly one
+    verdict, kept_by is set iff verdict is exact_dup, every kept_by
+    target is itself 'kept', and the kept set equals running the
+    gates then exact_dedup."""
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators.dedup import (
+        curation_lineage,
+        exact_dedup,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    lin = curation_lineage(docs, min_chars=200).collect()
+    assert len(lin) == docs.count()
+    verdicts = {r["doc_id"]: r for r in lin}
+    kept = {d for d, r in verdicts.items() if r["verdict"] == "kept"}
+    for r in lin:
+        assert (r["kept_by"] is not None) == (r["verdict"] == "exact_dup")
+        if r["kept_by"] is not None:
+            assert r["kept_by"] in kept
+    gated = docs.filter(
+        (F.col("n_chars") >= 200)
+        & F.col("lang").isin(["en", "de", "fr"])
+    )
+    twin = {
+        r["doc_id"] for r in exact_dedup(gated).select("doc_id").collect()
+    }
+    assert kept == twin

@@ -282,6 +282,9 @@ SCALE_QUERIES = [
     # (strings + ids → exact).
     ("x78_hard_negative_mining", False),
     ("x79_curation_lineage", True),
+    # r12 addition: PSI distribution-drift monitor (double psi →
+    # midpoint tolerance)
+    ("x80_score_drift_psi", False),
 ]
 
 
