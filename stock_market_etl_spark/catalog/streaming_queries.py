@@ -619,3 +619,100 @@ def n19_stream_substring_gate(
         stream, out_path, os.path.join(work, "ckpt"), index_path
     )
     return spark.read.parquet(out_path)
+
+
+def _psi_score_sql() -> str:
+    """x80's score expression fragment, shared with the n20 oracle so
+    the streamed monitor and the batch drift gate replay the SAME
+    quality score."""
+    from stock_market_etl_spark.catalog.extensions import (
+        _sql_list,
+        _TOKS,
+    )
+    from stock_market_etl_spark.operators.text import STOPWORDS
+
+    return (
+        f"round(0.4 * least(1.0, CAST(len({_TOKS}) AS BIGINT) / 100.0)"
+        " + 0.3 * (1.0"
+        " - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))"
+        " AS DOUBLE) / length(text))"
+        f" + 0.3 * CAST(len(list_filter({_TOKS},"
+        f" x -> list_contains({_sql_list(STOPWORDS)}, x)))"
+        f" AS DOUBLE) / len({_TOKS}), 6)"
+    )
+
+
+@_q(
+    "n20_stream_drift_monitor",
+    None,  # oracle attached below (needs the shared score fragment)
+)
+def n20_stream_drift_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """N: the PSI drift monitor drained end-to-end — a REAL
+    Structured Streaming run (file source → foreachBatch score + bin
+    + PSI vs the frozen baseline → per-batch partition overwrite),
+    probing a `write_score_histogram` artifact from a stream
+    (`streaming/core.drift_monitor_sink`; the b25 → n19 lifecycle
+    applied to score distributions). The baseline release
+    (doc_id % 3 != 0) is histogrammed ONCE; the monitored batch
+    (doc_id % 3 == 0) arrives as one file ⇒ one micro-batch, so the
+    landed monitor rows must equal the batch-form PSI between the
+    two slices — a full hash oracle like n9/n19; multi-batch
+    behavior, redelivery idempotence (partition overwrite, the n17
+    move) and the bins-mismatch refusal are asserted in
+    tests/test_streaming.py."""
+    import os
+
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators.importance import (
+        write_score_histogram,
+    )
+    from stock_market_etl_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    baseline = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "source",
+        F.round(quality_score(F.col("text")), 6).alias("__q"),
+    )
+    work = _scratch.fresh_dir("drift_monitor")
+    base_path = os.path.join(work, "baseline_hist")
+    write_score_histogram(baseline, base_path, "__q", "source", bins=10)
+    stream = core.stream_documents(
+        spark, sf_dir, glob="documents.parquet"
+    ).filter(F.col("doc_id") % 3 == 0)
+    out_path = os.path.join(work, "monitor")
+    core.drift_monitor_sink(
+        stream, out_path, os.path.join(work, "ckpt"), base_path
+    )
+    return spark.read.parquet(out_path).select(
+        "source", "psi", "drift_flag", "n_docs"
+    )
+
+
+ORACLES["n20_stream_drift_monitor"] = f"""
+    WITH t AS (
+      SELECT source, {_psi_score_sql()} AS q,
+             CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS in_base,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS in_batch
+      FROM documents),
+    hist AS (
+      SELECT source, least(9, CAST(floor(q * 10) AS INT)) AS bin,
+             CAST(sum(in_base) AS DOUBLE) AS p_n,
+             CAST(sum(in_batch) AS DOUBLE) AS q_n
+      FROM t GROUP BY source, least(9, CAST(floor(q * 10) AS INT))),
+    tot AS (
+      SELECT source, sum(p_n) AS p_tot, sum(q_n) AS q_tot
+      FROM hist GROUP BY source),
+    terms AS (
+      SELECT h.source,
+             (greatest(p_n / p_tot, 1e-4) - greatest(q_n / q_tot, 1e-4))
+             * ln(greatest(p_n / p_tot, 1e-4)
+                  / greatest(q_n / q_tot, 1e-4)) AS term,
+             q_tot
+      FROM hist h JOIN tot USING (source)),
+    agg AS (
+      SELECT source, round(sum(term), 6) AS psi,
+             CAST(max(q_tot) AS BIGINT) AS n_docs
+      FROM terms WHERE q_tot > 0 GROUP BY source)
+    SELECT source, psi, psi >= 0.2 AS drift_flag, n_docs FROM agg"""

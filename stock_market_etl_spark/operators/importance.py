@@ -161,13 +161,10 @@ def psi_drift(
     after the first exchange is histogram-sized."""
     from pyspark.sql import Window
 
-    bin_col = F.least(
-        F.lit(bins - 1), F.floor(F.col(score_col) * bins)
-    ).cast("int")
     hist = (
         scored.select(
             F.col(group_col),
-            bin_col.alias("__bin"),
+            _bin_col(score_col, bins).alias("__bin"),
             F.col(old_col).alias("__old"),
             F.col(new_col).alias("__new"),
         )
@@ -195,5 +192,133 @@ def psi_drift(
             group_col,
             "psi",
             (F.col("psi") >= threshold).alias("drift_flag"),
+        )
+    )
+
+
+def _bin_col(score_col: str, bins: int):
+    """Shared [0,1]-score binning for the PSI family: fixed-width
+    bins, 1.0 clamped into the last one. Both the batch (psi_drift)
+    and streamed (psi_vs_baseline) forms MUST bin identically or
+    their histograms aren't comparable."""
+    return F.least(
+        F.lit(bins - 1), F.floor(F.col(score_col) * bins)
+    ).cast("int")
+
+
+def score_histogram(
+    scored: DataFrame,
+    score_col: str,
+    group_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """(group, bin, n) counts of a [0,1] score — the materializable
+    baseline for streamed drift monitoring (`psi_vs_baseline`). B ×
+    |groups| rows regardless of corpus size."""
+    return (
+        scored.select(
+            F.col(group_col), _bin_col(score_col, bins).alias("__bin")
+        )
+        .groupBy(group_col, "__bin")
+        .agg(F.count("*").cast("long").alias("__n"))
+    )
+
+
+def write_score_histogram(
+    scored: DataFrame,
+    path: str,
+    score_col: str,
+    group_col: str,
+    bins: int = 10,
+) -> None:
+    """Materialize `score_histogram` to ``path/{histogram, meta}`` —
+    the once-per-release step of the drift-monitor lifecycle (the
+    b25 `write_window_index` pattern). ``bins`` is part of the
+    artifact's identity — a probe binned at a different width
+    compares incomparable histograms and reads as spurious
+    drift/calm — so it is recorded in a one-row meta table and
+    `read_score_histogram` refuses a mismatch loudly."""
+    hist = score_histogram(scored, score_col, group_col, bins)
+    hist.write.mode("overwrite").parquet(f"{path}/histogram")
+    scored.sparkSession.createDataFrame(
+        [(int(bins),)], "bins int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_score_histogram(
+    spark, path: str, bins: int | None = None
+) -> tuple[DataFrame, int]:
+    """Load a `write_score_histogram` artifact as the
+    ``(baseline, bins)`` pair `psi_vs_baseline` takes; passing
+    ``bins`` asserts the caller's width against the recorded one."""
+    built = int(
+        spark.read.parquet(f"{path}/meta").collect()[0]["bins"]
+    )
+    if bins is not None and bins != built:
+        raise ValueError(
+            f"score histogram at {path} was built with bins={built}, "
+            f"probe requested bins={bins} — histograms would be "
+            "incomparable; rebuild the baseline or probe at its width"
+        )
+    return spark.read.parquet(f"{path}/histogram"), built
+
+
+def psi_vs_baseline(
+    scored: DataFrame,
+    baseline: DataFrame,
+    score_col: str,
+    group_col: str,
+    bins: int,
+    eps: float = 1e-4,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """PSI of an ARRIVING batch's score distribution against a FROZEN
+    baseline histogram (`score_histogram` / the read-back artifact) —
+    the streamed face of `psi_drift`, same math: bins present in
+    EITHER side enter the sum (full-outer on (group, bin)), the
+    missing side clamps to ``eps``, totals come from windows over the
+    joined histogram. Emits only groups the batch actually touched
+    (you monitor arrivals; a batch-absent group has no distribution
+    to test). A group ABSENT from the baseline alarms loudly — every
+    baseline share clamps to eps, which is the correct "new source
+    appeared" signal. Returns (group, psi, drift_flag, n_docs).
+
+    Scale shape: the batch folds to its own B·|groups| histogram in
+    one aggregate; the join and windows run on histogram-sized rows —
+    the baseline artifact, not the corpus, is the other side."""
+    from pyspark.sql import Window
+
+    batch_hist = score_histogram(scored, score_col, group_col, bins)
+    joined = batch_hist.withColumnRenamed("__n", "__q_n").join(
+        baseline.withColumnRenamed("__n", "__p_n"),
+        [group_col, "__bin"],
+        "full_outer",
+    )
+    w = Window.partitionBy(group_col)
+    p_tot = F.sum(F.coalesce(F.col("__p_n"), F.lit(0))).over(w)
+    q_tot = F.sum(F.coalesce(F.col("__q_n"), F.lit(0))).over(w)
+    p = F.greatest(
+        F.coalesce(F.col("__p_n"), F.lit(0)) / p_tot, F.lit(eps)
+    )
+    q = F.greatest(
+        F.coalesce(F.col("__q_n"), F.lit(0)) / q_tot, F.lit(eps)
+    )
+    return (
+        joined.select(
+            F.col(group_col),
+            ((p - q) * F.log(p / q)).alias("__term"),
+            q_tot.alias("__n_docs"),
+        )
+        .filter(F.col("__n_docs") > 0)
+        .groupBy(group_col)
+        .agg(
+            F.round(F.sum("__term"), 6).alias("psi"),
+            F.first("__n_docs").cast("long").alias("n_docs"),
+        )
+        .select(
+            group_col,
+            "psi",
+            (F.col("psi") >= threshold).alias("drift_flag"),
+            "n_docs",
         )
     )

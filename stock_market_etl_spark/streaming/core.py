@@ -1100,3 +1100,62 @@ def lake_batch_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def drift_monitor_sink(
+    stream_docs: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    baseline_path: str,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> None:
+    """Streaming DRIFT MONITOR — x80's PSI gate run on arrival against
+    a frozen baseline release (the b25 → n19 lifecycle applied to
+    score distributions): each micro-batch's documents are
+    quality-scored, binned, and compared per-source against the
+    materialized `write_score_histogram` artifact
+    (`importance.psi_vs_baseline`); the monitor rows
+    (source, psi, drift_flag, n_docs) land under ``batch_id=N``.
+
+    Exactly-once by the `agg_partials_sink` move, not the anti-join
+    one: monitor rows are per-batch FACTS keyed by batch id, so each
+    batch OVERWRITES its own partition (dynamic partition overwrite,
+    session default) — a redelivered micro-batch replaces its rows
+    byte-for-byte instead of appending duplicates.
+
+    Release cadence contract: the baseline is a FROZEN release
+    (bins recorded in the artifact meta; a width mismatch refuses
+    loudly at sink setup). Refreshing the baseline is a rebuild —
+    maintaining it inside the per-batch path would make PSI
+    self-referential (every batch folded in drags the baseline
+    toward the drift it should be flagging)."""
+    from stock_market_etl_spark.operators.importance import (
+        psi_vs_baseline,
+        read_score_histogram,
+    )
+    from stock_market_etl_spark.operators.text import quality_score
+
+    spark0 = stream_docs.sparkSession
+    baseline, bins = read_score_histogram(spark0, baseline_path)
+
+    def monitor_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scored = batch_df.select(
+            F.col(group_col),
+            F.round(quality_score(F.col(text_col)), 6).alias("__q"),
+        )
+        psi_vs_baseline(
+            scored, baseline, "__q", group_col, bins
+        ).withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).partitionBy("batch_id").parquet(out_path)
+
+    q = (
+        stream_docs.writeStream.foreachBatch(monitor_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

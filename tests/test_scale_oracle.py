@@ -283,8 +283,10 @@ SCALE_QUERIES = [
     ("x78_hard_negative_mining", False),
     ("x79_curation_lineage", True),
     # r12 addition: PSI distribution-drift monitor (double psi →
-    # midpoint tolerance)
+    # midpoint tolerance) + its streamed face (single-micro-batch
+    # identity, the n9 move)
     ("x80_score_drift_psi", False),
+    ("n20_stream_drift_monitor", False),
 ]
 
 

@@ -1177,3 +1177,101 @@ def test_substring_gate_multibatch_and_redelivery(spark, tmp_path):
     assert {
         r["doc_id"]: r["clean_text"] for r in again.collect()
     } == got
+
+
+def test_drift_monitor_multibatch_and_redelivery(spark, tmp_path):
+    """n20's engine on planted distributions: (1) a batch scoring
+    like the baseline reads psi ≈ 0, no flag; (2) a batch whose score
+    SHAPE moved alarms; (3) a source absent from the baseline alarms
+    (every baseline share clamps to eps — the "new source appeared"
+    signal); (4) each micro-batch lands under its own batch_id; (5) a
+    full redelivery (fresh checkpoint, same files) REPLACES each
+    batch's rows byte-for-byte instead of duplicating them (the n17
+    partition-overwrite move); (6) a bins-width mismatch refuses
+    loudly at read time."""
+    import pytest
+
+    from stock_market_etl_spark.operators.importance import (
+        read_score_histogram,
+        write_score_histogram,
+    )
+    from stock_market_etl_spark.operators.text import quality_score
+
+    stop_text = "the a of to in is the a"      # stopword-heavy: high q
+    punct_text = "!!! ??? ### !!! ???"         # punct-heavy: low q
+    baseline_docs = spark.createDataFrame(
+        [(i, stop_text, "src") for i in range(10)],
+        ["doc_id", "text", "source"],
+    )
+    base = baseline_docs.select(
+        "source",
+        F.round(quality_score(F.col("text")), 6).alias("__q"),
+    )
+    base_path = str(tmp_path / "hist")
+    write_score_histogram(base, base_path, "__q", "source", bins=10)
+
+    with pytest.raises(ValueError, match="bins=10"):
+        read_score_histogram(spark, base_path, bins=5)
+
+    src = str(tmp_path / "arrivals")
+    batch1 = spark.createDataFrame(  # same shape as baseline → calm
+        [(100 + i, stop_text, "src") for i in range(5)],
+        ["doc_id", "text", "source"],
+    )
+    batch2 = spark.createDataFrame(  # shape moved + a new source
+        [(200 + i, punct_text, "src") for i in range(5)]
+        + [(300, stop_text, "newsrc")],
+        ["doc_id", "text", "source"],
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "monitor")
+
+    def run_monitor(ckpt):
+        stream = (
+            spark.readStream.schema(batch1.schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        core.drift_monitor_sink(
+            stream, out, str(tmp_path / ckpt), base_path
+        )
+
+    run_monitor("ckpt1")
+    got = {
+        (r["batch_id"], r["source"]): (
+            r["psi"],
+            r["drift_flag"],
+            r["n_docs"],
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    batches = sorted({b for b, _ in got})
+    assert len(batches) == 2
+    calm_b, drift_b = (
+        (batches[0], batches[1])
+        if got[(batches[0], "src")][1] is False
+        else (batches[1], batches[0])
+    )
+    assert got[(calm_b, "src")][0] < 0.01
+    assert got[(calm_b, "src")][1] is False
+    assert got[(calm_b, "src")][2] == 5
+    assert got[(drift_b, "src")][0] >= 0.2
+    assert got[(drift_b, "src")][1] is True
+    assert got[(drift_b, "newsrc")][1] is True  # baseline-absent source
+    assert len(got) == 3
+
+    # full redelivery: fresh checkpoint, same files — rows REPLACED,
+    # never duplicated
+    run_monitor("ckpt2")
+    again = {
+        (r["batch_id"], r["source"]): (
+            r["psi"],
+            r["drift_flag"],
+            r["n_docs"],
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    assert again == got

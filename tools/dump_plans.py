@@ -74,6 +74,17 @@ SHOWCASE = [
 #: plan assertion is named in PLANS.md, per the r11 verdict.
 EXTRA_NOTES = [
     (
+        "n20_stream_drift_monitor",
+        "per-micro-batch body: the batch folds to its own (source, "
+        "bin) histogram in one aggregate and joins the read-back "
+        "baseline artifact full-outer at histogram grain — documents "
+        "never shuffle, the corpus never re-scores "
+        "(tests/test_plans.py::test_psi_drift_histogram_grain_only "
+        "pins the shared batch-form shape; redelivery idempotence is "
+        "per-batch partition OVERWRITE, the n17 move, asserted in "
+        "tests/test_streaming.py).",
+    ),
+    (
         "n19_stream_substring_gate",
         "per-micro-batch body pinned via its single-micro-batch twin "
         "(tests/test_plans.py::test_stream_substring_gate_batch_plan): "
