@@ -2992,17 +2992,28 @@ def x79_curation_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The ROUNDED quality-score SQL fragment shared by x80's oracle and
+#: n20's (catalog/streaming_queries._psi_score_sql) — ONE definition so
+#: the batch drift gate and the streamed monitor can never replay
+#: different scores (review r12; x66's `_KB_Q_EXPR` above is the
+#: unrounded twin and stays separate because its oracle string is
+#: ledger-frozen).
+_Q_SCORE_SQL = (
+    f"round(0.4 * least(1.0, CAST(len({_TOKS}) AS BIGINT) / 100.0)"
+    " + 0.3 * (1.0"
+    " - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))"
+    " AS DOUBLE) / length(text))"
+    f" + 0.3 * CAST(len(list_filter({_TOKS},"
+    f" x -> list_contains({_sql_list(STOPWORDS)}, x)))"
+    f" AS DOUBLE) / len({_TOKS}), 6)"
+)
+
+
 @_q(
     "x80_score_drift_psi",
     f"""WITH t AS (
          SELECT source,
-           round(0.4 * least(1.0, CAST(len({_TOKS}) AS BIGINT) / 100.0)
-             + 0.3 * (1.0
-                 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
-                        AS DOUBLE) / length(text))
-             + 0.3 * CAST(len(list_filter({_TOKS},
-                      x -> list_contains({_sql_list(STOPWORDS)}, x)))
-                        AS DOUBLE) / len({_TOKS}), 6) AS q,
+           {_Q_SCORE_SQL} AS q,
            CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS in_old,
            CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END AS in_new
          FROM documents),

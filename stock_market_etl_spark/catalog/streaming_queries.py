@@ -622,24 +622,12 @@ def n19_stream_substring_gate(
 
 
 def _psi_score_sql() -> str:
-    """x80's score expression fragment, shared with the n20 oracle so
-    the streamed monitor and the batch drift gate replay the SAME
-    quality score."""
-    from stock_market_etl_spark.catalog.extensions import (
-        _sql_list,
-        _TOKS,
-    )
-    from stock_market_etl_spark.operators.text import STOPWORDS
+    """x80's score expression fragment — imported, not copied, so the
+    streamed monitor and the batch drift gate can never replay
+    different scores (one definition: extensions._Q_SCORE_SQL)."""
+    from stock_market_etl_spark.catalog.extensions import _Q_SCORE_SQL
 
-    return (
-        f"round(0.4 * least(1.0, CAST(len({_TOKS}) AS BIGINT) / 100.0)"
-        " + 0.3 * (1.0"
-        " - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))"
-        " AS DOUBLE) / length(text))"
-        f" + 0.3 * CAST(len(list_filter({_TOKS},"
-        f" x -> list_contains({_sql_list(STOPWORDS)}, x)))"
-        f" AS DOUBLE) / len({_TOKS}), 6)"
-    )
+    return _Q_SCORE_SQL
 
 
 @_q(

@@ -288,9 +288,20 @@ def psi_vs_baseline(
     the baseline artifact, not the corpus, is the other side."""
     from pyspark.sql import Window
 
-    batch_hist = score_histogram(scored, score_col, group_col, bins)
+    # NULL scores (e.g. empty text: punct_ratio 0/0 → NULL with ANSI
+    # off) histogram into a NULL bin. A plain equi-join never matches
+    # NULL to NULL, which would SPLIT that bin into two eps-clamped
+    # unmatched rows and inflate PSI on a distribution-identical
+    # batch (review r12) — where psi_drift's single groupBy and the
+    # SQL oracle group NULL bins together. Coalesce to a sentinel
+    # (-1, below every real bin) so the join stays an equi-join and
+    # the math stays identical across the three forms.
+    def _h(df):
+        return df.withColumn("__bin", F.coalesce("__bin", F.lit(-1)))
+
+    batch_hist = _h(score_histogram(scored, score_col, group_col, bins))
     joined = batch_hist.withColumnRenamed("__n", "__q_n").join(
-        baseline.withColumnRenamed("__n", "__p_n"),
+        _h(baseline).withColumnRenamed("__n", "__p_n"),
         [group_col, "__bin"],
         "full_outer",
     )

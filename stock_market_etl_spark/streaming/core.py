@@ -1120,16 +1120,23 @@ def drift_monitor_sink(
 
     Exactly-once by the `agg_partials_sink` move, not the anti-join
     one: monitor rows are per-batch FACTS keyed by batch id, so each
-    batch OVERWRITES its own partition (dynamic partition overwrite,
-    session default) — a redelivered micro-batch replaces its rows
-    byte-for-byte instead of appending duplicates.
+    batch overwrites its OWN ``batch_id=N`` subdirectory directly —
+    conf-independent (a `partitionBy` overwrite would truncate the
+    whole table under the default static `partitionOverwriteMode`;
+    review r12) — and a redelivered micro-batch replaces its rows
+    byte-for-byte instead of appending duplicates. Partition
+    discovery surfaces ``batch_id`` as a column on read.
 
-    Release cadence contract: the baseline is a FROZEN release
-    (bins recorded in the artifact meta; a width mismatch refuses
-    loudly at sink setup). Refreshing the baseline is a rebuild —
-    maintaining it inside the per-batch path would make PSI
-    self-referential (every batch folded in drags the baseline
+    Release cadence contract: the baseline is a FROZEN release — the
+    sink adopts the bin width RECORDED in the artifact's meta
+    sidecar, so probe/build widths cannot diverge (callers asserting
+    a specific width pass ``bins=`` to `read_score_histogram`
+    directly and get the loud refusal). Refreshing the baseline is a
+    rebuild — maintaining it inside the per-batch path would make
+    PSI self-referential (every batch folded in drags the baseline
     toward the drift it should be flagging)."""
+    import os
+
     from stock_market_etl_spark.operators.importance import (
         psi_vs_baseline,
         read_score_histogram,
@@ -1138,6 +1145,10 @@ def drift_monitor_sink(
 
     spark0 = stream_docs.sparkSession
     baseline, bins = read_score_histogram(spark0, baseline_path)
+    # the artifact is tiny (B × |groups| rows) and frozen by
+    # contract: cache it so a long-running monitor's per-batch join
+    # doesn't re-list and re-read the parquet every trigger
+    baseline = baseline.cache()
 
     def monitor_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -1148,9 +1159,9 @@ def drift_monitor_sink(
         )
         psi_vs_baseline(
             scored, baseline, "__q", group_col, bins
-        ).withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "overwrite"
-        ).partitionBy("batch_id").parquet(out_path)
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch_id={batch_id}")
+        )
 
     q = (
         stream_docs.writeStream.foreachBatch(monitor_batch)

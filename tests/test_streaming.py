@@ -1199,8 +1199,14 @@ def test_drift_monitor_multibatch_and_redelivery(spark, tmp_path):
 
     stop_text = "the a of to in is the a"      # stopword-heavy: high q
     punct_text = "!!! ??? ### !!! ???"         # punct-heavy: low q
+    # empty text scores NULL (punct_ratio 0/0 → NULL with ANSI off)
+    # and lands in the NULL bin — planted on BOTH sides with matched
+    # shares (2/12 baseline ≡ 1/6 batch) so a NULL-bin equi-join
+    # split (review r12) would read as spurious drift, and the fix
+    # (sentinel-coalesced bins) reads as the calm it is.
     baseline_docs = spark.createDataFrame(
-        [(i, stop_text, "src") for i in range(10)],
+        [(i, stop_text, "src") for i in range(10)]
+        + [(90, "", "src"), (91, "", "src")],
         ["doc_id", "text", "source"],
     )
     base = baseline_docs.select(
@@ -1215,7 +1221,8 @@ def test_drift_monitor_multibatch_and_redelivery(spark, tmp_path):
 
     src = str(tmp_path / "arrivals")
     batch1 = spark.createDataFrame(  # same shape as baseline → calm
-        [(100 + i, stop_text, "src") for i in range(5)],
+        [(100 + i, stop_text, "src") for i in range(5)]
+        + [(105, "", "src")],
         ["doc_id", "text", "source"],
     )
     batch2 = spark.createDataFrame(  # shape moved + a new source
@@ -1257,7 +1264,7 @@ def test_drift_monitor_multibatch_and_redelivery(spark, tmp_path):
     )
     assert got[(calm_b, "src")][0] < 0.01
     assert got[(calm_b, "src")][1] is False
-    assert got[(calm_b, "src")][2] == 5
+    assert got[(calm_b, "src")][2] == 6
     assert got[(drift_b, "src")][0] >= 0.2
     assert got[(drift_b, "src")][1] is True
     assert got[(drift_b, "newsrc")][1] is True  # baseline-absent source
