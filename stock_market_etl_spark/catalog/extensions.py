@@ -3058,3 +3058,43 @@ def x80_score_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance.psi_drift(
         scored, "q", "source", "in_old", "in_new", bins=10
     )
+
+
+@_q(
+    "x81_fim_transform",
+    r"""WITH t AS (
+         SELECT doc_id,
+                string_split_regex(trim(text), '\s+') AS toks
+         FROM documents),
+       c AS (
+         SELECT doc_id, toks, len(toks) AS n,
+                (doc_id * 48271) % 100 AS ha,
+                ((doc_id * 2654435761) % 1000003) * (len(toks) + 1)
+                  // 1000003 AS c1,
+                ((doc_id * 40503 + 2654435769) % 999983)
+                  * (len(toks) + 1) // 999983 AS c2
+         FROM t),
+       s AS (
+         SELECT doc_id, toks, n, ha,
+                least(c1, c2) AS lo, greatest(c1, c2) AS hi
+         FROM c)
+       SELECT doc_id, ha < 90 AS fim_applied,
+              CASE WHEN ha < 90 THEN
+                array_to_string(
+                  ['<PRE>'] || toks[1:lo] || ['<SUF>'] || toks[hi+1:n]
+                  || ['<MID>'] || toks[lo+1:hi], ' ')
+              ELSE array_to_string(toks, ' ') END AS text_out
+       FROM s""",
+)
+def x81_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training transform (`text.fim_transform`,
+    Bavarian et al. 2022): 90% of documents reorder to
+    ``<PRE> prefix <SUF> suffix <MID> middle`` at token-boundary cut
+    points, the rest pass through — the standard infilling data prep
+    for code models. Apply decision and both cuts are pure integer
+    arithmetic on doc_id (multiplicative hash mod fixed primes), so
+    the transform replays exactly in ANSI SQL: no floats, no seeds,
+    stable under re-runs and repartitioning. Zero exchanges — the
+    whole transform is array expressions inside the scan stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.fim_transform(docs, rate_pct=90)

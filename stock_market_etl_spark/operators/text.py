@@ -1177,3 +1177,67 @@ def source_reputation(
     return ranked.select(
         "source", "n_docs", "mean_quality", "dup_rate", keep.alias("keep")
     )
+
+
+def fim_transform(
+    docs,
+    rate_pct: int = 90,
+    pre_tok: str = "<PRE>",
+    suf_tok: str = "<SUF>",
+    mid_tok: str = "<MID>",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022,
+    arXiv:2207.14255): for ``rate_pct``% of documents, reorder to
+    PSM — ``<PRE> prefix <SUF> suffix <MID> middle`` — so the model
+    learns infilling from an autoregressive objective; the rest pass
+    through (whitespace-normalized: every output is rebuilt from the
+    token array, so FIM'd and passthrough docs tokenize alike).
+
+    Determinism over randomness, the x22/x27 move taken further: the
+    apply decision and the two cut points derive from PURE INTEGER
+    arithmetic on the doc id (multiplicative hashing mod fixed
+    primes, cut = hash·(n+1) // prime — no floats anywhere), so the
+    transform is exactly replayable in ANSI SQL and stable across
+    engines, re-runs, and partitionings. Cuts land on token
+    boundaries; empty segments vanish naturally (sentinel + segment
+    arrays concatenate before one join — no separator artifacts).
+
+    Scale shape: zero exchanges — tokenize, hash, slice, and rejoin
+    are all array expressions inside the scan stage (the x36 chunking
+    economy); at 100 TB this is a map-only pass."""
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    doc = F.col(id_col)
+    apply_f = (doc * 48271) % 100 < rate_pct
+    c1 = ((doc * 2654435761) % 1000003) * (n + 1).cast("long") / F.lit(
+        1000003
+    )
+    c2 = ((doc * 40503 + 2654435769) % 999983) * (n + 1).cast(
+        "long"
+    ) / F.lit(999983)
+    lo = F.least(F.floor(c1), F.floor(c2)).cast("int")
+    hi = F.greatest(F.floor(c1), F.floor(c2)).cast("int")
+
+    def seg(lo_incl, hi_excl):
+        # 0-based positional filter — slice() rejects zero lengths
+        return F.filter(
+            t, lambda x, i: (i >= lo_incl) & (i < hi_excl)
+        )
+
+    fim_tokens = F.concat(
+        F.array(F.lit(pre_tok)),
+        seg(F.lit(0), lo),
+        F.array(F.lit(suf_tok)),
+        seg(hi, n),
+        F.array(F.lit(mid_tok)),
+        seg(lo, hi),
+    )
+    return docs.select(
+        doc,
+        apply_f.alias("fim_applied"),
+        F.when(apply_f, F.array_join(fim_tokens, " "))
+        .otherwise(F.array_join(t, " "))
+        .alias("text_out"),
+    )

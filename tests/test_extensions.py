@@ -2503,3 +2503,69 @@ def test_psi_drift_semantics(spark):
         .collect()[0]
     )
     assert abs(means["mo"] - means["mn"]) < 1e-9
+
+
+def test_hard_negatives_single_query_equals_bm25_topk(spark, sf_smoke):
+    """Identity seam between the batch and single-query forms: x78
+    with ONE query, NO positives, and k=10 must rank exactly
+    bm25_topk's top-10 — same scores, same order. Pins that the
+    batch form's restructured corpus stats (dl through the tf
+    aggregate, avgdl+N as one scalar row) compute the SAME numbers
+    as the single-query form's explode+join derivation."""
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators.text import (
+        bm25_hard_negatives,
+        bm25_topk,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    terms = ["vector", "hash", "spark"]
+    nopos = spark.createDataFrame([], "query_id string, doc_id long")
+    batch = [
+        (r["doc_id"], r["bm25"])
+        for r in bm25_hard_negatives(
+            docs, {"q": terms}, nopos, k=10
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    single = [
+        (r["doc_id"], r["bm25"]) for r in bm25_topk(docs, terms, k=10).collect()
+    ]
+    assert batch == single and len(batch) == 10
+
+
+def test_fim_transform_semantics(spark):
+    """x81's contract: FIM'd docs carry the three sentinels in PSM
+    order and reconstruct the ORIGINAL token sequence as
+    prefix + middle + suffix (nothing lost, nothing reordered inside
+    a segment); passthrough docs are the whitespace-normalized
+    original; the transform is deterministic across runs."""
+    from stock_market_etl_spark.operators.text import fim_transform
+
+    rows = [(i, f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in fim_transform(docs, rate_pct=60).collect()}
+    orig = {i: t.split() for i, t in rows}
+    n_applied = 0
+    for i, toks in orig.items():
+        r = out[i]
+        assert r["fim_applied"] == ((i * 48271) % 100 < 60)
+        if not r["fim_applied"]:
+            assert r["text_out"] == " ".join(toks)
+            continue
+        n_applied += 1
+        got = r["text_out"].split()
+        assert got[0] == "<PRE>"
+        i_suf, i_mid = got.index("<SUF>"), got.index("<MID>")
+        assert 0 < i_suf < i_mid
+        pre = got[1:i_suf]
+        suf = got[i_suf + 1 : i_mid]
+        mid = got[i_mid + 1 :]
+        assert pre + mid + suf == toks  # exact reconstruction
+    assert 0 < n_applied < len(rows)  # both branches exercised
+    again = {
+        r["doc_id"]: r["text_out"]
+        for r in fim_transform(docs, rate_pct=60).collect()
+    }
+    assert again == {i: out[i]["text_out"] for i in out}

@@ -995,3 +995,11 @@ def test_psi_drift_histogram_grain_only(spark, sf_smoke):
     assert plan.count("Exchange hashpartitioning") <= 3, plan[:2000]
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), m.group(0)
+
+
+def test_fim_transform_zero_shuffle(spark, sf_smoke):
+    """x81 is a map-only pass: tokenize, integer-hash cuts, segment
+    filters, and the rejoin are all array expressions inside the scan
+    stage — NO exchange of any kind (the x36 chunking economy)."""
+    plan = _plan(all_queries()["x81_fim_transform"](spark, sf_smoke))
+    assert "Exchange" not in plan, plan[:1500]

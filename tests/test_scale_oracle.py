@@ -287,6 +287,8 @@ SCALE_QUERIES = [
     # identity, the n9 move)
     ("x80_score_drift_psi", False),
     ("n20_stream_drift_monitor", False),
+    # r12 addition: FIM transform (strings + integer hashing → exact)
+    ("x81_fim_transform", True),
 ]
 
 
