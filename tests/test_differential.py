@@ -646,3 +646,119 @@ def test_paragraph_dedup_fuzz_vs_python_reference(spark):
             for r in sdf.collect()
         }
         assert got == reference(docs, k), (seed, k)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd", "e"]),
+                min_size=0,
+                max_size=8,
+            ),
+        ),
+        min_size=1,
+        max_size=10,
+        unique_by=lambda t: t[0],
+    ),
+    rate=st.sampled_from([0, 35, 90, 100]),
+)
+def test_fim_transform_fuzz_vs_python_reference(spark, docs, rate):
+    """x81 against an exact Python replay of its integer arithmetic
+    and list slicing, on random corpora including EMPTY documents
+    (tokens('') is [''] on both engines — the edge the fixture never
+    hits) and rates 0/100 (all-passthrough / all-FIM)."""
+    import re
+
+    from stock_market_etl_spark.operators.text import fim_transform
+
+    rows = [(i, " ".join(toks)) for i, toks in docs]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["fim_applied"], r["text_out"])
+        for r in fim_transform(df, rate_pct=rate).collect()
+    }
+
+    def ref(doc_id, text):
+        toks = re.split(r"\s+", text.strip())
+        n = len(toks)
+        ha = (doc_id * 48271) % 100
+        c1 = ((doc_id * 2654435761) % 1000003) * (n + 1) // 1000003
+        c2 = ((doc_id * 40503 + 2654435769) % 999983) * (n + 1) // 999983
+        lo, hi = min(c1, c2), max(c1, c2)
+        if ha < rate:
+            out = (
+                ["<PRE>"] + toks[:lo] + ["<SUF>"] + toks[hi:]
+                + ["<MID>"] + toks[lo:hi]
+            )
+            return True, " ".join(out)
+        return False, " ".join(toks)
+
+    for doc_id, text in rows:
+        assert got[doc_id] == ref(doc_id, text), (doc_id, text)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1000),
+            st.sampled_from(["dup one", "dup two", "unique %d"]),
+            st.sampled_from(["en", "de", "zh"]),
+            st.integers(min_value=50, max_value=400),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_curation_lineage_fuzz_vs_python_reference(spark, docs):
+    """x79 against a Python replay of the sequential-gate rules on
+    random corpora with planted duplicate texts, blocked langs, and
+    short docs — verdict precedence, survivor-only keeper choice, and
+    kept_by targets all must match exactly."""
+    from stock_market_etl_spark.operators.dedup import curation_lineage
+
+    rows = [
+        (i, t % i if "%d" in t else t, lang, n)
+        for i, t, lang, n in docs
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+    got = {
+        r["doc_id"]: (r["verdict"], r["kept_by"])
+        for r in curation_lineage(
+            df, min_chars=200, allowed_langs=("en", "de")
+        ).collect()
+    }
+
+    eligible = {
+        i for i, t, lang, n in rows if n >= 200 and lang in ("en", "de")
+    }
+    keeper = {}
+    for i, t, _, _ in sorted(rows):
+        if i in eligible and t not in keeper:
+            keeper[t] = i
+    for i, t, lang, n in rows:
+        if n < 200:
+            want = ("too_short", None)
+        elif lang not in ("en", "de"):
+            want = ("lang_blocked", None)
+        elif keeper[t] != i:
+            want = ("exact_dup", keeper[t])
+        else:
+            want = ("kept", None)
+        assert got[i] == want, (i, t, lang, n, got[i], want)
