@@ -3098,3 +3098,58 @@ def x81_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole transform is array expressions inside the scan stage."""
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.fim_transform(docs, rate_pct=90)
+
+
+@_q(
+    "x82_bitext_margin_pairs",
+    """WITH v AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[]))) AS nrm,
+                vec_id % 2 = 0 AS is_a
+         FROM embeddings),
+       p AS (
+         SELECT sa.vec_id AS id_a, sb.vec_id AS id_b,
+                round(list_dot_product(sa.vec, sb.vec)
+                      / (sa.nrm * sb.nrm), 6) AS cos
+         FROM v sa, v sb WHERE sa.is_a AND NOT sb.is_a),
+       ra AS (
+         SELECT id_a, cos,
+                row_number() OVER (
+                  PARTITION BY id_a ORDER BY cos DESC, id_b) AS r
+         FROM p),
+       bga AS (SELECT id_a, avg(cos) AS bg_a FROM ra
+               WHERE r <= 4 GROUP BY id_a),
+       rb AS (
+         SELECT id_b, cos,
+                row_number() OVER (
+                  PARTITION BY id_b ORDER BY cos DESC, id_a) AS r
+         FROM p),
+       bgb AS (SELECT id_b, avg(cos) AS bg_b FROM rb
+               WHERE r <= 4 GROUP BY id_b),
+       m AS (
+         SELECT p.id_a, p.id_b, p.cos,
+                round(p.cos / ((bg_a + bg_b) / 2), 6) AS margin
+         FROM p JOIN bga USING (id_a) JOIN bgb USING (id_b)),
+       best AS (
+         SELECT id_a, id_b, cos, margin,
+                row_number() OVER (
+                  PARTITION BY id_a ORDER BY margin DESC, id_b) AS rk
+         FROM m)
+       SELECT id_a, id_b, cos AS cosine_sim, margin
+       FROM best WHERE rk = 1 AND margin >= 1.15""",
+)
+def x82_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (`similarity.bitext_margin_pairs`,
+    Artetxe & Schwenk 2019 — the CCMatrix recipe): per source vector
+    (vec_id even = language A) the best target (odd = B) by cosine
+    divided by the mean of both directions' average-top-4 cosines,
+    kept at margin ≥ 1.15. Margin discounts hub vectors whose raw
+    cosines are high against EVERYTHING — the property that makes it
+    the standard parallel-corpus miner. Exact A×B form (the x16
+    stance — ground truth and oracle twin); at 100 TB the pair
+    source swaps to the ANN candidate tiers (the x16 → x17 move)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.bitext_margin_pairs(
+        emb, F.col("vec_id") % 2 == 0, k=4, threshold=1.15
+    )

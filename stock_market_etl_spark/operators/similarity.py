@@ -998,3 +998,113 @@ def knn_from_candidates(
         )
     )
     return _knn_vote_tail(pairs, k, label_col)
+
+
+def bitext_margin_pairs(
+    df: DataFrame,
+    side: Column,
+    k: int = 4,
+    threshold: float = 1.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019,
+    arXiv:1811.01136 — the CCMatrix/LASER recipe): for every source
+    vector, its best target by MARGIN — cosine divided by the mean of
+    both directions' average-top-``k`` cosines — kept when the margin
+    clears ``threshold``. Margin, not raw cosine, is what separates
+    true translations from hubs: a vector that is "close to
+    everything" has a high k-NN background, so its raw cosines are
+    discounted; a pair that stands OUT of both backgrounds survives.
+    Returns (id_a, id_b, cosine_sim, margin) — one best-target row
+    per surviving source.
+
+    ``side`` is a boolean Column over ``df`` (True = source language
+    A, False = target B); the caller decides the split (language
+    column, corpus tag, id rule).
+
+    EXACT form — the A×B cosine matrix is materialized (the
+    `embedding_near_dup_pairs` stance): this is the ground truth and
+    the oracle-checkable twin; at 100 TB the pair source swaps to ANN
+    candidates (x11/x15's bucketed tiers) with k-NN backgrounds
+    estimated over the candidate set, exactly the x16 → x17 move.
+    All ranking and averaging happens on the 6-decimal ROUNDED cosine
+    so both engines order and average identical numbers.
+
+    Plan economy within the exact stance: vectors are cast + normed
+    ONCE per row (persisted diamond — the pair join and both
+    background aggregates all read the same pair table), the pair
+    table carries only (id_a, id_b, cos), and the two background
+    averages are id-grain aggregates joined back at id grain."""
+    from pyspark.sql import Window
+
+    from stock_market_etl_spark.operators.parallelism import spread
+
+    v = (
+        spread(df.select(F.col(id_col), side.alias("__a"), F.col(vec_col)))
+        .select(
+            F.col(id_col),
+            F.col("__a"),
+            _as_double(F.col(vec_col)).alias("__v"),
+        )
+        .withColumn("__n", l2_norm(F.col("__v")))
+    )
+    a = v.filter(F.col("__a")).select(
+        F.col(id_col).alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = v.filter(~F.col("__a")).select(
+        F.col(id_col).alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    cos = F.round(
+        dot(F.col("__va"), F.col("__vb"))
+        / (F.col("__na") * F.col("__nb")),
+        6,
+    )
+    pairs = (
+        a.crossJoin(b)
+        .select("id_a", "id_b", cos.alias("cos"))
+        .persist()
+    )
+    w_a = Window.partitionBy("id_a").orderBy(
+        F.col("cos").desc(), F.col("id_b")
+    )
+    w_b = Window.partitionBy("id_b").orderBy(
+        F.col("cos").desc(), F.col("id_a")
+    )
+    bg_a = (
+        pairs.withColumn("__r", F.row_number().over(w_a))
+        .filter(F.col("__r") <= k)
+        .groupBy("id_a")
+        .agg(F.avg("cos").alias("__bg_a"))
+    )
+    bg_b = (
+        pairs.withColumn("__r", F.row_number().over(w_b))
+        .filter(F.col("__r") <= k)
+        .groupBy("id_b")
+        .agg(F.avg("cos").alias("__bg_b"))
+    )
+    margin = F.round(
+        F.col("cos") / ((F.col("__bg_a") + F.col("__bg_b")) / 2), 6
+    )
+    scored = (
+        pairs.join(bg_a, "id_a")
+        .join(bg_b, "id_b")
+        .select("id_a", "id_b", "cos", margin.alias("margin"))
+    )
+    w_best = Window.partitionBy("id_a").orderBy(
+        F.col("margin").desc(), F.col("id_b")
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w_best))
+        .filter((F.col("__rk") == 1) & (F.col("margin") >= threshold))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("cos").alias("cosine_sim"),
+            "margin",
+        )
+    )

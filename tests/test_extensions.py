@@ -2569,3 +2569,44 @@ def test_fim_transform_semantics(spark):
         for r in fim_transform(docs, rate_pct=60).collect()
     }
     assert again == {i: out[i]["text_out"] for i in out}
+
+
+def test_bitext_margin_discounts_hubs(spark):
+    """x82's discriminating property on planted geometry: a HUB
+    target (moderately close to every source) beats the exclusive
+    partner on RAW cosine, but margin divides by the k-NN background
+    — the hub's background is its own high cosines everywhere, the
+    exclusive partner's is near zero — so margin selects the
+    exclusive partner. This is exactly why Artetxe & Schwenk mine
+    with margin instead of cosine."""
+    from pyspark.sql import functions as SF
+
+    from stock_market_etl_spark.operators.similarity import (
+        bitext_margin_pairs,
+    )
+
+    s3 = 0.5773502691896258  # 1/sqrt(3)
+    rows = [
+        # sources (even ids): orthogonal basis vectors
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        # targets (odd ids): a hub equally close to every source…
+        (1, [s3, s3, s3, 0.0]),
+        # …and per-source exclusive partners (bulk in dim 4, which no
+        # source occupies — low cosine to everyone but their partner)
+        (3, [0.5, 0.05, 0.05, 0.86]),
+        (5, [0.05, 0.5, 0.05, 0.86]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["id_a"]: (r["id_b"], r["cosine_sim"], r["margin"])
+        for r in bitext_margin_pairs(
+            df, SF.col("vec_id") % 2 == 0, k=2, threshold=0.0
+        ).collect()
+    }
+    # raw cosine argmax for source 0 is the HUB (0.577 > 0.5)…
+    assert out[0][0] == 3 and out[0][1] < s3 + 1e-9
+    # …but margin still selects the exclusive partner, for source 2 too
+    assert out[2][0] == 5
+    assert out[0][2] > 1.0 and out[2][2] > 1.0

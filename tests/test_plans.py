@@ -1003,3 +1003,17 @@ def test_fim_transform_zero_shuffle(spark, sf_smoke):
     stage — NO exchange of any kind (the x36 chunking economy)."""
     plan = _plan(all_queries()["x81_fim_transform"](spark, sf_smoke))
     assert "Exchange" not in plan, plan[:1500]
+
+
+def test_bitext_margin_pair_table_is_ids_and_cos_only(spark, sf_smoke):
+    """x82's exact form materializes the pair table ONCE (persist —
+    both background aggregates and the scoring join read the
+    InMemoryTableScan) and every hash exchange above it is keyed on
+    ids and carries (id, cos) rows — vectors never re-cross an
+    exchange after the cross join."""
+    import re
+
+    plan = _plan(all_queries()["x82_bitext_margin_pairs"](spark, sf_smoke))
+    assert "InMemoryTableScan" in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "__v" not in m.group(1) and "embedding" not in m.group(1)

@@ -289,6 +289,10 @@ SCALE_QUERIES = [
     ("n20_stream_drift_monitor", False),
     # r12 addition: FIM transform (strings + integer hashing → exact)
     ("x81_fim_transform", True),
+    # r12 addition: margin-based bitext mining (double margins →
+    # midpoint tolerance; the A×B oracle is quadratic but bounded —
+    # 6.25M pairs at sf0.1, measured ~12 s)
+    ("x82_bitext_margin_pairs", False),
 ]
 
 
