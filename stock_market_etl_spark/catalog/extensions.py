@@ -3067,11 +3067,17 @@ def x80_score_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 string_split_regex(trim(text), '\s+') AS toks
          FROM documents),
        c AS (
+         -- pmod-first (review r12): bound the multiplicand below the
+         -- prime so the product can never overflow INT64, and keep
+         -- every intermediate non-negative so // matches Spark's
+         -- floor for any id sign
          SELECT doc_id, toks, len(toks) AS n,
-                (doc_id * 48271) % 100 AS ha,
-                ((doc_id * 2654435761) % 1000003) * (len(toks) + 1)
+                ((((doc_id % 100) + 100) % 100) * 48271) % 100 AS ha,
+                (((((doc_id % 1000003) + 1000003) % 1000003)
+                   * 427799) % 1000003) * (len(toks) + 1)
                   // 1000003 AS c1,
-                ((doc_id * 40503 + 2654435769) % 999983)
+                (((((doc_id % 999983) + 999983) % 999983)
+                   * 40503 + 480887) % 999983)
                   * (len(toks) + 1) // 999983 AS c2
          FROM t),
        s AS (

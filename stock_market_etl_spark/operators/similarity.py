@@ -39,6 +39,40 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def _normed_vectors(df: DataFrame, id_col: str, vec_col: str, *extra):
+    """(id, [extra…], __v double[], __n norm) — vectors cast + normed
+    ONCE per row on the narrow side of any pair join (O(n) folds, not
+    O(n²) in the join projection). The ONE construction shared by the
+    exact pair operators so the cosine/rounding convention can't fork
+    (review r12 — it existed in three near-copies)."""
+    return (
+        spread(df.select(F.col(id_col), *extra, F.col(vec_col)))
+        .select(
+            F.col(id_col), *extra, _as_double(F.col(vec_col)).alias("__v")
+        )
+        .withColumn("__n", l2_norm(F.col("__v")))
+    )
+
+
+def _pair_side(v: DataFrame, id_col: str, suffix: str) -> DataFrame:
+    """One side of a pair join over a `_normed_vectors` table."""
+    return v.select(
+        F.col(id_col).alias(f"id_{suffix}"),
+        F.col("__v").alias(f"__v{suffix}"),
+        F.col("__n").alias(f"__n{suffix}"),
+    )
+
+
+def _pair_cos(suffix_a: str = "a", suffix_b: str = "b") -> Column:
+    """The 6-decimal-rounded pairwise cosine over two `_pair_side`
+    frames — the cross-engine contract, defined once."""
+    return F.round(
+        dot(F.col(f"__v{suffix_a}"), F.col(f"__v{suffix_b}"))
+        / (F.col(f"__n{suffix_a}") * F.col(f"__n{suffix_b}")),
+        6,
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
@@ -224,29 +258,13 @@ def embedding_near_dup_pairs(
     are blocked into LSH buckets so the join is an equality shuffle on
     (table, bucket) and only bucket-local pairs are compared.
     """
-    # norms are materialized once per ROW (O(n) folds) on each side of
-    # the join boundary, not once per PAIR (O(n²) folds) in the join
-    # projection — same float ops in the same order, 3× fewer folds.
-    v = spread(df.select(F.col(id_col), F.col(vec_col))).select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
-    ).withColumn("__n", l2_norm(F.col("__v"))).persist()
+    v = _normed_vectors(df, id_col, vec_col).persist()
     # ^ both self-join sides read it — cast + norm-fold once per vector
-    a = v.select(
-        F.col(id_col).alias("id_a"),
-        F.col("__v").alias("__va"),
-        F.col("__n").alias("__na"),
-    )
-    b = v.select(
-        F.col(id_col).alias("id_b"),
-        F.col("__v").alias("__vb"),
-        F.col("__n").alias("__nb"),
-    )
-    sim = F.round(
-        dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
-    )
+    a = _pair_side(v, id_col, "a")
+    b = _pair_side(v, id_col, "b")
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .select("id_a", "id_b", _pair_cos().alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
 
@@ -1038,35 +1056,12 @@ def bitext_margin_pairs(
     averages are id-grain aggregates joined back at id grain."""
     from pyspark.sql import Window
 
-    from stock_market_etl_spark.operators.parallelism import spread
-
-    v = (
-        spread(df.select(F.col(id_col), side.alias("__a"), F.col(vec_col)))
-        .select(
-            F.col(id_col),
-            F.col("__a"),
-            _as_double(F.col(vec_col)).alias("__v"),
-        )
-        .withColumn("__n", l2_norm(F.col("__v")))
-    )
-    a = v.filter(F.col("__a")).select(
-        F.col(id_col).alias("id_a"),
-        F.col("__v").alias("__va"),
-        F.col("__n").alias("__na"),
-    )
-    b = v.filter(~F.col("__a")).select(
-        F.col(id_col).alias("id_b"),
-        F.col("__v").alias("__vb"),
-        F.col("__n").alias("__nb"),
-    )
-    cos = F.round(
-        dot(F.col("__va"), F.col("__vb"))
-        / (F.col("__na") * F.col("__nb")),
-        6,
-    )
+    v = _normed_vectors(df, id_col, vec_col, side.alias("__a"))
+    a = _pair_side(v.filter(F.col("__a")), id_col, "a")
+    b = _pair_side(v.filter(~F.col("__a")), id_col, "b")
     pairs = (
         a.crossJoin(b)
-        .select("id_a", "id_b", cos.alias("cos"))
+        .select("id_a", "id_b", _pair_cos().alias("cos"))
         .persist()
     )
     w_a = Window.partitionBy("id_a").orderBy(

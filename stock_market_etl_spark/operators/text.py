@@ -1196,10 +1196,19 @@ def fim_transform(
     token array, so FIM'd and passthrough docs tokenize alike).
 
     Determinism over randomness, the x22/x27 move taken further: the
-    apply decision and the two cut points derive from PURE INTEGER
-    arithmetic on the doc id (multiplicative hashing mod fixed
-    primes, cut = hash·(n+1) // prime — no floats anywhere), so the
-    transform is exactly replayable in ANSI SQL and stable across
+    apply decision and the two cut points derive from INTEGER
+    arithmetic on the doc id — ``pmod`` FIRST, so the multiplicand is
+    bounded below the prime and the product can never overflow INT64
+    (review r12: ``doc_id · 2654435761`` wraps silently in Spark and
+    throws in DuckDB past ~3.5e9 ids — well inside real corpus id
+    spaces), and non-negative, so negative ids can't flip the rate
+    gate or hit the engines' diverging negative floor/slice rules.
+    The cut quotient ``hash·(n+1) // prime`` is computed as
+    ``(x − pmod(x, p)) / p``: the numerator is an exact multiple of
+    p, so the double division is EXACT (not a rounding accident)
+    whenever ``x < 2^53`` — guaranteed here since hash < 1e6 and
+    token counts are bounded by document bytes. The transform is
+    therefore exactly replayable in ANSI SQL and stable across
     engines, re-runs, and partitionings. Cuts land on token
     boundaries; empty segments vanish naturally (sentinel + segment
     arrays concatenate before one join — no separator artifacts).
@@ -1210,15 +1219,17 @@ def fim_transform(
     t = tokens(F.col(text_col))
     n = F.size(t)
     doc = F.col(id_col)
-    apply_f = (doc * 48271) % 100 < rate_pct
-    c1 = ((doc * 2654435761) % 1000003) * (n + 1).cast("long") / F.lit(
-        1000003
-    )
-    c2 = ((doc * 40503 + 2654435769) % 999983) * (n + 1).cast(
-        "long"
-    ) / F.lit(999983)
-    lo = F.least(F.floor(c1), F.floor(c2)).cast("int")
-    hi = F.greatest(F.floor(c1), F.floor(c2)).cast("int")
+    apply_f = F.pmod(F.pmod(doc, 100) * 48271, 100) < rate_pct
+
+    def cut(mult, add, prime):
+        h = F.pmod(F.pmod(doc, prime) * mult + add, prime)
+        x = h * (n + 1).cast("long")
+        return ((x - F.pmod(x, prime)) / prime).cast("long")
+
+    c1 = cut(2654435761 % 1000003, 0, 1000003)
+    c2 = cut(40503, 2654435769 % 999983, 999983)
+    lo = F.least(c1, c2).cast("int")
+    hi = F.greatest(c1, c2).cast("int")
 
     def seg(lo_incl, hi_excl):
         # 0-based positional filter — slice() rejects zero lengths

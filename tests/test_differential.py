@@ -657,7 +657,13 @@ def test_paragraph_dedup_fuzz_vs_python_reference(spark):
 @given(
     docs=st.lists(
         st.tuples(
-            st.integers(min_value=0, max_value=10_000),
+            # ids span NEGATIVE and huge values on purpose: the
+            # review-r12 classes where naive doc_id*K either wraps
+            # (Spark, ansi off), throws (DuckDB INT64 overflow), or
+            # diverges on floor-vs-truncate and negative-slice rules
+            # — the pmod-first form must agree with the reference
+            # everywhere
+            st.integers(min_value=-(10**12), max_value=2**62),
             st.lists(
                 st.sampled_from(["aa", "bb", "cc", "dd", "e"]),
                 min_size=0,
@@ -674,7 +680,8 @@ def test_fim_transform_fuzz_vs_python_reference(spark, docs, rate):
     """x81 against an exact Python replay of its integer arithmetic
     and list slicing, on random corpora including EMPTY documents
     (tokens('') is [''] on both engines — the edge the fixture never
-    hits) and rates 0/100 (all-passthrough / all-FIM)."""
+    hits), negative and >2^32 doc ids, and rates 0/100
+    (all-passthrough / all-FIM)."""
     import re
 
     from stock_market_etl_spark.operators.text import fim_transform
@@ -689,9 +696,15 @@ def test_fim_transform_fuzz_vs_python_reference(spark, docs, rate):
     def ref(doc_id, text):
         toks = re.split(r"\s+", text.strip())
         n = len(toks)
-        ha = (doc_id * 48271) % 100
-        c1 = ((doc_id * 2654435761) % 1000003) * (n + 1) // 1000003
-        c2 = ((doc_id * 40503 + 2654435769) % 999983) * (n + 1) // 999983
+        # python % with a positive modulus is already non-negative —
+        # the same value pmod yields
+        ha = ((doc_id % 100) * 48271) % 100
+        c1 = (
+            ((doc_id % 1000003) * (2654435761 % 1000003)) % 1000003
+        ) * (n + 1) // 1000003
+        c2 = (
+            ((doc_id % 999983) * 40503 + 2654435769 % 999983) % 999983
+        ) * (n + 1) // 999983
         lo, hi = min(c1, c2), max(c1, c2)
         if ha < rate:
             out = (

@@ -2507,11 +2507,14 @@ def test_psi_drift_semantics(spark):
 
 def test_hard_negatives_single_query_equals_bm25_topk(spark, sf_smoke):
     """Identity seam between the batch and single-query forms: x78
-    with ONE query, NO positives, and k=10 must rank exactly
-    bm25_topk's top-10 — same scores, same order. Pins that the
-    batch form's restructured corpus stats (dl through the tf
-    aggregate, avgdl+N as one scalar row) compute the SAME numbers
-    as the single-query form's explode+join derivation."""
+    with ONE query and NO positives must score the SAME document set
+    as bm25_topk, with every score equal to within double-summation
+    noise. Compared over ALL scored docs (k = corpus) and with a
+    2e-6 tolerance rather than exact equality of rounded doubles —
+    the two forms sum term scores through different plans, so a
+    pre-round value landing on a .xxxxxx5 midpoint could round apart
+    (the documented round(x, 6) midpoint caveat) without being a
+    real divergence."""
     from stock_market_etl_spark.io import load_table
     from stock_market_etl_spark.operators.text import (
         bm25_hard_negatives,
@@ -2520,19 +2523,21 @@ def test_hard_negatives_single_query_equals_bm25_topk(spark, sf_smoke):
 
     docs = load_table(spark, sf_smoke, "documents")
     terms = ["vector", "hash", "spark"]
+    n = docs.count()
     nopos = spark.createDataFrame([], "query_id string, doc_id long")
-    batch = [
-        (r["doc_id"], r["bm25"])
+    batch = {
+        r["doc_id"]: r["bm25"]
         for r in bm25_hard_negatives(
-            docs, {"q": terms}, nopos, k=10
-        )
-        .orderBy("rank")
-        .collect()
-    ]
-    single = [
-        (r["doc_id"], r["bm25"]) for r in bm25_topk(docs, terms, k=10).collect()
-    ]
-    assert batch == single and len(batch) == 10
+            docs, {"q": terms}, nopos, k=n
+        ).collect()
+    }
+    single = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_topk(docs, terms, k=n).collect()
+    }
+    assert set(batch) == set(single) and len(batch) > 10
+    for doc_id, score in single.items():
+        assert abs(batch[doc_id] - score) <= 2e-6, (doc_id, score)
 
 
 def test_fim_transform_semantics(spark):
