@@ -214,6 +214,15 @@ BENCH_QUERIES = [
     # pipeline — digests computed scan-side, ONE digest-grain keeper
     # exchange, text never shuffles.
     "x79_curation_lineage",
+    # r13 addition: the ANN tier of bitext mining (x82's x16→x17
+    # move) — LSH-bucketed A×B candidates, exact cosine on candidates
+    # only, margin tail shared code-for-code with the exact form. The
+    # exact A×B twin x82 stays out of BENCH like x16/x31/x46
+    # (quadratic-by-design oracle stance). Below-crossover at sf0.1
+    # like x17: the fixture's random near-orthogonal vectors make
+    # ~64% of pairs LSH candidates at 4 planes/16 tables, a density
+    # real embedding manifolds don't have.
+    "x83_bitext_margin_pairs_ann",
     # r09 addition: x69's SPARSE operating point (VERDICT r08 task 2)
     # — SymSpell deletion-neighborhood fuzzy join over a structureless
     # md5-name entity catalog with planted typos. x69 itself (the
@@ -392,7 +401,11 @@ def main() -> None:
         timings[name] = min(rep_times)
 
     head_queries = {n: _headline_val(v) for n, v in timings.items()}
-    total = round(sum(head_queries.values()), 3)
+    # total from the FULL-precision timings, not the 2-sig-fig headline
+    # values — summing rounded per-query values carries up to ~2.5%
+    # quantization noise into cross-round total comparisons (ADVICE
+    # r12); only the per-query map rides at headline precision.
+    total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # TWO JSON lines, detail first: the driver's record keeps only the

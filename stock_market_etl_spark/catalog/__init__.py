@@ -37,79 +37,71 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship (F1+F2) — permanent anchor
     "f1_f2_metrics_pipeline",
-    # --- r12 rotation (DRIVER_WINDOW.md drafted slot-priority order,
-    # applied mechanically): CORRECTNESS_r11 came back 50/50 green,
-    # ledger stamped r11, so every r11 slot vacates. Tier 1 (red
+    # --- r13 rotation (DRIVER_WINDOW.md drafted slot-priority order,
+    # applied mechanically): CORRECTNESS_r12 came back 50/50 green,
+    # ledger stamped r12, so every r12 slot vacates. Tier 1 (red
     # re-proofs) is empty. Tier 2: the 3 core canaries + the
     # flagship anchor above.
     "q_compute_trends",
     "c4_watermark_filter",
     "e1_global_max_watermark",
-    # Tier 3 — first proofs for the 5 r11-new oracle-bearing queries
-    # (all local green at sf0.01 AND sf0.1, judge-verified in the
-    # r11 VERDICT; closes the 201→206 driver-grade gap):
-    "a2_jdbc_scan",
-    "b25_window_index_lifecycle",
-    "n19_stream_substring_gate",
-    "x76_substring_dedup_keep_one",
-    "x77_containment_pairs",
-    # Tier 4 — changed-since-proof re-admits from this round's
-    # ADVICE fixes, re-verified green against their unchanged
-    # oracles post-change:
-    # - b24/b9: the contract read seams (read_snapshot_evolving,
-    #   load_evolving) now compare _nullable_type on BOTH sides so
-    #   nested-nullability contracts aren't false drift (the commit
-    #   seam's rule, applied at read time).
-    "b24_snapshot_schema_evolution",
-    "b9_schema_evolution_read",
+    # Tier 3 — first proofs for the 6 r12-new oracle-bearing queries
+    # (all green at sf0.01 AND sf0.1, independently re-driven by the
+    # r12 judge; closes the 206→212 driver-grade gap):
+    "x78_hard_negative_mining",
+    "x79_curation_lineage",
+    "x80_score_drift_psi",
+    "n20_stream_drift_monitor",
+    "x81_fim_transform",
+    "x82_bitext_margin_pairs",
+    # Tier 4 — changed-since-proof re-admits: none drafted (the r13
+    # ADVICE fixes touch tools/bench and a read-seam guard in
+    # importance.py whose consumers x80/n20 are first proofs above).
     # Tier 5 — freshness cycling, oldest-first per the ledger: the
-    # COMPLETE r07 cohort (24 rows — the oldest surviving proofs
-    # after a green r11), dashboard queries first (the reference's
-    # primary user-facing surface, VERDICT r11 task 7)…
-    "q_final_returns",
-    "q_relative_returns",
-    "q_latest_snapshot",
-    "q_top_movers",
-    "l3_cross_store_dedup",
-    "l4_year_range_resume",
-    "m5_map_in_arrow",
-    "n12_stream_session_transcripts",
-    "x7_jaccard_pairs",
-    "x8_cosine_topk",
-    "x16_embedding_near_dup",
-    "x22_deterministic_split",
-    "x23_stratified_sample",
-    "x24_sequence_pack",
-    "x25_quota_cap",
-    "x27_deterministic_shuffle",
-    "x28_dataset_build",
-    "x31_dup_clusters",
-    "x38_incremental_dedup",
-    "x41_leakage_safe_split",
-    "x45_corpus_report",
-    "x46_curation_pipeline",
-    "x47_corpus_diff",
-    "x50_session_transcripts",
-    # …then 15 of the 45 r08 rows, §2-core lettered rows first; the
-    # 30 remaining r08 rows (c7, c8, e2, e5, e9, e10, e11, e12,
-    # e13b, e17, e18, f9, f10, f11, f12, g2, h2, i3, i7, i10, i11,
-    # k5, k6, m6, m7, n13, x49, x51–x54, x56, x57 minus the 15
-    # below) cycle in r13.
-    "b12_clustered_scan_prune",
-    "b13_zorder_scan_prune",
-    "d3_self_join_time_align",
-    "d5_left_semi_join",
-    "d6_cross_join",
-    "d7_full_outer_join",
-    "d8_asof_join",
-    "d9_star_join_revenue",
-    "d11_interval_overlap_pairs",
-    "d12_asof_forward_tolerance",
-    "d13_asof_nearest",
-    "d14_salted_join",
-    "c7_filter_on_window_result",
-    "c8_empty_guard",
-    "e2_scalar_fn_agg",
+    # COMPLETE r08 cohort (30 rows — the oldest surviving proofs
+    # after a green r12)…
+    "e5_distinct_years",
+    "e9_cube",
+    "e10_rollup",
+    "e11_grouping_sets",
+    "e12_pivot",
+    "e13b_exact_count_distinct",
+    "e17_funnel_stages",
+    "e18_retention_cohorts",
+    "f9_rsi",
+    "f10_ema",
+    "f11_sliding_distinct",
+    "f12_drawdown",
+    "g2_presentation_sort",
+    "h2_intersect",
+    "i3_ingest_ts_stamp",
+    "i7_rename_all_columns",
+    "i10_json_extract",
+    "i11_map_entries",
+    "k5_observed_write_metrics",
+    "k6_release_drift_audit",
+    "m6_iter_pandas_udf",
+    "m7_cogrouped_map",
+    "n13_stream_gated_ingest",
+    "x49_paragraph_dedup",
+    "x51_gopher_rules",
+    "x52_paragraph_contamination",
+    "x53_event_pagerank",
+    "x54_epoch_repeat",
+    "x56_gopher_repetition",
+    "x57_gopher_pipeline",
+    # …then the 10 oldest r09 rows as the remaining slots allow; the
+    # other 30 r09 rows cycle in r14.
+    "a1_parquet_scan",
+    "b14_stream_lake_sink",
+    "b15_python_datasource_sink",
+    "b17_corrupt_record_audit",
+    "c2_conjunctive_eq_filter",
+    "c3_inequality_filter",
+    "c5_in_between_filter",
+    "d15_interpolation_join",
+    "d16_point_in_time_join",
+    "e19_hourly_rollup_merge",
 )
 
 

@@ -3159,3 +3159,21 @@ def x82_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.bitext_margin_pairs(
         emb, F.col("vec_id") % 2 == 0, k=4, threshold=1.15
     )
+
+
+@_q("x83_bitext_margin_pairs_ann")
+def x83_bitext_margin_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN tier of x82 (`similarity.bitext_margin_pairs_ann`) —
+    the x16 → x17 move applied to bitext mining: LSH-bucketed A×B
+    candidate pairs, exact cosine on candidates only, avg-top-k
+    backgrounds estimated over the candidate set, margin tail shared
+    code-for-code with x82 (`bitext_margin_from_pairs`). Bucketing is
+    engine-specific → rows-only; evidence trio in
+    tests/test_extensions.py: identity seam (the complete A×B pair
+    table through the shared tail ≡ x82 bit-for-bit), recall ≥ 0.9 on
+    the planted hub/exclusive-partner geometry, and pair agreement vs
+    x82 at sf0.01."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.bitext_margin_pairs_ann(
+        emb, F.col("vec_id") % 2 == 0, dim=64, k=4, threshold=1.15
+    )

@@ -251,9 +251,18 @@ def read_score_histogram(
     """Load a `write_score_histogram` artifact as the
     ``(baseline, bins)`` pair `psi_vs_baseline` takes; passing
     ``bins`` asserts the caller's width against the recorded one."""
-    built = int(
-        spark.read.parquet(f"{path}/meta").collect()[0]["bins"]
-    )
+    meta_rows = spark.read.parquet(f"{path}/meta").collect()
+    if len(meta_rows) != 1 or meta_rows[0]["bins"] is None:
+        # a partially-written or empty artifact must surface as the
+        # loud refusal this seam promises, not an opaque IndexError
+        # (ADVICE r12)
+        raise ValueError(
+            f"score histogram meta at {path}/meta is "
+            f"{'empty' if not meta_rows else 'malformed'} "
+            f"({len(meta_rows)} rows) — artifact is incomplete or "
+            "corrupt; rebuild it with write_score_histogram"
+        )
+    built = int(meta_rows[0]["bins"])
     if bins is not None and bins != built:
         raise ValueError(
             f"score histogram at {path} was built with bins={built}, "

@@ -1054,8 +1054,6 @@ def bitext_margin_pairs(
     background aggregates all read the same pair table), the pair
     table carries only (id_a, id_b, cos), and the two background
     averages are id-grain aggregates joined back at id grain."""
-    from pyspark.sql import Window
-
     v = _normed_vectors(df, id_col, vec_col, side.alias("__a"))
     a = _pair_side(v.filter(F.col("__a")), id_col, "a")
     b = _pair_side(v.filter(~F.col("__a")), id_col, "b")
@@ -1064,6 +1062,25 @@ def bitext_margin_pairs(
         .select("id_a", "id_b", _pair_cos().alias("cos"))
         .persist()
     )
+    return bitext_margin_from_pairs(pairs, k, threshold)
+
+
+def bitext_margin_from_pairs(
+    pairs: DataFrame, k: int = 4, threshold: float = 1.05
+) -> DataFrame:
+    """The margin-scoring tail over a prepared ``(id_a, id_b, cos)``
+    pair table — average-top-``k`` backgrounds per side, margin =
+    cos / mean(bg_a, bg_b), best target per source at margin ≥
+    ``threshold``. THE identity seam shared by the exact
+    (`bitext_margin_pairs`, crossJoin source) and ANN
+    (`bitext_margin_pairs_ann`, LSH-candidate source) forms: feeding
+    the COMPLETE A×B pair table reproduces the exact form
+    bit-for-bit (pinned in tests/test_extensions.py), so the ANN
+    twin differs ONLY in its candidate generator — the x63/x67
+    convention. Callers persist ``pairs``: three consumers (both
+    background aggregates + the final join) read it."""
+    from pyspark.sql import Window
+
     w_a = Window.partitionBy("id_a").orderBy(
         F.col("cos").desc(), F.col("id_b")
     )
@@ -1103,3 +1120,92 @@ def bitext_margin_pairs(
             "margin",
         )
     )
+
+
+def bitext_margin_pairs_ann(
+    df: DataFrame,
+    side: Column,
+    dim: int,
+    k: int = 4,
+    threshold: float = 1.05,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The 100 TB tier of margin-based bitext mining — the x16 → x17
+    move applied to `bitext_margin_pairs`: candidate pairs come from
+    OR-amplified sign-random-projection LSH (an A-vector and a
+    B-vector are candidates iff they share a bucket in ≥1 of
+    ``n_tables`` tables), the exact cosine runs on candidates only
+    (one Arrow numpy kernel over unit vectors), and the avg-top-``k``
+    k-NN backgrounds are estimated OVER THE CANDIDATE SET — LSH
+    surfaces each vector's highest-cosine neighbours first, which is
+    exactly the set the top-``k`` background average is made of, so
+    the estimate converges to the exact background as recall does
+    (recall + agreement floors pinned in tests/test_extensions.py;
+    the scoring tail is `bitext_margin_from_pairs`, shared
+    code-for-code with the exact form).
+
+    Scale shape: the candidate join is an equality shuffle on
+    (lsh_table, lsh_bucket) moving (id, side, table, bucket) rows
+    only; vectors re-attach by id AFTER the pair dedup, so the
+    O(candidates) exchanges carry ids and one double each — never
+    raw embedding arrays (shuffle-pinned in
+    tests/test_bench_contract.py). No stage is quadratic in corpus
+    size: cost is bucket-local pairs, the regime every other LSH
+    tier in the package (x17/x35/x63/x67) already operates in."""
+    bucketed = hyperplane_lsh_buckets(
+        df.select(F.col(id_col), side.alias("__a"), F.col(vec_col)),
+        dim,
+        n_planes,
+        n_tables,
+        seed,
+        vec_col,
+    ).persist()
+    # candidate generation moves ONLY (id, table, bucket) — vectors
+    # re-attach by id after the dedup (the embedding_near_dup_lsh
+    # stance; A×B direction replaces its id_a < id_b self-pairing)
+    a = bucketed.filter(F.col("__a")).select(
+        F.col(id_col).alias("id_a"), "lsh_table", "lsh_bucket"
+    )
+    b = bucketed.filter(~F.col("__a")).select(
+        F.col(id_col).alias("id_b"),
+        F.col("lsh_table").alias("__tb"),
+        F.col("lsh_bucket").alias("__bb"),
+    )
+    cand_ids = (
+        a.join(
+            b,
+            (F.col("lsh_table") == F.col("__tb"))
+            & (F.col("lsh_bucket") == F.col("__bb")),
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    unit = F.transform(F.col("__v"), lambda x: x / F.col("__n"))
+    v = (
+        _normed_vectors(df, id_col, vec_col)
+        .select(F.col(id_col).alias("__id"), unit.alias("__u"))
+        .persist()
+    )
+    pairs = (
+        cand_ids.join(
+            v.select(F.col("__id").alias("id_a"), F.col("__u").alias("__ua")),
+            "id_a",
+        )
+        .join(
+            v.select(F.col("__id").alias("id_b"), F.col("__u").alias("__ub")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_unit_pair_dot(F.col("__ua"), F.col("__ub")), 6).alias(
+                "cos"
+            ),
+        )
+        .persist()
+    )
+    return bitext_margin_from_pairs(pairs, k, threshold)

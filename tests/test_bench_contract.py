@@ -42,20 +42,32 @@ def test_bench_emits_contract_json():
     assert payload["queries"] and all(
         isinstance(v, (int, float)) for v in payload["queries"].values()
     )
-    # headline total is the sum of the headline's own (rounded)
-    # per-query values — self-consistent to float noise
-    assert abs(sum(payload["queries"].values()) - payload["value"]) < 0.002
+    # the headline total is the FULL-precision sum of the measured
+    # timings (ADVICE r12: summing the 2-sig-fig per-query values put
+    # ~2.5% quantization noise into cross-round total comparisons);
+    # the rounded per-query map must still reconcile with it to within
+    # the 2-sig-fig band (≤5% relative per value, plus float noise)
+    assert (
+        abs(sum(payload["queries"].values()) - payload["value"])
+        <= 0.05 * payload["value"] + 0.002
+    )
     assert payload["sf"] == 0.001
-    # the driver records only the last ~2 KB of output: the headline
-    # line must be LAST and fit the capture whole or the round's
-    # BENCH_r{N}.json loses its own head (observed r05). The tighter
-    # bound is the r11-verdict headroom ask: per-query values ride at
-    # 2 significant figures (bench._headline_val) so adding rows
-    # doesn't silently push the line past the capture — at sf0.1
-    # naming this measured 1818 chars, ~180 chars ≈ 7 typical rows of
-    # slack; revisit the printed set before the bound, not after.
+    # BENCH-membership policy (VERDICT r12 task 4, decided r13): the
+    # driver's capture is EXACTLY the last 2000 chars of output
+    # (measured: len(BENCH_r12.json "tail") == 2000), and the
+    # headline is the LAST line, so it survives whole iff it fits in
+    # ~1999 chars. Contract bound: 1950 — a 50-char guard against the
+    # hard cap. Per-query values ride at 2 significant figures
+    # (bench._headline_val); at r13's 66 rows the headline measures
+    # ~1905 chars, leaving room for ~1-2 more rows. WHEN the 1950
+    # bound is reached: retire the cheapest rows whose machinery is
+    # timed by a composed row (e.g. the five sub-0.4 s dashboard
+    # queries are all sub-plans of f1_f2/f18-style composites), and
+    # record each retirement in BASELINE.md as "retired rN, covered
+    # by <row>" so the baseline sum stays comparable. Never raise the
+    # bound past 1950 — the 2000 cap is the driver's, not ours.
     assert json_lines[-1] == json.dumps(payload, separators=(",", ":"))
-    assert len(json_lines[-1]) < 1900, len(json_lines[-1])
+    assert len(json_lines[-1]) < 1950, len(json_lines[-1])
     # per-rep evidence rides the detail line: every query ships all
     # rep times at full 3-decimal precision, and the headline number
     # is their min through the headline rounding (noise vs regression
@@ -207,6 +219,14 @@ SHUFFLE_MB_PINS = {
     # the (digest, id, lang, n_chars) join rows; text in the
     # exchange would scale this with corpus bytes.
     "x79_curation_lineage": 0.17,
+    # r13: ANN bitext mining — (id, table, bucket) rows through the
+    # bucket-local candidate join, then (id_a, id_b) pairs + one
+    # 8-byte cos each through the dedup and the three margin-tail
+    # exchanges (two background windows + the re-join); the 64-double
+    # embedding arrays re-attach via the tiny broadcast unit-vector
+    # table and NEVER enter an O(candidates) exchange — raw vectors
+    # in the pair stream would read ~15-20× this.
+    "x83_bitext_margin_pairs_ann": 19.03,
 }
 
 

@@ -139,8 +139,17 @@ def test_rehash_separates_tracer_drift_from_code_drift(
         "_catalog",
         lambda: ({"q_tracer_only": None, "q_code_drift": None}, {}),
     )
-    # new tracer on CURRENT code: both entries read differently now
-    monkeypatch.setattr(pl, "impl_hash", lambda n, q, o: f"new_{n}")
+    # new tracer on CURRENT code: both entries read differently now.
+    # Counting wrapper: impl_hash traces the query's full callee
+    # closure, so rehash must hash each entry ONCE, not once in the
+    # filter and again in the value (ADVICE r12).
+    hash_calls: dict[str, int] = {}
+
+    def counting_hash(n, q, o):
+        hash_calls[n] = hash_calls.get(n, 0) + 1
+        return f"new_{n}"
+
+    monkeypatch.setattr(pl, "impl_hash", counting_hash)
     # new tracer on BASELINE code: q_tracer_only's code is unchanged
     # (baseline hash == current hash → the ledger delta is the
     # measurement); q_code_drift's code moved since the proofs
@@ -153,6 +162,7 @@ def test_rehash_separates_tracer_drift_from_code_drift(
         },
     )
     pl.cmd_rehash(["tracer upgrade"], baseline="r11-stamp")
+    assert hash_calls == {"q_tracer_only": 1, "q_code_drift": 1}
     out = json.loads(lp.read_text())
     assert out["q_tracer_only"]["impl_hash"] == "new_q_tracer_only"
     assert out["q_tracer_only"]["rehash_note"] == "tracer upgrade"

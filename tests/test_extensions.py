@@ -2615,3 +2615,142 @@ def test_bitext_margin_discounts_hubs(spark):
     # …but margin still selects the exclusive partner, for source 2 too
     assert out[2][0] == 5
     assert out[0][2] > 1.0 and out[2][2] > 1.0
+
+
+def test_bitext_margin_ann_evidence(spark, sf_correct):
+    """Three-fold evidence for the ANN bitext tier (x83), the
+    x63/x67 convention:
+    1. identity seam — the COMPLETE A×B pair table (built with the
+       exact form's own helpers) through the shared tail
+       `bitext_margin_from_pairs` reproduces x82 BIT-FOR-BIT, so the
+       two forms differ only in candidate generation + cosine kernel;
+    2. candidate recall — fixture A×B pairs with cosine ≥ 0.4 (the
+       planted structure, same bar as x17/x63) appear in the LSH
+       candidate set with recall ≥ 0.9, and the Arrow-kernel cosine
+       agrees with the fold cosine within one 6th-decimal ulp on
+       every candidate pair;
+    3. planted-geometry equivalence + agreement floor — on the hub/
+       exclusive-partner geometry the ANN form returns exactly the
+       exact form's pairs (margin still discounts the hub), and on
+       the fixture the surviving source→target map agrees with x82
+       above an anti-regression floor (backgrounds estimated over
+       candidates shift thin margins; full agreement is not the bar).
+    """
+    from pyspark.sql import functions as SF
+
+    from stock_market_etl_spark.catalog import all_queries
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators.similarity import (
+        _normed_vectors,
+        _pair_cos,
+        _pair_side,
+        bitext_margin_from_pairs,
+        bitext_margin_pairs_ann,
+        hyperplane_lsh_buckets,
+    )
+
+    emb = load_table(spark, sf_correct, "embeddings")
+    side = SF.col("vec_id") % 2 == 0
+    exact_rows = {
+        tuple(r)
+        for r in all_queries()["x82_bitext_margin_pairs"](
+            spark, sf_correct
+        ).collect()
+    }
+
+    # 1. identity seam: full A×B pairs -> shared tail ≡ x82
+    v = _normed_vectors(emb, "vec_id", "embedding", side.alias("__a"))
+    full_pairs = (
+        _pair_side(v.filter(SF.col("__a")), "vec_id", "a")
+        .crossJoin(_pair_side(v.filter(~SF.col("__a")), "vec_id", "b"))
+        .select("id_a", "id_b", _pair_cos().alias("cos"))
+    )
+    seam_rows = {
+        tuple(r)
+        for r in bitext_margin_from_pairs(
+            full_pairs, k=4, threshold=1.15
+        ).collect()
+    }
+    assert seam_rows == exact_rows and seam_rows
+
+    # 2. candidate recall + kernel-vs-fold cosine parity
+    b = hyperplane_lsh_buckets(
+        emb.select("vec_id", side.alias("__a"), "embedding"),
+        dim=64,
+        n_planes=4,
+        n_tables=16,
+    )
+    qb = b.filter(SF.col("__a")).select(
+        SF.col("vec_id").alias("id_a"), "lsh_table", "lsh_bucket"
+    )
+    tb = b.filter(~SF.col("__a")).select(
+        SF.col("vec_id").alias("id_b"),
+        SF.col("lsh_table").alias("__t"),
+        SF.col("lsh_bucket").alias("__b"),
+    )
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in qb.join(
+            tb,
+            (SF.col("lsh_table") == SF.col("__t"))
+            & (SF.col("lsh_bucket") == SF.col("__b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+        .collect()
+    }
+    exact_cos = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in full_pairs.collect()
+    }
+    strong = {p for p, c in exact_cos.items() if c >= 0.4}
+    assert strong  # planted structure must exist
+    recall = len(strong & cand) / len(strong)
+    assert recall >= 0.9, (len(strong & cand), len(strong))
+
+    ann_out = all_queries()["x83_bitext_margin_pairs_ann"](
+        spark, sf_correct
+    )
+    approx = {r["id_a"]: r["id_b"] for r in ann_out.collect()}
+    # kernel cosine parity on the pairs the ANN form actually scored
+    ann_pairs = bitext_margin_pairs_ann(
+        emb, side, dim=64, k=4, threshold=-1.0
+    )
+    for r in ann_pairs.collect():
+        assert abs(r["cosine_sim"] - exact_cos[(r["id_a"], r["id_b"])]) \
+            <= 1.01e-6, (r["id_a"], r["id_b"])
+
+    # 3a. planted geometry: ANN ≡ exact on the hub discount
+    s3 = 0.5773502691896258
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (1, [s3, s3, s3, 0.0]),
+        (3, [0.5, 0.05, 0.05, 0.86]),
+        (5, [0.05, 0.5, 0.05, 0.86]),
+    ]
+    planted = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    planted_ann = {
+        r["id_a"]: r["id_b"]
+        for r in bitext_margin_pairs_ann(
+            planted,
+            SF.col("vec_id") % 2 == 0,
+            dim=4,
+            k=2,
+            threshold=0.0,
+            n_planes=2,
+            n_tables=16,
+        ).collect()
+    }
+    assert planted_ann[0] == 3 and planted_ann[2] == 5
+
+    # 3b. fixture agreement floor vs x82 (observed 0.92 at sf0.01,
+    # 4 planes / 16 tables; floor leaves noise headroom)
+    exact_map = {r[0]: r[1] for r in exact_rows}
+    agree = sum(
+        1 for s, t in exact_map.items() if approx.get(s) == t
+    )
+    assert agree / len(exact_map) >= 0.7, (agree, len(exact_map))

@@ -1219,6 +1219,16 @@ def test_drift_monitor_multibatch_and_redelivery(spark, tmp_path):
     with pytest.raises(ValueError, match="bins=10"):
         read_score_histogram(spark, base_path, bins=5)
 
+    # a partially-written artifact (empty meta) must refuse with the
+    # same loud ValueError, not an opaque IndexError (ADVICE r12)
+    broken_path = str(tmp_path / "hist_broken")
+    write_score_histogram(base, broken_path, "__q", "source", bins=10)
+    spark.createDataFrame([], "bins int").write.mode(
+        "overwrite"
+    ).parquet(f"{broken_path}/meta")
+    with pytest.raises(ValueError, match="incomplete or corrupt"):
+        read_score_histogram(spark, broken_path)
+
     src = str(tmp_path / "arrivals")
     batch1 = spark.createDataFrame(  # same shape as baseline → calm
         [(100 + i, stop_text, "src") for i in range(5)]

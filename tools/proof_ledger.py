@@ -321,11 +321,18 @@ def cmd_rehash(reason: list[str], baseline: str | None = None) -> None:
     note = " ".join(reason)
     queries, oracles = _catalog()
     ledger = load_ledger()
-    drifted = {
+    # hash each entry ONCE — impl_hash runs a full trace of the query's
+    # callee closure, so hashing in both the value and the filter
+    # doubled an expensive full-catalog pass (ADVICE r12)
+    current = {
         name: impl_hash(name, queries, oracles)
-        for name, entry in ledger.items()
+        for name in ledger
         if name in queries
-        and impl_hash(name, queries, oracles) != entry["impl_hash"]
+    }
+    drifted = {
+        name: new
+        for name, new in current.items()
+        if new != ledger[name]["impl_hash"]
     }
     base = _package_hashes_at_ref(baseline, list(drifted)) if drifted else {}
     changed, code_drift = 0, []

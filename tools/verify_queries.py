@@ -2,6 +2,7 @@
 
 Usage: python -m tools.verify_queries [--sf DIR] name [name ...]
        python -m tools.verify_queries --sf /root/testdata/sf0.01 --all
+       python -m tools.verify_queries --new   # the never-driver-proven set
 
 Runs each named catalog query against its DuckDB oracle via
 tests.oracle.compare and prints PASS/FAIL per name. Rows-only queries
@@ -19,6 +20,14 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--all", action="store_true")
+    ap.add_argument(
+        "--new",
+        action="store_true",
+        dest="new_only",
+        help="verify exactly the oracle-bearing queries with NO "
+        "driver-green ledger entry yet (the judge's per-round "
+        "first-proof check, VERDICT r12 task 8)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -36,7 +45,18 @@ def main() -> int:
         .getOrCreate()
     )
     queries, oracles = all_queries(), all_oracles()
-    names = list(queries) if args.all else args.names
+    if args.new_only:
+        from tools.proof_ledger import load_ledger
+
+        ledger = load_ledger()
+        names = [
+            n for n in queries if n in oracles and n not in ledger
+        ]
+        print(f"never-driver-proven oracle-bearing set: {names}")
+    elif args.all:
+        names = list(queries)
+    else:
+        names = args.names
     unknown = [n for n in names if n not in queries]
     if unknown:
         print(f"unknown queries: {unknown}")
