@@ -223,6 +223,11 @@ BENCH_QUERIES = [
     # ~64% of pairs LSH candidates at 4 planes/16 tables, a density
     # real embedding manifolds don't have.
     "x83_bitext_margin_pairs_ann",
+    # r13 addition: train-test substring decontamination — x72's flag
+    # machinery with the presence-in-reference condition (eval index
+    # is write-once; train text crosses one exchange in the cut,
+    # eval text zero after the index build).
+    "x84_substring_decontamination",
     # r09 addition: x69's SPARSE operating point (VERDICT r08 task 2)
     # — SymSpell deletion-neighborhood fuzzy join over a structureless
     # md5-name entity catalog with planted typos. x69 itself (the

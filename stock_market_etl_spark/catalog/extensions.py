@@ -3177,3 +3177,81 @@ def x83_bitext_margin_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.bitext_margin_pairs_ann(
         emb, F.col("vec_id") % 2 == 0, dim=64, k=4, threshold=1.15
     )
+
+
+@_q(
+    "x84_substring_decontamination",
+    r"""WITH d AS (
+         SELECT doc_id,
+                string_split_regex(trim(text), '\s+') AS toks
+         FROM documents),
+       train AS (SELECT doc_id, toks FROM d WHERE doc_id % 10 < 8),
+       b AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 8),
+       g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                    unhex(md5(array_to_string(toks[i:i+7], ' '))) AS h
+             FROM b, unnest(range(1, len(toks) - 6)) AS t(i)),
+       f AS (SELECT DISTINCT h FROM g WHERE doc_id % 10 >= 8),
+       hits AS (SELECT doc_id, pos FROM g
+                WHERE doc_id % 10 < 8 AND h IN (SELECT h FROM f)),
+       marked AS (SELECT doc_id, pos,
+                    CASE WHEN lag(pos) OVER w IS NULL
+                           OR pos > lag(pos) OVER w + 8
+                         THEN 1 ELSE 0 END AS brk
+                  FROM hits
+                  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       grp AS (SELECT doc_id, pos,
+                      sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+                        AS gid
+               FROM marked),
+       spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+                 FROM grp GROUP BY doc_id, gid),
+       tok AS (SELECT doc_id, unnest(toks) AS tok,
+                      unnest(generate_series(1, len(toks))) AS i
+               FROM train),
+       kept AS (SELECT t.doc_id, t.tok, t.i FROM tok t
+                WHERE NOT EXISTS (
+                  SELECT 1 FROM spans s
+                  WHERE s.doc_id = t.doc_id
+                    AND t.i BETWEEN s.s AND s.e))
+       SELECT tr.doc_id,
+              coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '')
+                AS clean_text
+       FROM train tr LEFT JOIN kept k ON k.doc_id = tr.doc_id
+       GROUP BY tr.doc_id
+       ORDER BY tr.doc_id""",
+)
+def x84_substring_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train-test overlap scrub at arbitrary alignment
+    (`dedup.contaminated_spans` + `dedup.cut_spans` — Lee et al.
+    2021 §6.2's decontamination use of exact-substring matching, the
+    surgical form of GPT-3's 13-gram scrub): every training window
+    (doc_id % 10 < 8, x26's split) whose k=8-token content appears
+    ANYWHERE in the eval split is flagged and excised; the rest of
+    the document survives. The flag condition is deliberately NOT
+    x74's min_docs counting — training-side duplication is not
+    contamination, and one train + one eval occurrence is. Completes
+    the contamination family: x26 audits doc-level n-gram overlap
+    rates, x52 drops whole paragraph-sharing docs, THIS removes
+    exactly the overlapping tokens. Deterministic end-to-end → full
+    DuckDB hash oracle; planted-overlap semantics + flag-condition
+    tests in tests/test_extensions.py.
+
+    Scale shape: the eval set is frozen per release, so its (hash,
+    count) index is write-once (`corpus_window_hashes`, the b25
+    artifact form works unchanged); per training batch, cost is the
+    batch's own windows + one hash-grain semi-join against the
+    index (eval-sized flag set → AQE broadcast) + the id-grain span
+    aggregation and one id-grain text join from cut_spans — train
+    text crosses at most one exchange, eval text zero after the
+    index build."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 < 8)
+    ref = docs.filter(F.col("doc_id") % 10 >= 8)
+    spans = dedup.contaminated_spans(
+        ref, train, k=8, min_ref_docs=1, text_col="text", id_col="doc_id"
+    )
+    return dedup.cut_spans(
+        train, spans, text_col="text", id_col="doc_id"
+    ).orderBy("doc_id")

@@ -704,3 +704,86 @@ ORACLES["n20_stream_drift_monitor"] = f"""
              CAST(max(q_tot) AS BIGINT) AS n_docs
       FROM terms WHERE q_tot > 0 GROUP BY source)
     SELECT source, psi, psi >= 0.2 AS drift_flag, n_docs FROM agg"""
+
+
+@_q(
+    "n21_stream_decontamination_gate",
+    # x84's flag+cut derivation verbatim (train = doc_id % 10 < 8 vs
+    # the frozen eval split) restricted to the arriving batch — the
+    # single-micro-batch identity makes the drained gate
+    # hash-checkable like n9/n19.
+    r"""WITH d AS (
+         SELECT doc_id,
+                string_split_regex(trim(text), '\s+') AS toks
+         FROM documents),
+       train AS (SELECT doc_id, toks FROM d WHERE doc_id % 10 < 8),
+       b AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 8),
+       g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                    unhex(md5(array_to_string(toks[i:i+7], ' '))) AS h
+             FROM b, unnest(range(1, len(toks) - 6)) AS t(i)),
+       f AS (SELECT DISTINCT h FROM g WHERE doc_id % 10 >= 8),
+       hits AS (SELECT doc_id, pos FROM g
+                WHERE doc_id % 10 < 8 AND h IN (SELECT h FROM f)),
+       marked AS (SELECT doc_id, pos,
+                    CASE WHEN lag(pos) OVER w IS NULL
+                           OR pos > lag(pos) OVER w + 8
+                         THEN 1 ELSE 0 END AS brk
+                  FROM hits
+                  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       grp AS (SELECT doc_id, pos,
+                      sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+                        AS gid
+               FROM marked),
+       spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+                 FROM grp GROUP BY doc_id, gid),
+       tok AS (SELECT doc_id, unnest(toks) AS tok,
+                      unnest(generate_series(1, len(toks))) AS i
+               FROM train),
+       kept AS (SELECT t.doc_id, t.tok, t.i FROM tok t
+                WHERE NOT EXISTS (
+                  SELECT 1 FROM spans s
+                  WHERE s.doc_id = t.doc_id
+                    AND t.i BETWEEN s.s AND s.e))
+       SELECT tr.doc_id,
+              coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '')
+                AS clean_text
+       FROM train tr LEFT JOIN kept k ON k.doc_id = tr.doc_id
+       GROUP BY tr.doc_id
+       ORDER BY tr.doc_id""",
+)
+def n21_stream_decontamination_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """N: the train-test decontamination gate drained end-to-end — a
+    REAL Structured Streaming run (file source → foreachBatch
+    flag-vs-frozen-eval-index + span cut → parquet append), x84 on
+    arrival (`streaming/core.decontamination_gate_sink`; the b25 →
+    n19 lifecycle with `contaminated_spans`'s presence-in-reference
+    condition). The eval split (doc_id % 10 >= 8) is indexed ONCE
+    with `dedup.write_window_index` — write-once per release, never
+    merged (the eval set is frozen by definition); the training docs
+    (doc_id % 10 < 8) arrive as one file ⇒ one micro-batch, so the
+    landed table must equal x84's batch form — a full hash oracle
+    like n9/n19. The gate is stateless across batches (no cross-batch
+    count can flip a verdict), so batch order can't change results;
+    multi-batch replay + redelivery idempotence are asserted in
+    tests/test_streaming.py."""
+    import os
+
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators import dedup
+
+    ref = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 >= 8
+    )
+    work = _scratch.fresh_dir("decontamination_gate")
+    index_path = os.path.join(work, "eval_index")
+    dedup.write_window_index(ref, index_path, k=8)
+    stream = core.stream_documents(
+        spark, sf_dir, glob="documents.parquet"
+    ).filter(F.col("doc_id") % 10 < 8)
+    out_path = os.path.join(work, "clean")
+    core.decontamination_gate_sink(
+        stream, out_path, os.path.join(work, "ckpt"), index_path
+    )
+    return spark.read.parquet(out_path).orderBy("doc_id")

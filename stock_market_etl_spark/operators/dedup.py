@@ -1690,6 +1690,54 @@ def exact_substring_spans_incremental(
     return _merge_flagged_spans(hits, k, id_col)
 
 
+def contaminated_spans(
+    reference: DataFrame | None,
+    batch: DataFrame,
+    k: int = 8,
+    min_ref_docs: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    reference_index: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-corpus CONTAMINATION spans — the decontamination face of
+    the substring ladder (Lee et al. 2021 §6.2's train-test overlap,
+    the scrub GPT-3's 13-gram dedup approximated): flag every batch
+    (training) window whose k-token content appears in ``reference``
+    (the held-out/eval corpus, in ≥ ``min_ref_docs`` distinct
+    reference docs), merged into maximal per-doc spans. The flag
+    condition differs from `exact_substring_spans_incremental` on
+    purpose: batch-side duplication plays NO role — a run repeated in
+    a thousand training docs but absent from the reference is not
+    contamination, and a run appearing ONCE in training and once in
+    the eval set absolutely is (min_docs-style counting would need
+    the combined count and flag intra-batch dups as a side effect).
+    Compose with `cut_spans` to excise the overlap while keeping the
+    rest of the document (catalog x84) — the surgical alternative to
+    x26/x52's drop-the-whole-doc n-gram/paragraph audits.
+
+    Scale shape: identical to the incremental rung — batch windows
+    hash inside the batch scan; the reference contributes bytes only
+    through its (hash, distinct-doc-count) index (pass
+    ``reference_index`` to reuse a persisted `corpus_window_hashes`
+    table — the eval set is frozen per release, so the index is
+    write-once); the flag set is reference-sized and shrinks through
+    its count filter, so AQE broadcasts the semi-join; then the
+    per-doc islands window. Reference text is never re-read per
+    batch; batch text never enters an exchange."""
+    if reference_index is None:
+        if reference is None:
+            raise ValueError("need reference or reference_index")
+        reference_index = corpus_window_hashes(
+            reference, k=k, text_col=text_col, id_col=id_col
+        )
+    flagged = reference_index.filter(
+        F.col("__nd") >= min_ref_docs
+    ).select("__h")
+    gb = _window_hash_stream(batch, k, text_col, id_col)
+    hits = gb.join(flagged, "__h", "left_semi")
+    return _merge_flagged_spans(hits, k, id_col)
+
+
 def cut_spans(
     docs: DataFrame,
     spans: DataFrame,

@@ -707,6 +707,83 @@ def substring_gate_sink(
     return q
 
 
+def decontamination_gate_sink(
+    stream_docs: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    index_path: str,
+    min_ref_docs: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming TRAIN-TEST DECONTAMINATION gate — x84 run on arrival
+    (`substring_gate_sink`'s lifecycle with `contaminated_spans`'s
+    flag condition): each arriving training micro-batch is flagged
+    against the FROZEN eval-split window index (a b25
+    `write_window_index` artifact — the eval set is fixed per
+    release, so the index is write-once and never merges), flagged
+    spans are CUT, and the cleaned ``(id, clean_text)`` rows APPEND
+    to ``out_path``. Presence-in-reference is the whole condition:
+    batch-internal duplication lands untouched (dedup is the n19
+    gate's job; chain the two sinks for both), which also means the
+    gate is stateless across batches — no cross-batch count can
+    change a verdict, so redelivery and batch order can never flip a
+    cut decision.
+
+    Exactly-once at doc-id grain by the `ivf_append_sink` algebra:
+    the batch anti-joins on ``id_col`` against ids already landed, so
+    a redelivered micro-batch lands nothing (replay-tested in
+    tests/test_streaming.py)."""
+    from pyspark.errors import AnalysisException
+
+    from stock_market_etl_spark.operators.dedup import (
+        contaminated_spans,
+        cut_spans,
+        read_window_index,
+    )
+
+    spark0 = stream_docs.sparkSession
+    # static per release: the eval index reads once at sink setup
+    index, built_k = read_window_index(spark0, index_path)
+
+    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        fresh = batch_df.dropDuplicates([id_col])
+        try:
+            landed = spark.read.parquet(out_path).select(id_col)
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in (
+                getattr(exc, "getErrorClass", lambda: "")() or str(exc)
+            ) and "Path does not exist" not in str(exc):
+                raise
+            landed = None
+        if landed is not None:
+            fresh = fresh.join(landed, id_col, "left_anti")
+        spans = contaminated_spans(
+            None,
+            fresh,
+            k=built_k,
+            min_ref_docs=min_ref_docs,
+            text_col=text_col,
+            id_col=id_col,
+            reference_index=index,
+        )
+        cut_spans(
+            fresh, spans, text_col=text_col, id_col=id_col
+        ).write.mode("append").parquet(out_path)
+
+    q = (
+        stream_docs.writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def daily_rollup(events: DataFrame) -> DataFrame:
     """The continuous aggregate's state shape: per-(user, day)
     mergeable state (count, sum, min, max) — shared by the n17

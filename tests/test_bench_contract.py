@@ -227,6 +227,14 @@ SHUFFLE_MB_PINS = {
     # table and NEVER enter an O(candidates) exchange — raw vectors
     # in the pair stream would read ~15-20× this.
     "x83_bitext_margin_pairs_ann": 19.03,
+    # r13: substring decontamination — the eval split's (16-byte
+    # digest, count) index + the train-side (digest, id, pos) window
+    # stream through the flag semi-join and the islands window + the
+    # id-grain span lists and ONE train-text exchange in the cut;
+    # far below x72's ~10.8 because only the eval-derived flag set
+    # (20% of docs' distinct windows) gates the stream. Train text
+    # in the FLAG pass or eval text anywhere would multiply this.
+    "x84_substring_decontamination": 2.66,
 }
 
 

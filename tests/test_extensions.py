@@ -2079,6 +2079,68 @@ def test_incremental_substring_spans_min_docs(spark):
     assert spans2 == {(1, 2, 5), (1, 7, 10)}  # hot and cold
 
 
+def test_contaminated_spans_semantics(spark):
+    """x84's flag condition on planted structure — contamination is
+    presence-in-reference, NOT combined duplication:
+    1. a train run copied from an eval doc is cut (even though it
+       appears once on each side — one train + one eval IS
+       contamination);
+    2. a run duplicated across TWO train docs but absent from the
+       reference is NOT cut (train-side duplication is dedup's
+       business, not decontamination's — the deliberate divergence
+       from exact_substring_spans_incremental's min_docs counting);
+    3. unflagged docs pass through whitespace-normalized;
+    4. a prebuilt `corpus_window_hashes` reference index reproduces
+       the inline derivation bit-for-bit (the write-once eval-index
+       production shape)."""
+    from stock_market_etl_spark.operators.dedup import (
+        contaminated_spans,
+        corpus_window_hashes,
+        cut_spans,
+    )
+
+    leak = "l1 l2 l3 l4"      # in eval + one train doc → cut
+    traindup = "t1 t2 t3 t4"  # in TWO train docs, not in eval → kept
+    ref = spark.createDataFrame(
+        [(100, f"e1 {leak} e2")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, f"a1 {leak} a2 {traindup}"),
+            (2, f"{traindup} b1 b2"),
+            (3, "c1  c2   c3"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in contaminated_spans(ref, batch, k=4).collect()
+    }
+    assert spans == {(1, 2, 5)}  # the leak only, neither traindup copy
+    cleaned = {
+        r["doc_id"]: r["clean_text"]
+        for r in cut_spans(batch, contaminated_spans(ref, batch, k=4))
+        .collect()
+    }
+    assert cleaned[1] == f"a1 a2 {traindup}"
+    assert cleaned[2] == f"{traindup} b1 b2"
+    assert cleaned[3] == "c1 c2 c3"  # whitespace-normalized passthrough
+
+    idx = corpus_window_hashes(ref, k=4)
+    via_index = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in contaminated_spans(
+            None, batch, k=4, reference_index=idx
+        ).collect()
+    }
+    assert via_index == spans
+
+    import pytest
+
+    with pytest.raises(ValueError, match="reference"):
+        contaminated_spans(None, batch, k=4)
+
+
 def test_source_reputation_gate_semantics(spark):
     """x73's planted-structure contract: a source of duplicated junk
     (dup_rate 0.75 > 0.5) is dropped regardless of rank; a

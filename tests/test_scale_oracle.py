@@ -293,6 +293,11 @@ SCALE_QUERIES = [
     # midpoint tolerance; the A×B oracle is quadratic but bounded —
     # 6.25M pairs at sf0.1, measured ~12 s)
     ("x82_bitext_margin_pairs", False),
+    # r13 addition: substring decontamination (strings + ids → exact)
+    ("x84_substring_decontamination", True),
+    # r13 addition: the decontamination gate streamed (single-
+    # micro-batch identity, the n9 move; strings + ids → exact)
+    ("n21_stream_decontamination_gate", True),
 ]
 
 

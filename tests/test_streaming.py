@@ -1179,6 +1179,78 @@ def test_substring_gate_multibatch_and_redelivery(spark, tmp_path):
     } == got
 
 
+def test_decontamination_gate_multibatch_and_redelivery(spark, tmp_path):
+    """n21's engine on planted structure — the flag condition is
+    presence-in-the-frozen-EVAL-index, nothing else: (1) a training
+    doc sharing a >= k run with the indexed eval split is cut; (2)
+    two docs sharing a run WITHIN one micro-batch land UNTOUCHED
+    (batch-internal duplication is the n19 gate's business, the
+    deliberate divergence from substring_gate_sink); (3) a later
+    batch sharing a run only with an earlier batch is untouched
+    (stateless across batches — no cross-batch count can flip a
+    verdict); (4) a full redelivery (fresh checkpoint, same files)
+    lands nothing."""
+    from stock_market_etl_spark.operators.dedup import write_window_index
+    from stock_market_etl_spark.streaming import core
+
+    leak = "l1 l2 l3 l4"  # the k=4 eval run
+    eval_split = spark.createDataFrame(
+        [(900, f"e1 {leak} e2")], ["doc_id", "text"]
+    )
+    index_path = str(tmp_path / "eval_idx")
+    write_window_index(eval_split, index_path, k=4)
+
+    src = str(tmp_path / "arrivals")
+    batch1 = spark.createDataFrame(
+        [
+            (100, f"a1 a2 {leak} a3 a4"),    # eval leak → cut
+            (101, "q1 q2 s1 s2 s3 s4 q3"),   # batch-internal pair…
+            (102, "q4 q5 s1 s2 s3 s4 q6"),   # …both land untouched
+        ],
+        ["doc_id", "text"],
+    )
+    batch2 = spark.createDataFrame(
+        # shares the s-run only with batch1 — stateless gate: untouched
+        [(200, "z1 s1 s2 s3 s4 z2"), (201, f"w1 {leak} w2")],
+        ["doc_id", "text"],
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "clean")
+
+    def run_gate(ckpt):
+        stream = (
+            spark.readStream.schema(batch1.schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        core.decontamination_gate_sink(
+            stream, out, str(tmp_path / ckpt), index_path
+        )
+
+    run_gate("ckpt1")
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[100] == "a1 a2 a3 a4"
+    assert got[101] == "q1 q2 s1 s2 s3 s4 q3"  # NOT dedup's business
+    assert got[102] == "q4 q5 s1 s2 s3 s4 q6"
+    assert got[200] == "z1 s1 s2 s3 s4 z2"     # stateless across batches
+    assert got[201] == "w1 w2"                 # leak cut in any batch
+    assert len(got) == 5
+
+    # full redelivery: fresh checkpoint, same files — nothing lands
+    run_gate("ckpt2")
+    again = spark.read.parquet(out)
+    assert again.count() == 5
+    assert {
+        r["doc_id"]: r["clean_text"] for r in again.collect()
+    } == got
+
+
 def test_drift_monitor_multibatch_and_redelivery(spark, tmp_path):
     """n20's engine on planted distributions: (1) a batch scoring
     like the baseline reads psi ≈ 0, no flag; (2) a batch whose score

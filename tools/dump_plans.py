@@ -67,6 +67,8 @@ SHOWCASE = [
     ("a2_jdbc_scan", "the JDBC relation splits into 4 parallel range queries (numPartitions=4 on the scan node) — N connections each streaming a key range, never one connection streaming the table (tests/test_plans.py::test_jdbc_scan_partition_parallel)"),
     ("x78_hard_negative_mining", "M queries in ONE corpus token pass: the (doc, term) tf table materializes once (InMemoryTableScan feeds df-counts AND the scored stream), per-doc length rides the tf aggregate (no doc-grain length join), corpus stats are one bounded scalar-row BNLJ, positives drop broadcast-anti, and the per-query top-k runs two-phase with WindowGroupLimit partials bounding every exchange (tests/test_plans.py::test_hard_negatives_single_token_pass)"),
     ("x79_curation_lineage", "drop-reason lineage in one digest-grain move: content digests compute scan-side, the keeper min-id aggregate is the ONLY hash exchange (keyed on the 32-byte digest, never text), and the keeper table joins back broadcast (tests/test_plans.py::test_curation_lineage_digest_grain_only)"),
+    ("x83_bitext_margin_pairs_ann", "ANN bitext tier: the bucketed table materializes once (InMemoryTableScan feeds both candidate sides), the candidate join is equality on (lsh_table, lsh_bucket) over (id, table, bucket) rows, unit vectors re-attach by id AFTER the pair dedup, and the margin tail's three exchanges carry (id_a, id_b, cos) only — embedding arrays never enter an O(candidates) exchange"),
+    ("x84_substring_decontamination", "decontamination flag+cut: the eval split feeds ONLY its (hash, distinct-doc-count) index, the train window stream semi-joins the count-filtered flag set (AQE-broadcastable), spans aggregate at id grain, and train text crosses exactly ONE exchange in the cut reassembly"),
 ]
 
 #: Operators whose scale-relevant plan can't be dumped through
@@ -94,6 +96,18 @@ EXTRA_NOTES = [
         "probe of the artifact, regardless of corpus size. Exactly-"
         "once and frozen-release behavior are data-level contracts "
         "pinned in tests/test_streaming.py.",
+    ),
+    (
+        "n21_stream_decontamination_gate",
+        "per-micro-batch body is x84's plan (dumped above) with the "
+        "frozen eval index read back from its b25 artifact: "
+        "landed-id anti-join + presence-in-reference semi-join + "
+        "span cut, batch-sized work per batch regardless of corpus "
+        "size; stateless across batches (no cross-batch count can "
+        "flip a verdict) so batch order is immaterial. Exactly-once "
+        "and statelessness are data-level contracts pinned in "
+        "tests/test_streaming.py::"
+        "test_decontamination_gate_multibatch_and_redelivery.",
     ),
 ]
 
