@@ -22,15 +22,17 @@ REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
-#: BENCH set (BASELINE.md): metrics pipeline, the five dashboard
-#: analytics, one join-heavy and one agg-heavy TPC-H-style query.
+#: BENCH set (BASELINE.md): metrics pipeline, the dashboard
+#: representative, one join-heavy and one agg-heavy TPC-H-style query.
+#: r13 retirement (the documented headline policy's first firing —
+#: BASELINE.md r13 note): q_final_returns, q_relative_returns,
+#: q_latest_snapshot and q_top_movers retired r13, covered by
+#: q_compute_trends (the dashboard stack's shared scan + window
+#: front) and their every-round driver correctness proofs; their
+#: BASELINE rows carry the retirement note.
 BENCH_QUERIES = [
     "f1_f2_metrics_pipeline",
     "q_compute_trends",
-    "q_final_returns",
-    "q_relative_returns",
-    "q_latest_snapshot",
-    "q_top_movers",
     "d9_star_join_revenue",
     "e14_avg_min_max_count",
     # training-data extension ops (first-class at 100 TB): text
@@ -228,6 +230,11 @@ BENCH_QUERIES = [
     # is write-once; train text crosses one exchange in the cut,
     # eval text zero after the index build).
     "x84_substring_decontamination",
+    # r13 addition: the ANN tier of semantic contamination — LSH
+    # train×eval candidates, exact cosine on candidates, verdict
+    # tail shared with the exact x85 (which stays out of BENCH like
+    # x16/x31/x46: quadratic-by-design oracle stance).
+    "x86_embedding_contamination_lsh",
     # r09 addition: x69's SPARSE operating point (VERDICT r08 task 2)
     # — SymSpell deletion-neighborhood fuzzy join over a structureless
     # md5-name entity catalog with planted typos. x69 itself (the

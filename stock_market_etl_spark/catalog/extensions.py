@@ -3180,6 +3180,64 @@ def x83_bitext_margin_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "x85_embedding_contamination",
+    """WITH v AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[]))) AS nrm,
+                vec_id % 5 = 0 AS is_ev
+         FROM embeddings),
+       p AS (
+         SELECT t.vec_id AS id_t, e.vec_id AS id_e,
+                round(list_dot_product(t.vec, e.vec)
+                      / (t.nrm * e.nrm), 6) AS cos
+         FROM v t, v e WHERE NOT t.is_ev AND e.is_ev),
+       best AS (
+         SELECT id_t, id_e, cos,
+                row_number() OVER (
+                  PARTITION BY id_t ORDER BY cos DESC, id_e) AS rk
+         FROM p)
+       SELECT id_t AS vec_id, id_e AS nearest_eval_id,
+              cos AS max_cosine, cos >= 0.4 AS contaminated
+       FROM best WHERE rk = 1""",
+)
+def x85_embedding_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEMANTIC train-test contamination
+    (`similarity.embedding_contamination`): per training vector
+    (vec_id % 5 != 0), its nearest eval vector (% 5 == 0) by cosine
+    and a ≥ 0.4 flag — the embedding rung that completes the
+    contamination family (x26 n-grams, x52 paragraphs, x84 exact
+    substrings, THIS for paraphrase/translation leakage lexical
+    checks can't see). Audit form: every training id returns with
+    its evidence. Exact train×eval twin (the x16 stance); x86 is the
+    LSH tier (the x16 → x17 move)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_contamination(
+        emb, F.col("vec_id") % 5 == 0, threshold=0.4
+    )
+
+
+@_q("x86_embedding_contamination_lsh")
+def x86_embedding_contamination_lsh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ANN tier of x85 (`similarity.embedding_contamination_ann`)
+    — LSH-bucketed train×eval candidates, exact cosine on candidates
+    only, verdict tail shared code-for-code with x85
+    (`contamination_from_pairs`). Bucketing is engine-specific →
+    rows-only; evidence trio in tests/test_extensions.py: identity
+    seam (complete pair table through the shared tail ≡ x85
+    bit-for-bit), flagged-set recall ≥ 0.9, verdict agreement
+    floor."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_contamination_ann(
+        emb, F.col("vec_id") % 5 == 0, dim=64, threshold=0.4
+    )
+
+
+@_q(
     "x84_substring_decontamination",
     r"""WITH d AS (
          SELECT doc_id,

@@ -1122,6 +1122,144 @@ def bitext_margin_from_pairs(
     )
 
 
+def contamination_from_pairs(
+    pairs: DataFrame, threshold: float = 0.4
+) -> DataFrame:
+    """The verdict tail over a prepared ``(id_t, id_e, cos)``
+    train×eval pair table: per training vector, the best eval match
+    (cos desc, eval id asc tie-break) and the ≥ ``threshold`` flag.
+    THE identity seam shared by the exact (`embedding_contamination`)
+    and ANN (`embedding_contamination_ann`) forms — feeding the
+    complete train×eval pair table reproduces the exact form
+    bit-for-bit (tests/test_extensions.py), so the forms differ only
+    in candidate generation. Returns (vec_id, nearest_eval_id,
+    max_cosine, contaminated)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_t").orderBy(
+        F.col("cos").desc(), F.col("id_e")
+    )
+    return (
+        pairs.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            F.col("id_t").alias("vec_id"),
+            F.col("id_e").alias("nearest_eval_id"),
+            F.col("cos").alias("max_cosine"),
+            (F.col("cos") >= threshold).alias("contaminated"),
+        )
+    )
+
+
+def embedding_contamination(
+    df: DataFrame,
+    is_eval: Column,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SEMANTIC train-test contamination — the embedding rung of the
+    contamination family (n-gram x26, paragraph x52, exact-substring
+    x84, THIS): per training vector, its nearest eval-set vector by
+    cosine and a ≥ ``threshold`` flag. Catches the leakage the
+    lexical rungs can't see — an eval document paraphrased,
+    translated, or re-templated into the training set scores ~0 on
+    token overlap but stays close in embedding space (the
+    SemDeDup/x55 observation pointed across the split boundary).
+    Every training id comes back (audit form, like x26): the flag is
+    the gate, the max_cosine is the evidence.
+
+    EXACT form — the train×eval cosine matrix materializes (the x16
+    stance: ground truth and oracle twin); the ANN tier is
+    `embedding_contamination_ann` (the x16 → x17 move). All ranking
+    happens on the 6-decimal ROUNDED cosine so both engines order
+    identical numbers."""
+    v = _normed_vectors(df, id_col, vec_col, is_eval.alias("__e"))
+    t = _pair_side(v.filter(~F.col("__e")), id_col, "t")
+    e = _pair_side(v.filter(F.col("__e")), id_col, "e")
+    pairs = t.crossJoin(e).select(
+        "id_t", "id_e", _pair_cos("t", "e").alias("cos")
+    )
+    return contamination_from_pairs(pairs, threshold)
+
+
+def embedding_contamination_ann(
+    df: DataFrame,
+    is_eval: Column,
+    dim: int,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The 100 TB tier of semantic contamination — LSH-bucketed
+    train×eval candidates (a pair is a candidate iff it shares a
+    bucket in ≥1 of ``n_tables`` OR-amplified sign-random-projection
+    tables), exact cosine on candidates only (unit-vector Arrow
+    kernel), verdict tail shared code-for-code with the exact form
+    (`contamination_from_pairs`). Training vectors with NO eval
+    candidate are absent from the output — at sane LSH params that
+    is itself the verdict (nothing in the eval set is even
+    bucket-close); the recall + agreement floors are pinned in
+    tests/test_extensions.py.
+
+    Scale shape: the candidate join moves (id, table, bucket) rows
+    only; unit vectors re-attach by id after the pair dedup; the one
+    per-train window runs over (id, id, cos) rows
+    (shuffle-pinned)."""
+    bucketed = hyperplane_lsh_buckets(
+        df.select(F.col(id_col), is_eval.alias("__e"), F.col(vec_col)),
+        dim,
+        n_planes,
+        n_tables,
+        seed,
+        vec_col,
+    ).persist()
+    t = bucketed.filter(~F.col("__e")).select(
+        F.col(id_col).alias("id_t"), "lsh_table", "lsh_bucket"
+    )
+    e = bucketed.filter(F.col("__e")).select(
+        F.col(id_col).alias("id_e"),
+        F.col("lsh_table").alias("__tb"),
+        F.col("lsh_bucket").alias("__bb"),
+    )
+    cand_ids = (
+        t.join(
+            e,
+            (F.col("lsh_table") == F.col("__tb"))
+            & (F.col("lsh_bucket") == F.col("__bb")),
+        )
+        .select("id_t", "id_e")
+        .dropDuplicates(["id_t", "id_e"])
+    )
+    unit = F.transform(F.col("__v"), lambda x: x / F.col("__n"))
+    v = (
+        _normed_vectors(df, id_col, vec_col)
+        .select(F.col(id_col).alias("__id"), unit.alias("__u"))
+        .persist()
+    )
+    pairs = (
+        cand_ids.join(
+            v.select(F.col("__id").alias("id_t"), F.col("__u").alias("__ut")),
+            "id_t",
+        )
+        .join(
+            v.select(F.col("__id").alias("id_e"), F.col("__u").alias("__ue")),
+            "id_e",
+        )
+        .select(
+            "id_t",
+            "id_e",
+            F.round(_unit_pair_dot(F.col("__ut"), F.col("__ue")), 6).alias(
+                "cos"
+            ),
+        )
+    )
+    return contamination_from_pairs(pairs, threshold)
+
+
 def bitext_margin_pairs_ann(
     df: DataFrame,
     side: Column,

@@ -235,6 +235,14 @@ SHUFFLE_MB_PINS = {
     # (20% of docs' distinct windows) gates the stream. Train text
     # in the FLAG pass or eval text anywhere would multiply this.
     "x84_substring_decontamination": 2.66,
+    # r13: semantic-contamination ANN tier — (id, table, bucket)
+    # rows through the bucket-local train×eval candidate join, id
+    # pairs + one 8-byte cos through the dedup and the per-train
+    # verdict window; embedding arrays re-attach by id and never
+    # enter an O(candidates) exchange. Smaller than x83's 19 MB
+    # because the verdict tail is ONE window (no dual background
+    # aggregates re-reading the pair table).
+    "x86_embedding_contamination_lsh": 4.24,
 }
 
 

@@ -2079,6 +2079,90 @@ def test_incremental_substring_spans_min_docs(spark):
     assert spans2 == {(1, 2, 5), (1, 7, 10)}  # hot and cold
 
 
+def test_embedding_contamination_evidence(spark, sf_correct):
+    """x85/x86 evidence — planted semantics + the x63/x67 trio:
+    1. planted: a training vector IDENTICAL to an eval vector flags
+       at max_cosine 1.0 with the right nearest id; an orthogonal
+       training vector reports its (low) max and does not flag;
+    2. identity seam — the complete train×eval pair table through
+       the shared tail `contamination_from_pairs` ≡ x85 bit-for-bit;
+    3. flagged-set recall — training ids x85 flags (the planted
+       structure, cos ≥ 0.4 — same bar as x17) appear flagged in the
+       LSH tier with recall ≥ 0.9;
+    4. verdict agreement floor over the ids both forms report."""
+    from pyspark.sql import functions as SF
+
+    from stock_market_etl_spark.catalog import all_queries
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators.similarity import (
+        _normed_vectors,
+        _pair_cos,
+        _pair_side,
+        contamination_from_pairs,
+        embedding_contamination,
+    )
+
+    # 1. planted geometry
+    planted = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),   # train, = eval 5 → flags at 1.0
+            (2, [0.0, 1.0, 0.0]),   # train, orthogonal to eval → calm
+            (5, [1.0, 0.0, 0.0]),   # eval
+            (10, [0.0, 0.0, 1.0]),  # eval
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (
+            r["nearest_eval_id"], r["max_cosine"], r["contaminated"]
+        )
+        for r in embedding_contamination(
+            planted, SF.col("vec_id") % 5 == 0, threshold=0.4
+        ).collect()
+    }
+    assert got[1] == (5, 1.0, True)
+    assert got[2][2] is False and got[2][1] == 0.0
+
+    # 2. identity seam on the fixture
+    emb = load_table(spark, sf_correct, "embeddings")
+    is_eval = SF.col("vec_id") % 5 == 0
+    exact_rows = {
+        tuple(r)
+        for r in all_queries()["x85_embedding_contamination"](
+            spark, sf_correct
+        ).collect()
+    }
+    v = _normed_vectors(emb, "vec_id", "embedding", is_eval.alias("__e"))
+    full_pairs = (
+        _pair_side(v.filter(~SF.col("__e")), "vec_id", "t")
+        .crossJoin(_pair_side(v.filter(SF.col("__e")), "vec_id", "e"))
+        .select("id_t", "id_e", _pair_cos("t", "e").alias("cos"))
+    )
+    seam_rows = {
+        tuple(r)
+        for r in contamination_from_pairs(full_pairs, 0.4).collect()
+    }
+    assert seam_rows == exact_rows and seam_rows
+
+    # 3 + 4. recall of the flagged set + verdict agreement
+    exact = {r[0]: (r[1], r[3]) for r in exact_rows}
+    approx = {
+        r["vec_id"]: (r["nearest_eval_id"], r["contaminated"])
+        for r in all_queries()["x86_embedding_contamination_lsh"](
+            spark, sf_correct
+        ).collect()
+    }
+    flagged_exact = {i for i, (_, c) in exact.items() if c}
+    assert flagged_exact  # planted structure must exist
+    flagged_lsh = {i for i, (_, c) in approx.items() if c}
+    recall = len(flagged_exact & flagged_lsh) / len(flagged_exact)
+    assert recall >= 0.9, (len(flagged_exact & flagged_lsh),
+                           len(flagged_exact))
+    shared = set(exact) & set(approx)
+    agree = sum(1 for i in shared if exact[i][1] == approx[i][1])
+    assert agree / len(shared) >= 0.9, (agree, len(shared))
+
+
 def test_contaminated_spans_semantics(spark):
     """x84's flag condition on planted structure — contamination is
     presence-in-reference, NOT combined duplication:

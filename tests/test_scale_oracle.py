@@ -298,6 +298,9 @@ SCALE_QUERIES = [
     # r13 addition: the decontamination gate streamed (single-
     # micro-batch identity, the n9 move; strings + ids → exact)
     ("n21_stream_decontamination_gate", True),
+    # r13 addition: semantic contamination, exact twin (double
+    # cosines → midpoint tolerance)
+    ("x85_embedding_contamination", False),
 ]
 
 
