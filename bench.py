@@ -192,6 +192,10 @@ BENCH_QUERIES = [
     # the gate halving the corpus FIRST makes the composed flag/cut
     # cheaper than x72 alone.
     "x75_curation_pipeline_v4",
+    # r13 addition: flagship v5 — v4's stack + the decontamination
+    # cut vs the frozen eval split (windows on CLEANED text, eval
+    # side raw); the eval set contributes only its window-hash set.
+    "x87_curation_pipeline_v5",
     # r10 addition: the incremental rung — batch windows vs the
     # corpus (hash, count) index; per-batch cost is the batch's own
     # windows + one hash-grain index join, corpus text never

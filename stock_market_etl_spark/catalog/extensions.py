@@ -3313,3 +3313,212 @@ def x84_substring_decontamination(
     return dedup.cut_spans(
         train, spans, text_col="text", id_col="doc_id"
     ).orderBy("doc_id")
+
+
+@_q(
+    "x87_curation_pipeline_v5",
+    f"""WITH q AS (
+          SELECT doc_id, source, text, md5(text) AS h,
+            0.4 * least(1.0, len({_TOKS}) / 100.0)
+            + 0.3 * (1.0
+                - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                       AS DOUBLE) / length(text))
+            + 0.3 * (CAST(len(list_filter({_TOKS},
+                       x -> list_contains({_sql_list(STOPWORDS)}, x)))
+                       AS DOUBLE) / len({_TOKS})) AS qs
+          FROM documents WHERE doc_id % 10 < 8),
+        a AS (
+          SELECT source,
+                 round(avg(qs), 6) AS mean_quality,
+                 round(1.0 - count(DISTINCT h) * 1.0 / count(*), 6)
+                   AS dup_rate
+          FROM q GROUP BY source),
+        r AS (
+          SELECT source, dup_rate,
+                 row_number() OVER (ORDER BY mean_quality DESC, source)
+                   AS rk,
+                 count(*) OVER () AS n
+          FROM a),
+        keeps AS (
+          SELECT source FROM r
+          WHERE rk <= CAST(ceil(n / 2.0) AS BIGINT)
+            AND dup_rate <= 0.5),
+        d AS (
+          SELECT doc_id,
+                 string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents
+          WHERE doc_id % 10 < 8
+            AND source IN (SELECT source FROM keeps)),
+        b AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 8),
+        g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                     unhex(md5(array_to_string(toks[i:i+7], ' '))) AS wh
+              FROM b, unnest(range(1, len(toks) - 6)) AS t(i)),
+        f AS (SELECT wh FROM (
+                SELECT wh, count(DISTINCT doc_id) AS nd
+                FROM g GROUP BY wh)
+              WHERE nd >= 2),
+        hits AS (SELECT doc_id, pos FROM g
+                 WHERE wh IN (SELECT wh FROM f)),
+        marked AS (SELECT doc_id, pos,
+                     CASE WHEN lag(pos) OVER w IS NULL
+                            OR pos > lag(pos) OVER w + 8
+                          THEN 1 ELSE 0 END AS brk
+                   FROM hits
+                   WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        grp AS (SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+                         AS gid
+                FROM marked),
+        spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+                  FROM grp GROUP BY doc_id, gid),
+        tok AS (SELECT doc_id, unnest(toks) AS tk,
+                       unnest(generate_series(1, len(toks))) AS i
+                FROM d),
+        kept AS (SELECT t.doc_id, t.tk, t.i FROM tok t
+                 WHERE NOT EXISTS (
+                   SELECT 1 FROM spans s
+                   WHERE s.doc_id = t.doc_id
+                     AND t.i BETWEEN s.s AND s.e)),
+        clean AS (
+          SELECT d.doc_id,
+                 coalesce(string_agg(k.tk, ' ' ORDER BY k.i), '')
+                   AS clean_text
+          FROM d LEFT JOIN kept k ON k.doc_id = d.doc_id
+          GROUP BY d.doc_id),
+        ne AS (SELECT * FROM clean WHERE clean_text <> ''),
+        dd AS (SELECT doc_id, clean_text,
+                      min(doc_id) OVER (PARTITION BY sha256(clean_text))
+                        AS keep_id
+               FROM ne),
+        surv AS (SELECT doc_id, clean_text FROM dd
+                 WHERE doc_id = keep_id),
+        st AS (SELECT doc_id,
+                      string_split_regex(trim(clean_text), '\\s+') AS toks
+               FROM surv),
+        sb AS (SELECT doc_id, toks FROM st WHERE len(toks) >= 8),
+        sg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                      unhex(md5(array_to_string(toks[i:i+7], ' '))) AS wh2
+               FROM sb, unnest(range(1, len(toks) - 6)) AS t(i)),
+        ed AS (SELECT doc_id,
+                      string_split_regex(trim(text), '\\s+') AS toks
+               FROM documents WHERE doc_id % 10 >= 8),
+        eb AS (SELECT doc_id, toks FROM ed WHERE len(toks) >= 8),
+        eg AS (SELECT DISTINCT
+                      unhex(md5(array_to_string(toks[i:i+7], ' '))) AS wh2
+               FROM eb, unnest(range(1, len(toks) - 6)) AS t(i)),
+        shits AS (SELECT doc_id, pos FROM sg
+                  WHERE wh2 IN (SELECT wh2 FROM eg)),
+        smarked AS (SELECT doc_id, pos,
+                      CASE WHEN lag(pos) OVER w IS NULL
+                             OR pos > lag(pos) OVER w + 8
+                           THEN 1 ELSE 0 END AS brk
+                    FROM shits
+                    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        sgrp AS (SELECT doc_id, pos,
+                        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+                          AS gid
+                 FROM smarked),
+        sspans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+                   FROM sgrp GROUP BY doc_id, gid),
+        stok AS (SELECT doc_id, unnest(toks) AS tk,
+                        unnest(generate_series(1, len(toks))) AS i
+                 FROM st),
+        skept AS (SELECT t.doc_id, t.tk, t.i FROM stok t
+                  WHERE NOT EXISTS (
+                    SELECT 1 FROM sspans s
+                    WHERE s.doc_id = t.doc_id
+                      AND t.i BETWEEN s.s AND s.e)),
+        sclean AS (
+          SELECT st.doc_id,
+                 coalesce(string_agg(k.tk, ' ' ORDER BY k.i), '')
+                   AS clean_text
+          FROM st LEFT JOIN skept k ON k.doc_id = st.doc_id
+          GROUP BY st.doc_id),
+        fin AS (SELECT * FROM sclean WHERE clean_text <> '')
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)
+                                 || 'split-v1'), 1, 4) < 'e666'
+                      THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)
+                                 || 'split-v1'), 1, 4) < 'f333'
+                      THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(len(string_split_regex(trim(clean_text), '\\s+'))
+                    AS BIGINT) AS n_tokens_clean
+        FROM fin
+        ORDER BY doc_id""",
+)
+def x87_curation_pipeline_v5(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMPOSED CURATION FLAGSHIP v5 — x75's stack with the r13
+    DECONTAMINATION rung appended, the order a production pipeline
+    runs (RefinedWeb/Lee et al. + the GPT-3 decontamination step):
+    (1) x73's source-reputation gate over the TRAINING universe
+    (doc_id % 10 < 8) drops bad domains first, (2) x71/x72's
+    exact-substring flag + cut excise intra-corpus duplicated runs,
+    (3) x6's exact dedup keeps the first copy of each now-identical
+    cleaned text, (4) **x84's decontamination cuts every surviving
+    window that appears in the frozen eval split (% 10 >= 8)** —
+    windows computed on the CLEANED text, eval side on raw text, so
+    the scrub sees exactly what would ship, (5) x22's deterministic
+    hash split labels survivors. Returns (doc_id, split,
+    n_tokens_clean); docs fully consumed by decontamination drop.
+    Fully deterministic, one CTE-chain oracle.
+
+    Scale shape: x75's (gate broadcast, flag/cut text-once, 32-byte
+    dedup hashes, scan-local split) + the decontamination stage at
+    the same byte economy — the eval split contributes only its
+    window-hash set (write-once per release in production, the b25
+    artifact), survivor text crosses one id-grain exchange in the
+    second cut. Composition still adds no exchange class beyond the
+    sum of its stages."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    universe = docs.filter(F.col("doc_id") % 10 < 8)
+    evalset = docs.filter(F.col("doc_id") % 10 >= 8)
+    rep = text_ops.source_reputation(universe)
+    gated = universe.join(
+        F.broadcast(rep.filter(F.col("keep")).select("source")),
+        "source",
+        "left_semi",
+    )
+    spans = dedup.exact_substring_spans(
+        gated, k=8, min_docs=2, text_col="text", id_col="doc_id"
+    )
+    clean = dedup.cut_spans(gated, spans).filter(
+        F.col("clean_text") != ""
+    )
+    keep_id = F.min("doc_id").over(
+        Window.partitionBy(F.sha2(F.col("clean_text"), 256))
+    )
+    survivors = (
+        clean.select("doc_id", "clean_text", keep_id.alias("__keep"))
+        .filter(F.col("doc_id") == F.col("__keep"))
+        .select("doc_id", F.col("clean_text").alias("text"))
+    )
+    dspans = dedup.contaminated_spans(
+        evalset, survivors, k=8, min_ref_docs=1,
+        text_col="text", id_col="doc_id",
+    )
+    decon = dedup.cut_spans(
+        survivors, dspans, text_col="text", id_col="doc_id"
+    ).filter(F.col("clean_text") != "")
+    tag = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("split-v1"))),
+        1,
+        4,
+    )
+    split = (
+        F.when(tag < "e666", "train")
+        .when(tag < "f333", "val")
+        .otherwise("test")
+    )
+    return decon.select(
+        "doc_id",
+        split.alias("split"),
+        F.size(F.split(F.trim(F.col("clean_text")), r"\s+"))
+        .cast("long")
+        .alias("n_tokens_clean"),
+    ).orderBy("doc_id")

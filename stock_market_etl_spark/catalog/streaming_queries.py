@@ -708,48 +708,11 @@ ORACLES["n20_stream_drift_monitor"] = f"""
 
 @_q(
     "n21_stream_decontamination_gate",
-    # x84's flag+cut derivation verbatim (train = doc_id % 10 < 8 vs
-    # the frozen eval split) restricted to the arriving batch — the
-    # single-micro-batch identity makes the drained gate
-    # hash-checkable like n9/n19.
-    r"""WITH d AS (
-         SELECT doc_id,
-                string_split_regex(trim(text), '\s+') AS toks
-         FROM documents),
-       train AS (SELECT doc_id, toks FROM d WHERE doc_id % 10 < 8),
-       b AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 8),
-       g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-                    unhex(md5(array_to_string(toks[i:i+7], ' '))) AS h
-             FROM b, unnest(range(1, len(toks) - 6)) AS t(i)),
-       f AS (SELECT DISTINCT h FROM g WHERE doc_id % 10 >= 8),
-       hits AS (SELECT doc_id, pos FROM g
-                WHERE doc_id % 10 < 8 AND h IN (SELECT h FROM f)),
-       marked AS (SELECT doc_id, pos,
-                    CASE WHEN lag(pos) OVER w IS NULL
-                           OR pos > lag(pos) OVER w + 8
-                         THEN 1 ELSE 0 END AS brk
-                  FROM hits
-                  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-       grp AS (SELECT doc_id, pos,
-                      sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
-                        AS gid
-               FROM marked),
-       spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
-                 FROM grp GROUP BY doc_id, gid),
-       tok AS (SELECT doc_id, unnest(toks) AS tok,
-                      unnest(generate_series(1, len(toks))) AS i
-               FROM train),
-       kept AS (SELECT t.doc_id, t.tok, t.i FROM tok t
-                WHERE NOT EXISTS (
-                  SELECT 1 FROM spans s
-                  WHERE s.doc_id = t.doc_id
-                    AND t.i BETWEEN s.s AND s.e))
-       SELECT tr.doc_id,
-              coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '')
-                AS clean_text
-       FROM train tr LEFT JOIN kept k ON k.doc_id = tr.doc_id
-       GROUP BY tr.doc_id
-       ORDER BY tr.doc_id""",
+    # oracle attached below: x84's flag+cut derivation SHARED, not
+    # copied (review r13 — a future edit to x84's oracle must move
+    # both or the single-micro-batch identity silently stops being
+    # tested)
+    None,
 )
 def n21_stream_decontamination_gate(
     spark: SparkSession, sf_dir: str
@@ -787,3 +750,13 @@ def n21_stream_decontamination_gate(
         stream, out_path, os.path.join(work, "ckpt"), index_path
     )
     return spark.read.parquet(out_path).orderBy("doc_id")
+
+
+# The single-micro-batch identity is a SHARED contract: n21's landed
+# table must equal x84's batch form, so the two queries bind the SAME
+# oracle string (review r13 — a verbatim copy could drift silently).
+from stock_market_etl_spark.catalog import extensions as _ext  # noqa: E402
+
+ORACLES["n21_stream_decontamination_gate"] = _ext.ORACLES[
+    "x84_substring_decontamination"
+]

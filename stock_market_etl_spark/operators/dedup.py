@@ -1698,6 +1698,7 @@ def contaminated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     reference_index: DataFrame | None = None,
+    built_k: int | None = None,
 ) -> DataFrame:
     """Cross-corpus CONTAMINATION spans — the decontamination face of
     the substring ladder (Lee et al. 2021 §6.2's train-test overlap,
@@ -1720,16 +1721,37 @@ def contaminated_spans(
     through its (hash, distinct-doc-count) index (pass
     ``reference_index`` to reuse a persisted `corpus_window_hashes`
     table — the eval set is frozen per release, so the index is
-    write-once); the flag set is reference-sized and shrinks through
-    its count filter, so AQE broadcasts the semi-join; then the
-    per-doc islands window. Reference text is never re-read per
-    batch; batch text never enters an exchange."""
+    write-once; ``built_k`` is then REQUIRED and must equal ``k``:
+    8-token digests never match 13-token digests, so a width
+    mismatch silently flags ZERO spans and eval contamination passes
+    into training data unflagged — the merge_window_index rationale,
+    and here the silent failure is leakage, review r13); the flag
+    set is reference-sized and shrinks through its count filter, so
+    AQE broadcasts the semi-join; then the per-doc islands window.
+    Reference text is never re-read per batch; batch text never
+    enters an exchange."""
     if reference_index is None:
         if reference is None:
             raise ValueError("need reference or reference_index")
         reference_index = corpus_window_hashes(
             reference, k=k, text_col=text_col, id_col=id_col
         )
+    else:
+        if built_k is None:
+            raise ValueError(
+                "contaminated_spans(reference_index=…) requires "
+                "built_k — the k the index artifact was built with "
+                "(read_window_index returns it); a mismatched width "
+                "silently flags nothing, which here means eval "
+                "contamination passes unflagged"
+            )
+        if built_k != k:
+            raise ValueError(
+                f"reference index was built with k={built_k} but the "
+                f"probe requested k={k} — window digests of "
+                "different widths never match; rebuild the index or "
+                "probe at its width"
+            )
     flagged = reference_index.filter(
         F.col("__nd") >= min_ref_docs
     ).select("__h")

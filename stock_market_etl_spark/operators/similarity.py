@@ -269,6 +269,112 @@ def embedding_near_dup_pairs(
     )
 
 
+def _lsh_candidate_cos(
+    df: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    left_side: Column | None = None,
+    left_name: str = "id_a",
+    right_name: str = "id_b",
+) -> DataFrame:
+    """``(left_name, right_name, cos)`` candidate pairs from
+    OR-amplified hyperplane-LSH buckets with the exact 6-decimal
+    cosine computed on candidates only (unit-vector Arrow kernel) —
+    THE candidate block shared by every LSH pair tier (x17
+    self-pairs, x83 bitext A×B, x86 train×eval), extracted so the
+    bucketing/dedup/re-attach/rounding convention can't fork across
+    near-copies (review r13; the _normed_vectors precedent).
+
+    ``left_side`` None → unordered self-pairs (left id < right id
+    over one stream). Otherwise a boolean Column over ``df``: True
+    rows form the LEFT side, False rows the RIGHT — and the
+    unit-vector re-attach is SIDE-SCOPED (each side joins only its
+    own rows), so an id shared between the two sides can never
+    attach the other side's vector (review r13: the bare-id
+    re-attach silently scored cross-side vectors when the sides had
+    independent id sequences, a failure mode the exact twins, which
+    keep the sides separated by the boolean column, never had).
+
+    Scale shape: candidate generation moves ONLY (id[, side], table,
+    bucket) rows through the bucket join and the pair dedup; vectors
+    are unit-normalized once per row (O(n) folds) and re-attached by
+    id afterwards — shipping embedding arrays through the O(pairs)
+    shuffle is the thing that does not survive a 100× scale-up. The
+    bucketed table and the unit table each persist once (both feed
+    two consumers). The per-pair dot runs as ONE Arrow-batched numpy
+    kernel over the candidate batch — the interpreted
+    zip_with/aggregate fold it replaced ran ~130 scalar ops per pair
+    through the HOF interpreter and dominated the whole query
+    (measured ~2 s of ~2.4 s at sf0.1)."""
+    two_sided = left_side is not None
+    if two_sided:
+        # materialize the side ONCE — the original expression may
+        # reference columns the narrowed projection no longer carries
+        df = df.select(
+            F.col(id_col), left_side.alias("__side"), F.col(vec_col)
+        )
+    side_cols = [F.col("__side")] if two_sided else []
+    bucketed = hyperplane_lsh_buckets(
+        df.select(F.col(id_col), *side_cols, F.col(vec_col)),
+        dim,
+        n_planes,
+        n_tables,
+        seed,
+        vec_col,
+    ).persist()
+    ls = bucketed.filter(F.col("__side")) if two_sided else bucketed
+    rs = bucketed.filter(~F.col("__side")) if two_sided else bucketed
+    a = ls.select(
+        F.col(id_col).alias(left_name), "lsh_table", "lsh_bucket"
+    )
+    b = rs.select(
+        F.col(id_col).alias(right_name),
+        F.col("lsh_table").alias("__tb"),
+        F.col("lsh_bucket").alias("__bb"),
+    )
+    cond = (F.col("lsh_table") == F.col("__tb")) & (
+        F.col("lsh_bucket") == F.col("__bb")
+    )
+    if not two_sided:
+        cond = cond & (F.col(left_name) < F.col(right_name))
+    pairs = (
+        a.join(b, cond)
+        .select(left_name, right_name)
+        .dropDuplicates([left_name, right_name])
+    )
+    unit = F.transform(F.col("__v"), lambda x: x / F.col("__n"))
+    v = (
+        _normed_vectors(df, id_col, vec_col, *side_cols)
+        .select(
+            F.col(id_col).alias("__id"),
+            *([F.col("__side")] if two_sided else []),
+            unit.alias("__u"),
+        )
+        .persist()
+    )
+    va = (v.filter(F.col("__side")) if two_sided else v).select(
+        F.col("__id").alias(left_name), F.col("__u").alias("__ul")
+    )
+    vb = (v.filter(~F.col("__side")) if two_sided else v).select(
+        F.col("__id").alias(right_name), F.col("__u").alias("__ur")
+    )
+    return (
+        pairs.join(va, left_name)
+        .join(vb, right_name)
+        .select(
+            left_name,
+            right_name,
+            F.round(
+                _unit_pair_dot(F.col("__ul"), F.col("__ur")), 6
+            ).alias("cos"),
+        )
+    )
+
+
 def embedding_near_dup_lsh(
     df: DataFrame,
     dim: int,
@@ -282,70 +388,21 @@ def embedding_near_dup_lsh(
     """Scale path for embedding-cosine near-dedup: a pair is a candidate
     iff it shares an LSH bucket in at least one of ``n_tables`` tables
     (OR-amplified sign-random-projection), then the exact cosine filter
-    runs on candidates only.
+    runs on candidates only (`_lsh_candidate_cos`, the shared block).
 
     The candidate join is an equality join on (lsh_table, lsh_bucket) —
     bucket-local, shuffle-partitionable, no all-pairs scan. Miss
     probability per true pair is (1 - (1 - θ/π)^n_planes)^n_tables;
     recall vs `embedding_near_dup_pairs` is asserted at small scale
-    (tests/test_extensions.py).
+    (tests/test_extensions.py). x16 keeps the interpreted fold: it is
+    the DuckDB-comparable exact oracle; THIS is the scale path.
     """
-    # persist(): the bucketed table feeds both self-join sides and the
-    # norm table feeds both re-attach joins — materialize each once
-    # instead of re-running the scan + bucket UDF / norm folds per
-    # consumer. The 100 TB shape is the same: signatures land in the
-    # lake once (cf. ivf_index), consumers join against them.
-    bucketed = hyperplane_lsh_buckets(
-        df, dim, n_planes, n_tables, seed, vec_col
-    ).persist()
-    # Candidate generation moves ONLY (id, table, bucket) — 24 B/row —
-    # through the bucket join and the pair dedup; vectors are re-attached
-    # by id afterwards. Shipping the 64-double arrays through the O(pairs)
-    # shuffle is the thing that does not survive a 100× scale-up.
-    a = bucketed.select(F.col(id_col).alias("id_a"), "lsh_table", "lsh_bucket")
-    b = bucketed.select(
-        F.col(id_col).alias("id_b"),
-        F.col("lsh_table").alias("__tb"),
-        F.col("lsh_bucket").alias("__bb"),
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("lsh_table") == F.col("__tb"))
-            & (F.col("lsh_bucket") == F.col("__bb"))
-            & (F.col("id_a") < F.col("id_b")),
+    return (
+        _lsh_candidate_cos(
+            df, dim, n_planes, n_tables, seed, id_col, vec_col
         )
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    # Vectors are UNIT-NORMALIZED once per vector (O(n) folds), so the
-    # per-pair verify is a bare dot product. That dot runs as ONE
-    # Arrow-batched numpy kernel over the candidate batch — the
-    # interpreted zip_with/aggregate fold it replaced ran ~130 scalar
-    # ops per pair through the HOF interpreter and dominated the whole
-    # query (measured ~2 s of the ~2.4 s total at sf0.1; the kernel is
-    # milliseconds for the same pairs). x16 keeps the fold: it is the
-    # DuckDB-comparable exact oracle; x17 is the scale path.
-    unit = F.transform(F.col("__v"), lambda x: x / F.col("__n"))
-    v = (
-        df.select(
-            F.col(id_col).alias("__id"),
-            _as_double(F.col(vec_col)).alias("__v"),
-        )
-        .withColumn("__n", l2_norm(F.col("__v")))
-        .select(F.col("__id"), unit.alias("__u"))
-        .persist()
-    )
-    cand = pairs.join(
-        v.select(F.col("__id").alias("id_a"), F.col("__u").alias("__ua")),
-        "id_a",
-    ).join(
-        v.select(F.col("__id").alias("id_b"), F.col("__u").alias("__ub")),
-        "id_b",
-    )
-    sim = F.round(_unit_pair_dot(F.col("__ua"), F.col("__ub")), 6)
-    return cand.select("id_a", "id_b", sim.alias("cosine_sim")).filter(
-        F.col("cosine_sim") >= threshold
+        .select("id_a", "id_b", F.col("cos").alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
     )
 
 
@@ -1205,57 +1262,21 @@ def embedding_contamination_ann(
     bucket-close); the recall + agreement floors are pinned in
     tests/test_extensions.py.
 
-    Scale shape: the candidate join moves (id, table, bucket) rows
-    only; unit vectors re-attach by id after the pair dedup; the one
+    Scale shape: `_lsh_candidate_cos`'s (the shared block — ids-only
+    candidate exchanges, side-scoped unit-vector re-attach); the one
     per-train window runs over (id, id, cos) rows
     (shuffle-pinned)."""
-    bucketed = hyperplane_lsh_buckets(
-        df.select(F.col(id_col), is_eval.alias("__e"), F.col(vec_col)),
+    pairs = _lsh_candidate_cos(
+        df,
         dim,
         n_planes,
         n_tables,
         seed,
+        id_col,
         vec_col,
-    ).persist()
-    t = bucketed.filter(~F.col("__e")).select(
-        F.col(id_col).alias("id_t"), "lsh_table", "lsh_bucket"
-    )
-    e = bucketed.filter(F.col("__e")).select(
-        F.col(id_col).alias("id_e"),
-        F.col("lsh_table").alias("__tb"),
-        F.col("lsh_bucket").alias("__bb"),
-    )
-    cand_ids = (
-        t.join(
-            e,
-            (F.col("lsh_table") == F.col("__tb"))
-            & (F.col("lsh_bucket") == F.col("__bb")),
-        )
-        .select("id_t", "id_e")
-        .dropDuplicates(["id_t", "id_e"])
-    )
-    unit = F.transform(F.col("__v"), lambda x: x / F.col("__n"))
-    v = (
-        _normed_vectors(df, id_col, vec_col)
-        .select(F.col(id_col).alias("__id"), unit.alias("__u"))
-        .persist()
-    )
-    pairs = (
-        cand_ids.join(
-            v.select(F.col("__id").alias("id_t"), F.col("__u").alias("__ut")),
-            "id_t",
-        )
-        .join(
-            v.select(F.col("__id").alias("id_e"), F.col("__u").alias("__ue")),
-            "id_e",
-        )
-        .select(
-            "id_t",
-            "id_e",
-            F.round(_unit_pair_dot(F.col("__ut"), F.col("__ue")), 6).alias(
-                "cos"
-            ),
-        )
+        left_side=~is_eval,
+        left_name="id_t",
+        right_name="id_e",
     )
     return contamination_from_pairs(pairs, threshold)
 
@@ -1286,64 +1307,21 @@ def bitext_margin_pairs_ann(
     the scoring tail is `bitext_margin_from_pairs`, shared
     code-for-code with the exact form).
 
-    Scale shape: the candidate join is an equality shuffle on
-    (lsh_table, lsh_bucket) moving (id, side, table, bucket) rows
-    only; vectors re-attach by id AFTER the pair dedup, so the
-    O(candidates) exchanges carry ids and one double each — never
-    raw embedding arrays (shuffle-pinned in
+    Scale shape: `_lsh_candidate_cos`'s (the shared block — ids-only
+    candidate exchanges, side-scoped unit-vector re-attach, the
+    A-side as LEFT); the pair table persists because the margin
+    tail's three consumers all read it (shuffle-pinned in
     tests/test_bench_contract.py). No stage is quadratic in corpus
     size: cost is bucket-local pairs, the regime every other LSH
     tier in the package (x17/x35/x63/x67) already operates in."""
-    bucketed = hyperplane_lsh_buckets(
-        df.select(F.col(id_col), side.alias("__a"), F.col(vec_col)),
+    pairs = _lsh_candidate_cos(
+        df,
         dim,
         n_planes,
         n_tables,
         seed,
+        id_col,
         vec_col,
+        left_side=side,
     ).persist()
-    # candidate generation moves ONLY (id, table, bucket) — vectors
-    # re-attach by id after the dedup (the embedding_near_dup_lsh
-    # stance; A×B direction replaces its id_a < id_b self-pairing)
-    a = bucketed.filter(F.col("__a")).select(
-        F.col(id_col).alias("id_a"), "lsh_table", "lsh_bucket"
-    )
-    b = bucketed.filter(~F.col("__a")).select(
-        F.col(id_col).alias("id_b"),
-        F.col("lsh_table").alias("__tb"),
-        F.col("lsh_bucket").alias("__bb"),
-    )
-    cand_ids = (
-        a.join(
-            b,
-            (F.col("lsh_table") == F.col("__tb"))
-            & (F.col("lsh_bucket") == F.col("__bb")),
-        )
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    unit = F.transform(F.col("__v"), lambda x: x / F.col("__n"))
-    v = (
-        _normed_vectors(df, id_col, vec_col)
-        .select(F.col(id_col).alias("__id"), unit.alias("__u"))
-        .persist()
-    )
-    pairs = (
-        cand_ids.join(
-            v.select(F.col("__id").alias("id_a"), F.col("__u").alias("__ua")),
-            "id_a",
-        )
-        .join(
-            v.select(F.col("__id").alias("id_b"), F.col("__u").alias("__ub")),
-            "id_b",
-        )
-        .select(
-            "id_a",
-            "id_b",
-            F.round(_unit_pair_dot(F.col("__ua"), F.col("__ub")), 6).alias(
-                "cos"
-            ),
-        )
-        .persist()
-    )
     return bitext_margin_from_pairs(pairs, k, threshold)

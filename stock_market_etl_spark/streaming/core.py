@@ -654,17 +654,50 @@ def substring_gate_sink(
     overwrite is not atomic with the data append, and a crash between
     the two would double-count a batch's windows on retry — the same
     reason `ivf_append_sink` treats centroid refits as rebuilds."""
-    from pyspark.errors import AnalysisException
-
     from stock_market_etl_spark.operators.dedup import (
-        cut_spans,
         exact_substring_spans_incremental,
         read_window_index,
     )
 
-    spark0 = stream_docs.sparkSession
     # static per index release: read once at sink setup (b25 artifact)
-    index, built_k = read_window_index(spark0, index_path)
+    index, built_k = read_window_index(stream_docs.sparkSession, index_path)
+
+    def flag_spans(fresh: DataFrame) -> DataFrame:
+        return exact_substring_spans_incremental(
+            None,
+            fresh,
+            k=built_k,
+            min_docs=min_docs,
+            text_col=text_col,
+            id_col=id_col,
+            corpus_index=index,
+        )
+
+    return _span_gate_sink(
+        stream_docs, out_path, checkpoint, flag_spans, text_col, id_col
+    )
+
+
+def _span_gate_sink(
+    stream_docs: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    flag_spans,
+    text_col: str,
+    id_col: str,
+):
+    """The shared flag-and-cut streaming gate (review r13 — the
+    bootstrap/anti-join/cut/append algebra existed verbatim in both
+    span gates; a fix to the error-class matching or the exactly-once
+    seam must land ONCE): each arriving micro-batch deduplicates on
+    ``id_col``, anti-joins ids already landed (exactly-once at doc-id
+    grain, the `ivf_append_sink` algebra — a redelivered micro-batch
+    lands nothing), gets its spans from ``flag_spans(fresh)`` (the
+    one seam the public sinks differ in), and APPENDS the
+    `cut_spans` result to ``out_path``."""
+    from pyspark.errors import AnalysisException
+
+    from stock_market_etl_spark.operators.dedup import cut_spans
 
     def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -684,17 +717,8 @@ def substring_gate_sink(
             landed = None
         if landed is not None:
             fresh = fresh.join(landed, id_col, "left_anti")
-        spans = exact_substring_spans_incremental(
-            None,
-            fresh,
-            k=built_k,
-            min_docs=min_docs,
-            text_col=text_col,
-            id_col=id_col,
-            corpus_index=index,
-        )
         cut_spans(
-            fresh, spans, text_col=text_col, id_col=id_col
+            fresh, flag_spans(fresh), text_col=text_col, id_col=id_col
         ).write.mode("append").parquet(out_path)
 
     q = (
@@ -730,38 +754,21 @@ def decontamination_gate_sink(
     change a verdict, so redelivery and batch order can never flip a
     cut decision.
 
-    Exactly-once at doc-id grain by the `ivf_append_sink` algebra:
-    the batch anti-joins on ``id_col`` against ids already landed, so
-    a redelivered micro-batch lands nothing (replay-tested in
+    Exactly-once at doc-id grain by the `ivf_append_sink` algebra
+    (via `_span_gate_sink`, the shared flag-and-cut gate): the batch
+    anti-joins on ``id_col`` against ids already landed, so a
+    redelivered micro-batch lands nothing (replay-tested in
     tests/test_streaming.py)."""
-    from pyspark.errors import AnalysisException
-
     from stock_market_etl_spark.operators.dedup import (
         contaminated_spans,
-        cut_spans,
         read_window_index,
     )
 
-    spark0 = stream_docs.sparkSession
     # static per release: the eval index reads once at sink setup
-    index, built_k = read_window_index(spark0, index_path)
+    index, built_k = read_window_index(stream_docs.sparkSession, index_path)
 
-    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        if batch_df.isEmpty():
-            return
-        fresh = batch_df.dropDuplicates([id_col])
-        try:
-            landed = spark.read.parquet(out_path).select(id_col)
-        except AnalysisException as exc:
-            if "PATH_NOT_FOUND" not in (
-                getattr(exc, "getErrorClass", lambda: "")() or str(exc)
-            ) and "Path does not exist" not in str(exc):
-                raise
-            landed = None
-        if landed is not None:
-            fresh = fresh.join(landed, id_col, "left_anti")
-        spans = contaminated_spans(
+    def flag_spans(fresh: DataFrame) -> DataFrame:
+        return contaminated_spans(
             None,
             fresh,
             k=built_k,
@@ -769,19 +776,12 @@ def decontamination_gate_sink(
             text_col=text_col,
             id_col=id_col,
             reference_index=index,
+            built_k=built_k,
         )
-        cut_spans(
-            fresh, spans, text_col=text_col, id_col=id_col
-        ).write.mode("append").parquet(out_path)
 
-    q = (
-        stream_docs.writeStream.foreachBatch(gate_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return _span_gate_sink(
+        stream_docs, out_path, checkpoint, flag_spans, text_col, id_col
     )
-    q.awaitTermination()
-    return q
 
 
 def daily_rollup(events: DataFrame) -> DataFrame:

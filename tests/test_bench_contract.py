@@ -243,6 +243,13 @@ SHUFFLE_MB_PINS = {
     # because the verdict tail is ONE window (no dual background
     # aggregates re-reading the pair table).
     "x86_embedding_contamination_lsh": 4.24,
+    # r13: flagship v5 — x75's exchanges (gate broadcast, flag/cut
+    # hash+id grain, one text exchange, 32-byte dedup hashes) + the
+    # decontamination stage: the eval window-hash set + the
+    # survivor-text window stream + one more survivor-text exchange
+    # in the second cut. Sits above x75's 5.97 by roughly the
+    # decon stage's share; eval TEXT in any exchange would blow it.
+    "x87_curation_pipeline_v5": 6.78,
 }
 
 

@@ -2162,6 +2162,33 @@ def test_embedding_contamination_evidence(spark, sf_correct):
     agree = sum(1 for i in shared if exact[i][1] == approx[i][1])
     assert agree / len(shared) >= 0.9, (agree, len(shared))
 
+    # 5. cross-side id collision (review r13): when the train and
+    # eval sides carry INDEPENDENT id sequences (the same vec_id on
+    # both sides), the side-scoped re-attach must score the train
+    # vector against eval vectors only — the bare-id join attached
+    # whichever side's row it hit and scored cross-side garbage.
+    from stock_market_etl_spark.operators.similarity import (
+        embedding_contamination_ann,
+    )
+
+    collide = spark.createDataFrame(
+        [
+            (7, [1.0, 0.0, 0.0], False),  # train
+            (7, [0.0, 1.0, 0.0], True),   # eval, SAME id
+            (9, [1.0, 0.0, 0.0], True),   # eval, = train 7's vector
+        ],
+        "vec_id long, embedding array<double>, is_ev boolean",
+    )
+    got_c = {
+        r["vec_id"]: (
+            r["nearest_eval_id"], r["max_cosine"], r["contaminated"]
+        )
+        for r in embedding_contamination_ann(
+            collide, SF.col("is_ev"), dim=3, n_planes=2, n_tables=16
+        ).collect()
+    }
+    assert got_c == {7: (9, 1.0, True)}
+
 
 def test_contaminated_spans_semantics(spark):
     """x84's flag condition on planted structure — contamination is
@@ -2214,7 +2241,7 @@ def test_contaminated_spans_semantics(spark):
     via_index = {
         (r["doc_id"], r["span_start"], r["span_end"])
         for r in contaminated_spans(
-            None, batch, k=4, reference_index=idx
+            None, batch, k=4, reference_index=idx, built_k=4
         ).collect()
     }
     assert via_index == spans
@@ -2223,6 +2250,15 @@ def test_contaminated_spans_semantics(spark):
 
     with pytest.raises(ValueError, match="reference"):
         contaminated_spans(None, batch, k=4)
+    # a prebuilt index without its recorded width, or at the wrong
+    # width, must refuse loudly — a silent k mismatch flags nothing,
+    # which here means eval leakage passes unflagged (review r13)
+    with pytest.raises(ValueError, match="built_k"):
+        contaminated_spans(None, batch, k=4, reference_index=idx)
+    with pytest.raises(ValueError, match="k=4"):
+        contaminated_spans(
+            None, batch, k=8, reference_index=idx, built_k=4
+        )
 
 
 def test_source_reputation_gate_semantics(spark):

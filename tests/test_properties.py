@@ -555,6 +555,59 @@ def test_cut_spans_matches_python_reference(spark, docs, k):
     k=st.sampled_from([2, 3]),
     split=st.integers(min_value=2, max_value=3),
 )
+def test_decontamination_matches_python_reference(spark, docs, k, split):
+    """x84 differential on random corpora: contaminated_spans +
+    cut_spans over an arbitrary eval/train partition must equal an
+    independent Python reference — flag every train k-window whose
+    content occurs in ANY eval doc (presence-in-reference, train-side
+    duplication irrelevant), mark covered positions, cut, rejoin.
+    Exercises overlap merging, multi-span docs, fully-covered docs,
+    sub-k passthrough, and the case a window is duplicated across
+    train docs but absent from eval (must NOT cut)."""
+    from stock_market_etl_spark.operators.dedup import (
+        contaminated_spans,
+        cut_spans,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = sdf.filter(F.col("doc_id") % split == 0)
+    train = sdf.filter(F.col("doc_id") % split != 0)
+    spans = contaminated_spans(ref, train, k=k)
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in cut_spans(train, spans).collect()
+    }
+
+    toks_by_doc = {
+        i: (" ".join(t).split(" ") if t else [""])
+        for i, t in enumerate(docs)
+    }
+    eval_windows = set()
+    for i, toks in toks_by_doc.items():
+        if i % split == 0:
+            for p in range(len(toks) - k + 1):
+                eval_windows.add(tuple(toks[p : p + k]))
+    want = {}
+    for i, toks in toks_by_doc.items():
+        if i % split == 0:
+            continue
+        covered = set()
+        for p in range(len(toks) - k + 1):
+            if tuple(toks[p : p + k]) in eval_windows:
+                covered.update(range(p, p + k))
+        want[i] = " ".join(
+            t for j, t in enumerate(toks) if j not in covered
+        )
+    assert got == want, (got, want)
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    docs=st.lists(_doc, min_size=2, max_size=6),
+    k=st.sampled_from([2, 3]),
+    split=st.integers(min_value=2, max_value=3),
+)
 def test_incremental_substring_spans_union_identity(spark, docs, k, split):
     """x74 differential on random corpora: the incremental form over
     any batch/corpus partition of a random doc set must equal the

@@ -301,6 +301,8 @@ SCALE_QUERIES = [
     # r13 addition: semantic contamination, exact twin (double
     # cosines → midpoint tolerance)
     ("x85_embedding_contamination", False),
+    # r13 addition: composed flagship v5 (strings + ids → exact)
+    ("x87_curation_pipeline_v5", True),
 ]
 
 
