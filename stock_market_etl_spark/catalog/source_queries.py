@@ -1121,4 +1121,5 @@ def b25_window_index_lifecycle(
         text_col="text",
         id_col="doc_id",
         corpus_index=index,
+        built_k=built_k,
     )

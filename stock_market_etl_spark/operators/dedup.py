@@ -1641,6 +1641,7 @@ def exact_substring_spans_incremental(
     text_col: str = "text",
     id_col: str = "doc_id",
     corpus_index: DataFrame | None = None,
+    built_k: int | None = None,
 ) -> DataFrame:
     """`exact_substring_spans` for an ARRIVING BATCH against an
     existing corpus — the incremental rung of the substring-dedup
@@ -1656,7 +1657,13 @@ def exact_substring_spans_incremental(
     the corpus is never touched at all — the production shape, where
     the index lives in the lake and each batch pays only its own
     windows (catalog x74 is the oracle form that derives the index
-    inline).
+    inline). ``built_k`` is then REQUIRED and must equal ``k``
+    (review r13, the merge_window_index/contaminated_spans rule:
+    digests of different window widths never match, so a width
+    mismatch silently flags NOTHING and corpus-duplicated runs pass
+    the gate uncut — the caller probing at the wrong k is precisely
+    the caller who doesn't know the artifact's k;
+    `read_window_index` returns it).
 
     Scale shape: batch windows hash inside the batch scan; the flag
     decision is one hash-grain join of the batch's per-hash doc
@@ -1671,6 +1678,22 @@ def exact_substring_spans_incremental(
         corpus_index = corpus_window_hashes(
             corpus, k=k, text_col=text_col, id_col=id_col
         )
+    else:
+        if built_k is None:
+            raise ValueError(
+                "exact_substring_spans_incremental(corpus_index=…) "
+                "requires built_k — the k the index artifact was "
+                "built with (read_window_index returns it); a "
+                "mismatched width silently flags nothing and "
+                "corpus-duplicated runs pass the gate uncut"
+            )
+        if built_k != k:
+            raise ValueError(
+                f"corpus index was built with k={built_k} but the "
+                f"probe requested k={k} — window digests of "
+                "different widths never match; rebuild the index or "
+                "probe at its width"
+            )
     gb = _window_hash_stream(batch, k, text_col, id_col)
     batch_counts = (
         gb.select("__h", id_col)

@@ -73,6 +73,40 @@ def _pair_cos(suffix_a: str = "a", suffix_b: str = "b") -> Column:
     )
 
 
+def _sided_pair_table(
+    df: DataFrame,
+    left_side: Column,
+    id_col: str,
+    vec_col: str,
+    left_suffix: str,
+    right_suffix: str,
+) -> DataFrame:
+    """The EXACT two-sided pair table — norm once, split by the
+    boolean side, crossJoin, fold cosine rounded to 6 decimals:
+    ``(id_<l>, id_<r>, cos)``. THE head shared by the exact sided
+    operators (x82 bitext, x85 contamination) so the sided-pair and
+    cosine conventions can't fork across near-copies (review r13 —
+    the exact-tier counterpart of `_lsh_candidate_cos`)."""
+    # materialize the side ONCE — the expression may reference
+    # columns the narrowed projection no longer carries, and
+    # _normed_vectors re-evaluates its extra columns post-projection
+    df = df.select(
+        F.col(id_col), left_side.alias("__l"), F.col(vec_col)
+    )
+    v = _normed_vectors(df, id_col, vec_col, F.col("__l"))
+    return (
+        _pair_side(v.filter(F.col("__l")), id_col, left_suffix)
+        .crossJoin(
+            _pair_side(v.filter(~F.col("__l")), id_col, right_suffix)
+        )
+        .select(
+            f"id_{left_suffix}",
+            f"id_{right_suffix}",
+            _pair_cos(left_suffix, right_suffix).alias("cos"),
+        )
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
@@ -1111,14 +1145,9 @@ def bitext_margin_pairs(
     background aggregates all read the same pair table), the pair
     table carries only (id_a, id_b, cos), and the two background
     averages are id-grain aggregates joined back at id grain."""
-    v = _normed_vectors(df, id_col, vec_col, side.alias("__a"))
-    a = _pair_side(v.filter(F.col("__a")), id_col, "a")
-    b = _pair_side(v.filter(~F.col("__a")), id_col, "b")
-    pairs = (
-        a.crossJoin(b)
-        .select("id_a", "id_b", _pair_cos().alias("cos"))
-        .persist()
-    )
+    pairs = _sided_pair_table(
+        df, side, id_col, vec_col, "a", "b"
+    ).persist()
     return bitext_margin_from_pairs(pairs, k, threshold)
 
 
@@ -1231,12 +1260,7 @@ def embedding_contamination(
     `embedding_contamination_ann` (the x16 → x17 move). All ranking
     happens on the 6-decimal ROUNDED cosine so both engines order
     identical numbers."""
-    v = _normed_vectors(df, id_col, vec_col, is_eval.alias("__e"))
-    t = _pair_side(v.filter(~F.col("__e")), id_col, "t")
-    e = _pair_side(v.filter(F.col("__e")), id_col, "e")
-    pairs = t.crossJoin(e).select(
-        "id_t", "id_e", _pair_cos("t", "e").alias("cos")
-    )
+    pairs = _sided_pair_table(df, ~is_eval, id_col, vec_col, "t", "e")
     return contamination_from_pairs(pairs, threshold)
 
 

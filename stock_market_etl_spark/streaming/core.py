@@ -671,6 +671,7 @@ def substring_gate_sink(
             text_col=text_col,
             id_col=id_col,
             corpus_index=index,
+            built_k=built_k,
         )
 
     return _span_gate_sink(

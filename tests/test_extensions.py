@@ -1995,7 +1995,7 @@ def test_incremental_substring_spans_identities(spark, sf_smoke):
     idx = corpus_window_hashes(corpus, k=8)
     via_index = rows(
         exact_substring_spans_incremental(
-            None, batch, k=8, corpus_index=idx
+            None, batch, k=8, corpus_index=idx, built_k=8
         )
     )
     assert via_index == inc
@@ -2031,7 +2031,7 @@ def test_window_index_write_read_roundtrip(spark, sf_smoke, tmp_path):
 
     via_artifact = rows(
         exact_substring_spans_incremental(
-            None, batch, k=built_k, corpus_index=idx
+            None, batch, k=built_k, corpus_index=idx, built_k=built_k
         )
     )
     inline = rows(exact_substring_spans_incremental(corpus, batch, k=8))
@@ -2039,6 +2039,19 @@ def test_window_index_write_read_roundtrip(spark, sf_smoke, tmp_path):
 
     with pytest.raises(ValueError, match="k=8"):
         read_window_index(spark, path, k=6)
+
+    # the probe itself refuses too (review r13 — the sibling of the
+    # contaminated_spans guard): a prebuilt index without its
+    # recorded width, or probed at a different width, silently flags
+    # NOTHING, so both are loud errors
+    with pytest.raises(ValueError, match="built_k"):
+        exact_substring_spans_incremental(
+            None, batch, k=8, corpus_index=idx
+        )
+    with pytest.raises(ValueError, match="k=8"):
+        exact_substring_spans_incremental(
+            None, batch, k=6, corpus_index=idx, built_k=8
+        )
 
 
 def test_incremental_substring_spans_min_docs(spark):

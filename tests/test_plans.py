@@ -944,7 +944,7 @@ def test_stream_substring_gate_batch_plan(spark, sf_smoke, tmp_path):
     landed = batch.limit(0).select("doc_id")
     fresh = batch.join(landed, "doc_id", "left_anti")
     spans = exact_substring_spans_incremental(
-        None, fresh, k=built_k, corpus_index=idx
+        None, fresh, k=built_k, corpus_index=idx, built_k=built_k
     )
     out = cut_spans(fresh, spans, text_col="text", id_col="doc_id")
     plan = _plan(out)
