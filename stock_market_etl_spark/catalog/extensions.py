@@ -3522,3 +3522,34 @@ def x87_curation_pipeline_v5(
         .cast("long")
         .alias("n_tokens_clean"),
     ).orderBy("doc_id")
+
+
+@_q("x88_bloom_decontamination")
+def x88_bloom_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """x84's train-test scrub with the eval window set held as a
+    BLOOM FILTER (`dedup.build_window_bloom` +
+    `bloom_contaminated_spans` — the Dolma stance): ~1.2 bytes per
+    eval window at 1% FPR instead of 16-byte exact digests, and the
+    flag decision is a scan-local membership test with NO join in
+    the flag path. Conservative by construction (flags ⊇ x84's —
+    same xxhash64 bit family on both sides, so false negatives are
+    impossible; false positives cut marginally more training text,
+    the safe direction). Bit assignment is engine-specific →
+    rows-only; evidence in tests/test_extensions.py::
+    test_bloom_decontamination_evidence: span containment (every
+    exact span lies inside a bloom span), per-doc conservativeness
+    (bloom text ⊆ exact text token-wise), measured window-level FPR
+    ≤ 3× the configured 1%, planted leak semantics, empty-reference
+    no-op."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 < 8)
+    ref = docs.filter(F.col("doc_id") % 10 >= 8)
+    bloom = dedup.build_window_bloom(ref, k=8, fpp=0.01)
+    spans = dedup.bloom_contaminated_spans(
+        bloom, train, k=8, text_col="text", id_col="doc_id"
+    )
+    return dedup.cut_spans(
+        train, spans, text_col="text", id_col="doc_id"
+    ).orderBy("doc_id")

@@ -1536,6 +1536,155 @@ def corpus_window_hashes(
     )
 
 
+def build_window_bloom(
+    reference: DataFrame,
+    k: int = 8,
+    fpp: float = 0.01,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[bytes, int, int, int]:
+    """Build a BLOOM FILTER over a reference corpus's distinct
+    k-token window hashes — the memory-bounded tier of the
+    decontamination index (the Dolma stance: eval n-grams live in a
+    Bloom filter, training text tests membership scan-locally). For
+    an eval set too large to broadcast as exact digests, the filter
+    is ~1.2 bytes per window at 1% FPR versus 16, and membership is
+    a per-row bit test instead of a join. False POSITIVES over-flag
+    (a little extra training text is cut — the safe direction for
+    decontamination); false negatives are impossible by
+    construction: build and probe hash with the SAME Spark-side
+    ``xxhash64(digest, seed_i)`` family, so every window that is in
+    the reference sets exactly the bits the probe tests.
+
+    Returns ``(bitmap, m_bits, j_hashes, n_windows)``.
+
+    Scale shape: window hashing and bit-position derivation run
+    JVM-side inside the scan; each partition folds its positions
+    into ONE m-bit partial bitmap (Arrow-batched numpy), and the
+    driver ORs the ≤ numPartitions partials — driver traffic is
+    partitions × m/8 bytes, independent of corpus row count (the IVF
+    centroid-collect class of bounded driver work). One extra
+    count() job sizes ``m`` from the exact distinct-window count."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    hashes = (
+        _window_hash_stream(reference, k, text_col, id_col)
+        .select("__h")
+        .distinct()
+        .persist()
+    )
+    n = hashes.count()
+    if n == 0:
+        hashes.unpersist()
+        return b"\x00", 8, 1, 0
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, ((m + 63) // 64) * 64)  # whole longs, never 0
+    # optimal j = m/n·ln2; cap at 16 — past that the per-row probe
+    # cost grows with no FPR benefit at any practical sizing (only
+    # degenerate tiny-n references hit the cap, where FPR is ~0
+    # anyway because m floors at one long)
+    j = min(16, max(1, round(m / n * math.log(2))))
+    pos_cols = [
+        F.pmod(F.xxhash64(F.col("__h"), F.lit(i)), F.lit(m)).alias(
+            f"__p{i}"
+        )
+        for i in range(j)
+    ]
+    positions = hashes.select(pos_cols)
+
+    n_bytes = m // 8
+
+    def partial_bitmaps(batches):
+        bitmap = np.zeros(n_bytes, dtype=np.uint8)
+        seen = False
+        for batch in batches:
+            seen = True
+            for col in batch.columns:
+                pos = col.to_numpy(zero_copy_only=False)
+                np.bitwise_or.at(
+                    bitmap,
+                    pos >> 3,
+                    (1 << (pos & 7)).astype(np.uint8),
+                )
+        if seen:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([bitmap.tobytes()], type=pa.binary())],
+                names=["bm"],
+            )
+
+    parts = positions.mapInArrow(
+        partial_bitmaps, "bm binary"
+    ).collect()
+    hashes.unpersist()
+    bitmap = np.zeros(n_bytes, dtype=np.uint8)
+    for row in parts:
+        bitmap |= np.frombuffer(row["bm"], dtype=np.uint8)
+    return bitmap.tobytes(), m, j, n
+
+
+def bloom_contaminated_spans(
+    bloom: tuple[bytes, int, int, int],
+    batch: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`contaminated_spans` with the reference's window set held as a
+    Bloom filter (`build_window_bloom`) instead of exact digests —
+    the flag decision becomes a SCAN-LOCAL membership test: window
+    bit positions compute JVM-side (the same xxhash64 family the
+    build used), one Arrow-batched numpy kernel tests them against
+    the broadcast bitmap, and only flagged (id, pos) rows continue
+    to the islands merge. NO join anywhere in the flag path — the
+    exact form's reference semi-join (and its broadcast of 16-byte
+    digests) is replaced by ~1.2 bits per reference window.
+
+    CONSERVATIVE by construction: flags ⊇ the exact form's flags
+    (zero false negatives — same hash family both sides); the
+    over-flag rate is the filter's FPR, which cuts marginally more
+    training text — the safe direction for decontamination
+    (evidence: superset + planted semantics + measured FPR bound,
+    tests/test_extensions.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    bitmap_bytes, m, j, n = bloom
+    bitmap = np.frombuffer(bitmap_bytes, dtype=np.uint8)
+    if n == 0:
+        # empty reference: nothing can be contaminated
+        return _merge_flagged_spans(
+            _window_hash_stream(batch, k, text_col, id_col).filter(
+                F.lit(False)
+            ),
+            k,
+            id_col,
+        )
+
+    @pandas_udf(BooleanType())
+    def might_contain(pos: pd.Series) -> pd.Series:
+        if len(pos) == 0:
+            return pd.Series([], dtype=bool)
+        p = np.stack(pos.to_numpy())  # (rows, j)
+        hit = (bitmap[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
+        return pd.Series(hit.all(axis=1))
+
+    gb = _window_hash_stream(batch, k, text_col, id_col)
+    bit_positions = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col("__h"), F.lit(i)), F.lit(m))
+            for i in range(j)
+        ]
+    )
+    hits = gb.filter(might_contain(bit_positions))
+    return _merge_flagged_spans(hits, k, id_col)
+
+
 def write_window_index(
     corpus: DataFrame,
     path: str,

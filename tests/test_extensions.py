@@ -2203,6 +2203,108 @@ def test_embedding_contamination_evidence(spark, sf_correct):
     assert got_c == {7: (9, 1.0, True)}
 
 
+def test_bloom_decontamination_evidence(spark, sf_correct):
+    """x88 evidence — the bloom tier of the decontamination rung:
+    1. planted: an eval-leaked run is cut, clean docs pass through;
+    2. conservativeness on the fixture — every exact (x84) span lies
+       INSIDE some bloom span for the same doc, and per doc the
+       bloom-cut text is a subsequence of the exact-cut text (the
+       bloom form can only cut MORE, never less — zero false
+       negatives by the shared xxhash64 bit family);
+    3. measured window-level FPR: bloom-flagged train windows that
+       the exact flag set does NOT contain stay ≤ 3× the configured
+       1% of all train windows;
+    4. an empty reference flags nothing."""
+    from pyspark.sql import functions as SF
+
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators.dedup import (
+        _window_hash_stream,
+        bloom_contaminated_spans,
+        build_window_bloom,
+        contaminated_spans,
+        corpus_window_hashes,
+        cut_spans,
+    )
+
+    # 1. planted semantics
+    leak = "l1 l2 l3 l4"
+    ref_p = spark.createDataFrame(
+        [(100, f"e1 {leak} e2")], ["doc_id", "text"]
+    )
+    batch_p = spark.createDataFrame(
+        [(1, f"a1 {leak} a2"), (2, "b1 b2 b3 b4 b5")],
+        ["doc_id", "text"],
+    )
+    bloom_p = build_window_bloom(ref_p, k=4, fpp=0.01)
+    got_p = {
+        r["doc_id"]: r["clean_text"]
+        for r in cut_spans(
+            batch_p, bloom_contaminated_spans(bloom_p, batch_p, k=4)
+        ).collect()
+    }
+    assert got_p[1] == "a1 a2" and got_p[2] == "b1 b2 b3 b4 b5"
+
+    # 4. empty reference → no cuts
+    empty = build_window_bloom(
+        spark.createDataFrame([], "doc_id long, text string"), k=4
+    )
+    assert bloom_contaminated_spans(empty, batch_p, k=4).count() == 0
+
+    # 2 + 3. fixture conservativeness + FPR bound (x84's split)
+    docs = load_table(spark, sf_correct, "documents")
+    train = docs.filter(SF.col("doc_id") % 10 < 8)
+    ref = docs.filter(SF.col("doc_id") % 10 >= 8)
+    exact_spans = [
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in contaminated_spans(ref, train, k=8).collect()
+    ]
+    bloom = build_window_bloom(ref, k=8, fpp=0.01)
+    bloom_spans = [
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in bloom_contaminated_spans(bloom, train, k=8).collect()
+    ]
+    by_doc: dict = {}
+    for d, s, e in bloom_spans:
+        by_doc.setdefault(d, []).append((s, e))
+    for d, s, e in exact_spans:
+        assert any(
+            s2 <= s and e <= e2 for s2, e2 in by_doc.get(d, [])
+        ), (d, s, e)
+
+    # window-level FPR at distinct-hash grain: bloom-flagged minus
+    # exact-flagged. Bit positions compute SPARK-side (the operator's
+    # own xxhash64 family); membership evaluates in local numpy over
+    # the collected position rows (small: distinct train windows).
+    import numpy as np
+
+    bm, m, j, _ = bloom
+    arr = np.frombuffer(bm, dtype=np.uint8)
+    gb = _window_hash_stream(train, 8, "text", "doc_id")
+    distinct_h = gb.select("__h").distinct().persist()
+    total = distinct_h.count()
+    exact_flags = distinct_h.join(
+        corpus_window_hashes(ref, k=8).select("__h"), "__h", "left_semi"
+    ).count()
+    bits = SF.array(
+        *[
+            SF.pmod(SF.xxhash64(SF.col("__h"), SF.lit(i)), SF.lit(m))
+            for i in range(j)
+        ]
+    )
+    pos = np.array(
+        [r["__b"] for r in distinct_h.select(bits.alias("__b")).collect()]
+    )
+    distinct_h.unpersist()
+    hits_mask = (
+        (arr[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+    ).all(axis=1)
+    bloom_flags = int(hits_mask.sum())
+    assert bloom_flags >= exact_flags  # zero false negatives
+    fpr = (bloom_flags - exact_flags) / max(1, total - exact_flags)
+    assert fpr <= 0.03, (bloom_flags, exact_flags, total)
+
+
 def test_contaminated_spans_semantics(spark):
     """x84's flag condition on planted structure — contamination is
     presence-in-reference, NOT combined duplication:
