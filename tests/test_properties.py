@@ -661,6 +661,108 @@ _psi_rows = st.lists(
 )
 
 
+_vec = st.lists(
+    st.integers(min_value=-2, max_value=2), min_size=3, max_size=3
+).filter(lambda v: any(v))
+_bitext_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30), _vec),
+    min_size=2,
+    max_size=10,
+    unique_by=lambda t: t[0],
+).filter(
+    lambda rows: any(i % 2 == 0 for i, _ in rows)
+    and any(i % 2 == 1 for i, _ in rows)
+)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(rows=_bitext_rows, k=st.sampled_from([1, 2, 4]))
+def test_bitext_margin_matches_reference(spark, rows, k):
+    """x82 differential: bitext_margin_pairs on arbitrary small
+    integer-grid vector sets must equal an independent plain-Python
+    implementation of the Artetxe & Schwenk recipe — 6dp-rounded
+    fold cosine, avg-top-k backgrounds per side (cos desc, opposite
+    id asc), margin = cos / mean(bg_a, bg_b) rounded 6dp, best
+    target per source by (margin desc, id_b asc), threshold kept.
+    Exercises |B| < k (short background lists), exact cosine ties
+    (integer grid), and sources whose best margin misses the
+    threshold."""
+    import math
+
+    from stock_market_etl_spark.operators.similarity import (
+        bitext_margin_pairs,
+    )
+
+    threshold = 1.0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["id_a"]: (r["id_b"], r["cosine_sim"], r["margin"])
+        for r in bitext_margin_pairs(
+            df, F.col("vec_id") % 2 == 0, k=k, threshold=threshold
+        ).collect()
+    }
+
+    a_side = [(i, v) for i, v in rows if i % 2 == 0]
+    b_side = [(i, v) for i, v in rows if i % 2 == 1]
+
+    def cos(u, v):
+        num = 0.0
+        for x, y in zip(u, v):  # sequential fold, the Spark order
+            num += float(x) * float(y)
+        nu = math.sqrt(sum(float(x) * float(x) for x in u))
+        nv = math.sqrt(sum(float(y) * float(y) for y in v))
+        return round(num / (nu * nv), 6)
+
+    pairs = {
+        (ia, ib): cos(va, vb)
+        for ia, va in a_side
+        for ib, vb in b_side
+    }
+
+    def bg_a(ia):
+        ranked = sorted(
+            ((pairs[(ia, ib)], ib) for ib, _ in b_side),
+            key=lambda t: (-t[0], t[1]),
+        )
+        top = [c for c, _ in ranked[:k]]
+        return sum(top) / len(top)
+
+    def bg_b(ib):
+        ranked = sorted(
+            ((pairs[(ia, ib)], ia) for ia, _ in a_side),
+            key=lambda t: (-t[0], t[1]),
+        )
+        top = [c for c, _ in ranked[:k]]
+        return sum(top) / len(top)
+
+    want = {}
+    for ia, _ in a_side:
+        scored = []
+        for ib, _ in b_side:
+            denom = (bg_a(ia) + bg_b(ib)) / 2
+            if denom == 0:
+                # Spark (non-ANSI) yields NULL for x/0: the candidate
+                # sorts last (DESC NULLS LAST) and can never clear the
+                # threshold — equivalent to dropping it
+                continue
+            scored.append((round(pairs[(ia, ib)] / denom, 6), ib))
+        if not scored:
+            continue
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        margin, ib = scored[0]
+        if margin >= threshold:
+            want[ia] = (ib, pairs[(ia, ib)], margin)
+
+    assert set(got) == set(want), (got, want)
+    for ia in want:
+        assert got[ia][0] == want[ia][0], (ia, got[ia], want[ia])
+        assert abs(got[ia][1] - want[ia][1]) <= 1e-6
+        assert abs(got[ia][2] - want[ia][2]) <= 1e-6
+
+
 @settings(max_examples=10, deadline=None, derandomize=True)
 @given(rows=_psi_rows)
 def test_psi_drift_matches_reference(spark, rows):
