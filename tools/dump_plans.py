@@ -69,6 +69,7 @@ SHOWCASE = [
     ("x79_curation_lineage", "drop-reason lineage in one digest-grain move: content digests compute scan-side, the keeper min-id aggregate is the ONLY hash exchange (keyed on the 32-byte digest, never text), and the keeper table joins back broadcast (tests/test_plans.py::test_curation_lineage_digest_grain_only)"),
     ("x83_bitext_margin_pairs_ann", "ANN bitext tier: the bucketed table materializes once (InMemoryTableScan feeds both candidate sides), the candidate join is equality on (lsh_table, lsh_bucket) over (id, table, bucket) rows, unit vectors re-attach by id AFTER the pair dedup, and the margin tail's three exchanges carry (id_a, id_b, cos) only — embedding arrays never enter an O(candidates) exchange"),
     ("x84_substring_decontamination", "decontamination flag+cut: the eval split feeds ONLY its (hash, distinct-doc-count) index, the train window stream semi-joins the count-filtered flag set (AQE-broadcastable), spans aggregate at id grain, and train text crosses exactly ONE exchange in the cut reassembly"),
+    ("x88_bloom_decontamination", "the bloom tier: NO join in the flag path — the train window stream filters through one ArrowEvalPython (the bitmap membership test; bit positions are JVM-side xxhash64), then the same islands window + cut as x84; the eval set appears in NO stage of this plan (its bitmap was folded once at build time)"),
 ]
 
 #: Operators whose scale-relevant plan can't be dumped through
