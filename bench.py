@@ -269,6 +269,35 @@ def _headline_val(v: float) -> float | int:
     return int(r) if r == int(r) else r
 
 
+#: Hard bound on the emitted headline line. The driver keeps EXACTLY
+#: the last 2000 chars of output; the headline is the last line, so
+#: its practical cap is ~1999 — 1950 leaves a 50-char guard band. The
+#: contract test asserts the CURRENT headline fits, but that only
+#: fires when the test runs; this emit-time refusal fires on every
+#: bench run, so a BENCH addition that would truncate the round's
+#: recorded headline (the r05 failure) is caught before the driver
+#: captures a clipped line (ADVICE r13).
+HEADLINE_BUDGET = 1950
+
+
+def _render_headline(payload: dict) -> str:
+    """Serialize the headline line, REFUSING loudly if it exceeds
+    HEADLINE_BUDGET — the fix is to retire the cheapest
+    composite-covered BENCH rows per the documented policy
+    (DRIVER_WINDOW.md r13 note; dashboard rows first, annotated in
+    BASELINE.md), never to let the tail silently truncate."""
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > HEADLINE_BUDGET:
+        raise SystemExit(
+            f"bench headline is {len(line)} chars > {HEADLINE_BUDGET} "
+            "budget (driver tail capture is 2000) — retire the "
+            "cheapest composite-covered BENCH rows per the "
+            "DRIVER_WINDOW.md r13 retirement policy and annotate "
+            "BASELINE.md before re-running"
+        )
+    return line
+
+
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -438,15 +467,14 @@ def main() -> None:
     # the headline past the driver's ~2 KB tail capture (2008 chars,
     # caught by the contract test r11)
     print(
-        json.dumps(
+        _render_headline(
             {
                 "metric": "bench_total_wall",
                 "value": total,
                 "unit": "sec",
                 "queries": head_queries,
                 "sf": sf_val,
-            },
-            separators=(",", ":"),
+            }
         )
     )
     spark.stop()

@@ -37,71 +37,75 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship (F1+F2) — permanent anchor
     "f1_f2_metrics_pipeline",
-    # --- r13 rotation (DRIVER_WINDOW.md drafted slot-priority order,
-    # applied mechanically): CORRECTNESS_r12 came back 50/50 green,
-    # ledger stamped r12, so every r12 slot vacates. Tier 1 (red
+    # --- r14 rotation (DRIVER_WINDOW.md drafted slot-priority order,
+    # applied mechanically): CORRECTNESS_r13 came back 50/50 green,
+    # ledger stamped r13, so every r13 slot vacates. Tier 1 (red
     # re-proofs) is empty. Tier 2: the 3 core canaries + the
     # flagship anchor above.
     "q_compute_trends",
     "c4_watermark_filter",
     "e1_global_max_watermark",
-    # Tier 3 — first proofs for the 6 r12-new oracle-bearing queries
-    # (all green at sf0.01 AND sf0.1, independently re-driven by the
-    # r12 judge; closes the 206→212 driver-grade gap):
-    "x78_hard_negative_mining",
-    "x79_curation_lineage",
-    "x80_score_drift_psi",
-    "n20_stream_drift_monitor",
-    "x81_fim_transform",
-    "x82_bitext_margin_pairs",
-    # Tier 4 — changed-since-proof re-admits: none drafted (the r13
-    # ADVICE fixes touch tools/bench and a read-seam guard in
-    # importance.py whose consumers x80/n20 are first proofs above).
+    # Tier 3 — first proofs for the 4 r13-new oracle-bearing queries
+    # (all green at sf0.01 AND sf0.1 via tools.verify_queries, and
+    # independently re-driven green by the r13 judge; closes the
+    # 212→216 driver-grade gap):
+    "x84_substring_decontamination",
+    "n21_stream_decontamination_gate",
+    "x85_embedding_contamination",
+    "x87_curation_pipeline_v5",
+    # Tier 4 — changed-since-proof re-admits (accept-local'd r13 after
+    # the `_span_gate_sink` extraction + the mandatory ``built_k``
+    # width guard on exact_substring_spans_incremental(corpus_index=…);
+    # each re-verified green at sf0.01 AND sf0.1 post-change — restore
+    # driver grade):
+    "n19_stream_substring_gate",
+    "b25_window_index_lifecycle",
+    "x74_incremental_substring_spans",
     # Tier 5 — freshness cycling, oldest-first per the ledger: the
-    # COMPLETE r08 cohort (30 rows — the oldest surviving proofs
-    # after a green r12)…
-    "e5_distinct_years",
-    "e9_cube",
-    "e10_rollup",
-    "e11_grouping_sets",
-    "e12_pivot",
-    "e13b_exact_count_distinct",
-    "e17_funnel_stages",
-    "e18_retention_cohorts",
-    "f9_rsi",
-    "f10_ema",
-    "f11_sliding_distinct",
-    "f12_drawdown",
-    "g2_presentation_sort",
-    "h2_intersect",
-    "i3_ingest_ts_stamp",
-    "i7_rename_all_columns",
-    "i10_json_extract",
-    "i11_map_entries",
-    "k5_observed_write_metrics",
-    "k6_release_drift_audit",
-    "m6_iter_pandas_udf",
-    "m7_cogrouped_map",
-    "n13_stream_gated_ingest",
-    "x49_paragraph_dedup",
-    "x51_gopher_rules",
-    "x52_paragraph_contamination",
-    "x53_event_pagerank",
-    "x54_epoch_repeat",
-    "x56_gopher_repetition",
-    "x57_gopher_pipeline",
-    # …then the 10 oldest r09 rows as the remaining slots allow; the
-    # other 30 r09 rows cycle in r14.
-    "a1_parquet_scan",
-    "b14_stream_lake_sink",
-    "b15_python_datasource_sink",
-    "b17_corrupt_record_audit",
-    "c2_conjunctive_eq_filter",
-    "c3_inequality_filter",
-    "c5_in_between_filter",
-    "d15_interpolation_join",
-    "d16_point_in_time_join",
-    "e19_hourly_rollup_merge",
+    # COMPLETE r09 cohort (30 rows — the oldest surviving proofs
+    # after a green r13)…
+    "f13_bollinger",
+    "f14_vwap",
+    "f15_ohlc_resample",
+    "f16_atr",
+    "f17_gap_fill",
+    "f18_market_pipeline",
+    "h1_union_all",
+    "h3_except",
+    "h4_union_by_name",
+    "i2_year_extract",
+    "i5_arithmetic_chain",
+    "i6_string_normalize",
+    "j2_rename_columns",
+    "k7_volume_anomaly_gate",
+    "k8_column_profile",
+    "l5_scd2_dimension",
+    "l6_incremental_agg_rollup",
+    "m8_arrow_optimized_udf",
+    "n15_stateful_running_totals",
+    "n16_stream_ohlc_bars",
+    "n17_stream_agg_partials",
+    "x58_dsir_importance",
+    "x59_perplexity_buckets",
+    "x60_boilerplate_prune",
+    "x62_knn_label_propagation",
+    "x64_winnow_fingerprints",
+    "x65_winnow_near_dup",
+    "x66_keep_best_dedup",
+    "x68_weighted_sample",
+    "e21_market_beta",
+    # …then 9 of the 42 r10 rows as the remaining slots allow, §2-core
+    # lettered rows first per convention; the other 33 r10 rows cycle
+    # in r15.
+    "a4_html_dimension_parse",
+    "a5_literal_source",
+    "b2_upsert_merge",
+    "b16_compaction_roundtrip",
+    "c1_projection",
+    "d10_range_join_pairs",
+    "e14_avg_min_max_count",
+    "e15_percentiles",
+    "f6_rank_functions",
 )
 
 

@@ -1536,13 +1536,42 @@ def corpus_window_hashes(
     )
 
 
+def bloom_sizing(n_windows: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Size a window Bloom filter: distinct-window count + target
+    false-positive rate → ``(m_bits, j_hashes)`` — the standard
+    ``m = -n·ln(p)/ln(2)²``, ``j = m/n·ln(2)`` formulas with the
+    engine's floors applied (m rounds up to whole 64-bit longs and
+    never below one long; j caps at 16 — past that the per-row probe
+    cost grows with no FPR benefit at any practical sizing, and only
+    degenerate tiny-n references hit the cap, where FPR is ~0 anyway).
+
+    Public seam so a user sizing a 100 TB eval index doesn't
+    hand-compute bitmap bytes: ``m/8`` is the bitmap size,
+    ``partitions × m/8`` the build's driver traffic
+    (`build_window_bloom` uses exactly this function). FPR is
+    monotonically non-increasing in m at fixed n — property-tested in
+    tests/test_properties.py."""
+    import math
+
+    if n_windows <= 0:
+        raise ValueError("n_windows must be positive")
+    if not 0.0 < fpp < 1.0:
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    m = int(
+        math.ceil(-n_windows * math.log(fpp) / (math.log(2) ** 2))
+    )
+    m = max(64, ((m + 63) // 64) * 64)  # whole longs, never 0
+    j = min(16, max(1, round(m / n_windows * math.log(2))))
+    return m, j
+
+
 def build_window_bloom(
     reference: DataFrame,
     k: int = 8,
     fpp: float = 0.01,
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> tuple[bytes, int, int, int]:
+) -> tuple[bytes, int, int, int, int]:
     """Build a BLOOM FILTER over a reference corpus's distinct
     k-token window hashes — the memory-bounded tier of the
     decontamination index (the Dolma stance: eval n-grams live in a
@@ -1556,7 +1585,14 @@ def build_window_bloom(
     ``xxhash64(digest, seed_i)`` family, so every window that is in
     the reference sets exactly the bits the probe tests.
 
-    Returns ``(bitmap, m_bits, j_hashes, n_windows)``.
+    Returns ``(bitmap, m_bits, j_hashes, n_windows, built_k)`` —
+    ``built_k`` is the window width the filter was BUILT at, recorded
+    in the artifact tuple for the same reason `write_window_index`
+    records k in its meta sidecar: probing at a different k makes
+    every membership test a random probe (~fpp of clean training
+    windows cut, every true eval leak passed unflagged), so
+    `bloom_contaminated_spans` refuses a width mismatch loudly
+    (ADVICE r13).
 
     Scale shape: window hashing and bit-position derivation run
     JVM-side inside the scan; each partition folds its positions
@@ -1564,9 +1600,8 @@ def build_window_bloom(
     driver ORs the ≤ numPartitions partials — driver traffic is
     partitions × m/8 bytes, independent of corpus row count (the IVF
     centroid-collect class of bounded driver work). One extra
-    count() job sizes ``m`` from the exact distinct-window count."""
-    import math
-
+    count() job sizes ``m`` from the exact distinct-window count via
+    the public `bloom_sizing` seam."""
     import numpy as np
     import pyarrow as pa
 
@@ -1579,14 +1614,8 @@ def build_window_bloom(
     n = hashes.count()
     if n == 0:
         hashes.unpersist()
-        return b"\x00", 8, 1, 0
-    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
-    m = max(64, ((m + 63) // 64) * 64)  # whole longs, never 0
-    # optimal j = m/n·ln2; cap at 16 — past that the per-row probe
-    # cost grows with no FPR benefit at any practical sizing (only
-    # degenerate tiny-n references hit the cap, where FPR is ~0
-    # anyway because m floors at one long)
-    j = min(16, max(1, round(m / n * math.log(2))))
+        return b"\x00", 8, 1, 0, int(k)
+    m, j = bloom_sizing(n, fpp)
     pos_cols = [
         F.pmod(F.xxhash64(F.col("__h"), F.lit(i)), F.lit(m)).alias(
             f"__p{i}"
@@ -1622,11 +1651,11 @@ def build_window_bloom(
     bitmap = np.zeros(n_bytes, dtype=np.uint8)
     for row in parts:
         bitmap |= np.frombuffer(row["bm"], dtype=np.uint8)
-    return bitmap.tobytes(), m, j, n
+    return bitmap.tobytes(), m, j, n, int(k)
 
 
 def bloom_contaminated_spans(
-    bloom: tuple[bytes, int, int, int],
+    bloom: tuple[bytes, int, int, int, int],
     batch: DataFrame,
     k: int = 8,
     text_col: str = "text",
@@ -1647,15 +1676,34 @@ def bloom_contaminated_spans(
     over-flag rate is the filter's FPR, which cuts marginally more
     training text — the safe direction for decontamination
     (evidence: superset + planted semantics + measured FPR bound,
-    tests/test_extensions.py)."""
+    tests/test_extensions.py).
+
+    ``k`` must equal the width the filter was built at (recorded as
+    the tuple's last element): different-width windows hash to
+    unrelated bit positions, so a mismatch turns every test into a
+    random probe — ~fpp of CLEAN training windows get cut while
+    every TRUE eval leak passes unflagged, the exact silent failure
+    `contaminated_spans` and `exact_substring_spans_incremental`
+    refuse via ``built_k``. Loud ValueError instead (ADVICE r13).
+
+    The bitmap ships to executors as a Spark BROADCAST (fetched once
+    per node, not pickled into every task's UDF command) — at the
+    multi-hundred-MB sizes this tier exists for, closure capture
+    would re-ship it per task (ADVICE r13)."""
     import numpy as np
     import pandas as pd
 
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BooleanType
 
-    bitmap_bytes, m, j, n = bloom
-    bitmap = np.frombuffer(bitmap_bytes, dtype=np.uint8)
+    bitmap_bytes, m, j, n, built_k = bloom
+    if k != built_k:
+        raise ValueError(
+            f"window bloom filter was built with k={built_k}, probe "
+            f"requested k={k} — bit positions would be random noise "
+            "(clean text cut at ~fpp, true leaks passed unflagged); "
+            "rebuild the filter or probe at its k"
+        )
     if n == 0:
         # empty reference: nothing can be contaminated
         return _merge_flagged_spans(
@@ -1665,11 +1713,13 @@ def bloom_contaminated_spans(
             k,
             id_col,
         )
+    bc_bitmap = batch.sparkSession.sparkContext.broadcast(bitmap_bytes)
 
     @pandas_udf(BooleanType())
     def might_contain(pos: pd.Series) -> pd.Series:
         if len(pos) == 0:
             return pd.Series([], dtype=bool)
+        bitmap = np.frombuffer(bc_bitmap.value, dtype=np.uint8)
         p = np.stack(pos.to_numpy())  # (rows, j)
         hit = (bitmap[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
         return pd.Series(hit.all(axis=1))
@@ -1712,9 +1762,41 @@ def write_window_index(
         corpus, k=k, text_col=text_col, id_col=id_col
     )
     idx.write.mode("overwrite").parquet(f"{path}/window_hashes")
-    corpus.sparkSession.createDataFrame(
-        [(int(k),)], "k int"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    _write_index_meta(corpus.sparkSession, path, k, mode="overwrite")
+
+
+def _write_index_meta(
+    spark: SparkSession, path: str, k: int, mode: str
+) -> None:
+    """The index meta sidecar in ONE place: a one-row ``k`` table —
+    `read_window_index` refuses anything else as incomplete/corrupt."""
+    spark.createDataFrame([(int(k),)], "k int").coalesce(1).write.mode(
+        mode
+    ).parquet(f"{path}/meta")
+
+
+def publish_window_index(
+    index: DataFrame, path: str, built_k: int
+) -> None:
+    """Publish an index DATAFRAME — typically `merge_window_index`'s
+    result — as a new window-index RELEASE at ``path``, with the same
+    ``{window_hashes, meta}`` layout `write_window_index` produces
+    and `read_window_index` validates. This is the write half of the
+    multi-release lifecycle: eval release N+1 arrives, the previous
+    release's artifact merges at increment cost, and the merged index
+    publishes as the NEXT frozen release the streaming gates
+    (`substring_gate_sink` / `decontamination_gate_sink`) read at
+    setup.
+
+    ``path`` must be a NEW release directory (mode ``error`` —
+    write-once, the frozen-release contract): a merged plan still
+    lazily READS the previous release's parquet files, so an in-place
+    overwrite would read-under-write the artifact it is derived from.
+    Data writes before meta, so a crash between the two leaves an
+    artifact `read_window_index` refuses loudly (the malformed-meta
+    guard) rather than one that silently probes."""
+    index.write.mode("error").parquet(f"{path}/window_hashes")
+    _write_index_meta(index.sparkSession, path, built_k, mode="error")
 
 
 def merge_window_index(
@@ -1771,8 +1853,22 @@ def read_window_index(
     `exact_substring_spans_incremental(corpus_index=...)` takes.
     Passing ``k`` asserts the caller's window width against the
     recorded one — a silent mismatch would flag nothing, so it is a
-    loud ValueError instead."""
-    built_k = int(spark.read.parquet(f"{path}/meta").collect()[0]["k"])
+    loud ValueError instead. A partially-written or corrupt artifact
+    (empty, multi-row, or null-k meta — the case a crashed
+    `write_window_index` leaves behind) is ALSO a loud refusal rather
+    than an opaque IndexError (ADVICE r13, the
+    `read_score_histogram` pattern)."""
+    meta_rows = spark.read.parquet(f"{path}/meta").collect()
+    if (
+        len(meta_rows) != 1
+        or meta_rows[0]["k"] is None
+    ):
+        raise ValueError(
+            f"window index at {path} has a malformed meta sidecar "
+            f"({len(meta_rows)} rows) — artifact incomplete or "
+            "corrupt; rebuild with write_window_index"
+        )
+    built_k = int(meta_rows[0]["k"])
     if k is not None and k != built_k:
         raise ValueError(
             f"window index at {path} was built with k={built_k}, "

@@ -67,6 +67,11 @@ def test_bench_emits_contract_json():
     # by <row>" so the baseline sum stays comparable. Never raise the
     # bound past 1950 — the 2000 cap is the driver's, not ours.
     assert json_lines[-1] == json.dumps(payload, separators=(",", ":"))
+    # bench now enforces this bound AT EMIT TIME (bench._render_headline
+    # refuses past HEADLINE_BUDGET — ADVICE r13: the protection must
+    # fire on every run, not only when this test happens to run before
+    # the driver captures a clipped line); this assertion stays as the
+    # CI-visible early warning with the policy note above.
     assert len(json_lines[-1]) < 1950, len(json_lines[-1])
     # per-rep evidence rides the detail line: every query ships all
     # rep times at full 3-decimal precision, and the headline number
@@ -251,6 +256,30 @@ SHUFFLE_MB_PINS = {
     # decon stage's share; eval TEXT in any exchange would blow it.
     "x87_curation_pipeline_v5": 6.78,
 }
+
+
+def test_headline_refuses_past_budget_at_emit_time():
+    """ADVICE r13: the headline-size protection must fire on every
+    bench RUN, not only when the contract test happens to run — an
+    over-budget headline is a loud SystemExit naming the retirement
+    policy, never a silently clipped driver capture; an in-budget
+    payload round-trips through the same seam byte-identically."""
+    import pytest
+
+    from bench import HEADLINE_BUDGET, _render_headline
+
+    ok = {"metric": "bench_total_wall", "value": 1.0, "queries": {}}
+    assert _render_headline(ok) == json.dumps(
+        ok, separators=(",", ":")
+    )
+    fat = {
+        "metric": "bench_total_wall",
+        "value": 1.0,
+        "queries": {f"q{i:04d}_padpadpad": 1.23 for i in range(200)},
+    }
+    assert len(json.dumps(fat, separators=(",", ":"))) > HEADLINE_BUDGET
+    with pytest.raises(SystemExit, match="retire"):
+        _render_headline(fat)
 
 
 def test_shuffle_bytes_hold_their_pins(spark):

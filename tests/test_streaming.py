@@ -1251,6 +1251,90 @@ def test_decontamination_gate_multibatch_and_redelivery(spark, tmp_path):
     } == got
 
 
+def test_decontamination_multi_release_lifecycle(spark, tmp_path):
+    """The multi-release decontamination lifecycle end-to-end
+    (VERDICT r13 task 7): eval RELEASE 1 indexes; the gate cuts its
+    leaks but passes content only release 2 will hold; release 2
+    arrives and folds in via `merge_window_index` at increment cost;
+    `publish_window_index` freezes the merged index as release 2's
+    artifact; n21's gate against the MERGED artifact now cuts BOTH
+    releases' leaks; and the merged-release gate output is
+    bit-identical to a gate against an index REBUILT from the union —
+    the merged ≡ rebuilt identity at the streaming seam, not just the
+    DataFrame seam. Publishing is write-once: an in-place re-publish
+    refuses (the merged plan still reads the prior release's files)."""
+    import pytest
+
+    from stock_market_etl_spark.operators.dedup import (
+        merge_window_index,
+        publish_window_index,
+        read_window_index,
+        write_window_index,
+    )
+    from stock_market_etl_spark.streaming import core
+
+    leak1, leak2 = "l1 l2 l3 l4", "m1 m2 m3 m4"
+    eval_r1 = spark.createDataFrame(
+        [(900, f"e1 {leak1} e2")], ["doc_id", "text"]
+    )
+    eval_r2 = spark.createDataFrame(
+        [(901, f"f1 {leak2} f2")], ["doc_id", "text"]
+    )
+    p1 = str(tmp_path / "eval_idx_r1")
+    write_window_index(eval_r1, p1, k=4)
+
+    train = spark.createDataFrame(
+        [
+            (100, f"a1 {leak1} a2"),   # release-1 leak → always cut
+            (101, f"b1 {leak2} b2"),   # release-2 leak → cut after merge
+            (102, "c1 c2 c3 c4 c5"),   # clean → always untouched
+        ],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "arrivals")
+    train.coalesce(1).write.mode("append").parquet(src)
+
+    def run_gate(index_path, out, ckpt):
+        stream = (
+            spark.readStream.schema(train.schema)
+            .format("parquet")
+            .load(src)
+        )
+        core.decontamination_gate_sink(
+            stream, out, str(tmp_path / ckpt), index_path
+        )
+        return {
+            r["doc_id"]: r["clean_text"]
+            for r in spark.read.parquet(out).collect()
+        }
+
+    # release 1: leak2 is not in any eval split yet — passes
+    got1 = run_gate(p1, str(tmp_path / "clean_r1"), "ck1")
+    assert got1 == {
+        100: "a1 a2",
+        101: f"b1 {leak2} b2",
+        102: "c1 c2 c3 c4 c5",
+    }
+
+    # release 2 arrives: merge at increment cost, publish frozen
+    idx, built_k = read_window_index(spark, p1)
+    merged = merge_window_index(idx, eval_r2, built_k, k=built_k)
+    p2 = str(tmp_path / "eval_idx_r2")
+    publish_window_index(merged, p2, built_k)
+    got2 = run_gate(p2, str(tmp_path / "clean_r2"), "ck2")
+    assert got2 == {100: "a1 a2", 101: "b1 b2", 102: "c1 c2 c3 c4 c5"}
+
+    # merged ≡ rebuilt at the streaming seam
+    p3 = str(tmp_path / "eval_idx_rebuilt")
+    write_window_index(eval_r1.unionByName(eval_r2), p3, k=4)
+    got3 = run_gate(p3, str(tmp_path / "clean_rebuilt"), "ck3")
+    assert got3 == got2
+
+    # write-once release contract: in-place re-publish refuses
+    with pytest.raises(Exception, match="already exists|LOCATION"):
+        publish_window_index(merged, p2, built_k)
+
+
 def test_drift_monitor_multibatch_and_redelivery(spark, tmp_path):
     """n20's engine on planted distributions: (1) a batch scoring
     like the baseline reads psi ≈ 0, no flag; (2) a batch whose score
