@@ -287,10 +287,14 @@ def _render_headline(payload: dict) -> str:
     (DRIVER_WINDOW.md r13 note; dashboard rows first, annotated in
     BASELINE.md), never to let the tail silently truncate."""
     line = json.dumps(payload, separators=(",", ":"))
-    if len(line) > HEADLINE_BUDGET:
+    # strict <, matching the contract test's `len < 1950` exactly —
+    # a boundary disagreement would emit green at 1950 chars while
+    # CI reads red (review r14)
+    if len(line) >= HEADLINE_BUDGET:
         raise SystemExit(
-            f"bench headline is {len(line)} chars > {HEADLINE_BUDGET} "
-            "budget (driver tail capture is 2000) — retire the "
+            f"bench headline is {len(line)} chars, reaching the "
+            f"{HEADLINE_BUDGET} budget (driver tail capture is "
+            "2000) — retire the "
             "cheapest composite-covered BENCH rows per the "
             "DRIVER_WINDOW.md r13 retirement policy and annotate "
             "BASELINE.md before re-running"

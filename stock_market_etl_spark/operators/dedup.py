@@ -22,6 +22,8 @@ Scale design:
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
@@ -1613,8 +1615,11 @@ def build_window_bloom(
     )
     n = hashes.count()
     if n == 0:
+        # keep the bloom_sizing floors (m a positive multiple of 64)
+        # even for the degenerate empty reference, so every consumer
+        # of the tuple sees one uniform invariant
         hashes.unpersist()
-        return b"\x00", 8, 1, 0, int(k)
+        return b"\x00" * 8, 64, 1, 0, int(k)
     m, j = bloom_sizing(n, fpp)
     pos_cols = [
         F.pmod(F.xxhash64(F.col("__h"), F.lit(i)), F.lit(m)).alias(
@@ -1654,6 +1659,45 @@ def build_window_bloom(
     return bitmap.tobytes(), m, j, n, int(k)
 
 
+#: Broadcast cache for probe bitmaps, keyed by (applicationId, bitmap
+#: sha1): pyspark Broadcast handles are NOT destroyed on GC, so one
+#: broadcast per bloom_contaminated_spans CALL would pin a bitmap copy
+#: in the driver's block manager per probe (review r14); keying by
+#: content digest makes repeated probes of the same filter free while
+#: distinct filters stay bounded by the session's eval releases.
+#: _BLOOM_DIGEST_MEMO avoids re-hashing a multi-hundred-MB bitmap on
+#: every cache HIT: keyed by object id with a strong reference to the
+#: bytes held in the value, so the id can never be reused while the
+#: entry lives (the `is` check makes a collision harmless anyway).
+#: One lock guards both — concurrent probes (two streaming gates, or
+#: interactive + streamed) must not race the eviction iteration.
+_BLOOM_BC_CACHE: dict = {}
+_BLOOM_DIGEST_MEMO: dict = {}
+_BLOOM_BC_LOCK = threading.Lock()
+
+
+def _bloom_broadcast(sc, bitmap_bytes: bytes):
+    import hashlib
+
+    with _BLOOM_BC_LOCK:
+        memo = _BLOOM_DIGEST_MEMO.get(id(bitmap_bytes))
+        if memo is not None and memo[0] is bitmap_bytes:
+            digest = memo[1]
+        else:
+            digest = hashlib.sha1(bitmap_bytes).digest()
+            _BLOOM_DIGEST_MEMO[id(bitmap_bytes)] = (bitmap_bytes, digest)
+        app = sc.applicationId
+        # drop handles from dead contexts so a restart can't hold them
+        for stale in [k for k in _BLOOM_BC_CACHE if k[0] != app]:
+            _BLOOM_BC_CACHE.pop(stale, None)
+        key = (app, digest)
+        bc = _BLOOM_BC_CACHE.get(key)
+        if bc is None:
+            bc = sc.broadcast(bitmap_bytes)
+            _BLOOM_BC_CACHE[key] = bc
+        return bc
+
+
 def bloom_contaminated_spans(
     bloom: tuple[bytes, int, int, int, int],
     batch: DataFrame,
@@ -1689,7 +1733,12 @@ def bloom_contaminated_spans(
     The bitmap ships to executors as a Spark BROADCAST (fetched once
     per node, not pickled into every task's UDF command) — at the
     multi-hundred-MB sizes this tier exists for, closure capture
-    would re-ship it per task (ADVICE r13)."""
+    would re-ship it per task (ADVICE r13). Broadcasts are cached per
+    (application, bitmap digest): repeated probes against the SAME
+    filter — the per-micro-batch / per-round shape — reuse ONE
+    broadcast instead of pinning a fresh copy in the driver's block
+    manager per call; distinct filters are bounded by the number of
+    eval releases in the session and release with the context."""
     import numpy as np
     import pandas as pd
 
@@ -1713,13 +1762,30 @@ def bloom_contaminated_spans(
             k,
             id_col,
         )
-    bc_bitmap = batch.sparkSession.sparkContext.broadcast(bitmap_bytes)
+    # Spark Connect has no sparkContext (the _compat best-effort
+    # convention): degrade to closure capture there — the pre-ADVICE
+    # behavior, correct but re-shipped per task — instead of failing
+    # the probe outright.
+    try:
+        sc = batch.sparkSession.sparkContext
+    except Exception:
+        sc = None
+    if sc is not None:
+        bc_bitmap = _bloom_broadcast(sc, bitmap_bytes)
+
+        def fetch_bitmap() -> bytes:
+            return bc_bitmap.value
+
+    else:
+
+        def fetch_bitmap() -> bytes:
+            return bitmap_bytes
 
     @pandas_udf(BooleanType())
     def might_contain(pos: pd.Series) -> pd.Series:
         if len(pos) == 0:
             return pd.Series([], dtype=bool)
-        bitmap = np.frombuffer(bc_bitmap.value, dtype=np.uint8)
+        bitmap = np.frombuffer(fetch_bitmap(), dtype=np.uint8)
         p = np.stack(pos.to_numpy())  # (rows, j)
         hit = (bitmap[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
         return pd.Series(hit.all(axis=1))
@@ -1794,7 +1860,27 @@ def publish_window_index(
     overwrite would read-under-write the artifact it is derived from.
     Data writes before meta, so a crash between the two leaves an
     artifact `read_window_index` refuses loudly (the malformed-meta
-    guard) rather than one that silently probes."""
+    guard) rather than one that silently probes.
+
+    ``built_k`` is stamped into the release meta, and a WRONG value
+    is unverifiable from the digests later — so when ``index`` came
+    DIRECTLY from `merge_window_index` (which tags its result with
+    the width it validated), a contradicting ``built_k`` refuses
+    loudly here instead of publishing a release whose every later
+    probe silently flags nothing. The tag is BEST-EFFORT provenance,
+    not the defense: any transformation of the DataFrame drops it
+    (and a column that shadows the attribute name makes getattr
+    return a Column, so only a plain-int tag is honored) — the
+    required ``built_k`` parameter itself is the contract; thread it
+    from `read_window_index`'s pair."""
+    tagged = getattr(index, "_window_index_k", None)
+    if isinstance(tagged, int) and tagged != int(built_k):
+        raise ValueError(
+            f"index DataFrame carries validated width k={tagged} but "
+            f"publish was asked to record built_k={built_k} — a wrong "
+            "recorded k makes every later probe silently flag "
+            "nothing; pass the k the index was merged/built at"
+        )
     index.write.mode("error").parquet(f"{path}/window_hashes")
     _write_index_meta(index.sparkSession, path, built_k, mode="error")
 
@@ -1838,11 +1924,18 @@ def merge_window_index(
     new_counts = corpus_window_hashes(
         new_docs, k=k, text_col=text_col, id_col=id_col
     )
-    return (
+    merged = (
         index.unionByName(new_counts)
         .groupBy("__h")
         .agg(F.sum("__nd").alias("__nd"))
     )
+    # provenance tag: the validated width travels WITH the result so
+    # publish_window_index can refuse a contradicting built_k (review
+    # r14 — the habitual default-8 typo at publish time would stamp a
+    # wrong k into the release meta, and a wrong recorded k makes
+    # every later gate probe silently flag nothing)
+    merged._window_index_k = int(k)
+    return merged
 
 
 def read_window_index(
@@ -1859,14 +1952,15 @@ def read_window_index(
     than an opaque IndexError (ADVICE r13, the
     `read_score_histogram` pattern)."""
     meta_rows = spark.read.parquet(f"{path}/meta").collect()
-    if (
-        len(meta_rows) != 1
-        or meta_rows[0]["k"] is None
-    ):
+    if len(meta_rows) != 1 or meta_rows[0]["k"] is None:
+        defect = (
+            "a null k" if len(meta_rows) == 1
+            else f"{len(meta_rows)} rows (expected exactly 1)"
+        )
         raise ValueError(
-            f"window index at {path} has a malformed meta sidecar "
-            f"({len(meta_rows)} rows) — artifact incomplete or "
-            "corrupt; rebuild with write_window_index"
+            f"window index at {path} has a malformed meta sidecar — "
+            f"{defect} — artifact incomplete or corrupt; rebuild "
+            "with write_window_index"
         )
     built_k = int(meta_rows[0]["k"])
     if k is not None and k != built_k:

@@ -745,8 +745,13 @@ def decontamination_gate_sink(
     (`substring_gate_sink`'s lifecycle with `contaminated_spans`'s
     flag condition): each arriving training micro-batch is flagged
     against the FROZEN eval-split window index (a b25
-    `write_window_index` artifact — the eval set is fixed per
-    release, so the index is write-once and never merges), flagged
+    `write_window_index` artifact — write-once PER RELEASE: a new
+    eval release folds in at increment cost via
+    `dedup.merge_window_index` and publishes as the NEXT frozen
+    release with `dedup.publish_window_index`, never mutating the one
+    a running gate reads — the multi-release lifecycle pinned in
+    tests/test_streaming.py::
+    test_decontamination_multi_release_lifecycle), flagged
     spans are CUT, and the cleaned ``(id, clean_text)`` rows APPEND
     to ``out_path``. Presence-in-reference is the whole condition:
     batch-internal duplication lands untouched (dedup is the n19

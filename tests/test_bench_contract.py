@@ -280,6 +280,14 @@ def test_headline_refuses_past_budget_at_emit_time():
     assert len(json.dumps(fat, separators=(",", ":"))) > HEADLINE_BUDGET
     with pytest.raises(SystemExit, match="retire"):
         _render_headline(fat)
+    # the boundary agrees with this file's `len < 1950` assertion
+    # exactly (review r14): a line of EXACTLY the budget refuses too
+    edge = {"m": "a" * (HEADLINE_BUDGET - 8)}
+    assert len(json.dumps(edge, separators=(",", ":"))) == HEADLINE_BUDGET
+    with pytest.raises(SystemExit, match="retire"):
+        _render_headline(edge)
+    under = {"m": "a" * (HEADLINE_BUDGET - 9)}
+    assert _render_headline(under)
 
 
 def test_shuffle_bytes_hold_their_pins(spark):

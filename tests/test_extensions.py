@@ -2276,6 +2276,25 @@ def test_bloom_decontamination_evidence(spark, sf_correct):
     with _pytest.raises(ValueError, match="built with k=4"):
         bloom_contaminated_spans(empty, batch_p, k=8)
 
+    # the empty-reference tuple keeps the bloom_sizing floors (m a
+    # positive multiple of 64, bitmap m/8 bytes) so every consumer
+    # sees one uniform invariant (review r14)
+    assert empty[1] % 64 == 0 and empty[1] >= 64
+    assert len(empty[0]) == empty[1] // 8
+
+    # broadcast reuse (review r14): repeated probes of the SAME
+    # filter reuse one cached Broadcast handle instead of pinning a
+    # fresh bitmap copy in the driver's block manager per call
+    from stock_market_etl_spark.operators import dedup as _dedup
+
+    _dedup._BLOOM_BC_CACHE.clear()
+    bloom_contaminated_spans(bloom_p, batch_p, k=4).count()
+    assert len(_dedup._BLOOM_BC_CACHE) == 1
+    first_bc = next(iter(_dedup._BLOOM_BC_CACHE.values()))
+    bloom_contaminated_spans(bloom_p, batch_p, k=4).count()
+    assert len(_dedup._BLOOM_BC_CACHE) == 1
+    assert next(iter(_dedup._BLOOM_BC_CACHE.values())) is first_bc
+
     # 2 + 3. fixture conservativeness + FPR bound (x84's split)
     docs = load_table(spark, sf_correct, "documents")
     train = docs.filter(SF.col("doc_id") % 10 < 8)

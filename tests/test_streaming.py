@@ -1334,6 +1334,16 @@ def test_decontamination_multi_release_lifecycle(spark, tmp_path):
     with pytest.raises(Exception, match="already exists|LOCATION"):
         publish_window_index(merged, p2, built_k)
 
+    # provenance guard (review r14): merge tags its result with the
+    # width it validated, and publishing it with a CONTRADICTING
+    # built_k (the habitual default-8 typo) refuses loudly — a wrong
+    # recorded k is unverifiable from the digests and would make
+    # every later gate probe silently flag nothing
+    with pytest.raises(ValueError, match="validated width k=4"):
+        publish_window_index(
+            merged, str(tmp_path / "eval_idx_typo"), 8
+        )
+
 
 def test_drift_monitor_multibatch_and_redelivery(spark, tmp_path):
     """n20's engine on planted distributions: (1) a batch scoring
