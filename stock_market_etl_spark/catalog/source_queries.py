@@ -1123,3 +1123,73 @@ def b25_window_index_lifecycle(
         corpus_index=index,
         built_k=built_k,
     )
+
+
+@_q("b26_window_index_release_lifecycle")
+def b26_window_index_release_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MULTI-RELEASE window-index lifecycle as one driver-provable
+    query (r14, VERDICT r13 task 7's depth direction — b25's artifact
+    pattern carried across a release boundary): eval release 1
+    (doc_id % 10 == 8) materializes with `dedup.write_window_index`;
+    eval release 2 (doc_id % 10 == 9) arrives later and folds into
+    the read-back release-1 artifact at INCREMENT cost
+    (`merge_window_index` — release 1 contributes only its (16 B,
+    8 B) rows, its text never re-hashes); the merged index publishes
+    WRITE-ONCE as the release-2 artifact (`publish_window_index`,
+    width provenance checked); and the training split scrubs against
+    the published artifact through
+    `contaminated_spans(reference_index=…)` + `cut_spans`. By the
+    merged ≡ rebuilt identity (pinned in tests at both the DataFrame
+    and streaming seams), the result is bit-identical to x84's
+    single-release scrub against the union — so the oracle BINDS
+    x84's string below: the whole artifact lifecycle is an
+    implementation detail the oracle cannot (and must not) see, the
+    b25 stance.
+
+    Scale shape: release N+1 pays its own windows + one hash-grain
+    map-side-combined sum; the probe pays the batch's windows + one
+    hash-grain semi-join against the published parquet. Stays out of
+    BENCH like b25/a2 — artifact writers whose cost is the side
+    effect; x84 already times the probe shape."""
+    import os
+
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 < 8)
+    eval_r1 = docs.filter(F.col("doc_id") % 10 == 8)
+    eval_r2 = docs.filter(F.col("doc_id") % 10 == 9)
+    work = _scratch.fresh_dir("b26_release_lifecycle")
+    p1 = os.path.join(work, "eval_idx_r1")
+    dedup.write_window_index(eval_r1, p1, k=8)
+    idx1, built_k = dedup.read_window_index(spark, p1)
+    merged = dedup.merge_window_index(idx1, eval_r2, built_k, k=built_k)
+    p2 = os.path.join(work, "eval_idx_r2")
+    dedup.publish_window_index(merged, p2, built_k)
+    idx2, k2 = dedup.read_window_index(spark, p2)
+    spans = dedup.contaminated_spans(
+        None,
+        train,
+        k=k2,
+        min_ref_docs=1,
+        text_col="text",
+        id_col="doc_id",
+        reference_index=idx2,
+        built_k=k2,
+    )
+    return dedup.cut_spans(
+        train, spans, text_col="text", id_col="doc_id"
+    ).orderBy("doc_id")
+
+
+# b26's landed result must equal x84's single-release scrub against
+# the union (merged ≡ rebuilt) — bind the SAME oracle string so the
+# identity can't silently stop being tested (the n21 convention).
+from stock_market_etl_spark.catalog import extensions as _ext  # noqa: E402
+
+ORACLES["b26_window_index_release_lifecycle"] = _ext.ORACLES[
+    "x84_substring_decontamination"
+]

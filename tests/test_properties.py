@@ -928,3 +928,71 @@ def test_bloom_sizing_refuses_degenerate_inputs():
         bloom_sizing(100, 0.0)
     with pytest.raises(ValueError, match="fpp"):
         bloom_sizing(100, 1.0)
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    docs=st.lists(_doc, min_size=2, max_size=6),
+    k=st.sampled_from([2, 3]),
+    split=st.integers(min_value=2, max_value=3),
+)
+def test_bloom_decontamination_conservative_on_random_corpora(
+    spark, docs, k, split
+):
+    """x88 differential on random corpora (the fuzz companion to the
+    fixture evidence test): on an arbitrary eval/train partition, the
+    bloom tier must be CONSERVATIVE relative to the exact form —
+    every exact contamination span lies inside some bloom span for
+    the same doc (zero false negatives, the shared-xxhash64-family
+    guarantee), every bloom-kept token survives the exact cut too
+    (bloom can only cut MORE), and sub-k / clean docs pass through
+    both identically. Exercises the empty-eval, fully-covered, and
+    overlap-merge edges hypothesis finds that fixtures don't."""
+    from stock_market_etl_spark.operators.dedup import (
+        bloom_contaminated_spans,
+        build_window_bloom,
+        contaminated_spans,
+        cut_spans,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = sdf.filter(F.col("doc_id") % split == 0)
+    train = sdf.filter(F.col("doc_id") % split != 0)
+
+    exact_spans = [
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in contaminated_spans(ref, train, k=k).collect()
+    ]
+    bloom = build_window_bloom(ref, k=k, fpp=0.01)
+    bloom_spans_df = bloom_contaminated_spans(bloom, train, k=k)
+    bloom_spans = [
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in bloom_spans_df.collect()
+    ]
+
+    by_doc: dict = {}
+    for d, s, e in bloom_spans:
+        by_doc.setdefault(d, []).append((s, e))
+    for d, s, e in exact_spans:
+        assert any(
+            s2 <= s and e <= e2 for s2, e2 in by_doc.get(d, [])
+        ), (d, s, e, bloom_spans)
+
+    exact_clean = {
+        r["doc_id"]: r["clean_text"]
+        for r in cut_spans(
+            train, contaminated_spans(ref, train, k=k)
+        ).collect()
+    }
+    bloom_clean = {
+        r["doc_id"]: r["clean_text"]
+        for r in cut_spans(train, bloom_spans_df).collect()
+    }
+    assert set(bloom_clean) == set(exact_clean)
+    for d, text in bloom_clean.items():
+        kept = set(text.split(" ")) - {""}
+        kept_exact = set(exact_clean[d].split(" ")) - {""}
+        # conservativeness at token-IDENTITY grain: bloom keeps a
+        # subset of what exact keeps (it can only cut more)
+        assert kept <= kept_exact, (d, kept, kept_exact)

@@ -303,6 +303,9 @@ SCALE_QUERIES = [
     ("x85_embedding_contamination", False),
     # r13 addition: composed flagship v5 (strings + ids → exact)
     ("x87_curation_pipeline_v5", True),
+    # r14 addition: the multi-release index lifecycle (write →
+    # merge → publish → probe; strings + ids → exact)
+    ("b26_window_index_release_lifecycle", True),
 ]
 
 
