@@ -921,6 +921,39 @@ def test_window_index_build_shuffles_digests_only(spark, sf_smoke):
         assert "text" not in m.group(1), m.group(0)
 
 
+def test_window_index_merge_shuffles_digests_only(spark, sf_smoke, tmp_path):
+    """b26's release step (merge_window_index): folding release N+1
+    into the release-N artifact costs the NEW docs' window pass plus
+    ONE digest-grain map-side-combined sum — the indexed corpus
+    contributes only its (16 B, 8 B) rows through the union, and no
+    exchange carries text. At 100 TB a release merge that re-shuffles
+    corpus text isn't an increment-cost release step."""
+    import re
+
+    from stock_market_etl_spark.operators.dedup import (
+        merge_window_index,
+        read_window_index,
+        write_window_index,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    r1 = docs.filter(F.col("doc_id") % 10 == 8)
+    r2 = docs.filter(F.col("doc_id") % 10 == 9)
+    path = str(tmp_path / "idx_r1")
+    write_window_index(r1, path, k=8)
+    idx, built_k = read_window_index(spark, path)
+    plan = _plan(merge_window_index(idx, r2, built_k, k=built_k))
+    assert "CartesianProduct" not in plan
+    # new docs' (hash, id) distinct + the unioned hash-grain sum:
+    # at most three digest/id-keyed exchanges, never text
+    assert plan.count("Exchange hashpartitioning") <= 3, plan[:2000]
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
+    # partial aggregation before the final hash-grain sum (map-side
+    # combine): the sum appears as a two-phase HashAggregate pair
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_stream_substring_gate_batch_plan(spark, sf_smoke, tmp_path):
     """n19's per-batch body, pinned via its documented
     single-micro-batch twin (the n9 move): landed-id anti-join +

@@ -70,6 +70,7 @@ SHOWCASE = [
     ("x83_bitext_margin_pairs_ann", "ANN bitext tier: the bucketed table materializes once (InMemoryTableScan feeds both candidate sides), the candidate join is equality on (lsh_table, lsh_bucket) over (id, table, bucket) rows, unit vectors re-attach by id AFTER the pair dedup, and the margin tail's three exchanges carry (id_a, id_b, cos) only — embedding arrays never enter an O(candidates) exchange"),
     ("x84_substring_decontamination", "decontamination flag+cut: the eval split feeds ONLY its (hash, distinct-doc-count) index, the train window stream semi-joins the count-filtered flag set (AQE-broadcastable), spans aggregate at id grain, and train text crosses exactly ONE exchange in the cut reassembly"),
     ("x88_bloom_decontamination", "the bloom tier: NO join in the flag path — the train window stream filters through one ArrowEvalPython (the bitmap membership test; bit positions are JVM-side xxhash64), then the same islands window + cut as x84; the eval set appears in NO stage of this plan (its bitmap was folded once at build time)"),
+    ("b26_window_index_release_lifecycle", "the multi-release probe: the PUBLISHED merged artifact feeds the flag semi-join exactly like x84's inline index — release-1 text appears in NO stage (it lives only as (16 B, 8 B) parquet rows), release-2 text fed only the merge step's one digest-grain sum (tests/test_plans.py::test_window_index_merge_shuffles_digests_only), and train text crosses one exchange in the cut"),
 ]
 
 #: Operators whose scale-relevant plan can't be dumped through
