@@ -996,3 +996,123 @@ def test_bloom_decontamination_conservative_on_random_corpora(
         # conservativeness at token-IDENTITY grain: bloom keeps a
         # subset of what exact keeps (it can only cut more)
         assert kept <= kept_exact, (d, kept, kept_exact)
+
+
+_winnow_text = st.text(
+    alphabet=sorted("ab1 .!"), min_size=0, max_size=40
+)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    texts=st.lists(_winnow_text, min_size=1, max_size=5),
+    k=st.sampled_from([2, 3]),
+    w=st.sampled_from([2, 4]),
+)
+def test_winnow_fingerprints_match_reference(spark, texts, k, w):
+    """x64 differential on random strings: the Arrow-batched winnowing
+    selection must equal an independent plain-Python reference —
+    normalize, md5-int64 every char k-gram (SIGNED view, the engine's
+    ordering), slide the w-window, select the rightmost minimum,
+    dedup (pos, hash) per doc. The tiny 'ab1' alphabet forces the
+    gram collisions and tie-breaks fixtures rarely hit; short docs
+    exercise the sub-k absence and clipped-window (< w grams) edges."""
+    import hashlib
+    import re
+
+    from stock_market_etl_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict = {}
+    for r in winnow_fingerprints(sdf, k=k, w=w).collect():
+        got.setdefault(r["doc_id"], set()).add(
+            (r["fp_pos"], r["fp_hash"])
+        )
+
+    def signed(x: int) -> int:
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    want: dict = {}
+    for i, text in enumerate(texts):
+        t = re.sub(r"[^a-z0-9]", "", text.lower())
+        if len(t) < k:
+            continue
+        data = t.encode("utf-8")
+        n = len(data) - k + 1
+        h = [
+            signed(
+                int.from_bytes(
+                    hashlib.md5(data[p : p + k]).digest()[:8], "little"
+                )
+            )
+            for p in range(n)
+        ]
+        ww = min(w, n)
+        sel = set()
+        for s in range(n - ww + 1):
+            window = h[s : s + ww]
+            m = min(window)
+            idx = max(j for j, v in enumerate(window) if v == m)
+            sel.add((s + idx + 1, window[idx]))
+        want[i] = sel
+    assert got == want, (got, want)
+
+
+_word_doc = st.lists(
+    st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12
+).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(docs=st.lists(_word_doc, min_size=2, max_size=5))
+def test_containment_pairs_match_reference(spark, docs):
+    """x77 differential on random tiny-alphabet corpora: containment
+    pairs must equal an independent Python reference — distinct word
+    2-gram sets, candidates share ≥ 1 NON-banned gram (banned = gram
+    held by > max docs, here 2, so 5 docs exercise the ban), but
+    containment computed over the FULL sets, |A∩B| / min, id_a <
+    id_b, threshold filter. The 3-word alphabet forces heavy gram
+    sharing, bans, and the short-doc sub-n edge."""
+    import re
+    from collections import Counter
+
+    from stock_market_etl_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(
+            sdf, ngram=2, threshold=0.25, max_ids_per_gram=2
+        ).collect()
+    }
+
+    gram_sets = {}
+    for i, t in rows:
+        toks = [x for x in re.split(r"\s+", t.strip().lower()) if x]
+        if len(toks) < 2:
+            continue
+        gram_sets[i] = {
+            " ".join(toks[p : p + 2]) for p in range(len(toks) - 1)
+        }
+    cnt = Counter(g for gs in gram_sets.values() for g in gs)
+    banned = {g for g, c in cnt.items() if c > 2}
+    want = {}
+    ids = sorted(gram_sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            shared = gram_sets[a] & gram_sets[b]
+            if not (shared - banned):
+                continue
+            c = len(shared) / min(len(gram_sets[a]), len(gram_sets[b]))
+            if round(c, 6) >= 0.25:
+                want[(a, b)] = c
+    assert set(got) == set(want), (got, want)
+    for pair, v in got.items():
+        assert abs(v - want[pair]) < 1e-6, (pair, v, want[pair])
