@@ -3095,3 +3095,33 @@ def test_bitext_margin_ann_evidence(spark, sf_correct):
         1 for s, t in exact_map.items() if approx.get(s) == t
     )
     assert agree / len(exact_map) >= 0.7, (agree, len(exact_map))
+
+
+def test_bloom_broadcast_cache_thread_safety(spark):
+    """The probe-bitmap broadcast cache under CONCURRENT probes
+    (review r14's lock): many threads interleaving two distinct
+    filters must never crash the eviction iteration, must converge to
+    exactly one cached handle per distinct bitmap, and every returned
+    handle must carry its own bitmap's bytes (no cross-wiring under
+    the race)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from stock_market_etl_spark.operators import dedup as dd
+
+    sc = spark.sparkContext
+    bm1, bm2 = b"\x11" * 64, b"\x22" * 64
+    dd._BLOOM_BC_CACHE.clear()
+    dd._BLOOM_DIGEST_MEMO.clear()
+
+    def probe(i):
+        bm = bm1 if i % 2 == 0 else bm2
+        bc = dd._bloom_broadcast(sc, bm)
+        assert bc.value == bm
+        return id(bc)
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        ids = list(ex.map(probe, range(80)))
+    assert len(dd._BLOOM_BC_CACHE) == 2
+    # every even call got the same handle, every odd call likewise
+    assert len({i for n, i in enumerate(ids) if n % 2 == 0}) == 1
+    assert len({i for n, i in enumerate(ids) if n % 2 == 1}) == 1
