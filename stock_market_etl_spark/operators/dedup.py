@@ -1676,6 +1676,13 @@ _BLOOM_DIGEST_MEMO: dict = {}
 _BLOOM_BC_LOCK = threading.Lock()
 
 
+#: The digest memo holds STRONG bitmap refs (that's what keeps the id
+#: keys valid), so it is bounded: past this many entries the oldest
+#: evict — an evicted bitmap just pays one sha1 again on its next
+#: probe and still finds its cached broadcast by content digest.
+_BLOOM_MEMO_MAX = 32
+
+
 def _bloom_broadcast(sc, bitmap_bytes: bytes):
     import hashlib
 
@@ -1685,6 +1692,10 @@ def _bloom_broadcast(sc, bitmap_bytes: bytes):
             digest = memo[1]
         else:
             digest = hashlib.sha1(bitmap_bytes).digest()
+            while len(_BLOOM_DIGEST_MEMO) >= _BLOOM_MEMO_MAX:
+                _BLOOM_DIGEST_MEMO.pop(
+                    next(iter(_BLOOM_DIGEST_MEMO))
+                )
             _BLOOM_DIGEST_MEMO[id(bitmap_bytes)] = (bitmap_bytes, digest)
         app = sc.applicationId
         # drop handles from dead contexts so a restart can't hold them
@@ -1696,6 +1707,29 @@ def _bloom_broadcast(sc, bitmap_bytes: bytes):
             bc = sc.broadcast(bitmap_bytes)
             _BLOOM_BC_CACHE[key] = bc
         return bc
+
+
+def release_bloom_broadcasts() -> int:
+    """Release every cached probe-bitmap broadcast — the housekeeping
+    seam for long-lived sessions that retire eval releases (the
+    module docstring's cache-lifecycle convention, applied to the
+    bloom tier): each handle is unpersisted AND destroyed, so the
+    driver block-manager pin and every executor copy drop now rather
+    than at context death. Call only between probe rounds — a
+    DataFrame still holding one of these handles must not be
+    evaluated afterwards (rebuild it; the next probe re-broadcasts).
+    Returns the number of handles released."""
+    with _BLOOM_BC_LOCK:
+        n = len(_BLOOM_BC_CACHE)
+        for bc in _BLOOM_BC_CACHE.values():
+            try:
+                bc.unpersist()
+                bc.destroy()
+            except Exception:
+                pass  # context already stopped — nothing to release
+        _BLOOM_BC_CACHE.clear()
+        _BLOOM_DIGEST_MEMO.clear()
+        return n
 
 
 def bloom_contaminated_spans(

@@ -3125,3 +3125,26 @@ def test_bloom_broadcast_cache_thread_safety(spark):
     # every even call got the same handle, every odd call likewise
     assert len({i for n, i in enumerate(ids) if n % 2 == 0}) == 1
     assert len({i for n, i in enumerate(ids) if n % 2 == 1}) == 1
+
+
+def test_release_bloom_broadcasts(spark):
+    """The bloom cache's housekeeping seam: releasing drops every
+    cached handle and the memo (count returned), the next probe
+    re-broadcasts cleanly, and the memo stays bounded — flooding it
+    with > _BLOOM_MEMO_MAX distinct bitmaps never grows it past the
+    cap (evicted bitmaps still resolve by content digest)."""
+    from stock_market_etl_spark.operators import dedup as dd
+
+    sc = spark.sparkContext
+    dd.release_bloom_broadcasts()
+    b1 = dd._bloom_broadcast(sc, b"\x01" * 64)
+    dd._bloom_broadcast(sc, b"\x02" * 64)
+    assert dd.release_bloom_broadcasts() == 2
+    assert not dd._BLOOM_BC_CACHE and not dd._BLOOM_DIGEST_MEMO
+    b1b = dd._bloom_broadcast(sc, b"\x01" * 64)
+    assert b1b.value == b"\x01" * 64 and b1b is not b1
+
+    for i in range(dd._BLOOM_MEMO_MAX + 8):
+        dd._bloom_broadcast(sc, bytes([i % 251]) * 64)
+    assert len(dd._BLOOM_DIGEST_MEMO) <= dd._BLOOM_MEMO_MAX
+    dd.release_bloom_broadcasts()
