@@ -1677,26 +1677,38 @@ _BLOOM_BC_LOCK = threading.Lock()
 
 
 #: The digest memo holds STRONG bitmap refs (that's what keeps the id
-#: keys valid), so it is bounded: past this many entries the oldest
-#: evict — an evicted bitmap just pays one sha1 again on its next
-#: probe and still finds its cached broadcast by content digest.
-_BLOOM_MEMO_MAX = 32
+#: keys valid), so it is bounded by BYTES, not entries — the entries
+#: are the multi-hundred-MB objects the tier exists for, so an entry
+#: count would still pin gigabytes (review r14). Eviction is LRU
+#: (hits refresh recency) so cycling releases don't thrash; an
+#: evicted bitmap pays one sha1 on its next probe and still finds
+#: its cached broadcast by content digest.
+_BLOOM_MEMO_MAX_BYTES = 256 * 1024 * 1024
 
 
 def _bloom_broadcast(sc, bitmap_bytes: bytes):
     import hashlib
 
     with _BLOOM_BC_LOCK:
-        memo = _BLOOM_DIGEST_MEMO.get(id(bitmap_bytes))
+        mkey = id(bitmap_bytes)
+        memo = _BLOOM_DIGEST_MEMO.get(mkey)
         if memo is not None and memo[0] is bitmap_bytes:
             digest = memo[1]
+            # LRU refresh: a hit moves to the back of eviction order
+            _BLOOM_DIGEST_MEMO.pop(mkey)
+            _BLOOM_DIGEST_MEMO[mkey] = memo
         else:
             digest = hashlib.sha1(bitmap_bytes).digest()
-            while len(_BLOOM_DIGEST_MEMO) >= _BLOOM_MEMO_MAX:
-                _BLOOM_DIGEST_MEMO.pop(
+            budget = _BLOOM_MEMO_MAX_BYTES - len(bitmap_bytes)
+            held = sum(
+                len(v[0]) for v in _BLOOM_DIGEST_MEMO.values()
+            )
+            while _BLOOM_DIGEST_MEMO and held > budget:
+                old = _BLOOM_DIGEST_MEMO.pop(
                     next(iter(_BLOOM_DIGEST_MEMO))
                 )
-            _BLOOM_DIGEST_MEMO[id(bitmap_bytes)] = (bitmap_bytes, digest)
+                held -= len(old[0])
+            _BLOOM_DIGEST_MEMO[mkey] = (bitmap_bytes, digest)
         app = sc.applicationId
         # drop handles from dead contexts so a restart can't hold them
         for stale in [k for k in _BLOOM_BC_CACHE if k[0] != app]:
@@ -1718,18 +1730,27 @@ def release_bloom_broadcasts() -> int:
     than at context death. Call only between probe rounds — a
     DataFrame still holding one of these handles must not be
     evaluated afterwards (rebuild it; the next probe re-broadcasts).
-    Returns the number of handles released."""
+    Returns the number of handles actually released. A handle whose
+    unpersist/destroy FAILS stays in the cache so a later release can
+    retry — dropping it would leak its blocks permanently while
+    reporting success (review r14). If the failure was the context
+    stopping, the blocks died with the JVM and the kept handles are
+    inert dict entries; the next `_bloom_broadcast` call evicts them
+    by application id anyway."""
     with _BLOOM_BC_LOCK:
-        n = len(_BLOOM_BC_CACHE)
-        for bc in _BLOOM_BC_CACHE.values():
+        released = 0
+        kept: dict = {}
+        for key, bc in _BLOOM_BC_CACHE.items():
             try:
                 bc.unpersist()
                 bc.destroy()
+                released += 1
             except Exception:
-                pass  # context already stopped — nothing to release
+                kept[key] = bc  # retryable; inert if context stopped
         _BLOOM_BC_CACHE.clear()
+        _BLOOM_BC_CACHE.update(kept)
         _BLOOM_DIGEST_MEMO.clear()
-        return n
+        return released
 
 
 def bloom_contaminated_spans(

@@ -2287,7 +2287,7 @@ def test_bloom_decontamination_evidence(spark, sf_correct):
     # fresh bitmap copy in the driver's block manager per call
     from stock_market_etl_spark.operators import dedup as _dedup
 
-    _dedup._BLOOM_BC_CACHE.clear()
+    _dedup.release_bloom_broadcasts()
     bloom_contaminated_spans(bloom_p, batch_p, k=4).count()
     assert len(_dedup._BLOOM_BC_CACHE) == 1
     first_bc = next(iter(_dedup._BLOOM_BC_CACHE.values()))
@@ -3110,8 +3110,9 @@ def test_bloom_broadcast_cache_thread_safety(spark):
 
     sc = spark.sparkContext
     bm1, bm2 = b"\x11" * 64, b"\x22" * 64
-    dd._BLOOM_BC_CACHE.clear()
-    dd._BLOOM_DIGEST_MEMO.clear()
+    # release (not clear): raw clear would orphan earlier tests'
+    # cached broadcasts with their blocks still pinned (review r14)
+    dd.release_bloom_broadcasts()
 
     def probe(i):
         bm = bm1 if i % 2 == 0 else bm2
@@ -3125,14 +3126,16 @@ def test_bloom_broadcast_cache_thread_safety(spark):
     # every even call got the same handle, every odd call likewise
     assert len({i for n, i in enumerate(ids) if n % 2 == 0}) == 1
     assert len({i for n, i in enumerate(ids) if n % 2 == 1}) == 1
+    assert dd.release_bloom_broadcasts() == 2  # leave nothing pinned
 
 
-def test_release_bloom_broadcasts(spark):
+def test_release_bloom_broadcasts(spark, monkeypatch):
     """The bloom cache's housekeeping seam: releasing drops every
     cached handle and the memo (count returned), the next probe
-    re-broadcasts cleanly, and the memo stays bounded — flooding it
-    with > _BLOOM_MEMO_MAX distinct bitmaps never grows it past the
-    cap (evicted bitmaps still resolve by content digest)."""
+    re-broadcasts cleanly, and the memo is BYTE-bounded — flooding it
+    with bitmaps past the budget never pins more than the budget
+    (evicted bitmaps still resolve by content digest), while a HIT
+    refreshes LRU recency so hot bitmaps survive the churn."""
     from stock_market_etl_spark.operators import dedup as dd
 
     sc = spark.sparkContext
@@ -3143,8 +3146,19 @@ def test_release_bloom_broadcasts(spark):
     assert not dd._BLOOM_BC_CACHE and not dd._BLOOM_DIGEST_MEMO
     b1b = dd._bloom_broadcast(sc, b"\x01" * 64)
     assert b1b.value == b"\x01" * 64 and b1b is not b1
+    dd.release_bloom_broadcasts()
 
-    for i in range(dd._BLOOM_MEMO_MAX + 8):
-        dd._bloom_broadcast(sc, bytes([i % 251]) * 64)
-    assert len(dd._BLOOM_DIGEST_MEMO) <= dd._BLOOM_MEMO_MAX
+    monkeypatch.setattr(dd, "_BLOOM_MEMO_MAX_BYTES", 64 * 4)
+    hot = b"\xaa" * 64
+    dd._bloom_broadcast(sc, hot)
+    for i in range(10):
+        dd._bloom_broadcast(sc, hot)  # LRU refresh keeps it resident
+        dd._bloom_broadcast(sc, bytes([i + 1]) * 64)
+        held = sum(
+            len(v[0]) for v in dd._BLOOM_DIGEST_MEMO.values()
+        )
+        assert held <= 64 * 4, held
+        assert any(
+            v[0] is hot for v in dd._BLOOM_DIGEST_MEMO.values()
+        )
     dd.release_bloom_broadcasts()

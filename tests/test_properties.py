@@ -960,9 +960,10 @@ def test_bloom_decontamination_conservative_on_random_corpora(
     ref = sdf.filter(F.col("doc_id") % split == 0)
     train = sdf.filter(F.col("doc_id") % split != 0)
 
+    exact_spans_df = contaminated_spans(ref, train, k=k)
     exact_spans = [
         (r["doc_id"], r["span_start"], r["span_end"])
-        for r in contaminated_spans(ref, train, k=k).collect()
+        for r in exact_spans_df.collect()
     ]
     bloom = build_window_bloom(ref, k=k, fpp=0.01)
     bloom_spans_df = bloom_contaminated_spans(bloom, train, k=k)
@@ -981,9 +982,7 @@ def test_bloom_decontamination_conservative_on_random_corpora(
 
     exact_clean = {
         r["doc_id"]: r["clean_text"]
-        for r in cut_spans(
-            train, contaminated_spans(ref, train, k=k)
-        ).collect()
+        for r in cut_spans(train, exact_spans_df).collect()
     }
     bloom_clean = {
         r["doc_id"]: r["clean_text"]
