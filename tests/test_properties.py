@@ -1115,3 +1115,56 @@ def test_containment_pairs_match_reference(spark, docs):
     assert set(got) == set(want), (got, want)
     for pair, v in got.items():
         assert abs(v - want[pair]) < 1e-6, (pair, v, want[pair])
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_match_union_find(spark, edges):
+    """x31/x35's clustering core on random graphs: the iterative
+    Hash-Min label propagation must equal an independent union-find
+    reference — every node labeled with the MINIMUM id reachable from
+    it. Random tuples produce self-loops, parallel/duplicate edges,
+    long chains (propagation rounds ~ diameter), and cycles — the
+    shapes the fixture's near-dup pairs rarely cover. The driver
+    oracle (recursive CTE) proves the fixture distribution; this
+    proves arbitrary graphs."""
+    from stock_market_etl_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["id"]: r["cluster_rep"]
+        for r in connected_components(pairs).collect()
+    }
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps: dict = {}
+    for n in parent:
+        comps.setdefault(find(n), set()).add(n)
+    want = {
+        n: min(members)
+        for members in comps.values()
+        for n in members
+    }
+    assert got == want, (got, want)
