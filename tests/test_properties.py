@@ -1168,3 +1168,69 @@ def test_connected_components_match_union_find(spark, edges):
         for n in members
     }
     assert got == want, (got, want)
+
+
+_scd2_batches = st.lists(
+    st.dictionaries(
+        keys=st.sampled_from([0, 1, 2, None]),
+        values=st.sampled_from([None, "x", "y"]),
+        max_size=4,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(batches=_scd2_batches)
+def test_scd2_apply_multi_batch_matches_model(spark, batches):
+    """l5 across BATCH SEQUENCES (the single-batch semantics tests
+    can't see history accumulation): applying random update batches
+    to an initially-empty dimension must equal an independent Python
+    state model — a changed attribute closes the open row at the
+    update's effective date and opens a new version, an unchanged
+    update is a no-op (NULL-safe: None == None is unchanged), a new
+    key opens its first version, and a NULL key never matches (each
+    NULL-keyed update appends its own open version; NULL-keyed open
+    rows pass through untouched). Between batches the engine output
+    is materialized and re-fed, so each step exercises the operator
+    on its own prior output."""
+    from stock_market_etl_spark.pipeline import scd2_apply
+
+    dim_schema = "key int, attr string, valid_from int, valid_to int"
+    rows: list = []
+    for i, batch in enumerate(batches):
+        cur = spark.createDataFrame(rows, dim_schema)
+        upd = spark.createDataFrame(
+            [(k, v, i) for k, v in batch.items()],
+            "key int, attr string, eff_date int",
+        )
+        rows = [
+            (r["key"], r["attr"], r["valid_from"], r["valid_to"])
+            for r in scd2_apply(
+                cur, upd, key="key", attrs=("attr",)
+            ).collect()
+        ]
+
+    state: list = []  # [key, attr, valid_from, valid_to]
+    for i, batch in enumerate(batches):
+        for k, v in batch.items():
+            if k is None:
+                state.append([None, v, i, None])
+                continue
+            open_v = [
+                s for s in state if s[0] == k and s[3] is None
+            ]
+            if not open_v:
+                state.append([k, v, i, None])
+            elif open_v[0][1] != v:
+                open_v[0][3] = i
+                state.append([k, v, i, None])
+    want = sorted(
+        (tuple(s) for s in state),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+    got = sorted(
+        rows, key=lambda t: tuple((x is None, x) for x in t)
+    )
+    assert got == [tuple(w) for w in want], (got, want)
