@@ -302,6 +302,29 @@ def _render_headline(payload: dict) -> str:
     return line
 
 
+def _prevalidate_headline(names: list, sf_val) -> None:
+    """Rehearse the headline at a LOWER-BOUND width before the timing
+    loop, so a BENCH addition that cannot possibly fit fails in
+    seconds instead of after the full multi-minute run (and after
+    skipping spark.stop() — ADVICE r14). Lower bound, not upper: a
+    65-row headline fits at real value widths (~1920 chars) while the
+    worst-case 2-sig-fig width (6 chars/value) already measures over
+    budget, so a pessimistic rehearsal would falsely refuse runs the
+    emit guard passes. With every value at its 1-char minimum, a
+    rehearsal that STILL overflows proves any real emission must too
+    — zero false refusals; marginal cases are still caught by the
+    authoritative emit-time check in `_render_headline`."""
+    _render_headline(
+        {
+            "metric": "bench_total_wall",
+            "value": 99999.999,
+            "unit": "sec",
+            "queries": {n: 1 for n in names},
+            "sf": sf_val,
+        }
+    )
+
+
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -408,6 +431,11 @@ def main() -> None:
             raise SystemExit(f"not bench queries: {unknown}")
         BENCH_QUERIES = wanted
 
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # fail an over-budget headline NOW, before paying for the run
+    _prevalidate_headline(BENCH_QUERIES, sf_val)
+
     queries = all_queries()
     # Warm-up pass: run every bench query once so the timed pass
     # measures steady-state execution (whole-stage codegen compilation,
@@ -455,8 +483,6 @@ def main() -> None:
     # quantization noise into cross-round total comparisons (ADVICE
     # r12); only the per-query map rides at headline precision.
     total = round(sum(timings.values()), 3)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # TWO JSON lines, detail first: the driver's record keeps only the
     # last ~2 KB of output, so the headline line (metric/value/queries)
     # must come LAST and stay compact enough to survive the tail

@@ -37,75 +37,70 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship (F1+F2) — permanent anchor
     "f1_f2_metrics_pipeline",
-    # --- r14 rotation (DRIVER_WINDOW.md drafted slot-priority order,
-    # applied mechanically): CORRECTNESS_r13 came back 50/50 green,
-    # ledger stamped r13, so every r13 slot vacates. Tier 1 (red
+    # --- r15 rotation (DRIVER_WINDOW.md drafted slot-priority order,
+    # applied mechanically): CORRECTNESS_r14 came back 50/50 green,
+    # ledger stamped r14, so every r14 slot vacates. Tier 1 (red
     # re-proofs) is empty. Tier 2: the 3 core canaries + the
     # flagship anchor above.
     "q_compute_trends",
     "c4_watermark_filter",
     "e1_global_max_watermark",
-    # Tier 3 — first proofs for the 4 r13-new oracle-bearing queries
-    # (all green at sf0.01 AND sf0.1 via tools.verify_queries, and
-    # independently re-driven green by the r13 judge; closes the
-    # 212→216 driver-grade gap):
-    "x84_substring_decontamination",
-    "n21_stream_decontamination_gate",
-    "x85_embedding_contamination",
-    "x87_curation_pipeline_v5",
-    # Tier 4 — changed-since-proof re-admits (accept-local'd r13 after
-    # the `_span_gate_sink` extraction + the mandatory ``built_k``
-    # width guard on exact_substring_spans_incremental(corpus_index=…);
-    # each re-verified green at sf0.01 AND sf0.1 post-change — restore
-    # driver grade):
-    "n19_stream_substring_gate",
-    "b25_window_index_lifecycle",
-    "x74_incremental_substring_spans",
+    # Tier 3 — first proof for the single r14-new oracle-bearing query
+    # (green at sf0.01 AND sf0.1 via tools.verify_queries, and
+    # independently re-driven green by the r14 judge; closes the
+    # 216→217 driver-grade gap):
+    "b26_window_index_release_lifecycle",
     # Tier 5 — freshness cycling, oldest-first per the ledger: the
-    # COMPLETE r09 cohort (30 rows — the oldest surviving proofs
-    # after a green r13)…
-    "f13_bollinger",
-    "f14_vwap",
-    "f15_ohlc_resample",
-    "f16_atr",
-    "f17_gap_fill",
-    "f18_market_pipeline",
-    "h1_union_all",
-    "h3_except",
-    "h4_union_by_name",
-    "i2_year_extract",
-    "i5_arithmetic_chain",
-    "i6_string_normalize",
-    "j2_rename_columns",
-    "k7_volume_anomaly_gate",
-    "k8_column_profile",
-    "l5_scd2_dimension",
-    "l6_incremental_agg_rollup",
-    "m8_arrow_optimized_udf",
-    "n15_stateful_running_totals",
-    "n16_stream_ohlc_bars",
-    "n17_stream_agg_partials",
-    "x58_dsir_importance",
-    "x59_perplexity_buckets",
-    "x60_boilerplate_prune",
-    "x62_knn_label_propagation",
-    "x64_winnow_fingerprints",
-    "x65_winnow_near_dup",
-    "x66_keep_best_dedup",
-    "x68_weighted_sample",
-    "e21_market_beta",
-    # …then 9 of the 42 r10 rows as the remaining slots allow, §2-core
-    # lettered rows first per convention; the other 33 r10 rows cycle
-    # in r15.
-    "a4_html_dimension_parse",
-    "a5_literal_source",
-    "b2_upsert_merge",
-    "b16_compaction_roundtrip",
-    "c1_projection",
-    "d10_range_join_pairs",
-    "e14_avg_min_max_count",
-    "e15_percentiles",
-    "f6_rank_functions",
+    # COMPLETE remaining r10 cohort (33 rows — the oldest surviving
+    # proofs after a green r14)…
+    "f7_range_frame",
+    "f8_sessionize",
+    "g4_bottom_k",
+    "i1_cast",
+    "i8_timezone_convert",
+    "i9_conditional_format",
+    "m1_pandas_udf_format",
+    "m2_grouped_agg_pandas_udf",
+    "m3_udtf_ohlc_unpivot",
+    "m4_grouped_map_zscore",
+    "n1_tumbling_window_agg",
+    "n2_sliding_window_agg",
+    "n3_session_window_agg",
+    "n6_stream_stream_join",
+    "n7_stream_stream_left_join",
+    "n8_chained_join_window",
+    "x1_token_count",
+    "x2_word_freq",
+    "x3_quality_score",
+    "x4_lang_id",
+    "x5_fingerprint",
+    "x9_multimodal_meta",
+    "x18_multimodal_resize",
+    "x19_frame_sample_counts",
+    "x20_bpe_token_count",
+    "x29_pii_redact",
+    "x30_repetition_ratio",
+    "x32_audio_decode_meta",
+    "x33_tfidf_topk",
+    "x34_bm25_topk",
+    "x36_document_chunks",
+    "x37_bigram_lm_score",
+    "x71_substring_dup_spans",
+    # …then 12 of the 43 r11 rows as the remaining slots allow, §2-core
+    # lettered rows first per convention; the other 31 r11 rows cycle
+    # in r16.
+    "b1_partitioned_write_roundtrip",
+    "b7_csv_roundtrip",
+    "b8_json_roundtrip",
+    "b10_orc_roundtrip",
+    "b11_bucketed_colocated_join",
+    "b18_snapshot_time_travel",
+    "b19_snapshot_increment_read",
+    "b20_cow_delete",
+    "b21_cow_upsert",
+    "b22_lake_lifecycle",
+    "b23_snapshot_skipping_read",
+    "c6_single_eq_filter",
 )
 
 

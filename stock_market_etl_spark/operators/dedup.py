@@ -23,6 +23,7 @@ Scale design:
 from __future__ import annotations
 
 import threading
+import warnings
 
 import numpy as np
 import pandas as pd
@@ -1685,6 +1686,12 @@ _BLOOM_BC_LOCK = threading.Lock()
 #: its cached broadcast by content digest.
 _BLOOM_MEMO_MAX_BYTES = 256 * 1024 * 1024
 
+#: Above this size the Spark Connect closure-capture fallback (no
+#: sparkContext → bitmap pickled into every task command) warns
+#: loudly instead of degrading silently (ADVICE r14): 16 MB is the
+#: scale where per-task re-shipping starts to dominate probe cost.
+_BLOOM_CLOSURE_WARN_BYTES = 16 * 1024 * 1024
+
 
 def _bloom_broadcast(sc, bitmap_bytes: bytes):
     import hashlib
@@ -1699,16 +1706,22 @@ def _bloom_broadcast(sc, bitmap_bytes: bytes):
             _BLOOM_DIGEST_MEMO[mkey] = memo
         else:
             digest = hashlib.sha1(bitmap_bytes).digest()
-            budget = _BLOOM_MEMO_MAX_BYTES - len(bitmap_bytes)
-            held = sum(
-                len(v[0]) for v in _BLOOM_DIGEST_MEMO.values()
-            )
-            while _BLOOM_DIGEST_MEMO and held > budget:
-                old = _BLOOM_DIGEST_MEMO.pop(
-                    next(iter(_BLOOM_DIGEST_MEMO))
+            if len(bitmap_bytes) <= _BLOOM_MEMO_MAX_BYTES:
+                budget = _BLOOM_MEMO_MAX_BYTES - len(bitmap_bytes)
+                held = sum(
+                    len(v[0]) for v in _BLOOM_DIGEST_MEMO.values()
                 )
-                held -= len(old[0])
-            _BLOOM_DIGEST_MEMO[mkey] = (bitmap_bytes, digest)
+                while _BLOOM_DIGEST_MEMO and held > budget:
+                    old = _BLOOM_DIGEST_MEMO.pop(
+                        next(iter(_BLOOM_DIGEST_MEMO))
+                    )
+                    held -= len(old[0])
+                _BLOOM_DIGEST_MEMO[mkey] = (bitmap_bytes, digest)
+            # else: a single entry above the whole budget is never
+            # memoized — inserting it would evict everything AND pin
+            # the oversized bytes until release (ADVICE r14); such a
+            # bitmap pays one sha1 per probe and still reuses its
+            # cached broadcast by content digest.
         app = sc.applicationId
         # drop handles from dead contexts so a restart can't hold them
         for stale in [k for k in _BLOOM_BC_CACHE if k[0] != app]:
@@ -1719,6 +1732,32 @@ def _bloom_broadcast(sc, bitmap_bytes: bytes):
             bc = sc.broadcast(bitmap_bytes)
             _BLOOM_BC_CACHE[key] = bc
         return bc
+
+
+def _closure_capture_fetch(bitmap_bytes: bytes):
+    """Bitmap access for sessions with NO sparkContext (Spark
+    Connect — the `_compat` best-effort convention): closure capture,
+    correct but re-shipped inside EVERY task command — the exact
+    per-task cost the broadcast path exists to avoid. Degrading is
+    right (the probe still works); degrading SILENTLY at the
+    multi-hundred-MB scale this tier targets is not (ADVICE r14), so
+    bitmaps above `_BLOOM_CLOSURE_WARN_BYTES` warn, pointing at
+    classic mode or a pre-distributed file artifact."""
+    if len(bitmap_bytes) > _BLOOM_CLOSURE_WARN_BYTES:
+        warnings.warn(
+            "bloom_contaminated_spans: no sparkContext (Spark "
+            "Connect?) — falling back to closure capture of a "
+            f"{len(bitmap_bytes) / 1e6:.0f} MB bitmap, re-shipped "
+            "with every task. Use classic mode, or distribute the "
+            "filter as a file artifact, for bitmaps this large.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+    def fetch_bitmap() -> bytes:
+        return bitmap_bytes
+
+    return fetch_bitmap
 
 
 def release_bloom_broadcasts() -> int:
@@ -1832,9 +1871,7 @@ def bloom_contaminated_spans(
             return bc_bitmap.value
 
     else:
-
-        def fetch_bitmap() -> bytes:
-            return bitmap_bytes
+        fetch_bitmap = _closure_capture_fetch(bitmap_bytes)
 
     @pandas_udf(BooleanType())
     def might_contain(pos: pd.Series) -> pd.Series:
@@ -1915,7 +1952,12 @@ def publish_window_index(
     overwrite would read-under-write the artifact it is derived from.
     Data writes before meta, so a crash between the two leaves an
     artifact `read_window_index` refuses loudly (the malformed-meta
-    guard) rather than one that silently probes.
+    guard) rather than one that silently probes. If the META write
+    fails, the half-written ``window_hashes`` directory is removed
+    best-effort so a retry to the SAME path can succeed (ADVICE r14
+    — otherwise every retry refuses with 'already exists'); when
+    that cleanup itself fails (e.g. the filesystem died), recovery
+    is manual: delete the release directory and re-publish.
 
     ``built_k`` is stamped into the release meta, and a WRONG value
     is unverifiable from the digests later — so when ``index`` came
@@ -1937,7 +1979,30 @@ def publish_window_index(
             "nothing; pass the k the index was merged/built at"
         )
     index.write.mode("error").parquet(f"{path}/window_hashes")
-    _write_index_meta(index.sparkSession, path, built_k, mode="error")
+    try:
+        _write_index_meta(
+            index.sparkSession, path, built_k, mode="error"
+        )
+    except Exception:
+        # Data landed but meta didn't: without cleanup every retry to
+        # the same release path refuses with 'already exists' (ADVICE
+        # r14). Remove the half-written data dir best-effort — via
+        # Hadoop FS so any scheme (file/hdfs/s3a) works — then
+        # re-raise the original failure. If the cleanup fails too,
+        # read_window_index still refuses the artifact loudly; the
+        # documented recovery is delete-the-release-dir + re-publish.
+        try:
+            spark = index.sparkSession
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(
+                f"{path}/window_hashes"
+            )
+            fs = jpath.getFileSystem(
+                spark._jsc.hadoopConfiguration()
+            )
+            fs.delete(jpath, True)
+        except Exception:
+            pass
+        raise
 
 
 def merge_window_index(

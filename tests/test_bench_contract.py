@@ -290,6 +290,33 @@ def test_headline_refuses_past_budget_at_emit_time():
     assert _render_headline(under)
 
 
+def test_headline_prevalidates_before_timing_loop():
+    """ADVICE r14: a BENCH addition that cannot possibly fit the
+    headline budget fails BEFORE the timing loop pays for the full
+    run (and before the SystemExit would skip spark.stop()). The
+    rehearsal is a LOWER bound (1-char values) so it can never
+    falsely refuse a run the emit guard passes: the CURRENT query
+    set must prevalidate clean, a hopeless set must raise, and
+    main() must call the rehearsal ahead of the warm-up pass."""
+    import inspect
+
+    import pytest
+
+    import bench
+
+    # the real set passes (no false refusal)
+    bench._prevalidate_headline(bench.BENCH_QUERIES, 0.1)
+    # a set that cannot fit even at minimum width refuses up front
+    hopeless = [f"q{i:04d}_padpadpadpadpad" for i in range(200)]
+    with pytest.raises(SystemExit, match="retire"):
+        bench._prevalidate_headline(hopeless, 0.1)
+    # ordering: rehearsal strictly before the warm-up/timed passes
+    src = inspect.getsource(bench.main)
+    assert src.index("_prevalidate_headline") < src.index(
+        "Warm-up pass"
+    )
+
+
 def test_shuffle_bytes_hold_their_pins(spark):
     """The shuffle-economy contract as a test, not prose: each benched
     query's total 'shuffle bytes written' at sf0.1 must stay inside

@@ -3162,3 +3162,235 @@ def test_release_bloom_broadcasts(spark, monkeypatch):
             v[0] is hot for v in dd._BLOOM_DIGEST_MEMO.values()
         )
     dd.release_bloom_broadcasts()
+
+
+def test_bloom_memo_skips_oversized_entry(spark, monkeypatch):
+    """A single bitmap LARGER than the whole memo budget is never
+    memoized (ADVICE r14: inserting it drove the budget negative,
+    evicted every other entry, AND pinned the oversized bytes until
+    release — exactly the pin the bound exists to prevent). It still
+    gets a content-digest-cached broadcast, so correctness and
+    broadcast reuse are unaffected; resident smaller entries
+    survive untouched."""
+    from stock_market_etl_spark.operators import dedup as dd
+
+    sc = spark.sparkContext
+    dd.release_bloom_broadcasts()
+    monkeypatch.setattr(dd, "_BLOOM_MEMO_MAX_BYTES", 64 * 4)
+    small = [bytes([i + 1]) * 64 for i in range(3)]
+    for bm in small:
+        dd._bloom_broadcast(sc, bm)
+    assert len(dd._BLOOM_DIGEST_MEMO) == 3
+    big = b"\xbb" * (64 * 5)  # alone exceeds the 256-byte budget
+    bc1 = dd._bloom_broadcast(sc, big)
+    # not memoized, nothing evicted, budget invariant holds
+    assert len(dd._BLOOM_DIGEST_MEMO) == 3
+    assert all(
+        v[0] in small for v in dd._BLOOM_DIGEST_MEMO.values()
+    )
+    held = sum(len(v[0]) for v in dd._BLOOM_DIGEST_MEMO.values())
+    assert held <= 64 * 4
+    # re-probe pays sha1 (no memo) but reuses the SAME broadcast
+    bc2 = dd._bloom_broadcast(sc, big)
+    assert bc2 is bc1
+    assert dd.release_bloom_broadcasts() == 4
+
+
+def test_bloom_closure_fallback_warns_above_threshold(monkeypatch):
+    """The Spark Connect fallback (no sparkContext → bitmap captured
+    in the UDF closure, re-shipped per task) must not degrade
+    SILENTLY at the multi-hundred-MB scale the tier targets (ADVICE
+    r14): above the threshold it emits a RuntimeWarning pointing at
+    classic mode / a file artifact; below it stays quiet; either way
+    the fetch closure returns the exact bytes."""
+    import warnings as _warnings
+
+    from stock_market_etl_spark.operators import dedup as dd
+
+    monkeypatch.setattr(dd, "_BLOOM_CLOSURE_WARN_BYTES", 64)
+    big = b"\x01" * 65
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        fetch = dd._closure_capture_fetch(big)
+    assert fetch() == big
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "closure capture" in str(w.message)
+        for w in caught
+    )
+    small = b"\x02" * 64
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        fetch = dd._closure_capture_fetch(small)
+    assert fetch() == small and not caught
+
+
+def test_publish_window_index_meta_failure_cleans_data(
+    spark, sf_smoke, tmp_path
+):
+    """publish_window_index writes data before meta (a crash between
+    the two reads as a loud malformed-meta refusal) — but without
+    cleanup, every RETRY to the same release path refuses with
+    'already exists' (ADVICE r14). A failed meta write now removes
+    the half-written window_hashes dir best-effort, re-raises the
+    original failure, and a retry to the SAME path succeeds and
+    round-trips."""
+    import os
+
+    import pytest
+
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_smoke, "documents").limit(20)
+    idx = dd.corpus_window_hashes(docs, k=8)
+    path = str(tmp_path / "release")
+
+    def boom(*a, **kw):
+        raise RuntimeError("meta write died")
+
+    orig = dd._write_index_meta
+    dd._write_index_meta = boom
+    try:
+        with pytest.raises(RuntimeError, match="meta write died"):
+            dd.publish_window_index(idx, path, built_k=8)
+    finally:
+        dd._write_index_meta = orig
+    assert not os.path.exists(f"{path}/window_hashes")
+    # retry to the SAME path now succeeds (write-once contract holds
+    # per successful release, not per failed attempt)
+    dd.publish_window_index(idx, path, built_k=8)
+    loaded, built_k = dd.read_window_index(spark, path)
+    assert built_k == 8
+    assert loaded.count() == idx.count()
+
+
+def test_embedding_index_release_lifecycle(spark, sf_smoke, tmp_path):
+    """b27's engine seams (VERDICT r14 task 4 — the embedding sibling
+    of b25/b26): write release 1 → read back → merge release 2 at
+    increment cost → publish write-once → probe the published
+    artifact; the probe equals the inline x85 derivation over the
+    union eval set BIT-FOR-BIT (merged ≡ rebuilt), and every
+    width/provenance/corruption seam refuses loudly."""
+    import os
+
+    import pytest
+
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    train = emb.filter(F.col("vec_id") % 5 != 0)
+    r1 = emb.filter(F.col("vec_id") % 10 == 0)
+    r2 = emb.filter(F.col("vec_id") % 10 == 5)
+    p1 = str(tmp_path / "emb_r1")
+    p2 = str(tmp_path / "emb_r2")
+
+    sim.write_embedding_index(r1, p1, dim=64)
+    idx1, built_dim = sim.read_embedding_index(spark, p1)
+    assert built_dim == 64
+
+    # single-release probe ≡ inline derivation over train ∪ r1
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    single = rows(
+        sim.embedding_contamination_incremental(
+            idx1, train, threshold=0.4, built_dim=built_dim
+        )
+    )
+    inline1 = rows(
+        sim.embedding_contamination(
+            train.unionByName(r1),
+            F.col("vec_id") % 10 == 0,
+            threshold=0.4,
+        )
+    )
+    assert single == inline1 and single
+
+    # merge → publish → probe ≡ inline over the UNION eval set (x85)
+    merged = sim.merge_embedding_index(idx1, r2, built_dim, dim=64)
+    sim.publish_embedding_index(merged, p2, built_dim)
+    idx2, dim2 = sim.read_embedding_index(spark, p2)
+    via_releases = rows(
+        sim.embedding_contamination_incremental(
+            idx2, train, threshold=0.4, built_dim=dim2
+        )
+    )
+    rebuilt = rows(
+        sim.embedding_contamination(
+            emb, F.col("vec_id") % 5 == 0, threshold=0.4
+        )
+    )
+    assert via_releases == rebuilt and via_releases
+
+    # merged artifact rows ≡ a from-scratch build of r1 ∪ r2
+    p_scratch = str(tmp_path / "emb_scratch")
+    sim.write_embedding_index(r1.unionByName(r2), p_scratch, dim=64)
+    scratch_idx, _ = sim.read_embedding_index(spark, p_scratch)
+    assert rows(idx2) == rows(scratch_idx)
+
+    # width seams: read at the wrong dim, merge at the wrong dim,
+    # probe without built_dim, publish with contradicting provenance
+    with pytest.raises(ValueError, match="dim=64"):
+        sim.read_embedding_index(spark, p2, dim=32)
+    with pytest.raises(ValueError, match="dim=64"):
+        sim.merge_embedding_index(idx1, r2, built_dim, dim=32)
+    with pytest.raises(ValueError, match="built_dim"):
+        sim.embedding_contamination_incremental(idx2, train)
+    tagged = sim.merge_embedding_index(idx1, r2, built_dim, dim=64)
+    with pytest.raises(ValueError, match="dim=64"):
+        sim.publish_embedding_index(
+            tagged, str(tmp_path / "emb_bad"), built_dim=32
+        )
+    # in-plan width enforcement: claiming the wrong dim fails the
+    # executing task loudly (raise_error), never null-cosine silence
+    with pytest.raises(Exception, match="expects 32-dimensional"):
+        sim.write_embedding_index(
+            r1, str(tmp_path / "emb_wrong"), dim=32
+        )
+
+    # write-once: re-publishing to an existing release path refuses
+    with pytest.raises(Exception, match="already exists|ALREADY_EXISTS"):
+        sim.publish_embedding_index(merged, p2, built_dim)
+
+    # malformed meta (crashed write): loud descriptive refusal
+    spark.createDataFrame([], "dim int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{p1}/meta")
+    with pytest.raises(ValueError, match="incomplete or corrupt"):
+        sim.read_embedding_index(spark, p1)
+
+
+def test_publish_embedding_index_meta_failure_cleans_data(
+    spark, sf_smoke, tmp_path
+):
+    """The b27 publish seam inherits the window-index recovery
+    contract (ADVICE r14): a failed meta write removes the
+    half-written vectors dir best-effort, re-raises, and a retry to
+    the SAME release path succeeds."""
+    import os
+
+    import pytest
+
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_smoke, "embeddings").limit(20)
+    idx = sim._checked_unit_vectors(emb, 64, "vec_id", "embedding")
+    path = str(tmp_path / "emb_release")
+
+    def boom(*a, **kw):
+        raise RuntimeError("meta write died")
+
+    orig = sim._write_emb_meta
+    sim._write_emb_meta = boom
+    try:
+        with pytest.raises(RuntimeError, match="meta write died"):
+            sim.publish_embedding_index(idx, path, built_dim=64)
+    finally:
+        sim._write_emb_meta = orig
+    assert not os.path.exists(f"{path}/vectors")
+    sim.publish_embedding_index(idx, path, built_dim=64)
+    loaded, dim = sim.read_embedding_index(spark, path)
+    assert dim == 64 and loaded.count() == idx.count()
