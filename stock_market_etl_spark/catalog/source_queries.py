@@ -1185,6 +1185,59 @@ def b26_window_index_release_lifecycle(
     ).orderBy("doc_id")
 
 
+@_q("b27_embedding_index_release_lifecycle")
+def b27_embedding_index_release_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MULTI-RELEASE lifecycle for the SEMANTIC decontamination
+    tier (r15, VERDICT r14 task 4 — b26's embedding sibling, closing
+    the lifecycle symmetry: every contamination rung now has a frozen
+    per-release artifact path): eval release 1 (vec_id % 10 == 0)
+    materializes with `similarity.write_embedding_index` (vectors
+    cast + normed ONCE, dim recorded as the artifact's identity);
+    eval release 2 (vec_id % 10 == 5) arrives later and folds into
+    the read-back release-1 artifact at INCREMENT cost
+    (`merge_embedding_index` — release 1 contributes only its stored
+    (id, vector, norm) rows, never re-normalizing); the merged index
+    publishes WRITE-ONCE as the release-2 artifact
+    (`publish_embedding_index`, dim provenance checked, data before
+    meta); and the training split probes the published artifact
+    through `embedding_contamination_incremental`. By the merged ≡
+    rebuilt identity (pinned in tests/test_extensions.py), the result
+    is bit-identical to x85's single-derivation contamination over
+    the union eval set — so the oracle BINDS x85's string below: the
+    artifact lifecycle is an implementation detail the oracle cannot
+    (and must not) see (the b25/b26 stance).
+
+    Scale shape: release N+1 pays one cast+norm pass over its own
+    vectors; the probe pays the training batch's pass + the pair
+    table (exact tier — the oracle twin; x86's LSH tier is the
+    100 TB candidate path). Stays out of BENCH like b25/b26 —
+    artifact writers; x85 already times the probe shape."""
+    import os
+
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") % 5 != 0)
+    eval_r1 = emb.filter(F.col("vec_id") % 10 == 0)
+    eval_r2 = emb.filter(F.col("vec_id") % 10 == 5)
+    work = _scratch.fresh_dir("b27_embedding_release")
+    p1 = os.path.join(work, "eval_emb_r1")
+    similarity.write_embedding_index(eval_r1, p1, dim=64)
+    idx1, built_dim = similarity.read_embedding_index(spark, p1)
+    merged = similarity.merge_embedding_index(
+        idx1, eval_r2, built_dim, dim=built_dim
+    )
+    p2 = os.path.join(work, "eval_emb_r2")
+    similarity.publish_embedding_index(merged, p2, built_dim)
+    idx2, dim2 = similarity.read_embedding_index(spark, p2)
+    return similarity.embedding_contamination_incremental(
+        idx2, train, threshold=0.4, built_dim=dim2
+    )
+
+
 # b26's landed result must equal x84's single-release scrub against
 # the union (merged ≡ rebuilt) — bind the SAME oracle string so the
 # identity can't silently stop being tested (the n21 convention).
@@ -1192,4 +1245,9 @@ from stock_market_etl_spark.catalog import extensions as _ext  # noqa: E402
 
 ORACLES["b26_window_index_release_lifecycle"] = _ext.ORACLES[
     "x84_substring_decontamination"
+]
+# b27 likewise: probing the published two-release embedding artifact
+# must equal x85's single derivation over the union eval set.
+ORACLES["b27_embedding_index_release_lifecycle"] = _ext.ORACLES[
+    "x85_embedding_contamination"
 ]

@@ -1305,6 +1305,249 @@ def embedding_contamination_ann(
     return contamination_from_pairs(pairs, threshold)
 
 
+def _checked_unit_vectors(
+    df: DataFrame, dim: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, __v double[], __n) with the vector WIDTH enforced inside
+    the plan: a row whose array length ≠ ``dim`` fails the executing
+    task with a descriptive error (`raise_error` in the projection —
+    scan-stage, zero shuffle, no extra action) instead of silently
+    zip_with-padding into null cosines and null verdicts. The
+    embedding analogue of the substring family's k guards: ``dim`` is
+    part of an embedding index's identity, and every lifecycle seam
+    (build, merge, probe) routes its vectors through THIS check."""
+    v = _normed_vectors(df, id_col, vec_col)
+    guard = F.when(
+        F.size("__v") == int(dim), F.col("__v")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "embedding index expects "
+                    f"{int(dim)}-dimensional vectors; got length "
+                ),
+                F.size("__v").cast("string"),
+                F.lit(" at id "),
+                F.col(id_col).cast("string"),
+            )
+        )
+    )
+    return v.withColumn("__v", guard)
+
+
+def _write_emb_meta(
+    spark: SparkSession, path: str, dim: int, mode: str
+) -> None:
+    """The embedding-index meta sidecar in ONE place: a one-row
+    ``dim`` table — `read_embedding_index` refuses anything else as
+    incomplete/corrupt (the `dedup._write_index_meta` pattern)."""
+    spark.createDataFrame(
+        [(int(dim),)], "dim int"
+    ).coalesce(1).write.mode(mode).parquet(f"{path}/meta")
+
+
+def write_embedding_index(
+    eval_df: DataFrame,
+    path: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an eval release's embeddings as a frozen
+    ``path/{vectors, meta}`` artifact — the once-per-release step of
+    the SEMANTIC decontamination lifecycle (the embedding sibling of
+    `dedup.write_window_index`; reference scripts/transform.py keeps
+    per-release artifacts the same way for prices). ``vectors`` holds
+    (id, casted vector, precomputed L2 norm) so every later probe
+    and merge skips the normalization pass; ``dim`` is part of the
+    artifact's identity (a probe at another width computes null
+    cosines — the silent no-flag failure), so it is recorded in a
+    one-row meta table, enforced row-by-row at write time
+    (`_checked_unit_vectors`), and `read_embedding_index` refuses a
+    mismatch loudly.
+
+    The artifact is (8 B id + dim×8 B + 8 B norm) per eval vector —
+    eval sets are the SMALL side of decontamination by construction,
+    and releases append (`merge_embedding_index`), so the probe side
+    reads a frozen parquet scan exactly like the window index."""
+    vecs = _checked_unit_vectors(eval_df, dim, id_col, vec_col)
+    vecs.write.mode("overwrite").parquet(f"{path}/vectors")
+    _write_emb_meta(eval_df.sparkSession, path, dim, mode="overwrite")
+
+
+def read_embedding_index(
+    spark: SparkSession, path: str, dim: int | None = None
+) -> tuple[DataFrame, int]:
+    """Load a materialized `write_embedding_index` /
+    `publish_embedding_index` artifact as the ``(eval_index, dim)``
+    pair `embedding_contamination_incremental` takes. Passing ``dim``
+    asserts the caller's width against the recorded one — a silent
+    mismatch would verdict nothing, so it is a loud ValueError. A
+    partially-written or corrupt artifact (empty, multi-row, or
+    null-dim meta — what a crashed write leaves behind) is ALSO a
+    loud refusal rather than an opaque IndexError (the
+    `dedup.read_window_index` pattern)."""
+    meta_rows = spark.read.parquet(f"{path}/meta").collect()
+    if len(meta_rows) != 1 or meta_rows[0]["dim"] is None:
+        defect = (
+            "a null dim" if len(meta_rows) == 1
+            else f"{len(meta_rows)} rows (expected exactly 1)"
+        )
+        raise ValueError(
+            f"embedding index at {path} has a malformed meta sidecar "
+            f"— {defect} — artifact incomplete or corrupt; rebuild "
+            "with write_embedding_index"
+        )
+    built_dim = int(meta_rows[0]["dim"])
+    if dim is not None and dim != built_dim:
+        raise ValueError(
+            f"embedding index at {path} was built with "
+            f"dim={built_dim}, probe requested dim={dim} — cosines "
+            "would be null and nothing would flag; rebuild the index "
+            "or probe at its dim"
+        )
+    return spark.read.parquet(f"{path}/vectors"), built_dim
+
+
+def merge_embedding_index(
+    index: DataFrame,
+    new_eval: DataFrame,
+    built_dim: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fold a NEW eval release into an existing embedding index
+    WITHOUT re-normalizing the indexed vectors — the incremental
+    release step (the embedding sibling of
+    `dedup.merge_window_index`): eval id spaces are disjoint across
+    releases by contract, so the merge is a plain union of the index
+    rows with the increment's checked/normalized vectors.
+    ``merge_embedding_index(index, batch, built_dim, dim) ≡
+    write-and-read of (release1 ∪ release2)`` is pinned in
+    tests/test_extensions.py.
+
+    ``built_dim`` is REQUIRED — pass `read_embedding_index`'s second
+    element. Mandatory for the same reason `merge_window_index`'s
+    built_k is: the caller merging at the wrong width is precisely
+    the caller who doesn't know the artifact's width, and a
+    mixed-width index nulls every later cosine. The increment's rows
+    are width-enforced in-plan (`_checked_unit_vectors`), so a lying
+    ``dim`` fails the publish action loudly too.
+
+    Scale shape: the new release pays one cast+norm pass over ITS
+    vectors; the indexed releases contribute their stored rows —
+    increment cost, no shuffle (union is partition-local)."""
+    if built_dim != dim:
+        raise ValueError(
+            f"embedding index was built with dim={built_dim}, merge "
+            f"requested dim={dim} — a mixed-width index nulls every "
+            "later cosine; rebuild the index or merge at its dim"
+        )
+    merged = index.unionByName(
+        _checked_unit_vectors(new_eval, dim, id_col, vec_col).select(
+            F.col(id_col), F.col("__v"), F.col("__n")
+        )
+    )
+    # provenance tag: the validated width travels WITH the result so
+    # publish_embedding_index can refuse a contradicting built_dim
+    # (the merge_window_index convention — best-effort on top of the
+    # required parameter, honored only as a plain int)
+    merged._embedding_index_dim = int(dim)
+    return merged
+
+
+def publish_embedding_index(
+    index: DataFrame, path: str, built_dim: int
+) -> None:
+    """Publish an index DATAFRAME — typically `merge_embedding_index`'s
+    result — as a new embedding-index RELEASE at ``path``, with the
+    same ``{vectors, meta}`` layout `write_embedding_index` produces
+    and `read_embedding_index` validates: the write half of the
+    multi-release SEMANTIC decontamination lifecycle
+    (`dedup.publish_window_index`'s conventions, applied to vectors).
+
+    ``path`` must be a NEW release directory (mode ``error`` —
+    write-once, the frozen-release contract): the merged plan still
+    lazily READS the previous release's parquet files, so an in-place
+    overwrite would read-under-write its own input. Data writes
+    before meta, so a crash between the two reads as a loud
+    malformed-meta refusal; a FAILED meta write removes the
+    half-written ``vectors`` dir best-effort so a retry to the same
+    path succeeds (delete the release dir and re-publish if that
+    cleanup itself fails). A provenance-tagged index refuses a
+    contradicting ``built_dim`` before anything writes."""
+    tagged = getattr(index, "_embedding_index_dim", None)
+    if isinstance(tagged, int) and tagged != int(built_dim):
+        raise ValueError(
+            f"index DataFrame carries validated width dim={tagged} "
+            f"but publish was asked to record built_dim={built_dim} "
+            "— a wrong recorded dim nulls every later probe's "
+            "cosines; pass the dim the index was merged/built at"
+        )
+    index.write.mode("error").parquet(f"{path}/vectors")
+    try:
+        _write_emb_meta(
+            index.sparkSession, path, built_dim, mode="error"
+        )
+    except Exception:
+        try:
+            spark = index.sparkSession
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(
+                f"{path}/vectors"
+            )
+            fs = jpath.getFileSystem(
+                spark._jsc.hadoopConfiguration()
+            )
+            fs.delete(jpath, True)
+        except Exception:
+            pass
+        raise
+
+
+def embedding_contamination_incremental(
+    eval_index: DataFrame,
+    train: DataFrame,
+    threshold: float = 0.4,
+    built_dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """`embedding_contamination` probing a MATERIALIZED eval index
+    (`read_embedding_index`'s first element) instead of deriving the
+    eval side inline — the probe step of the multi-release lifecycle
+    (the embedding sibling of
+    `dedup.exact_substring_spans_incremental(corpus_index=…)`): eval
+    vectors come back pre-normalized from the frozen artifact, so
+    the probe pays ONE cast+norm pass over the training batch plus
+    the pair table; eval embeddings never re-normalize. Feeding the
+    read-back artifact of the same eval set reproduces
+    `embedding_contamination` bit-for-bit (same `_pair_side` /
+    `_pair_cos` / `contamination_from_pairs` code — identity pinned
+    in tests/test_extensions.py).
+
+    ``built_dim`` is REQUIRED — pass `read_embedding_index`'s pair.
+    Train-side rows are width-enforced against it in-plan, so a
+    mismatched batch fails its task loudly instead of flagging
+    nothing through null cosines."""
+    if built_dim is None:
+        raise ValueError(
+            "probing a prebuilt embedding index requires built_dim — "
+            "pass the dim read_embedding_index returned; a width "
+            "mismatch nulls every cosine and flags nothing"
+        )
+    t = _pair_side(
+        _checked_unit_vectors(train, built_dim, id_col, vec_col),
+        id_col,
+        "t",
+    )
+    e = _pair_side(eval_index, id_col, "e")
+    pairs = t.crossJoin(e).select(
+        "id_t", "id_e", _pair_cos("t", "e").alias("cos")
+    )
+    return contamination_from_pairs(pairs, threshold)
+
+
 def bitext_margin_pairs_ann(
     df: DataFrame,
     side: Column,

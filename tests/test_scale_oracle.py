@@ -306,6 +306,9 @@ SCALE_QUERIES = [
     # r14 addition: the multi-release index lifecycle (write →
     # merge → publish → probe; strings + ids → exact)
     ("b26_window_index_release_lifecycle", True),
+    # r15 addition: b26's embedding sibling (double cosines →
+    # midpoint tolerance, the x85 convention)
+    ("b27_embedding_index_release_lifecycle", False),
 ]
 
 
