@@ -1760,6 +1760,42 @@ def _closure_capture_fetch(bitmap_bytes: bytes):
     return fetch_bitmap
 
 
+def release_bloom_broadcast(bitmap_bytes: bytes) -> bool:
+    """Release ONE cached probe-bitmap broadcast — the targeted
+    sibling of `release_bloom_broadcasts` (VERDICT r14 task 5: the
+    all-or-nothing seam forces a session retiring a single eval
+    release to drop every survivor and re-broadcast them). Pass the
+    bitmap bytes from the retired filter's bloom tuple; the handle is
+    found by content digest (memo hit when the same bytes object was
+    probed, one sha1 otherwise) and unpersisted AND destroyed, across
+    every cached application id. Returns True when at least one
+    handle released. Same contracts as the bulk seam: call only
+    between probe rounds, and a handle whose release FAILS stays
+    cached for retry rather than leaking its blocks while reporting
+    success."""
+    import hashlib
+
+    with _BLOOM_BC_LOCK:
+        mkey = id(bitmap_bytes)
+        memo = _BLOOM_DIGEST_MEMO.get(mkey)
+        if memo is not None and memo[0] is bitmap_bytes:
+            digest = memo[1]
+            _BLOOM_DIGEST_MEMO.pop(mkey, None)
+        else:
+            digest = hashlib.sha1(bitmap_bytes).digest()
+        released = False
+        for key in [k for k in _BLOOM_BC_CACHE if k[1] == digest]:
+            bc = _BLOOM_BC_CACHE[key]
+            try:
+                bc.unpersist()
+                bc.destroy()
+                _BLOOM_BC_CACHE.pop(key, None)
+                released = True
+            except Exception:
+                pass  # retryable; kept in the cache like the bulk seam
+        return released
+
+
 def release_bloom_broadcasts() -> int:
     """Release every cached probe-bitmap broadcast — the housekeeping
     seam for long-lived sessions that retire eval releases (the

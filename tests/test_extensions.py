@@ -3164,6 +3164,33 @@ def test_release_bloom_broadcasts(spark, monkeypatch):
     dd.release_bloom_broadcasts()
 
 
+def test_release_bloom_broadcast_targeted(spark):
+    """VERDICT r14 task 5: retiring ONE eval release drops only that
+    filter's broadcast — the survivor stays cached and live (no
+    re-broadcast), the released filter re-broadcasts fresh on its
+    next probe, and unknown bytes report False. Memoized and
+    non-memoized (sha1) lookups both resolve."""
+    from stock_market_etl_spark.operators import dedup as dd
+
+    sc = spark.sparkContext
+    dd.release_bloom_broadcasts()
+    retired, survivor = b"\x0a" * 64, b"\x0b" * 64
+    bc_retired = dd._bloom_broadcast(sc, retired)
+    bc_survivor = dd._bloom_broadcast(sc, survivor)
+    assert dd.release_bloom_broadcast(retired) is True
+    assert len(dd._BLOOM_BC_CACHE) == 1
+    # survivor untouched: same handle, blocks still readable
+    assert dd._bloom_broadcast(sc, survivor) is bc_survivor
+    assert bc_survivor.value == survivor
+    # next probe of the retired filter re-broadcasts a NEW handle
+    bc_again = dd._bloom_broadcast(sc, retired)
+    assert bc_again is not bc_retired and bc_again.value == retired
+    # non-memoized path: equal bytes, different object → sha1 lookup
+    assert dd.release_bloom_broadcast(b"\x0a" * 64) is True
+    assert dd.release_bloom_broadcast(b"\xff" * 64) is False
+    assert dd.release_bloom_broadcasts() == 1
+
+
 def test_bloom_memo_skips_oversized_entry(spark, monkeypatch):
     """A single bitmap LARGER than the whole memo budget is never
     memoized (ADVICE r14: inserting it drove the budget negative,
