@@ -405,18 +405,6 @@ def main() -> None:
     from stock_market_etl_spark.catalog import all_queries
     from stock_market_etl_spark.session import get_spark
 
-    # 16g heap: the timed pass runs 17 queries with persist() diamonds
-    # in one JVM; at 8g the old-gen fills and multi-second full-GC
-    # pauses land inside individual timings (observed 4× blips on
-    # steady-state 0.5 s queries). Overridable via SPARK_DRIVER_MEMORY.
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
-    spark = get_spark(
-        app_name="bench",
-        master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus),
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-
     # Targeted re-measure support (VERDICT r09 task 5 and the like):
     # SPARK_GRAFT_BENCH_ONLY="e19_hourly_rollup_merge,x26_contamination"
     # restricts the run to the named queries. The emitted JSON is then
@@ -433,8 +421,22 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    # fail an over-budget headline NOW, before paying for the run
+    # fail an over-budget headline NOW — pure Python, BEFORE the JVM
+    # starts, so the refusal is near-instant and leaves no un-stopped
+    # session behind (review r15 closing the ADVICE r14 residue)
     _prevalidate_headline(BENCH_QUERIES, sf_val)
+
+    # 16g heap: the timed pass runs 17 queries with persist() diamonds
+    # in one JVM; at 8g the old-gen fills and multi-second full-GC
+    # pauses land inside individual timings (observed 4× blips on
+    # steady-state 0.5 s queries). Overridable via SPARK_DRIVER_MEMORY.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
 
     queries = all_queries()
     # Warm-up pass: run every bench query once so the timed pass

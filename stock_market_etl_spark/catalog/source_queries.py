@@ -1227,9 +1227,7 @@ def b27_embedding_index_release_lifecycle(
     p1 = os.path.join(work, "eval_emb_r1")
     similarity.write_embedding_index(eval_r1, p1, dim=64)
     idx1, built_dim = similarity.read_embedding_index(spark, p1)
-    merged = similarity.merge_embedding_index(
-        idx1, eval_r2, built_dim, dim=built_dim
-    )
+    merged = similarity.merge_embedding_index(idx1, eval_r2, built_dim)
     p2 = os.path.join(work, "eval_emb_r2")
     similarity.publish_embedding_index(merged, p2, built_dim)
     idx2, dim2 = similarity.read_embedding_index(spark, p2)

@@ -35,3 +35,21 @@ def release_local_checkpoint(df: DataFrame) -> bool:
         return True
     except Exception:
         return False
+
+
+def best_effort_delete(spark, *paths: str) -> None:
+    """Recursively delete ``paths`` via the Hadoop FS API (so any
+    scheme — file/hdfs/s3a — works), swallowing every failure: the
+    publish-seam crash cleanup (ADVICE r14 + review r15). Callers
+    must never depend on the delete for correctness — the artifact
+    readers refuse half-written releases loudly either way; this
+    only restores retry-to-same-path. Under Spark Connect there is
+    no ``_jvm`` and the helper is a silent no-op (the documented
+    manual recovery applies: delete the release dir, re-publish)."""
+    for p in paths:
+        try:
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(p)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(jpath, True)
+        except Exception:
+            pass

@@ -2022,22 +2022,22 @@ def publish_window_index(
     except Exception:
         # Data landed but meta didn't: without cleanup every retry to
         # the same release path refuses with 'already exists' (ADVICE
-        # r14). Remove the half-written data dir best-effort — via
-        # Hadoop FS so any scheme (file/hdfs/s3a) works — then
-        # re-raise the original failure. If the cleanup fails too,
-        # read_window_index still refuses the artifact loudly; the
-        # documented recovery is delete-the-release-dir + re-publish.
-        try:
-            spark = index.sparkSession
-            jpath = spark._jvm.org.apache.hadoop.fs.Path(
-                f"{path}/window_hashes"
-            )
-            fs = jpath.getFileSystem(
-                spark._jsc.hadoopConfiguration()
-            )
-            fs.delete(jpath, True)
-        except Exception:
-            pass
+        # r14). Remove the half-written data dir AND any partially-
+        # created meta dir (a meta job that dies after its committer
+        # creates the output dir — e.g. disk-full mid-job — leaves a
+        # dir that would refuse the retry's mode-'error' meta write
+        # even after the data cleanup; review r15), then re-raise the
+        # original failure. Safe: this branch only runs after the
+        # data write SUCCEEDED at a mode-'error' path, proving no
+        # complete prior release lives here. If the cleanup itself
+        # fails, read_window_index still refuses the artifact loudly;
+        # the documented recovery is delete-the-release-dir +
+        # re-publish.
+        _compat.best_effort_delete(
+            index.sparkSession,
+            f"{path}/window_hashes",
+            f"{path}/meta",
+        )
         raise
 
 

@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.types import DoubleType
 
+from stock_market_etl_spark.operators import _compat
 from stock_market_etl_spark.operators.parallelism import spread
 
 
@@ -1413,7 +1414,7 @@ def merge_embedding_index(
     index: DataFrame,
     new_eval: DataFrame,
     built_dim: int,
-    dim: int,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1431,13 +1432,19 @@ def merge_embedding_index(
     element. Mandatory for the same reason `merge_window_index`'s
     built_k is: the caller merging at the wrong width is precisely
     the caller who doesn't know the artifact's width, and a
-    mixed-width index nulls every later cosine. The increment's rows
-    are width-enforced in-plan (`_checked_unit_vectors`), so a lying
-    ``dim`` fails the publish action loudly too.
+    mixed-width index nulls every later cosine. ``dim`` defaults to
+    the artifact's width (unlike the window family's k, it has no
+    independent meaning — review r15); passing it asserts the
+    caller's expectation and a mismatch refuses loudly. The
+    increment's rows are width-enforced in-plan
+    (`_checked_unit_vectors`), so a wrong width fails the publish
+    action loudly regardless.
 
     Scale shape: the new release pays one cast+norm pass over ITS
     vectors; the indexed releases contribute their stored rows —
     increment cost, no shuffle (union is partition-local)."""
+    if dim is None:
+        dim = built_dim
     if built_dim != dim:
         raise ValueError(
             f"embedding index was built with dim={built_dim}, merge "
@@ -1491,17 +1498,13 @@ def publish_embedding_index(
             index.sparkSession, path, built_dim, mode="error"
         )
     except Exception:
-        try:
-            spark = index.sparkSession
-            jpath = spark._jvm.org.apache.hadoop.fs.Path(
-                f"{path}/vectors"
-            )
-            fs = jpath.getFileSystem(
-                spark._jsc.hadoopConfiguration()
-            )
-            fs.delete(jpath, True)
-        except Exception:
-            pass
+        # data dir AND any partially-created meta dir, for the same
+        # reasons as dedup.publish_window_index (review r15) — safe
+        # because the mode-'error' data write just succeeded, proving
+        # no complete prior release at this path
+        _compat.best_effort_delete(
+            index.sparkSession, f"{path}/vectors", f"{path}/meta"
+        )
         raise
 
 

@@ -310,10 +310,11 @@ def test_headline_prevalidates_before_timing_loop():
     hopeless = [f"q{i:04d}_padpadpadpadpad" for i in range(200)]
     with pytest.raises(SystemExit, match="retire"):
         bench._prevalidate_headline(hopeless, 0.1)
-    # ordering: rehearsal strictly before the warm-up/timed passes
+    # ordering: rehearsal strictly before Spark startup (pure Python
+    # refusal — no JVM paid, no un-stopped session; review r15)
     src = inspect.getsource(bench.main)
     assert src.index("_prevalidate_headline") < src.index(
-        "Warm-up pass"
+        "get_spark("
     )
 
 

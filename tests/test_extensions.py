@@ -3259,7 +3259,10 @@ def test_publish_window_index_meta_failure_cleans_data(
     the two reads as a loud malformed-meta refusal) — but without
     cleanup, every RETRY to the same release path refuses with
     'already exists' (ADVICE r14). A failed meta write now removes
-    the half-written window_hashes dir best-effort, re-raises the
+    the half-written window_hashes dir AND any partially-created
+    meta dir (a meta job dying after its committer creates the
+    output dir — review r15: cleaning only the data dir left the
+    retry's mode-'error' meta write refusing forever), re-raises the
     original failure, and a retry to the SAME path succeeds and
     round-trips."""
     import os
@@ -3273,7 +3276,10 @@ def test_publish_window_index_meta_failure_cleans_data(
     idx = dd.corpus_window_hashes(docs, k=8)
     path = str(tmp_path / "release")
 
-    def boom(*a, **kw):
+    def boom(spark_, path_, *a, **kw):
+        # die AFTER the committer created the meta output dir — the
+        # realistic mid-job failure (disk-full, task death)
+        os.makedirs(f"{path_}/meta", exist_ok=True)
         raise RuntimeError("meta write died")
 
     orig = dd._write_index_meta
@@ -3284,6 +3290,7 @@ def test_publish_window_index_meta_failure_cleans_data(
     finally:
         dd._write_index_meta = orig
     assert not os.path.exists(f"{path}/window_hashes")
+    assert not os.path.exists(f"{path}/meta")
     # retry to the SAME path now succeeds (write-once contract holds
     # per successful release, not per failed attempt)
     dd.publish_window_index(idx, path, built_k=8)
@@ -3393,9 +3400,10 @@ def test_publish_embedding_index_meta_failure_cleans_data(
     spark, sf_smoke, tmp_path
 ):
     """The b27 publish seam inherits the window-index recovery
-    contract (ADVICE r14): a failed meta write removes the
-    half-written vectors dir best-effort, re-raises, and a retry to
-    the SAME release path succeeds."""
+    contract (ADVICE r14 + review r15): a failed meta write removes
+    the half-written vectors dir AND the partially-created meta dir
+    best-effort, re-raises, and a retry to the SAME release path
+    succeeds."""
     import os
 
     import pytest
@@ -3407,7 +3415,8 @@ def test_publish_embedding_index_meta_failure_cleans_data(
     idx = sim._checked_unit_vectors(emb, 64, "vec_id", "embedding")
     path = str(tmp_path / "emb_release")
 
-    def boom(*a, **kw):
+    def boom(spark_, path_, *a, **kw):
+        os.makedirs(f"{path_}/meta", exist_ok=True)
         raise RuntimeError("meta write died")
 
     orig = sim._write_emb_meta
@@ -3418,6 +3427,7 @@ def test_publish_embedding_index_meta_failure_cleans_data(
     finally:
         sim._write_emb_meta = orig
     assert not os.path.exists(f"{path}/vectors")
+    assert not os.path.exists(f"{path}/meta")
     sim.publish_embedding_index(idx, path, built_dim=64)
     loaded, dim = sim.read_embedding_index(spark, path)
     assert dim == 64 and loaded.count() == idx.count()
