@@ -954,6 +954,43 @@ def test_window_index_merge_shuffles_digests_only(spark, sf_smoke, tmp_path):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_embedding_index_merge_is_exchange_free(
+    spark, sf_smoke, tmp_path
+):
+    """b27's release step (merge_embedding_index): folding eval
+    release N+1 into the release-N artifact is a plain union — the
+    indexed releases contribute their STORED (id, vector, norm)
+    parquet rows (never re-normalizing), the increment pays one
+    cast+norm projection, and no HASH exchange moves at all (the one
+    allowed exchange is `spread`'s round-robin repartition of the
+    INCREMENT — the documented parallelism seam every
+    `_normed_vectors` caller pays; it never touches the stored
+    side). At 100 TB an embedding-release merge that shuffles or
+    re-derives the indexed vectors isn't an increment-cost release
+    step."""
+    from stock_market_etl_spark.operators.similarity import (
+        merge_embedding_index,
+        read_embedding_index,
+        write_embedding_index,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    r1 = emb.filter(F.col("vec_id") % 10 == 0)
+    r2 = emb.filter(F.col("vec_id") % 10 == 5)
+    path = str(tmp_path / "emb_idx_r1")
+    write_embedding_index(r1, path, dim=64)
+    idx, built_dim = read_embedding_index(spark, path)
+    plan = _plan(merge_embedding_index(idx, r2, built_dim))
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    assert plan.count("Exchange") <= 1, plan[:2000]
+    assert "CartesianProduct" not in plan
+    # the stored side is a bare parquet scan of the artifact whose
+    # ReadSchema already carries the precomputed norm — norms come
+    # from the file, not a recomputation (plan paths truncate, so
+    # pin the schema rather than the directory name)
+    assert "__n:double" in plan, plan[:2000]
+
+
 def test_stream_substring_gate_batch_plan(spark, sf_smoke, tmp_path):
     """n19's per-batch body, pinned via its documented
     single-micro-batch twin (the n9 move): landed-id anti-join +
