@@ -1234,3 +1234,111 @@ def test_scd2_apply_multi_batch_matches_model(spark, batches):
         rows, key=lambda t: tuple((x is None, x) for x in t)
     )
     assert got == [tuple(w) for w in want], (got, want)
+
+
+_emb_vec = st.lists(
+    st.integers(min_value=-3, max_value=3), min_size=4, max_size=4
+).filter(lambda v: any(v))
+
+#: (vector, role) — role 0/1 = train, 2 = eval release 1, 3 = eval
+#: release 2; collision-prone small ints force exact cosine ties so
+#: the rounded-value + min-id tie-break is actually exercised.
+_emb_corpus = st.lists(
+    st.tuples(_emb_vec, st.integers(min_value=0, max_value=3)),
+    min_size=3,
+    max_size=10,
+).filter(
+    lambda rows: any(r >= 2 for _, r in rows)
+    and any(r < 2 for _, r in rows)
+)
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(rows=_emb_corpus)
+def test_embedding_release_lifecycle_matches_reference(spark, rows):
+    """b27's lifecycle on RANDOM corpora and ARBITRARY release
+    partitions (the driver oracle proves the fixture distribution;
+    this proves the general contract): write release 1 → merge
+    release 2 → publish → probe must (a) equal a from-scratch build
+    of the union release bit-for-bit (merged ≡ rebuilt), and
+    (b) match an independent numpy reference for every training
+    verdict — cosine rounded exactly as Spark rounds (BigDecimal of
+    the double's binary expansion, HALF_UP — reproduced via
+    decimal.Decimal(float)), nearest eval chosen by (rounded cos
+    desc, id asc), flag at ≥ 0.4. Duplicate vectors force exact
+    rounded ties, exercising the id tie-break on both sides. Empty
+    release 1 or 2 (but never both) exercises the empty-merge edge.
+    """
+    import math as _math
+    import shutil
+    import tempfile
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from stock_market_etl_spark.operators import similarity as sim
+
+    data = [
+        (i, [float(x) for x in vec], role)
+        for i, (vec, role) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "vec_id bigint, embedding array<double>, role int"
+    )
+    train = df.filter(F.col("role") < 2).drop("role")
+    r1 = df.filter(F.col("role") == 2).drop("role")
+    r2 = df.filter(F.col("role") == 3).drop("role")
+
+    work = tempfile.mkdtemp(prefix="emb_fuzz_")
+    try:
+        sim.write_embedding_index(r1, f"{work}/r1", dim=4)
+        idx1, built_dim = sim.read_embedding_index(spark, f"{work}/r1")
+        merged = sim.merge_embedding_index(idx1, r2, built_dim)
+        sim.publish_embedding_index(merged, f"{work}/r2", built_dim)
+        idx2, dim2 = sim.read_embedding_index(spark, f"{work}/r2")
+        got = sorted(
+            map(
+                tuple,
+                sim.embedding_contamination_incremental(
+                    idx2, train, threshold=0.4, built_dim=dim2
+                ).collect(),
+            )
+        )
+        # merged ≡ rebuilt: a from-scratch artifact of r1 ∪ r2
+        sim.write_embedding_index(
+            r1.unionByName(r2), f"{work}/scratch", dim=4
+        )
+        idx_s, dim_s = sim.read_embedding_index(spark, f"{work}/scratch")
+        rebuilt = sorted(
+            map(
+                tuple,
+                sim.embedding_contamination_incremental(
+                    idx_s, train, threshold=0.4, built_dim=dim_s
+                ).collect(),
+            )
+        )
+        assert got == rebuilt
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    # independent reference: numpy-free exact math + Spark's rounding
+    def spark_round6(x: float) -> float:
+        return float(
+            Decimal(x).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    evals = {i: v for i, v, role in data if role >= 2}
+    want = []
+    for i, v, role in data:
+        if role >= 2:
+            continue
+        nv = _math.sqrt(sum(x * x for x in v))
+        best = None
+        for j in sorted(evals):
+            e = evals[j]
+            ne = _math.sqrt(sum(x * x for x in e))
+            cos = spark_round6(
+                sum(a * b for a, b in zip(v, e)) / (nv * ne)
+            )
+            if best is None or cos > best[1]:
+                best = (j, cos)
+        want.append((i, best[0], best[1], best[1] >= 0.4))
+    assert got == sorted(want), (got, sorted(want))
