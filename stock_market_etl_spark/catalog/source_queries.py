@@ -1236,6 +1236,70 @@ def b27_embedding_index_release_lifecycle(
     )
 
 
+@_q("b28_embedding_ann_release_lifecycle")
+def b28_embedding_ann_release_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB probe shape of b27's lifecycle (r15): the frozen
+    VECTOR artifact (b27) is joined by a frozen BUCKET artifact
+    (`similarity.write_lsh_buckets` — the eval releases' hyperplane-
+    LSH assignments materialized once, from the artifact's own stored
+    vectors so the pair can never disagree; all four LSH parameters
+    recorded as the artifact's identity), release 2 folds into BOTH
+    at increment cost (`merge_embedding_index` /
+    `merge_lsh_buckets`), both publish write-once, and the training
+    split probes through
+    `embedding_contamination_ann_incremental`: per probe the eval
+    side is TWO PARQUET SCANS AND ZERO COMPUTE — no normalization, no
+    bucketing, no matmul — while the training batch pays its own
+    bucketing and candidates move as id rows through the
+    (table, bucket) equality join.
+
+    Rows-only by documented design (LSH bucketing is
+    engine-specific, the x86 stance) with the evidence chain in
+    tests/test_extensions.py: bit-for-bit identity with x86's inline
+    ANN form at the same parameters (which itself carries the
+    seam ≡ x85 + recall ≥ 0.9 + agreement evidence), merged ≡
+    rebuilt at both artifact seams, and loud refusals at every
+    width/params/corruption seam. Stays out of BENCH like b25–b27
+    (artifact writers; x86 times the probe's candidate shape)."""
+    import os
+
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") % 5 != 0)
+    eval_r1 = emb.filter(F.col("vec_id") % 10 == 0)
+    eval_r2 = emb.filter(F.col("vec_id") % 10 == 5)
+    work = _scratch.fresh_dir("b28_embedding_ann_release")
+    v1 = os.path.join(work, "vec_r1")
+    similarity.write_embedding_index(eval_r1, v1, dim=64)
+    idx1, built_dim = similarity.read_embedding_index(spark, v1)
+    b1 = os.path.join(work, "bkt_r1")
+    similarity.write_lsh_buckets(
+        idx1, b1, built_dim, n_planes=4, n_tables=16, seed=42
+    )
+    bk1, params = similarity.read_lsh_buckets(spark, b1)
+    # release 2 folds into BOTH artifacts at increment cost
+    merged_v = similarity.merge_embedding_index(
+        idx1, eval_r2, built_dim
+    )
+    v2 = os.path.join(work, "vec_r2")
+    similarity.publish_embedding_index(merged_v, v2, built_dim)
+    idx2, dim2 = similarity.read_embedding_index(spark, v2)
+    r2_vecs = similarity._checked_unit_vectors(
+        eval_r2, dim2, "vec_id", "embedding"
+    )
+    merged_b = similarity.merge_lsh_buckets(bk1, r2_vecs, params)
+    b2 = os.path.join(work, "bkt_r2")
+    similarity.publish_lsh_buckets(merged_b, b2, params)
+    bk2, params2 = similarity.read_lsh_buckets(spark, b2)
+    return similarity.embedding_contamination_ann_incremental(
+        idx2, bk2, train, params2, threshold=0.4
+    )
+
+
 # b26's landed result must equal x84's single-release scrub against
 # the union (merged ≡ rebuilt) — bind the SAME oracle string so the
 # identity can't silently stop being tested (the n21 convention).

@@ -367,19 +367,10 @@ def _lsh_candidate_cos(
         F.col(id_col).alias(left_name), "lsh_table", "lsh_bucket"
     )
     b = rs.select(
-        F.col(id_col).alias(right_name),
-        F.col("lsh_table").alias("__tb"),
-        F.col("lsh_bucket").alias("__bb"),
+        F.col(id_col).alias(right_name), "lsh_table", "lsh_bucket"
     )
-    cond = (F.col("lsh_table") == F.col("__tb")) & (
-        F.col("lsh_bucket") == F.col("__bb")
-    )
-    if not two_sided:
-        cond = cond & (F.col(left_name) < F.col(right_name))
-    pairs = (
-        a.join(b, cond)
-        .select(left_name, right_name)
-        .dropDuplicates([left_name, right_name])
+    pairs = _bucket_join_pairs(
+        a, b, left_name, right_name, ordered=not two_sided
     )
     unit = F.transform(F.col("__v"), lambda x: x / F.col("__n"))
     v = (
@@ -397,6 +388,51 @@ def _lsh_candidate_cos(
     vb = (v.filter(~F.col("__side")) if two_sided else v).select(
         F.col("__id").alias(right_name), F.col("__u").alias("__ur")
     )
+    return _attach_unit_cos(pairs, va, vb, left_name, right_name)
+
+
+def _bucket_join_pairs(
+    a: DataFrame,
+    b: DataFrame,
+    left_name: str,
+    right_name: str,
+    ordered: bool = False,
+) -> DataFrame:
+    """Deduped candidate id pairs from two ``(id, lsh_table,
+    lsh_bucket)`` frames — equality join on (table, bucket), one row
+    per pair no matter how many tables collide. ``ordered`` adds the
+    id< id constraint for unordered self-pairs. Extracted from
+    `_lsh_candidate_cos` (review r15) so the artifact-probing ANN
+    tier shares the join/dedup convention code-for-code."""
+    b2 = b.select(
+        F.col(right_name),
+        F.col("lsh_table").alias("__tb"),
+        F.col("lsh_bucket").alias("__bb"),
+    )
+    cond = (F.col("lsh_table") == F.col("__tb")) & (
+        F.col("lsh_bucket") == F.col("__bb")
+    )
+    if ordered:
+        cond = cond & (F.col(left_name) < F.col(right_name))
+    return (
+        a.join(b2, cond)
+        .select(left_name, right_name)
+        .dropDuplicates([left_name, right_name])
+    )
+
+
+def _attach_unit_cos(
+    pairs: DataFrame,
+    va: DataFrame,
+    vb: DataFrame,
+    left_name: str,
+    right_name: str,
+) -> DataFrame:
+    """Re-attach per-side unit vectors by id onto a candidate pair
+    table and fold the 6-decimal Arrow-batched cosine — the tail
+    every LSH pair tier ends with (extracted with
+    `_bucket_join_pairs`, review r15). ``va``/``vb`` carry
+    (left_name, __ul) / (right_name, __ur)."""
     return (
         pairs.join(va, left_name)
         .join(vb, right_name)
@@ -1549,6 +1585,219 @@ def embedding_contamination_incremental(
         "id_t", "id_e", _pair_cos("t", "e").alias("cos")
     )
     return contamination_from_pairs(pairs, threshold)
+
+
+def _write_lsh_meta(
+    spark: SparkSession, path: str, params: tuple, mode: str
+) -> None:
+    """The LSH-bucket-index meta sidecar in ONE place: a one-row
+    (dim, n_planes, n_tables, seed) table — all four are the
+    artifact's identity (different planes ⇒ disjoint buckets ⇒ a
+    probe that silently finds no candidates), so
+    `read_lsh_buckets` refuses anything malformed."""
+    dim, n_planes, n_tables, seed = (int(x) for x in params)
+    spark.createDataFrame(
+        [(dim, n_planes, n_tables, seed)],
+        "dim int, n_planes int, n_tables int, seed int",
+    ).coalesce(1).write.mode(mode).parquet(f"{path}/meta")
+
+
+def write_lsh_buckets(
+    eval_index: DataFrame,
+    path: str,
+    built_dim: int,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the LSH bucket assignments of a FROZEN embedding
+    index (`read_embedding_index`'s first element) as a
+    ``path/{buckets, meta}`` artifact — the candidate-generation half
+    of the ANN decontamination lifecycle (the IVF `write_ivf_index`
+    pattern applied to hyperplane LSH): after this, a streaming or
+    batch probe pays bucketing for ITS OWN vectors only and joins the
+    stored (id, lsh_table, lsh_bucket) rows — the eval side
+    contributes ZERO per-probe compute, which is the shape that
+    survives a 100× scale-up of probe traffic.
+
+    All four LSH parameters are the artifact's identity (planes are
+    seeded functions of (dim, n_planes, n_tables, seed); a probe
+    bucketed under different planes lands in disjoint buckets and
+    silently finds NO candidates — the ANN analogue of the substring
+    family's k mismatch), so they are recorded in the meta sidecar
+    and `read_lsh_buckets` returns them for the probe to reuse.
+    Bucket rows derive from the index's STORED vectors, so the
+    artifact pair (vectors, buckets) can never disagree."""
+    bucketed = hyperplane_lsh_buckets(
+        eval_index.select(F.col(id_col), F.col("__v")),
+        int(built_dim),
+        n_planes,
+        n_tables,
+        seed,
+        vec_col="__v",
+    ).select(F.col(id_col), "lsh_table", "lsh_bucket")
+    bucketed.write.mode("overwrite").parquet(f"{path}/buckets")
+    _write_lsh_meta(
+        eval_index.sparkSession,
+        path,
+        (built_dim, n_planes, n_tables, seed),
+        mode="overwrite",
+    )
+
+
+def read_lsh_buckets(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, tuple[int, int, int, int]]:
+    """Load a `write_lsh_buckets` / `publish_lsh_buckets` artifact as
+    ``(buckets, (dim, n_planes, n_tables, seed))`` — the probe MUST
+    reuse the returned parameters (they define the plane family; any
+    other bucketing finds no candidates). Malformed meta (empty,
+    multi-row, or any null field — a crashed write) refuses loudly,
+    the `read_embedding_index` pattern."""
+    meta_rows = spark.read.parquet(f"{path}/meta").collect()
+    fields = ("dim", "n_planes", "n_tables", "seed")
+    if len(meta_rows) != 1 or any(
+        meta_rows[0][f] is None for f in fields
+    ):
+        defect = (
+            "a null parameter" if len(meta_rows) == 1
+            else f"{len(meta_rows)} rows (expected exactly 1)"
+        )
+        raise ValueError(
+            f"LSH bucket index at {path} has a malformed meta sidecar "
+            f"— {defect} — artifact incomplete or corrupt; rebuild "
+            "with write_lsh_buckets"
+        )
+    params = tuple(int(meta_rows[0][f]) for f in fields)
+    return spark.read.parquet(f"{path}/buckets"), params
+
+
+def merge_lsh_buckets(
+    buckets: DataFrame,
+    new_eval_index: DataFrame,
+    built_params: tuple[int, int, int, int],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Fold a NEW eval release's bucket assignments into an existing
+    bucket index WITHOUT re-bucketing the indexed releases — the
+    increment step (the `merge_embedding_index` contract applied to
+    buckets): eval id spaces are disjoint across releases, bucket
+    assignment is a pure per-row function of the seeded plane family,
+    so the merge is the stored rows ∪ the increment's assignments
+    under the SAME ``built_params`` (pass `read_lsh_buckets`'
+    second element — the parameters are not optional precisely
+    because a caller guessing them produces disjoint-bucket rows that
+    silently never match). ``new_eval_index`` is the new release's
+    slice of the VECTOR artifact (or `_checked_unit_vectors` output),
+    so width enforcement rides in from that seam."""
+    dim, n_planes, n_tables, seed = (int(x) for x in built_params)
+    new_rows = hyperplane_lsh_buckets(
+        new_eval_index.select(F.col(id_col), F.col("__v")),
+        dim,
+        n_planes,
+        n_tables,
+        seed,
+        vec_col="__v",
+    ).select(F.col(id_col), "lsh_table", "lsh_bucket")
+    merged = buckets.unionByName(new_rows)
+    merged._lsh_bucket_params = (dim, n_planes, n_tables, seed)
+    return merged
+
+
+def publish_lsh_buckets(
+    buckets: DataFrame,
+    path: str,
+    built_params: tuple[int, int, int, int],
+) -> None:
+    """Publish a bucket-index DATAFRAME — typically
+    `merge_lsh_buckets`' result — as a new write-once release at
+    ``path`` (all the `publish_embedding_index` conventions: mode
+    ``error`` because the merged plan still reads the prior release's
+    files, data before meta, half-write cleanup restoring
+    retry-to-same-path, provenance tag refused on contradiction)."""
+    tagged = getattr(buckets, "_lsh_bucket_params", None)
+    if (
+        isinstance(tagged, tuple)
+        and all(isinstance(x, int) for x in tagged)
+        and tuple(tagged) != tuple(int(x) for x in built_params)
+    ):
+        raise ValueError(
+            f"bucket DataFrame carries validated LSH params {tagged} "
+            f"but publish was asked to record {tuple(built_params)} — "
+            "wrong recorded params make every later probe silently "
+            "find no candidates; pass the params the index was "
+            "merged/built at"
+        )
+    buckets.write.mode("error").parquet(f"{path}/buckets")
+    try:
+        _write_lsh_meta(
+            buckets.sparkSession, path, built_params, mode="error"
+        )
+    except Exception:
+        _compat.best_effort_delete(
+            buckets.sparkSession, f"{path}/buckets", f"{path}/meta"
+        )
+        raise
+
+
+def embedding_contamination_ann_incremental(
+    eval_index: DataFrame,
+    eval_buckets: DataFrame,
+    train: DataFrame,
+    built_params: tuple[int, int, int, int],
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The ANN tier probing MATERIALIZED artifacts — the 100 TB form
+    of the multi-release semantic-decontamination lifecycle: eval
+    vectors come from the frozen VECTOR artifact
+    (`read_embedding_index`, pre-normalized) and eval candidates from
+    the frozen BUCKET artifact (`read_lsh_buckets`), so per probe the
+    eval side is two parquet scans and ZERO compute; the training
+    batch pays its own bucketing (one Arrow matmul pass) + one
+    cast/norm pass, candidates move as id rows through the
+    (table, bucket) equality join, and the verdict tail is
+    `contamination_from_pairs` — shared code-for-code with x85/x86.
+    With the same parameters this is BIT-IDENTICAL to
+    `embedding_contamination_ann` over the union (pinned in
+    tests/test_extensions.py), so the x86 evidence chain (identity
+    seam + recall + agreement vs the exact form) carries over.
+
+    ``built_params`` is `read_lsh_buckets`' second element and is
+    REQUIRED: the plane family is a pure function of it, and a probe
+    bucketed under any other family lands in disjoint buckets and
+    silently flags nothing — the loud-seam rule every artifact in
+    this family follows."""
+    dim, n_planes, n_tables, seed = (int(x) for x in built_params)
+    tv = _checked_unit_vectors(train, dim, id_col, vec_col).persist()
+    train_buckets = hyperplane_lsh_buckets(
+        tv.select(F.col(id_col), F.col("__v")),
+        dim,
+        n_planes,
+        n_tables,
+        seed,
+        vec_col="__v",
+    ).select(F.col(id_col).alias("id_t"), "lsh_table", "lsh_bucket")
+    pairs = _bucket_join_pairs(
+        train_buckets,
+        eval_buckets.select(
+            F.col(id_col).alias("id_e"), "lsh_table", "lsh_bucket"
+        ),
+        "id_t",
+        "id_e",
+    )
+    unit = F.transform(F.col("__v"), lambda x: x / F.col("__n"))
+    va = tv.select(
+        F.col(id_col).alias("id_t"), unit.alias("__ul")
+    )
+    vb = eval_index.select(
+        F.col(id_col).alias("id_e"), unit.alias("__ur")
+    )
+    return contamination_from_pairs(
+        _attach_unit_cos(pairs, va, vb, "id_t", "id_e"), threshold
+    )
 
 
 def bitext_margin_pairs_ann(

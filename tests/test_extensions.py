@@ -3396,6 +3396,139 @@ def test_embedding_index_release_lifecycle(spark, sf_smoke, tmp_path):
         sim.read_embedding_index(spark, p1)
 
 
+def test_embedding_ann_release_lifecycle(spark, sf_smoke, tmp_path):
+    """b28's evidence chain (the x86 stance — rows-only, so the
+    proof is identity): probing the published two-release VECTOR +
+    BUCKET artifacts through the ANN tier equals the inline
+    `embedding_contamination_ann` over the union BIT-FOR-BIT at the
+    same parameters (which itself carries the seam ≡ x85 + recall +
+    agreement evidence); the bucket merge equals a from-scratch
+    bucket build of the union; and every params/corruption seam
+    refuses loudly."""
+    import pytest
+
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    train = emb.filter(F.col("vec_id") % 5 != 0)
+    r1 = emb.filter(F.col("vec_id") % 10 == 0)
+    r2 = emb.filter(F.col("vec_id") % 10 == 5)
+
+    v1 = str(tmp_path / "vec_r1")
+    sim.write_embedding_index(r1, v1, dim=64)
+    idx1, built_dim = sim.read_embedding_index(spark, v1)
+    b1 = str(tmp_path / "bkt_r1")
+    sim.write_lsh_buckets(
+        idx1, b1, built_dim, n_planes=4, n_tables=16, seed=7
+    )
+    bk1, params = sim.read_lsh_buckets(spark, b1)
+    assert params == (64, 4, 16, 7)
+
+    merged_v = sim.merge_embedding_index(idx1, r2, built_dim)
+    v2 = str(tmp_path / "vec_r2")
+    sim.publish_embedding_index(merged_v, v2, built_dim)
+    idx2, dim2 = sim.read_embedding_index(spark, v2)
+    r2_vecs = sim._checked_unit_vectors(r2, dim2, "vec_id", "embedding")
+    merged_b = sim.merge_lsh_buckets(bk1, r2_vecs, params)
+    b2 = str(tmp_path / "bkt_r2")
+    sim.publish_lsh_buckets(merged_b, b2, params)
+    bk2, params2 = sim.read_lsh_buckets(spark, b2)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    got = rows(
+        sim.embedding_contamination_ann_incremental(
+            idx2, bk2, train, params2, threshold=0.4
+        )
+    )
+    inline = rows(
+        sim.embedding_contamination_ann(
+            emb,
+            F.col("vec_id") % 5 == 0,
+            dim=64,
+            threshold=0.4,
+            n_planes=4,
+            n_tables=16,
+            seed=7,
+        )
+    )
+    assert got == inline and got
+
+    # merged bucket artifact ≡ a from-scratch build of r1 ∪ r2
+    v_scratch = str(tmp_path / "vec_scratch")
+    sim.write_embedding_index(r1.unionByName(r2), v_scratch, dim=64)
+    idx_s, _ = sim.read_embedding_index(spark, v_scratch)
+    b_scratch = str(tmp_path / "bkt_scratch")
+    sim.write_lsh_buckets(
+        idx_s, b_scratch, 64, n_planes=4, n_tables=16, seed=7
+    )
+    bk_s, _ = sim.read_lsh_buckets(spark, b_scratch)
+    assert rows(bk2) == rows(bk_s)
+
+    # provenance contradiction at publish refuses loudly
+    tagged = sim.merge_lsh_buckets(bk1, r2_vecs, params)
+    with pytest.raises(ValueError, match="LSH params"):
+        sim.publish_lsh_buckets(
+            tagged, str(tmp_path / "bkt_bad"), (64, 8, 16, 7)
+        )
+    # write-once: re-publishing to an existing release path refuses
+    with pytest.raises(Exception, match="already exists|ALREADY_EXISTS"):
+        sim.publish_lsh_buckets(merged_b, b2, params)
+    # malformed meta (crashed write): loud descriptive refusal
+    spark.createDataFrame(
+        [], "dim int, n_planes int, n_tables int, seed int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{b1}/meta")
+    with pytest.raises(ValueError, match="incomplete or corrupt"):
+        sim.read_lsh_buckets(spark, b1)
+
+
+def test_publish_lsh_buckets_meta_failure_cleans_data(
+    spark, sf_smoke, tmp_path
+):
+    """The bucket-artifact publish seam inherits the recovery
+    contract (ADVICE r14 + review r15): a failed meta write removes
+    the half-written buckets dir AND the partial meta dir, re-raises,
+    and a retry to the SAME release path succeeds."""
+    import os
+
+    import pytest
+
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_smoke, "embeddings").limit(20)
+    idx = sim._checked_unit_vectors(emb, 64, "vec_id", "embedding")
+    bk = sim.merge_lsh_buckets(
+        idx.select("vec_id", "__v").limit(0).selectExpr(
+            "vec_id", "cast(null as int) lsh_table",
+            "cast(null as int) lsh_bucket"
+        ),
+        idx,
+        (64, 4, 16, 42),
+    )
+    path = str(tmp_path / "bkt_release")
+
+    def boom(spark_, path_, *a, **kw):
+        os.makedirs(f"{path_}/meta", exist_ok=True)
+        raise RuntimeError("meta write died")
+
+    orig = sim._write_lsh_meta
+    sim._write_lsh_meta = boom
+    try:
+        with pytest.raises(RuntimeError, match="meta write died"):
+            sim.publish_lsh_buckets(bk, path, (64, 4, 16, 42))
+    finally:
+        sim._write_lsh_meta = orig
+    assert not os.path.exists(f"{path}/buckets")
+    assert not os.path.exists(f"{path}/meta")
+    sim.publish_lsh_buckets(bk, path, (64, 4, 16, 42))
+    loaded, params = sim.read_lsh_buckets(spark, path)
+    assert params == (64, 4, 16, 42)
+    assert loaded.count() == bk.count()
+
+
 def test_publish_embedding_index_meta_failure_cleans_data(
     spark, sf_smoke, tmp_path
 ):

@@ -991,6 +991,54 @@ def test_embedding_index_merge_is_exchange_free(
     assert "__n:double" in plan, plan[:2000]
 
 
+def test_embedding_ann_artifact_probe_plan(spark, sf_smoke, tmp_path):
+    """b28's probe (embedding_contamination_ann_incremental): the
+    eval side enters as TWO bare parquet scans (stored buckets +
+    stored vectors/norms) with zero eval-side compute — no
+    ArrowEvalPython feeds from the artifact scans (the train side
+    pays the only bucketing matmul), the candidate join is EQUALITY
+    on (table, bucket) (never a cartesian), and no exchange carries
+    an embedding array: candidates move as id rows, vectors
+    re-attach by id after the pair dedup. This is the shape where
+    probe traffic scales with the BATCH, not the eval corpus."""
+    import re
+
+    from stock_market_etl_spark.operators.similarity import (
+        _checked_unit_vectors,
+        embedding_contamination_ann_incremental,
+        merge_lsh_buckets,
+        publish_lsh_buckets,
+        read_embedding_index,
+        read_lsh_buckets,
+        write_embedding_index,
+        write_lsh_buckets,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    train = emb.filter(F.col("vec_id") % 5 != 0)
+    r1 = emb.filter(F.col("vec_id") % 5 == 0)
+    v1 = str(tmp_path / "vec")
+    write_embedding_index(r1, v1, dim=64)
+    idx, built_dim = read_embedding_index(spark, v1)
+    b1 = str(tmp_path / "bkt")
+    write_lsh_buckets(idx, b1, built_dim, n_planes=4, n_tables=16)
+    bk, params = read_lsh_buckets(spark, b1)
+    plan = _plan(
+        embedding_contamination_ann_incremental(
+            idx, bk, train, params, threshold=0.4
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the candidate join keys on (table, bucket) equality
+    assert re.search(r"lsh_table.*lsh_bucket|__tb.*__bb", plan), plan[:1500]
+    # no exchange moves an embedding/vector array — ids and buckets only
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "__v" not in m.group(1), m.group(0)
+        assert "__u" not in m.group(1), m.group(0)
+        assert "embedding" not in m.group(1), m.group(0)
+
+
 def test_stream_substring_gate_batch_plan(spark, sf_smoke, tmp_path):
     """n19's per-batch body, pinned via its documented
     single-micro-batch twin (the n9 move): landed-id anti-join +
