@@ -752,6 +752,74 @@ def n21_stream_decontamination_gate(
     return spark.read.parquet(out_path).orderBy("doc_id")
 
 
+@_q(
+    "n22_stream_embedding_gate",
+    # x85's derivation with the gate's keep-projection: same vector
+    # views, same pair cosine, same best-match window — then keep
+    # only NON-contaminated training vectors and land the evidence
+    # columns (the sink's audit-grain output). Cannot bind x85's
+    # string verbatim (different projection), so the CTE structure
+    # is mirrored; the single-micro-batch identity below keeps the
+    # two from drifting semantically.
+    """WITH v AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[]))) AS nrm,
+                vec_id % 5 = 0 AS is_ev
+         FROM embeddings),
+       p AS (
+         SELECT t.vec_id AS id_t, e.vec_id AS id_e,
+                round(list_dot_product(t.vec, e.vec)
+                      / (t.nrm * e.nrm), 6) AS cos
+         FROM v t, v e WHERE NOT t.is_ev AND e.is_ev),
+       best AS (
+         SELECT id_t, id_e, cos,
+                row_number() OVER (
+                  PARTITION BY id_t ORDER BY cos DESC, id_e) AS rk
+         FROM p)
+       SELECT id_t AS vec_id, id_e AS nearest_eval_id,
+              cos AS max_cosine
+       FROM best WHERE rk = 1 AND cos < 0.4""",
+)
+def n22_stream_embedding_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """N: the SEMANTIC decontamination gate drained end-to-end — a
+    REAL Structured Streaming run (file source → foreachBatch verdict
+    vs the frozen eval VECTOR artifact → keep-clean append), x85 on
+    arrival (`streaming/core.embedding_gate_sink`; the n21 lifecycle
+    applied to the embedding tier — every contamination rung now
+    gates on ingest). The eval split (vec_id % 5 == 0) publishes ONCE
+    as a b27 release (`similarity.write_embedding_index` — write-once
+    per release; release N+1 folds in via `merge_embedding_index` and
+    publishes as the NEXT release); the training vectors (% 5 != 0)
+    arrive as one file ⇒ one micro-batch, so the landed table must
+    equal x85's verdict restricted to kept (non-contaminated) rows —
+    a full hash oracle like n21. Stateless across batches
+    (presence-in-frozen-reference), so batch order can't change
+    results; multi-batch replay + redelivery idempotence are
+    asserted in tests/test_streaming.py."""
+    import os
+
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators import similarity
+
+    ref = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 5 == 0
+    )
+    work = _scratch.fresh_dir("embedding_gate")
+    index_path = os.path.join(work, "eval_vectors")
+    similarity.write_embedding_index(ref, index_path, dim=64)
+    stream = core.stream_documents(
+        spark, sf_dir, glob="embeddings.parquet"
+    ).filter(F.col("vec_id") % 5 != 0)
+    out_path = os.path.join(work, "clean")
+    core.embedding_gate_sink(
+        stream, out_path, os.path.join(work, "ckpt"), index_path
+    )
+    return spark.read.parquet(out_path).orderBy("vec_id")
+
+
 # The single-micro-batch identity is a SHARED contract: n21's landed
 # table must equal x84's batch form, so the two queries bind the SAME
 # oracle string (review r13 — a verbatim copy could drift silently).

@@ -679,6 +679,30 @@ def substring_gate_sink(
     )
 
 
+def _fresh_minus_landed(
+    fresh: DataFrame, out_path: str, id_col: str
+) -> DataFrame:
+    """The exactly-once-at-id-grain seam shared by every gate sink
+    (extracted r15 — it existed inline in `_span_gate_sink` and the
+    embedding gate would have copied it): anti-join ids already
+    landed at ``out_path`` so a redelivered micro-batch lands
+    nothing. Missing out table ⇒ bootstrap (first batch); any OTHER
+    read error must re-raise so the micro-batch retries (same policy
+    as dedup_ingest_sink / ivf_append_sink)."""
+    from pyspark.errors import AnalysisException
+
+    spark = fresh.sparkSession
+    try:
+        landed = spark.read.parquet(out_path).select(id_col)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" not in (
+            getattr(exc, "getErrorClass", lambda: "")() or str(exc)
+        ) and "Path does not exist" not in str(exc):
+            raise
+        return fresh
+    return fresh.join(landed, id_col, "left_anti")
+
+
 def _span_gate_sink(
     stream_docs: DataFrame,
     out_path: str,
@@ -692,32 +716,18 @@ def _span_gate_sink(
     span gates; a fix to the error-class matching or the exactly-once
     seam must land ONCE): each arriving micro-batch deduplicates on
     ``id_col``, anti-joins ids already landed (exactly-once at doc-id
-    grain, the `ivf_append_sink` algebra — a redelivered micro-batch
-    lands nothing), gets its spans from ``flag_spans(fresh)`` (the
-    one seam the public sinks differ in), and APPENDS the
-    `cut_spans` result to ``out_path``."""
-    from pyspark.errors import AnalysisException
-
+    grain via `_fresh_minus_landed`, the `ivf_append_sink` algebra —
+    a redelivered micro-batch lands nothing), gets its spans from
+    ``flag_spans(fresh)`` (the one seam the public sinks differ in),
+    and APPENDS the `cut_spans` result to ``out_path``."""
     from stock_market_etl_spark.operators.dedup import cut_spans
 
     def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
-        fresh = batch_df.dropDuplicates([id_col])
-        # Missing out table ⇒ bootstrap append; any other read error
-        # must re-raise so the micro-batch retries (same policy as
-        # dedup_ingest_sink / ivf_append_sink).
-        try:
-            landed = spark.read.parquet(out_path).select(id_col)
-        except AnalysisException as exc:
-            if "PATH_NOT_FOUND" not in (
-                getattr(exc, "getErrorClass", lambda: "")() or str(exc)
-            ) and "Path does not exist" not in str(exc):
-                raise
-            landed = None
-        if landed is not None:
-            fresh = fresh.join(landed, id_col, "left_anti")
+        fresh = _fresh_minus_landed(
+            batch_df.dropDuplicates([id_col]), out_path, id_col
+        )
         cut_spans(
             fresh, flag_spans(fresh), text_col=text_col, id_col=id_col
         ).write.mode("append").parquet(out_path)
@@ -788,6 +798,117 @@ def decontamination_gate_sink(
     return _span_gate_sink(
         stream_docs, out_path, checkpoint, flag_spans, text_col, id_col
     )
+
+
+def embedding_gate_sink(
+    stream_vecs: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    vector_index_path: str,
+    bucket_index_path: str | None = None,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming SEMANTIC decontamination gate — x85 run on arrival
+    (the n21 lifecycle applied to the embedding tier, closing the
+    last streamed-gate symmetry gap: every contamination rung now
+    gates on ingest): each arriving training micro-batch of vectors
+    is verdicted against the FROZEN eval vector artifact (a b27
+    `write_embedding_index` / `publish_embedding_index` release —
+    write-once per release, a new eval release folds in at increment
+    cost and publishes as the NEXT release, never mutating the one a
+    running gate reads), contaminated vectors (max cosine ≥
+    ``threshold`` to any eval vector) are DROPPED, and the kept rows
+    land as ``(id, nearest_eval_id, max_cosine)`` — the audit-grain
+    gate record (the vector itself re-joins by id downstream;
+    landing the evidence keeps the table oracle-comparable, the x26
+    audit stance).
+
+    Pass ``bucket_index_path`` (a b28 `write_lsh_buckets` release of
+    the SAME vector artifact) to probe through the ANN tier: the
+    batch pays its own bucketing only and the eval side is two
+    parquet scans with zero compute — the 100 TB shape. Candidate
+    semantics then apply: a vector with NO bucket-close eval
+    candidate is clean by construction and lands with NULL evidence
+    columns (it never met an eval vector to be scored against).
+
+    Stateless across batches (presence-in-frozen-reference is the
+    whole condition — no cross-batch count can flip a verdict), so
+    batch order and redelivery can never change a decision;
+    exactly-once at id grain via `_fresh_minus_landed`."""
+    from stock_market_etl_spark.operators.similarity import (
+        embedding_contamination_ann_incremental,
+        embedding_contamination_incremental,
+        read_embedding_index,
+        read_lsh_buckets,
+    )
+
+    spark = stream_vecs.sparkSession
+    # static per release: both artifacts read once at sink setup
+    index, built_dim = read_embedding_index(spark, vector_index_path)
+    buckets = params = None
+    if bucket_index_path is not None:
+        buckets, params = read_lsh_buckets(spark, bucket_index_path)
+        if params[0] != built_dim:
+            raise ValueError(
+                f"bucket index at {bucket_index_path} was built at "
+                f"dim={params[0]} but the vector index at "
+                f"{vector_index_path} holds dim={built_dim} — the "
+                "artifacts belong to different releases; regenerate "
+                "the buckets from this vector release"
+            )
+
+    def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fresh = _fresh_minus_landed(
+            batch_df.dropDuplicates([id_col]), out_path, id_col
+        )
+        if buckets is None:
+            verdict = embedding_contamination_incremental(
+                index,
+                fresh,
+                threshold=threshold,
+                built_dim=built_dim,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+        else:
+            verdict = embedding_contamination_ann_incremental(
+                index,
+                buckets,
+                fresh,
+                params,
+                threshold=threshold,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+        # verdict keys on the literal "vec_id" output name
+        # (contamination_from_pairs' audit schema)
+        flagged = verdict.filter(F.col("contaminated")).select(
+            F.col("vec_id").alias(id_col)
+        )
+        kept = fresh.join(flagged, id_col, "left_anti").select(id_col)
+        evidence = verdict.select(
+            F.col("vec_id").alias(id_col),
+            "nearest_eval_id",
+            "max_cosine",
+        )
+        # left join: exact tier covers every id; ANN tier leaves
+        # candidate-free (clean-by-construction) rows NULL
+        kept.join(evidence, id_col, "left").write.mode(
+            "append"
+        ).parquet(out_path)
+
+    q = (
+        stream_vecs.writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
 
 
 def daily_rollup(events: DataFrame) -> DataFrame:

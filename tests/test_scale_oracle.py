@@ -309,6 +309,9 @@ SCALE_QUERIES = [
     # r15 addition: b26's embedding sibling (double cosines →
     # midpoint tolerance, the x85 convention)
     ("b27_embedding_index_release_lifecycle", False),
+    # r15 addition: the streamed semantic gate (kept rows + cosine
+    # evidence → midpoint tolerance)
+    ("n22_stream_embedding_gate", False),
 ]
 
 

@@ -1345,6 +1345,119 @@ def test_decontamination_multi_release_lifecycle(spark, tmp_path):
         )
 
 
+def test_embedding_gate_multibatch_redelivery_and_ann(spark, tmp_path):
+    """n22's engine on planted vectors — the verdict is
+    similarity-to-the-frozen-EVAL-artifact, nothing else: (1) a
+    training vector near an eval vector is DROPPED and absent from
+    the landed table; (2) two near-identical vectors WITHIN one
+    micro-batch both land (batch-internal similarity is the dedup
+    family's business — the n21 divergence, applied semantically);
+    (3) a later batch similar only to an earlier batch lands
+    (stateless across batches); (4) kept rows carry their
+    nearest-eval evidence; (5) a full redelivery (fresh checkpoint,
+    same files) lands nothing; (6) the ANN mode (b28 bucket
+    artifact) drops the same planted leak, lands candidate-free
+    rows with NULL evidence, and refuses a bucket artifact from a
+    different vector release (dim disagreement)."""
+    import pytest
+
+    from stock_market_etl_spark.operators import similarity as sim
+    from stock_market_etl_spark.streaming import core
+
+    eval_split = spark.createDataFrame(
+        [(900, [1.0, 0.0, 0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    vec_path = str(tmp_path / "eval_vecs")
+    sim.write_embedding_index(eval_split, vec_path, dim=4)
+
+    src = str(tmp_path / "arrivals")
+    batch1 = spark.createDataFrame(
+        [
+            (100, [1.0, 0.0, 0.0, 0.0]),   # eval leak → dropped
+            (101, [0.0, 1.0, 0.0, 0.0]),   # batch-internal pair…
+            (102, [0.0, 1.0, 0.0, 0.0]),   # …both land
+        ],
+        ["vec_id", "embedding"],
+    )
+    batch2 = spark.createDataFrame(
+        [
+            (200, [0.0, 1.0, 0.0, 0.0]),   # ≈ batch1 only → lands
+            (201, [0.9, 0.1, 0.0, 0.0]),   # ≈ eval 900 → dropped
+        ],
+        ["vec_id", "embedding"],
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    def run_gate(out, ckpt, bucket_path=None):
+        stream = (
+            spark.readStream.schema(batch1.schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        core.embedding_gate_sink(
+            stream,
+            out,
+            str(tmp_path / ckpt),
+            vec_path,
+            bucket_index_path=bucket_path,
+        )
+        return {
+            r["vec_id"]: (r["nearest_eval_id"], r["max_cosine"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    out = str(tmp_path / "clean")
+    got = run_gate(out, "ck1")
+    # exact tier: every kept row scored against the one eval vector
+    assert set(got) == {101, 102, 200}
+    assert all(v == (900, 0.0) for v in got.values())
+
+    # full redelivery: fresh checkpoint, same files — nothing lands
+    again = run_gate(out, "ck2")
+    assert again == got
+
+    # ANN mode: buckets frozen from the SAME vector artifact
+    idx, built_dim = sim.read_embedding_index(spark, vec_path)
+    bkt_path = str(tmp_path / "eval_bkts")
+    sim.write_lsh_buckets(
+        idx, bkt_path, built_dim, n_planes=4, n_tables=16, seed=42
+    )
+    got_ann = run_gate(str(tmp_path / "clean_ann"), "ck3", bkt_path)
+    # the planted leaks (100: identical buckets in every table; 201:
+    # near-identical) are candidates → flagged → dropped; kept rows
+    # land either scored (had a candidate) or NULL (clean by
+    # construction — never bucket-close to any eval vector)
+    assert set(got_ann) == {101, 102, 200}
+    for ev_id, cos in got_ann.values():
+        assert (ev_id, cos) == (900, 0.0) or (
+            ev_id is None and cos is None
+        )
+
+    # artifact-disagreement refusal: buckets built at another dim
+    other_vecs = spark.createDataFrame(
+        [(900, [1.0, 0.0])], ["vec_id", "embedding"]
+    )
+    other_vec_path = str(tmp_path / "other_vecs")
+    sim.write_embedding_index(other_vecs, other_vec_path, dim=2)
+    other_idx, other_dim = sim.read_embedding_index(
+        spark, other_vec_path
+    )
+    other_bkt = str(tmp_path / "other_bkts")
+    sim.write_lsh_buckets(other_idx, other_bkt, other_dim)
+    with pytest.raises(ValueError, match="different releases"):
+        core.embedding_gate_sink(
+            spark.readStream.schema(batch1.schema)
+            .format("parquet")
+            .load(src),
+            str(tmp_path / "never"),
+            str(tmp_path / "ck4"),
+            vec_path,
+            bucket_index_path=other_bkt,
+        )
+
+
 def test_drift_monitor_multibatch_and_redelivery(spark, tmp_path):
     """n20's engine on planted distributions: (1) a batch scoring
     like the baseline reads psi ≈ 0, no flag; (2) a batch whose score
