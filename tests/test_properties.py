@@ -1342,3 +1342,76 @@ def test_embedding_release_lifecycle_matches_reference(spark, rows):
                 best = (j, cos)
         want.append((i, best[0], best[1], best[1] >= 0.4))
     assert got == sorted(want), (got, sorted(want))
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(rows=_emb_corpus)
+def test_embedding_ann_artifact_matches_inline(spark, rows):
+    """b28's probe on RANDOM corpora and ARBITRARY release
+    partitions: the artifact chain (vector index → bucket index →
+    merge both → publish both → probe) must be BIT-IDENTICAL to the
+    inline `embedding_contamination_ann` over the union at the same
+    parameters — bucket assignment is a pure per-row function of the
+    seeded plane family, so materializing it can never change a
+    verdict. Covers empty release 1 or 2 (merge of an empty bucket
+    table) and duplicate vectors (identical buckets in every
+    table)."""
+    import shutil
+    import tempfile
+
+    from stock_market_etl_spark.operators import similarity as sim
+
+    data = [
+        (i, [float(x) for x in vec], role)
+        for i, (vec, role) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "vec_id bigint, embedding array<double>, role int"
+    )
+    train = df.filter(F.col("role") < 2).drop("role")
+    r1 = df.filter(F.col("role") == 2).drop("role")
+    r2 = df.filter(F.col("role") == 3).drop("role")
+
+    work = tempfile.mkdtemp(prefix="emb_ann_fuzz_")
+    try:
+        sim.write_embedding_index(r1, f"{work}/v1", dim=4)
+        idx1, built_dim = sim.read_embedding_index(spark, f"{work}/v1")
+        sim.write_lsh_buckets(
+            idx1, f"{work}/b1", built_dim, n_planes=3, n_tables=5,
+            seed=11,
+        )
+        bk1, params = sim.read_lsh_buckets(spark, f"{work}/b1")
+        merged_v = sim.merge_embedding_index(idx1, r2, built_dim)
+        sim.publish_embedding_index(merged_v, f"{work}/v2", built_dim)
+        idx2, dim2 = sim.read_embedding_index(spark, f"{work}/v2")
+        r2_vecs = sim._checked_unit_vectors(
+            r2, dim2, "vec_id", "embedding"
+        )
+        merged_b = sim.merge_lsh_buckets(bk1, r2_vecs, params)
+        sim.publish_lsh_buckets(merged_b, f"{work}/b2", params)
+        bk2, params2 = sim.read_lsh_buckets(spark, f"{work}/b2")
+        got = sorted(
+            map(
+                tuple,
+                sim.embedding_contamination_ann_incremental(
+                    idx2, bk2, train, params2, threshold=0.4
+                ).collect(),
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    want = sorted(
+        map(
+            tuple,
+            sim.embedding_contamination_ann(
+                df,
+                F.col("role") >= 2,
+                dim=4,
+                threshold=0.4,
+                n_planes=3,
+                n_tables=5,
+                seed=11,
+            ).collect(),
+        )
+    )
+    assert got == want, (got, want)
