@@ -1749,6 +1749,7 @@ def embedding_contamination_ann_incremental(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    persist_train: bool = True,
 ) -> DataFrame:
     """The ANN tier probing MATERIALIZED artifacts — the 100 TB form
     of the multi-release semantic-decontamination lifecycle: eval
@@ -1769,9 +1770,19 @@ def embedding_contamination_ann_incremental(
     REQUIRED: the plane family is a pure function of it, and a probe
     bucketed under any other family lands in disjoint buckets and
     silently flags nothing — the loud-seam rule every artifact in
-    this family follows."""
+    this family follows.
+
+    ``persist_train`` caches the checked/normalized train side for
+    its two consumers (bucketing + unit re-attach). It defaults on
+    for one-shot batch probes; per-micro-batch callers
+    (`embedding_gate_sink`) pass False — a persist per batch is a
+    block leak over a stream's lifetime, and the batch-sized
+    recomputation is cheaper than the cleanup plumbing (review
+    r15)."""
     dim, n_planes, n_tables, seed = (int(x) for x in built_params)
-    tv = _checked_unit_vectors(train, dim, id_col, vec_col).persist()
+    tv = _checked_unit_vectors(train, dim, id_col, vec_col)
+    if persist_train:
+        tv = tv.persist()
     train_buckets = hyperplane_lsh_buckets(
         tv.select(F.col(id_col), F.col("__v")),
         dim,

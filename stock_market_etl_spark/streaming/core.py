@@ -365,20 +365,11 @@ def upsert_sink(
         # Only a missing lake may fall through to the bootstrap write.
         # Any other read failure (corrupt file, FS hiccup) must re-raise
         # so the micro-batch retries — falling through would overwrite
-        # the whole lake with one batch.
-        from pyspark.errors import AnalysisException
-
-        try:
-            existing = spark.read.parquet(lake_path).select(
-                *batch_df.columns
-            )
-        except AnalysisException as exc:
-            if "PATH_NOT_FOUND" not in (
-                getattr(exc, "getErrorClass", lambda: "")() or str(exc)
-            ) and "Path does not exist" not in str(exc):
-                raise
-            existing = None
+        # the whole lake with one batch (the shared `_read_if_exists`
+        # classification, review r15).
+        existing = _read_if_exists(spark, lake_path)
         if existing is not None:
+            existing = existing.select(*batch_df.columns)
             merged = merge_increment(existing, batch_df, keys)
             merged = merged.localCheckpoint(eager=True)
         else:
@@ -463,8 +454,6 @@ def dedup_ingest_sink(
     the append never rewrites existing corpus files. The within-batch
     `exact_dedup` keeps full rows (the batch IS the payload to land),
     which shuffles one increment, not the corpus."""
-    from pyspark.errors import AnalysisException
-
     from stock_market_etl_spark.operators.dedup import (
         exact_dedup,
         incremental_dedup,
@@ -483,17 +472,11 @@ def dedup_ingest_sink(
         batch_dd = exact_dedup(
             batch_df, text_col=text_col, id_col=id_col
         ).select(*out_cols)
-        # Missing corpus ⇒ bootstrap append; any other read error must
-        # re-raise so the micro-batch retries (same policy as
-        # upsert_sink — swallowing it would fork a parallel corpus).
-        try:
-            corpus = spark.read.parquet(corpus_path).select(*out_cols)
-        except AnalysisException as exc:
-            if "PATH_NOT_FOUND" not in (
-                getattr(exc, "getErrorClass", lambda: "")() or str(exc)
-            ) and "Path does not exist" not in str(exc):
-                raise
-            corpus = None
+        # missing corpus ⇒ bootstrap append; other read errors retry
+        # (the shared `_read_if_exists` classification, review r15)
+        corpus = _read_if_exists(spark, corpus_path)
+        if corpus is not None:
+            corpus = corpus.select(*out_cols)
         if corpus is not None:
             if threshold is None:
                 c_hash = corpus.select(
@@ -576,8 +559,6 @@ def ivf_append_sink(
     REBUILD (new index version), deliberately not part of the
     per-batch path.
     """
-    from pyspark.errors import AnalysisException
-
     from stock_market_etl_spark.operators.similarity import assign_cells
 
     out_cols = list(stream_vecs.columns)
@@ -591,20 +572,11 @@ def ivf_append_sink(
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
-        fresh = batch_df.dropDuplicates([id_col])
-        # Missing cells table ⇒ bootstrap append; any other read error
-        # must re-raise so the micro-batch retries (same policy as
-        # dedup_ingest_sink).
-        try:
-            existing_ids = spark.read.parquet(cells_path).select(id_col)
-        except AnalysisException as exc:
-            if "PATH_NOT_FOUND" not in (
-                getattr(exc, "getErrorClass", lambda: "")() or str(exc)
-            ) and "Path does not exist" not in str(exc):
-                raise
-            existing_ids = None
-        if existing_ids is not None:
-            fresh = fresh.join(existing_ids, id_col, "left_anti")
+        # missing cells table ⇒ bootstrap; other read errors retry
+        # (the shared `_fresh_minus_landed` seam, review r15)
+        fresh = _fresh_minus_landed(
+            batch_df.dropDuplicates([id_col]), cells_path, id_col
+        )
         assigned = assign_cells(fresh, centers_df, vec_col=vec_col)
         assigned.select(*out_cols, "__cell").write.mode(
             "append"
@@ -679,28 +651,40 @@ def substring_gate_sink(
     )
 
 
-def _fresh_minus_landed(
-    fresh: DataFrame, out_path: str, id_col: str
-) -> DataFrame:
-    """The exactly-once-at-id-grain seam shared by every gate sink
-    (extracted r15 — it existed inline in `_span_gate_sink` and the
-    embedding gate would have copied it): anti-join ids already
-    landed at ``out_path`` so a redelivered micro-batch lands
-    nothing. Missing out table ⇒ bootstrap (first batch); any OTHER
-    read error must re-raise so the micro-batch retries (same policy
-    as dedup_ingest_sink / ivf_append_sink)."""
+def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    """Parquet read that returns None when the table does not exist
+    yet (the bootstrap batch) and RE-RAISES any other read error so
+    the micro-batch retries — swallowing a real failure would fork a
+    parallel output (the upsert_sink policy). The single home of the
+    PATH_NOT_FOUND classification (review r15 — it existed inline in
+    four ingest sinks; a Spark error-class rename fixed in one copy
+    would leave the others mis-classifying real read errors as
+    bootstrap)."""
     from pyspark.errors import AnalysisException
 
-    spark = fresh.sparkSession
     try:
-        landed = spark.read.parquet(out_path).select(id_col)
+        return spark.read.parquet(path)
     except AnalysisException as exc:
         if "PATH_NOT_FOUND" not in (
             getattr(exc, "getErrorClass", lambda: "")() or str(exc)
         ) and "Path does not exist" not in str(exc):
             raise
+        return None
+
+
+def _fresh_minus_landed(
+    fresh: DataFrame, out_path: str, id_col: str
+) -> DataFrame:
+    """The exactly-once-at-id-grain seam shared by every gate/append
+    sink (extracted r15 — it existed inline in `_span_gate_sink`,
+    `ivf_append_sink`, and the embedding gate would have copied it):
+    anti-join ids already landed at ``out_path`` so a redelivered
+    micro-batch lands nothing. Missing out table ⇒ bootstrap (first
+    batch) via `_read_if_exists`."""
+    landed = _read_if_exists(fresh.sparkSession, out_path)
+    if landed is None:
         return fresh
-    return fresh.join(landed, id_col, "left_anti")
+    return fresh.join(landed.select(id_col), id_col, "left_anti")
 
 
 def _span_gate_sink(
@@ -862,44 +846,79 @@ def embedding_gate_sink(
     def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # persist: fresh feeds the verdict AND (ANN tier) the
+        # candidate-free anti-join; without it each consumer re-runs
+        # dropDuplicates — which is NONDETERMINISTIC in which
+        # duplicate survives, so two evaluations could score
+        # different copies of the same id and land a contaminated
+        # row as "kept" (review r15)
         fresh = _fresh_minus_landed(
             batch_df.dropDuplicates([id_col]), out_path, id_col
-        )
-        if buckets is None:
-            verdict = embedding_contamination_incremental(
-                index,
-                fresh,
-                threshold=threshold,
-                built_dim=built_dim,
-                id_col=id_col,
-                vec_col=vec_col,
-            )
-        else:
-            verdict = embedding_contamination_ann_incremental(
-                index,
-                buckets,
-                fresh,
-                params,
-                threshold=threshold,
-                id_col=id_col,
-                vec_col=vec_col,
-            )
-        # verdict keys on the literal "vec_id" output name
-        # (contamination_from_pairs' audit schema)
-        flagged = verdict.filter(F.col("contaminated")).select(
-            F.col("vec_id").alias(id_col)
-        )
-        kept = fresh.join(flagged, id_col, "left_anti").select(id_col)
-        evidence = verdict.select(
-            F.col("vec_id").alias(id_col),
-            "nearest_eval_id",
-            "max_cosine",
-        )
-        # left join: exact tier covers every id; ANN tier leaves
-        # candidate-free (clean-by-construction) rows NULL
-        kept.join(evidence, id_col, "left").write.mode(
-            "append"
-        ).parquet(out_path)
+        ).persist()
+        try:
+            if buckets is None:
+                verdict = embedding_contamination_incremental(
+                    index,
+                    fresh,
+                    threshold=threshold,
+                    built_dim=built_dim,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                )
+            else:
+                verdict = embedding_contamination_ann_incremental(
+                    index,
+                    buckets,
+                    fresh,
+                    params,
+                    threshold=threshold,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                    persist_train=False,  # batch dies with the call;
+                    # a per-batch persist would leak blocks forever
+                    # (review r15) — recomputation reads `fresh`
+                )
+            # ONE evaluation of the verdict DAG per batch: kept =
+            # the verdict's own non-contaminated rows (exact tier
+            # covers every fresh id, so that is complete) plus, on
+            # the ANN tier, the candidate-free ids — clean by
+            # construction, landed with NULL evidence. Deriving
+            # kept from the verdict (not a second anti-join against
+            # a re-evaluated probe) is what makes the landed table
+            # a pure function of one verdict (review r15).
+            verdict = verdict.persist()
+            try:
+                # verdict keys on the literal "vec_id" output name
+                # (contamination_from_pairs' audit schema)
+                out = verdict.filter(~F.col("contaminated")).select(
+                    F.col("vec_id").alias(id_col),
+                    "nearest_eval_id",
+                    "max_cosine",
+                )
+                if buckets is not None:
+                    nocand = (
+                        fresh.select(id_col)
+                        .join(
+                            verdict.select(
+                                F.col("vec_id").alias(id_col)
+                            ),
+                            id_col,
+                            "left_anti",
+                        )
+                        .withColumn(
+                            "nearest_eval_id",
+                            F.lit(None).cast("long"),
+                        )
+                        .withColumn(
+                            "max_cosine", F.lit(None).cast("double")
+                        )
+                    )
+                    out = out.unionByName(nocand)
+                out.write.mode("append").parquet(out_path)
+            finally:
+                verdict.unpersist()
+        finally:
+            fresh.unpersist()
 
     q = (
         stream_vecs.writeStream.foreachBatch(gate_batch)
