@@ -477,7 +477,6 @@ def dedup_ingest_sink(
         corpus = _read_if_exists(spark, corpus_path)
         if corpus is not None:
             corpus = corpus.select(*out_cols)
-        if corpus is not None:
             if threshold is None:
                 c_hash = corpus.select(
                     F.sha2(F.col(text_col), 256).alias("__h")
@@ -846,8 +845,8 @@ def embedding_gate_sink(
     def gate_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # persist: fresh feeds the verdict AND (ANN tier) the
-        # candidate-free anti-join; without it each consumer re-runs
+        # persist: fresh feeds the verdict AND the absent-id
+        # anti-join (both tiers); without it each consumer re-runs
         # dropDuplicates — which is NONDETERMINISTIC in which
         # duplicate survives, so two evaluations could score
         # different copies of the same id and land a contaminated
@@ -879,42 +878,55 @@ def embedding_gate_sink(
                     # (review r15) — recomputation reads `fresh`
                 )
             # ONE evaluation of the verdict DAG per batch: kept =
-            # the verdict's own non-contaminated rows (exact tier
-            # covers every fresh id, so that is complete) plus, on
-            # the ANN tier, the candidate-free ids — clean by
-            # construction, landed with NULL evidence. Deriving
-            # kept from the verdict (not a second anti-join against
-            # a re-evaluated probe) is what makes the landed table
-            # a pure function of one verdict (review r15).
+            # the verdict's own non-contaminated rows PLUS every
+            # fresh id absent from the verdict, landed with NULL
+            # evidence. The absent-id union runs on BOTH tiers
+            # (review r15 pass 3): on the ANN tier it is the
+            # candidate-free rows (clean by construction); on the
+            # exact tier it is normally empty — but an EMPTY eval
+            # release (a legal bootstrap artifact) yields an empty
+            # verdict, and deriving kept only from the verdict would
+            # silently drop every clean row forever (the anti-join
+            # re-drops them on redelivery). Deriving everything from
+            # one persisted verdict (not a second evaluation of the
+            # probe) is what makes the landed table a pure function
+            # of one verdict.
             verdict = verdict.persist()
             try:
                 # verdict keys on the literal "vec_id" output name
-                # (contamination_from_pairs' audit schema)
+                # (contamination_from_pairs' audit schema); NULL
+                # evidence is cast to the VERDICT's own types — a
+                # hardcoded bigint would make unionByName coerce (or
+                # crash, under ANSI) non-bigint id columns (review
+                # r15 pass 3)
                 out = verdict.filter(~F.col("contaminated")).select(
                     F.col("vec_id").alias(id_col),
                     "nearest_eval_id",
                     "max_cosine",
                 )
-                if buckets is not None:
-                    nocand = (
-                        fresh.select(id_col)
-                        .join(
-                            verdict.select(
-                                F.col("vec_id").alias(id_col)
-                            ),
-                            id_col,
-                            "left_anti",
-                        )
-                        .withColumn(
-                            "nearest_eval_id",
-                            F.lit(None).cast("long"),
-                        )
-                        .withColumn(
-                            "max_cosine", F.lit(None).cast("double")
-                        )
+                noverdict = (
+                    fresh.select(id_col)
+                    .join(
+                        verdict.select(F.col("vec_id").alias(id_col)),
+                        id_col,
+                        "left_anti",
                     )
-                    out = out.unionByName(nocand)
-                out.write.mode("append").parquet(out_path)
+                    .withColumn(
+                        "nearest_eval_id",
+                        F.lit(None).cast(
+                            verdict.schema["nearest_eval_id"].dataType
+                        ),
+                    )
+                    .withColumn(
+                        "max_cosine",
+                        F.lit(None).cast(
+                            verdict.schema["max_cosine"].dataType
+                        ),
+                    )
+                )
+                out.unionByName(noverdict).write.mode(
+                    "append"
+                ).parquet(out_path)
             finally:
                 verdict.unpersist()
         finally:

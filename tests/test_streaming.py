@@ -1345,6 +1345,83 @@ def test_decontamination_multi_release_lifecycle(spark, tmp_path):
         )
 
 
+def test_embedding_gate_empty_release_and_string_ids(spark, tmp_path):
+    """Two review-r15 regressions pinned: (1) an EMPTY eval release —
+    a legal bootstrap artifact — must gate NOTHING: every training
+    vector lands with NULL evidence (deriving kept rows only from
+    the verdict silently dropped the whole stream forever, since the
+    landed-id anti-join re-dropped the rows on redelivery too);
+    (2) non-bigint id columns work on the ANN tier — the NULL
+    evidence columns are typed from the VERDICT's schema, not
+    hardcoded bigint (unionByName would coerce or, under ANSI,
+    crash on string ids)."""
+    from stock_market_etl_spark.operators import similarity as sim
+    from stock_market_etl_spark.streaming import core
+
+    # (1) empty eval release, exact tier
+    empty_eval = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>"
+    )
+    vec_path = str(tmp_path / "empty_vecs")
+    sim.write_embedding_index(empty_eval, vec_path, dim=4)
+    src = str(tmp_path / "arrivals")
+    batch = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    batch.coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / "clean")
+    core.embedding_gate_sink(
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .load(src),
+        out,
+        str(tmp_path / "ck1"),
+        vec_path,
+    )
+    got = {
+        r["vec_id"]: (r["nearest_eval_id"], r["max_cosine"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {1: (None, None), 2: (None, None)}
+
+    # (2) string ids through the ANN tier
+    eval_s = spark.createDataFrame(
+        [("e9", [1.0, 0.0, 0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    vec_s = str(tmp_path / "vecs_s")
+    sim.write_embedding_index(eval_s, vec_s, dim=4)
+    idx, built_dim = sim.read_embedding_index(spark, vec_s)
+    bkt_s = str(tmp_path / "bkts_s")
+    sim.write_lsh_buckets(idx, bkt_s, built_dim, n_planes=4, n_tables=16)
+    src_s = str(tmp_path / "arrivals_s")
+    batch_s = spark.createDataFrame(
+        [
+            ("t1", [1.0, 0.0, 0.0, 0.0]),   # ≈ eval → dropped
+            ("t2", [0.0, 1.0, 0.0, 0.0]),   # orthogonal → lands
+        ],
+        ["vec_id", "embedding"],
+    )
+    batch_s.coalesce(1).write.mode("append").parquet(src_s)
+    out_s = str(tmp_path / "clean_s")
+    core.embedding_gate_sink(
+        spark.readStream.schema(batch_s.schema)
+        .format("parquet")
+        .load(src_s),
+        out_s,
+        str(tmp_path / "ck2"),
+        vec_s,
+        bucket_index_path=bkt_s,
+    )
+    rows = {
+        r["vec_id"]: (r["nearest_eval_id"], r["max_cosine"])
+        for r in spark.read.parquet(out_s).collect()
+    }
+    assert set(rows) == {"t2"}
+    ev, cos = rows["t2"]
+    assert (ev, cos) == ("e9", 0.0) or (ev is None and cos is None)
+
+
 def test_embedding_gate_multibatch_redelivery_and_ann(spark, tmp_path):
     """n22's engine on planted vectors — the verdict is
     similarity-to-the-frozen-EVAL-artifact, nothing else: (1) a
