@@ -1300,6 +1300,68 @@ def b28_embedding_ann_release_lifecycle(
     )
 
 
+@_q("b29_bloom_index_release_lifecycle")
+def b29_bloom_index_release_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The BLOOM rung of the multi-release lifecycle (r15 — the
+    persistence step the memory-bounded tier lacked; every other
+    index in the family already freezes: window hashes b25/b26,
+    vectors b27, buckets b28): eval release 1 (doc_id % 10 == 8)
+    builds a window Bloom filter ONCE (`dedup.build_window_bloom`)
+    and freezes it (`write_bloom_index` — chunked bitmap + an
+    (m, j, n, k) meta sidecar, all four validated on read as the
+    filter's identity); release 2 (doc_id % 10 == 9) folds into the
+    READ-BACK artifact at increment cost (`merge_window_bloom` —
+    bit positions are a pure function of (hash, m, j), so the merge
+    is bit-identical to a filter built over the union at the same
+    geometry; the filtered corpus never re-hashes); and the training
+    split flags through `bloom_contaminated_spans` against the
+    merged filter.
+
+    Rows-only by documented design (the x88 stance — bloom flags are
+    conservative: ⊇ the exact x84 flags by construction, so no SQL
+    oracle can bind them); evidence chain in tests/test_extensions.py:
+    write/read roundtrip is tuple-identical, merged ≡
+    rebuilt-at-geometry bit-for-bit, probe-through-artifact ≡
+    probe-in-memory, and every width/geometry/corruption seam
+    refuses loudly. Scale shape: the artifact is m/8 bytes total —
+    ~1.2 bits per reference window — and a probe session loads it
+    instead of re-hashing the eval corpus; driver traffic stays the
+    IVF-centroid bounded class. Stays out of BENCH like b25–b28
+    (artifact writers; x88 times the probe shape)."""
+    import os
+    import warnings as _warnings
+
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 < 8)
+    eval_r1 = docs.filter(F.col("doc_id") % 10 == 8)
+    eval_r2 = docs.filter(F.col("doc_id") % 10 == 9)
+    work = _scratch.fresh_dir("b29_bloom_release")
+    p1 = os.path.join(work, "bloom_r1")
+    dedup.write_bloom_index(
+        dedup.build_window_bloom(eval_r1, k=8), spark, p1
+    )
+    bloom1 = dedup.read_bloom_index(spark, p1, k=8)
+    with _warnings.catch_warnings():
+        # doubling the window count past the r1 sizing legitimately
+        # warns (the rebuild-to-restore-FPR pointer) — the catalog
+        # query IS the documented over-growth scenario
+        _warnings.simplefilter("ignore", RuntimeWarning)
+        merged = dedup.merge_window_bloom(
+            bloom1, eval_r2, built_k=bloom1[4]
+        )
+    p2 = os.path.join(work, "bloom_r2")
+    dedup.write_bloom_index(merged, spark, p2)
+    bloom2 = dedup.read_bloom_index(spark, p2)
+    return dedup.bloom_contaminated_spans(
+        bloom2, train, k=bloom2[4]
+    ).orderBy("doc_id", "span_start")
+
+
 # b26's landed result must equal x84's single-release scrub against
 # the union (merged ≡ rebuilt) — bind the SAME oracle string so the
 # identity can't silently stop being tested (the n21 convention).

@@ -1605,9 +1605,6 @@ def build_window_bloom(
     centroid-collect class of bounded driver work). One extra
     count() job sizes ``m`` from the exact distinct-window count via
     the public `bloom_sizing` seam."""
-    import numpy as np
-    import pyarrow as pa
-
     hashes = (
         _window_hash_stream(reference, k, text_col, id_col)
         .select("__h")
@@ -1622,6 +1619,23 @@ def build_window_bloom(
         hashes.unpersist()
         return b"\x00" * 8, 64, 1, 0, int(k)
     m, j = bloom_sizing(n, fpp)
+    bitmap = _bloom_bitmap_at(hashes, m, j)
+    hashes.unpersist()
+    return bitmap, m, j, n, int(k)
+
+
+def _bloom_bitmap_at(hashes: DataFrame, m: int, j: int) -> bytes:
+    """Fold a ``__h`` window-hash stream into one m-bit bitmap at a
+    FIXED (m, j) — the build tail of `build_window_bloom`, extracted
+    (r15) so the release-merge step can fold an increment's windows
+    at the EXISTING filter's geometry (bit positions are a pure
+    function of (hash, m, j), so bloom(union) ≡ bloom(a) | bloom(b)
+    bit-for-bit at fixed geometry). Per partition: JVM-side
+    xxhash64 positions, one Arrow-batched numpy OR-fold; driver
+    traffic ≤ partitions × m/8 bytes."""
+    import numpy as np
+    import pyarrow as pa
+
     pos_cols = [
         F.pmod(F.xxhash64(F.col("__h"), F.lit(i)), F.lit(m)).alias(
             f"__p{i}"
@@ -1653,11 +1667,196 @@ def build_window_bloom(
     parts = positions.mapInArrow(
         partial_bitmaps, "bm binary"
     ).collect()
-    hashes.unpersist()
     bitmap = np.zeros(n_bytes, dtype=np.uint8)
     for row in parts:
         bitmap |= np.frombuffer(row["bm"], dtype=np.uint8)
-    return bitmap.tobytes(), m, j, n, int(k)
+    return bitmap.tobytes()
+
+
+def bloom_fpr(n: int, m: int, j: int) -> float:
+    """Predicted false-positive rate of an (m bits, j hashes) Bloom
+    filter holding ``n`` keys: ``(1 - e^(-j·n/m))^j`` — the standard
+    estimate, exposed publicly (the `bloom_sizing` convention) so
+    release-merge callers can see how far a grown filter has drifted
+    from its build-time target."""
+    import math
+
+    if n <= 0:
+        return 0.0
+    return (1.0 - math.exp(-float(j) * float(n) / float(m))) ** j
+
+
+#: Bitmap chunk size in the bloom artifact: one parquet row per
+#: chunk keeps any single binary cell far below format/row limits
+#: while a multi-hundred-MB filter still lands in a handful of rows.
+_BLOOM_CHUNK_BYTES = 16 * 1024 * 1024
+
+
+def write_bloom_index(
+    bloom: tuple[bytes, int, int, int, int],
+    spark: SparkSession,
+    path: str,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a `build_window_bloom` tuple as a frozen
+    ``path/{bitmap, meta}`` artifact — the persistence step the bloom
+    tier lacked (every other index in this family already freezes:
+    window hashes b25/b26, vectors/buckets b27/b28): build the filter
+    ONCE per eval release, and every later probe session — batch or
+    streamed — loads m/8 bytes instead of re-hashing the eval corpus.
+    The bitmap lands as ordered ≤16 MB chunk rows (one giant binary
+    cell would brush parquet cell limits); ``(m, j, n, k)`` land in a
+    one-row meta sidecar, all four validated on read — they are the
+    filter's identity exactly as dim is the vector artifact's
+    (probing at another k or folding at another (m, j) turns every
+    membership test into noise)."""
+    bitmap, m, j, n, k = bloom
+    chunks = [
+        (i, bitmap[off : off + _BLOOM_CHUNK_BYTES])
+        for i, off in enumerate(
+            range(0, max(len(bitmap), 1), _BLOOM_CHUNK_BYTES)
+        )
+    ]
+    spark.createDataFrame(
+        chunks, "chunk_id int, bytes binary"
+    ).coalesce(1).write.mode(mode).parquet(f"{path}/bitmap")
+    spark.createDataFrame(
+        [(int(m), int(j), int(n), int(k))],
+        "m bigint, j int, n bigint, k int",
+    ).coalesce(1).write.mode(mode).parquet(f"{path}/meta")
+
+
+def read_bloom_index(
+    spark: SparkSession, path: str, k: int | None = None
+) -> tuple[bytes, int, int, int, int]:
+    """Load a `write_bloom_index` artifact back as the
+    `build_window_bloom` tuple `bloom_contaminated_spans` takes.
+    Loud refusals for: malformed meta (empty/multi-row/null fields —
+    a crashed write), a bitmap whose byte length disagrees with the
+    recorded ``m`` (truncated or mixed-release chunks), and a caller
+    ``k`` that contradicts the recorded width (the
+    `read_window_index` convention). The driver-side collect is the
+    filter itself — m/8 bytes, the same bounded class as holding the
+    tuple in memory."""
+    meta_rows = spark.read.parquet(f"{path}/meta").collect()
+    fields = ("m", "j", "n", "k")
+    if len(meta_rows) != 1 or any(
+        meta_rows[0][f] is None for f in fields
+    ):
+        defect = (
+            "a null field" if len(meta_rows) == 1
+            else f"{len(meta_rows)} rows (expected exactly 1)"
+        )
+        raise ValueError(
+            f"bloom index at {path} has a malformed meta sidecar — "
+            f"{defect} — artifact incomplete or corrupt; rebuild "
+            "with write_bloom_index"
+        )
+    m, j, n, built_k = (int(meta_rows[0][f]) for f in fields)
+    if k is not None and k != built_k:
+        raise ValueError(
+            f"bloom index at {path} was built with k={built_k}, "
+            f"probe requested k={k} — bit positions would be random "
+            "noise; rebuild the filter or probe at its k"
+        )
+    chunk_rows = (
+        spark.read.parquet(f"{path}/bitmap")
+        .orderBy("chunk_id")
+        .collect()
+    )
+    bitmap = b"".join(bytes(r["bytes"]) for r in chunk_rows)
+    if len(bitmap) * 8 != m:
+        raise ValueError(
+            f"bloom index at {path} holds {len(bitmap)} bitmap bytes "
+            f"but meta records m={m} bits ({m // 8} bytes) — "
+            "artifact truncated or mixed releases; rebuild with "
+            "write_bloom_index"
+        )
+    return bitmap, m, j, n, built_k
+
+
+def merge_window_bloom(
+    bloom: tuple[bytes, int, int, int, int],
+    new_docs: DataFrame,
+    built_k: int,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[bytes, int, int, int, int]:
+    """Fold NEW documents into an existing window Bloom filter
+    WITHOUT re-hashing the filtered corpus — the bloom rung of the
+    multi-release lifecycle (`merge_window_index`'s contract at
+    bitmap grain): the increment's distinct windows fold at the
+    EXISTING geometry (bit positions are a pure function of
+    (hash, m, j)), so ``merge_window_bloom(bloom, batch, built_k)``
+    is BIT-IDENTICAL to a filter built over corpus ∪ batch at the
+    same (m, j, k) — OR is idempotent, shared windows set shared
+    bits. ``built_k`` is REQUIRED (pass the tuple's last element):
+    folding at the wrong width poisons the filter silently — the
+    same loud ValueError every merge seam in this family raises.
+
+    The returned ``n`` is the SUM of the two sides' window counts —
+    an upper bound on the union's distinct count (cross-release
+    duplicate windows are invisible at bitmap grain). FPR grows as
+    the filter fills beyond its build-time sizing; when the merged
+    load predicts more than 2× the pre-merge rate, a RuntimeWarning
+    points at rebuilding with `build_window_bloom` at the union's
+    size (`bloom_fpr` is the public estimate)."""
+    bitmap, m, j, n, k0 = bloom
+    if built_k != int(k0):
+        raise ValueError(
+            f"window bloom filter was built with k={k0}, merge "
+            f"claimed built_k={built_k} — pass the tuple's recorded "
+            "width; a mixed-width filter flags noise"
+        )
+    if k != built_k:
+        raise ValueError(
+            f"window bloom filter was built with k={built_k}, merge "
+            f"requested k={k} — a mixed-width filter flags noise; "
+            "rebuild the filter or merge at its k"
+        )
+    import numpy as np
+
+    hashes = (
+        _window_hash_stream(new_docs, k, text_col, id_col)
+        .select("__h")
+        .distinct()
+        .persist()
+    )
+    n_new = hashes.count()
+    if n_new == 0:
+        hashes.unpersist()
+        return bloom
+    if int(n) == 0:
+        # the degenerate empty-reference tuple has floor geometry
+        # (m=64, j=1) — folding real windows into it would produce a
+        # useless all-ones filter; build fresh at a real size
+        merged_bits = _bloom_bitmap_at(
+            hashes, *bloom_sizing(n_new, 0.01)
+        )
+        m_new, j_new = bloom_sizing(n_new, 0.01)
+        hashes.unpersist()
+        return merged_bits, m_new, j_new, n_new, int(built_k)
+    inc = _bloom_bitmap_at(hashes, m, j)
+    hashes.unpersist()
+    merged = (
+        np.frombuffer(bitmap, dtype=np.uint8)
+        | np.frombuffer(inc, dtype=np.uint8)
+    ).tobytes()
+    n_merged = int(n) + int(n_new)
+    if bloom_fpr(n_merged, m, j) > 2.0 * bloom_fpr(int(n), m, j):
+        warnings.warn(
+            f"merged bloom filter predicts FPR "
+            f"{bloom_fpr(n_merged, m, j):.4f} — more than 2× its "
+            f"pre-merge {bloom_fpr(int(n), m, j):.4f}; the filter "
+            "has outgrown its build-time sizing. Over-flagging is "
+            "the safe direction for decontamination, but rebuild "
+            "with build_window_bloom over the union to restore the "
+            "target rate.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return merged, m, j, n_merged, int(built_k)
 
 
 #: Broadcast cache for probe bitmaps, keyed by (applicationId, bitmap

@@ -3299,6 +3299,103 @@ def test_publish_window_index_meta_failure_cleans_data(
     assert loaded.count() == idx.count()
 
 
+def test_bloom_index_release_lifecycle(spark, sf_smoke, tmp_path):
+    """b29's evidence chain (rows-only, the x88 stance — the proof
+    is identity): write/read of a `build_window_bloom` tuple is
+    TUPLE-identical; folding release 2 into the read-back artifact
+    equals a filter built over the union at the same geometry
+    BIT-FOR-BIT (OR is idempotent, bit positions are pure functions
+    of (hash, m, j)); probing through the published merged artifact
+    equals probing the rebuilt-at-geometry filter; the over-growth
+    warning fires; and every width/geometry/corruption seam refuses
+    loudly."""
+    import warnings as _warnings
+
+    import pytest
+
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_smoke, "documents")
+    train = docs.filter(F.col("doc_id") % 10 < 8)
+    r1 = docs.filter(F.col("doc_id") % 10 == 8)
+    r2 = docs.filter(F.col("doc_id") % 10 == 9)
+
+    bloom1 = dd.build_window_bloom(r1, k=8)
+    p1 = str(tmp_path / "bloom_r1")
+    dd.write_bloom_index(bloom1, spark, p1)
+    loaded = dd.read_bloom_index(spark, p1, k=8)
+    assert loaded == bloom1
+
+    # merge warns when the filter outgrows its sizing (r2 ≈ r1 in
+    # window count → predicted FPR far above the 1% build target)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        merged = dd.merge_window_bloom(loaded, r2, built_k=loaded[4])
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "outgrown" in str(w.message)
+        for w in caught
+    )
+    # merged ≡ rebuilt at the same geometry, bit-for-bit
+    union_hashes = (
+        dd._window_hash_stream(
+            r1.unionByName(r2), 8, "text", "doc_id"
+        )
+        .select("__h")
+        .distinct()
+    )
+    rebuilt_bits = dd._bloom_bitmap_at(union_hashes, merged[1], merged[2])
+    assert merged[0] == rebuilt_bits
+
+    # probe through the re-published artifact ≡ probe in memory
+    p2 = str(tmp_path / "bloom_r2")
+    dd.write_bloom_index(merged, spark, p2)
+    bloom2 = dd.read_bloom_index(spark, p2)
+
+    def rows(bloom):
+        return sorted(
+            map(
+                tuple,
+                dd.bloom_contaminated_spans(
+                    bloom, train, k=bloom[4]
+                ).collect(),
+            )
+        )
+
+    assert rows(bloom2) == rows(merged) and rows(bloom2)
+
+    # refusals: wrong probe k on read, wrong built_k / k on merge,
+    # malformed meta, truncated bitmap
+    with pytest.raises(ValueError, match="k=8"):
+        dd.read_bloom_index(spark, p1, k=4)
+    with pytest.raises(ValueError, match="recorded width"):
+        dd.merge_window_bloom(loaded, r2, built_k=4)
+    with pytest.raises(ValueError, match="k=8"):
+        dd.merge_window_bloom(loaded, r2, built_k=8, k=4)
+    spark.createDataFrame(
+        [], "m bigint, j int, n bigint, k int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{p1}/meta")
+    with pytest.raises(ValueError, match="incomplete or corrupt"):
+        dd.read_bloom_index(spark, p1)
+    # rebuild meta but truncate the bitmap: length-vs-m refusal
+    dd.write_bloom_index(bloom1, spark, p1)
+    spark.createDataFrame(
+        [(0, b"\x00" * 8)], "chunk_id int, bytes binary"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{p1}/bitmap")
+    with pytest.raises(ValueError, match="truncated"):
+        dd.read_bloom_index(spark, p1)
+
+    # empty-increment merge is a no-op; empty-floor base rebuilds
+    empty = docs.filter(F.lit(False))
+    assert dd.merge_window_bloom(bloom1, empty, built_k=8) == bloom1
+    floor = dd.build_window_bloom(empty, k=8)
+    assert floor[1] == 64 and floor[3] == 0
+    grown = dd.merge_window_bloom(floor, r1, built_k=8)
+    assert grown[3] > 0 and grown[1] > 64
+    dd.release_bloom_broadcasts()
+
+
 def test_embedding_index_release_lifecycle(spark, sf_smoke, tmp_path):
     """b27's engine seams (VERDICT r14 task 4 — the embedding sibling
     of b25/b26): write release 1 → read back → merge release 2 at

@@ -73,6 +73,7 @@ SHOWCASE = [
     ("b26_window_index_release_lifecycle", "the multi-release probe: the PUBLISHED merged artifact feeds the flag semi-join exactly like x84's inline index — release-1 text appears in NO stage (it lives only as (16 B, 8 B) parquet rows), release-2 text fed only the merge step's one digest-grain sum (tests/test_plans.py::test_window_index_merge_shuffles_digests_only), and train text crosses one exchange in the cut"),
     ("b27_embedding_index_release_lifecycle", "b26's semantic sibling: the PUBLISHED embedding artifact feeds the probe as a bare (id, vector, norm) parquet scan — release-1 vectors never re-normalize (their norms ride the ReadSchema), the release merge is a hash-exchange-free union (tests/test_plans.py::test_embedding_index_merge_is_exchange_free), and the exact-tier pair table + verdict window are x85's plan shape unchanged"),
     ("b28_embedding_ann_release_lifecycle", "the lifecycle's 100 TB probe: eval side is TWO bare parquet scans (stored buckets + stored vectors/norms) with zero compute — the only ArrowEvalPython stages are the TRAIN side's bucketing matmul and the per-candidate dot, the candidate join is equality on (table, bucket), and no exchange carries a vector array (tests/test_plans.py::test_embedding_ann_artifact_probe_plan)"),
+    ("b29_bloom_index_release_lifecycle", "the bloom tier's frozen-release probe: x88's join-free flag path (JVM xxhash64 bit positions → one ArrowEvalPython membership test → islands merge) fed by a bitmap LOADED from the chunked artifact instead of rebuilt — the eval corpus appears in NO stage; the release merge happened driver-side at bitmap grain (m/8 bytes OR'd, the bounded IVF-centroid class)"),
 ]
 
 #: Operators whose scale-relevant plan can't be dumped through
