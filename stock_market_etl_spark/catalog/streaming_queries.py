@@ -752,6 +752,47 @@ def n21_stream_decontamination_gate(
     return spark.read.parquet(out_path).orderBy("doc_id")
 
 
+@_q("n23_stream_bloom_gate")
+def n23_stream_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N: the BLOOM-tier decontamination gate drained end-to-end — a
+    REAL Structured Streaming run (file source → foreachBatch bloom
+    flag + span cut → parquet append), x88 on arrival
+    (`streaming/core.bloom_gate_sink`; n21's lifecycle with the
+    memory-bounded flag path — no join, the frozen filter is m/8
+    bytes loaded once at sink setup, the eval corpus appears in NO
+    per-batch stage). The eval split (doc_id % 10 >= 8) freezes once
+    as a `write_bloom_index` release; training docs (doc_id % 10 <
+    8) arrive as one file ⇒ one micro-batch.
+
+    Rows-only by documented design (the x88 stance — bloom flags are
+    CONSERVATIVE, ⊇ the exact n21 gate's, so no SQL oracle can bind
+    the cut): evidence in tests/test_streaming.py — single-batch
+    identity with x88's batch cut, every landed text a token-subset
+    of n21's landed text for the same doc, and the shared
+    `_span_gate_sink` redelivery/bootstrap contracts."""
+    import os
+
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators import dedup
+
+    ref = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 >= 8
+    )
+    work = _scratch.fresh_dir("bloom_gate")
+    index_path = os.path.join(work, "eval_bloom")
+    dedup.write_bloom_index(
+        dedup.build_window_bloom(ref, k=8), spark, index_path
+    )
+    stream = core.stream_documents(
+        spark, sf_dir, glob="documents.parquet"
+    ).filter(F.col("doc_id") % 10 < 8)
+    out_path = os.path.join(work, "clean")
+    core.bloom_gate_sink(
+        stream, out_path, os.path.join(work, "ckpt"), index_path
+    )
+    return spark.read.parquet(out_path).orderBy("doc_id")
+
+
 @_q(
     "n22_stream_embedding_gate",
     # x85's derivation with the gate's keep-projection: same vector

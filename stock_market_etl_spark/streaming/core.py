@@ -783,6 +783,46 @@ def decontamination_gate_sink(
     )
 
 
+def bloom_gate_sink(
+    stream_docs: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    bloom_index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming decontamination gate at the BLOOM tier — x88 run on
+    arrival (`decontamination_gate_sink`'s lifecycle with the
+    memory-bounded flag path): each arriving training micro-batch
+    flags spans through `bloom_contaminated_spans` against a FROZEN
+    `write_bloom_index` release (loaded ONCE at sink setup — m/8
+    bytes, no join in the flag path, the eval corpus never appears),
+    flagged spans are CUT, and the cleaned rows APPEND. Conservative
+    by construction (flags ⊇ the exact n21 gate's, the safe
+    direction); a new eval release folds in via `merge_window_bloom`
+    at increment cost and re-publishes as the NEXT frozen release —
+    never mutating the one a running gate reads. Stateless across
+    batches and exactly-once at doc-id grain via the shared
+    `_span_gate_sink` algebra (same redelivery/bootstrap contracts
+    as n19/n21)."""
+    from stock_market_etl_spark.operators.dedup import (
+        bloom_contaminated_spans,
+        read_bloom_index,
+    )
+
+    # static per release: the frozen filter reads once at sink setup
+    bloom = read_bloom_index(stream_docs.sparkSession, bloom_index_path)
+
+    def flag_spans(fresh: DataFrame) -> DataFrame:
+        return bloom_contaminated_spans(
+            bloom, fresh, k=bloom[4], text_col=text_col, id_col=id_col
+        )
+
+    return _span_gate_sink(
+        stream_docs, out_path, checkpoint, flag_spans, text_col, id_col
+    )
+
+
 def embedding_gate_sink(
     stream_vecs: DataFrame,
     out_path: str,

@@ -1345,6 +1345,91 @@ def test_decontamination_multi_release_lifecycle(spark, tmp_path):
         )
 
 
+def test_bloom_gate_identity_and_conservativeness(spark, tmp_path):
+    """n23's evidence chain (rows-only, the x88 stance): (1)
+    single-micro-batch identity — the gate's landed table equals
+    x88's batch form (bloom flag + cut) bit-for-bit against the same
+    frozen release; (2) conservativeness at the STREAMING seam —
+    for every doc, the bloom gate's landed text is a token-subset of
+    the exact n21 gate's landed text over the same eval split
+    (flags ⊇ exact flags ⇒ cuts ⊇ exact cuts); (3) a full
+    redelivery (fresh checkpoint, same files) lands nothing (the
+    shared `_span_gate_sink` algebra)."""
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators import dedup as dd
+    from stock_market_etl_spark.streaming import core
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    ref = docs.filter(F.col("doc_id") % 10 >= 8)
+    train = docs.filter(F.col("doc_id") % 10 < 8)
+
+    bloom_path = str(tmp_path / "eval_bloom")
+    bloom = dd.build_window_bloom(ref, k=8)
+    dd.write_bloom_index(bloom, spark, bloom_path)
+
+    src = str(tmp_path / "arrivals")
+    train.coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / "clean")
+
+    def run_gate(ckpt):
+        stream = (
+            spark.readStream.schema(train.schema)
+            .format("parquet")
+            .load(src)
+        )
+        core.bloom_gate_sink(
+            stream, out, str(tmp_path / ckpt), bloom_path
+        )
+
+    run_gate("ck1")
+    landed = {
+        r["doc_id"]: r["clean_text"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # (1) single-batch identity with x88's batch form
+    want = {
+        r["doc_id"]: r["clean_text"]
+        for r in dd.cut_spans(
+            train, dd.bloom_contaminated_spans(bloom, train, k=8)
+        ).collect()
+    }
+    assert landed == want and landed
+
+    # (2) token-subset of the exact n21 gate's output per doc
+    exact_idx = str(tmp_path / "eval_exact")
+    dd.write_window_index(ref, exact_idx, k=8)
+    out_exact = str(tmp_path / "clean_exact")
+    core.decontamination_gate_sink(
+        spark.readStream.schema(train.schema)
+        .format("parquet")
+        .load(src),
+        out_exact,
+        str(tmp_path / "ck_exact"),
+        exact_idx,
+    )
+    exact = {
+        r["doc_id"]: r["clean_text"]
+        for r in spark.read.parquet(out_exact).collect()
+    }
+    assert set(landed) == set(exact)
+    from collections import Counter
+
+    for did, txt in landed.items():
+        assert not (
+            Counter(txt.split()) - Counter(exact[did].split())
+        ), did
+
+    # (3) redelivery lands nothing
+    run_gate("ck2")
+    again = {
+        r["doc_id"]: r["clean_text"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert again == landed
+    dd.release_bloom_broadcasts()
+
+
 def test_embedding_gate_empty_release_and_string_ids(spark, tmp_path):
     """Two review-r15 regressions pinned: (1) an EMPTY eval release —
     a legal bootstrap artifact — must gate NOTHING: every training
