@@ -1315,9 +1315,12 @@ def b29_bloom_index_release_lifecycle(
     READ-BACK artifact at increment cost (`merge_window_bloom` —
     bit positions are a pure function of (hash, m, j), so the merge
     is bit-identical to a filter built over the union at the same
-    geometry; the filtered corpus never re-hashes); and the training
-    split flags through `bloom_contaminated_spans` against the
-    merged filter.
+    geometry; the filtered corpus never re-hashes); the merged
+    filter publishes write-once as the NEXT frozen release
+    (`publish_bloom_index` — bitmap before meta, crash-retry
+    cleanup, the b26/b27 contract); and the training split flags
+    through `bloom_contaminated_spans` against the published
+    release.
 
     Rows-only by documented design (the x88 stance — bloom flags are
     conservative: ⊇ the exact x84 flags by construction, so no SQL
@@ -1355,7 +1358,7 @@ def b29_bloom_index_release_lifecycle(
             bloom1, eval_r2, built_k=bloom1[4]
         )
     p2 = os.path.join(work, "bloom_r2")
-    dedup.write_bloom_index(merged, spark, p2)
+    dedup.publish_bloom_index(merged, spark, p2)
     bloom2 = dedup.read_bloom_index(spark, p2)
     return dedup.bloom_contaminated_spans(
         bloom2, train, k=bloom2[4]

@@ -1711,6 +1711,17 @@ def write_bloom_index(
     (probing at another k or folding at another (m, j) turns every
     membership test into noise)."""
     bitmap, m, j, n, k = bloom
+    _write_bloom_bitmap(spark, path, bitmap, mode)
+    _write_bloom_meta(spark, path, m, j, n, k, mode)
+
+
+def _write_bloom_bitmap(
+    spark: SparkSession, path: str, bitmap: bytes, mode: str
+) -> None:
+    """The bitmap half of the bloom artifact — ordered ≤16 MB chunk
+    rows at ``path/bitmap`` (extracted r15 so `write_bloom_index` and
+    `publish_bloom_index` share one layout, the `_write_index_meta`
+    convention)."""
     chunks = [
         (i, bitmap[off : off + _BLOOM_CHUNK_BYTES])
         for i, off in enumerate(
@@ -1720,10 +1731,72 @@ def write_bloom_index(
     spark.createDataFrame(
         chunks, "chunk_id int, bytes binary"
     ).coalesce(1).write.mode(mode).parquet(f"{path}/bitmap")
+
+
+def _write_bloom_meta(
+    spark: SparkSession,
+    path: str,
+    m: int,
+    j: int,
+    n: int,
+    k: int,
+    mode: str,
+) -> None:
+    """The one-row ``(m, j, n, k)`` identity sidecar at
+    ``path/meta`` — the half a publish crash must leave ABSENT (data
+    before meta) so `read_bloom_index` refuses the artifact loudly."""
     spark.createDataFrame(
         [(int(m), int(j), int(n), int(k))],
         "m bigint, j int, n bigint, k int",
     ).coalesce(1).write.mode(mode).parquet(f"{path}/meta")
+
+
+def publish_bloom_index(
+    bloom: tuple[bytes, int, int, int, int],
+    spark: SparkSession,
+    path: str,
+) -> None:
+    """Publish a bloom tuple — typically `merge_window_bloom`'s
+    result — as a new frozen RELEASE at ``path``, write-once (the
+    `publish_window_index` / `publish_embedding_index` contract):
+    the streaming gate (`bloom_gate_sink`) reads a release ONCE at
+    sink setup, so a new eval increment folds into the read-back
+    tuple and publishes as the NEXT release directory — never
+    mutating one a running gate may re-read on restart.
+
+    Both halves write mode ``error``; bitmap lands before meta, so a
+    crash between the two leaves an artifact `read_bloom_index`
+    refuses loudly (absent meta) rather than one that silently
+    probes. If the META write fails, the half-written ``bitmap`` dir
+    (and any partially-created meta dir) is removed best-effort so a
+    retry to the SAME path can succeed (the ADVICE-r14 /
+    review-r15 recovery shared by every publish seam in this
+    family); if that cleanup itself fails, recovery is manual:
+    delete the release directory and re-publish. An incoherent
+    tuple (bitmap length disagreeing with its recorded ``m``)
+    refuses BEFORE any write — publishing it would freeze an
+    artifact every later read rejects."""
+    bitmap, m, j, n, k = bloom
+    if len(bitmap) * 8 != int(m):
+        raise ValueError(
+            f"refusing to publish a malformed bloom tuple: "
+            f"{len(bitmap)} bitmap bytes but m={m} bits "
+            f"({int(m) // 8} bytes) — the artifact would fail every "
+            "read_bloom_index; rebuild or re-merge the filter"
+        )
+    _write_bloom_bitmap(spark, path, bitmap, "error")
+    try:
+        _write_bloom_meta(spark, path, m, j, n, k, "error")
+    except Exception:
+        # Bitmap landed but meta didn't: clean both dirs so a retry
+        # to the same release path succeeds (this branch only runs
+        # after the bitmap write SUCCEEDED at a mode-'error' path,
+        # proving no complete prior release lives here), then
+        # re-raise the original failure.
+        _compat.best_effort_delete(
+            spark, f"{path}/bitmap", f"{path}/meta"
+        )
+        raise
 
 
 def read_bloom_index(
@@ -1831,10 +1904,8 @@ def merge_window_bloom(
         # the degenerate empty-reference tuple has floor geometry
         # (m=64, j=1) — folding real windows into it would produce a
         # useless all-ones filter; build fresh at a real size
-        merged_bits = _bloom_bitmap_at(
-            hashes, *bloom_sizing(n_new, 0.01)
-        )
         m_new, j_new = bloom_sizing(n_new, 0.01)
+        merged_bits = _bloom_bitmap_at(hashes, m_new, j_new)
         hashes.unpersist()
         return merged_bits, m_new, j_new, n_new, int(built_k)
     inc = _bloom_bitmap_at(hashes, m, j)

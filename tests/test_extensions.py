@@ -3349,8 +3349,9 @@ def test_bloom_index_release_lifecycle(spark, sf_smoke, tmp_path):
     assert merged[0] == rebuilt_bits
 
     # probe through the re-published artifact ≡ probe in memory
+    # (write-once publish — the path a running gate never re-reads)
     p2 = str(tmp_path / "bloom_r2")
-    dd.write_bloom_index(merged, spark, p2)
+    dd.publish_bloom_index(merged, spark, p2)
     bloom2 = dd.read_bloom_index(spark, p2)
 
     def rows(bloom):
@@ -3394,6 +3395,67 @@ def test_bloom_index_release_lifecycle(spark, sf_smoke, tmp_path):
     grown = dd.merge_window_bloom(floor, r1, built_k=8)
     assert grown[3] > 0 and grown[1] > 64
     dd.release_bloom_broadcasts()
+
+
+def test_publish_bloom_index_write_once_and_crash_recovery(
+    spark, sf_smoke, tmp_path
+):
+    """`publish_bloom_index`'s release contract (the
+    publish_window_index conventions at bitmap grain): (1) publish →
+    read round-trips tuple-identical; (2) a re-publish to the SAME
+    path refuses at the bitmap write and leaves the existing release
+    intact (write-once); (3) a meta write that dies AFTER its
+    committer created the output dir cleans BOTH half-written dirs
+    so a retry to the same path succeeds (the ADVICE-r14 /
+    review-r15 recovery); (4) an incoherent tuple (bitmap length vs
+    recorded m) refuses BEFORE any write."""
+    import os
+
+    import pytest
+
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators import dedup as dd
+
+    ref = load_table(spark, sf_smoke, "documents").limit(20)
+    bloom = dd.build_window_bloom(ref, k=8)
+
+    # (1) roundtrip
+    path = str(tmp_path / "release")
+    dd.publish_bloom_index(bloom, spark, path)
+    assert dd.read_bloom_index(spark, path, k=8) == bloom
+
+    # (2) write-once: re-publish refuses, release survives
+    with pytest.raises(Exception, match="already exists"):
+        dd.publish_bloom_index(bloom, spark, path)
+    assert dd.read_bloom_index(spark, path) == bloom
+
+    # (3) meta crash cleans both dirs; retry succeeds
+    path2 = str(tmp_path / "release2")
+
+    def boom(spark_, path_, *a, **kw):
+        # die AFTER the committer created the meta output dir — the
+        # realistic mid-job failure (disk-full, task death)
+        os.makedirs(f"{path_}/meta", exist_ok=True)
+        raise RuntimeError("meta write died")
+
+    orig = dd._write_bloom_meta
+    dd._write_bloom_meta = boom
+    try:
+        with pytest.raises(RuntimeError, match="meta write died"):
+            dd.publish_bloom_index(bloom, spark, path2)
+    finally:
+        dd._write_bloom_meta = orig
+    assert not os.path.exists(f"{path2}/bitmap")
+    assert not os.path.exists(f"{path2}/meta")
+    dd.publish_bloom_index(bloom, spark, path2)
+    assert dd.read_bloom_index(spark, path2) == bloom
+
+    # (4) incoherent tuple refuses before any write
+    path3 = str(tmp_path / "release3")
+    bad = (bloom[0][:-1], bloom[1], bloom[2], bloom[3], bloom[4])
+    with pytest.raises(ValueError, match="malformed bloom tuple"):
+        dd.publish_bloom_index(bad, spark, path3)
+    assert not os.path.exists(path3)
 
 
 def test_embedding_index_release_lifecycle(spark, sf_smoke, tmp_path):
