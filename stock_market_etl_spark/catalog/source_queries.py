@@ -1329,7 +1329,8 @@ def b29_bloom_index_release_lifecycle(
     rebuilt-at-geometry bit-for-bit, probe-through-artifact ≡
     probe-in-memory, and every width/geometry/corruption seam
     refuses loudly. Scale shape: the artifact is m/8 bytes total —
-    ~1.2 bits per reference window — and a probe session loads it
+    ~1.2 bytes (≈9.6 bits) per reference window at 1% FPR — and a
+    probe session loads it
     instead of re-hashing the eval corpus; driver traffic stays the
     IVF-centroid bounded class. Stays out of BENCH like b25–b28
     (artifact writers; x88 times the probe shape)."""

@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.types import LongType
 
-from stock_market_etl_spark.operators import _compat
+from stock_market_etl_spark.operators import _compat, artifacts
 from stock_market_etl_spark.operators.parallelism import spread
 from stock_market_etl_spark.operators.text import char_shingles
 
@@ -1709,8 +1709,18 @@ def write_bloom_index(
     one-row meta sidecar, all four validated on read — they are the
     filter's identity exactly as dim is the vector artifact's
     (probing at another k or folding at another (m, j) turns every
-    membership test into noise)."""
+    membership test into noise). An in-place rebuild (the default
+    ``overwrite`` mode) EMPTIES the meta sidecar before touching the
+    bitmap (review r15): without that, a crash between the two
+    writes leaves the new bitmap under the stale meta — silently
+    accepted whenever the geometries happen to match — instead of
+    the loud malformed-meta refusal every crash window now reads
+    as."""
     bitmap, m, j, n, k = bloom
+    if mode == "overwrite":
+        artifacts.invalidate_meta(
+            spark, path, "m bigint, j int, n bigint, k int"
+        )
     _write_bloom_bitmap(spark, path, bitmap, mode)
     _write_bloom_meta(spark, path, m, j, n, k, mode)
 
@@ -1855,6 +1865,7 @@ def merge_window_bloom(
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fpp: float = 0.01,
 ) -> tuple[bytes, int, int, int, int]:
     """Fold NEW documents into an existing window Bloom filter
     WITHOUT re-hashing the filtered corpus — the bloom rung of the
@@ -1874,7 +1885,14 @@ def merge_window_bloom(
     the filter fills beyond its build-time sizing; when the merged
     load predicts more than 2× the pre-merge rate, a RuntimeWarning
     points at rebuilding with `build_window_bloom` at the union's
-    size (`bloom_fpr` is the public estimate)."""
+    size (`bloom_fpr` is the public estimate).
+
+    ``fpp`` is used ONLY when the base tuple is the degenerate
+    empty-reference floor (a legal bootstrap artifact): the first
+    real increment then builds fresh at a real size, and a family
+    standardized on a stricter target than the 1% default must pass
+    it here too — the tuple does not record its build-time fpp, so
+    the merge cannot recover it (review r15)."""
     bitmap, m, j, n, k0 = bloom
     if built_k != int(k0):
         raise ValueError(
@@ -1904,7 +1922,7 @@ def merge_window_bloom(
         # the degenerate empty-reference tuple has floor geometry
         # (m=64, j=1) — folding real windows into it would produce a
         # useless all-ones filter; build fresh at a real size
-        m_new, j_new = bloom_sizing(n_new, 0.01)
+        m_new, j_new = bloom_sizing(n_new, fpp)
         merged_bits = _bloom_bitmap_at(hashes, m_new, j_new)
         hashes.unpersist()
         return merged_bits, m_new, j_new, n_new, int(built_k)
@@ -2113,7 +2131,8 @@ def bloom_contaminated_spans(
     the broadcast bitmap, and only flagged (id, pos) rows continue
     to the islands merge. NO join anywhere in the flag path — the
     exact form's reference semi-join (and its broadcast of 16-byte
-    digests) is replaced by ~1.2 bits per reference window.
+    digests) is replaced by ~1.2 BYTES (≈9.6 bits) per reference
+    window at the 1% FPR sizing.
 
     CONSERVATIVE by construction: flags ⊇ the exact form's flags
     (zero false negatives — same hash family both sides); the
@@ -2221,10 +2240,17 @@ def write_window_index(
     mismatch loudly. The artifact is (16 B digest + 8 B count) per
     DISTINCT window — a fraction of corpus bytes — and
     append-mergeable: counts sum by hash when the corpus grows by
-    appends of new doc ids."""
+    appends of new doc ids.
+
+    An in-place rebuild EMPTIES the meta sidecar before touching the
+    data (review r15): without that, a crash between the two writes
+    leaves new hashes under the stale recorded k — a probe at the
+    stale width silently flags nothing — instead of the loud
+    malformed-meta refusal every crash window now reads as."""
     idx = corpus_window_hashes(
         corpus, k=k, text_col=text_col, id_col=id_col
     )
+    artifacts.invalidate_meta(corpus.sparkSession, path, "k int")
     idx.write.mode("overwrite").parquet(f"{path}/window_hashes")
     _write_index_meta(corpus.sparkSession, path, k, mode="overwrite")
 

@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.types import DoubleType
 
-from stock_market_etl_spark.operators import _compat
+from stock_market_etl_spark.operators import _compat, artifacts
 from stock_market_etl_spark.operators.parallelism import spread
 
 
@@ -1408,6 +1408,9 @@ def write_embedding_index(
     and releases append (`merge_embedding_index`), so the probe side
     reads a frozen parquet scan exactly like the window index."""
     vecs = _checked_unit_vectors(eval_df, dim, id_col, vec_col)
+    # empty the sidecar before touching the data (review r15 — the
+    # in-place-rebuild crash window; see artifacts.invalidate_meta)
+    artifacts.invalidate_meta(eval_df.sparkSession, path, "dim int")
     vecs.write.mode("overwrite").parquet(f"{path}/vectors")
     _write_emb_meta(eval_df.sparkSession, path, dim, mode="overwrite")
 
@@ -1637,6 +1640,13 @@ def write_lsh_buckets(
         seed,
         vec_col="__v",
     ).select(F.col(id_col), "lsh_table", "lsh_bucket")
+    # empty the sidecar before touching the data (review r15 — the
+    # in-place-rebuild crash window; see artifacts.invalidate_meta)
+    artifacts.invalidate_meta(
+        eval_index.sparkSession,
+        path,
+        "dim int, n_planes int, n_tables int, seed int",
+    )
     bucketed.write.mode("overwrite").parquet(f"{path}/buckets")
     _write_lsh_meta(
         eval_index.sparkSession,

@@ -3364,7 +3364,8 @@ def test_bloom_index_release_lifecycle(spark, sf_smoke, tmp_path):
             )
         )
 
-    assert rows(bloom2) == rows(merged) and rows(bloom2)
+    got = rows(bloom2)
+    assert got == rows(merged) and got
 
     # refusals: wrong probe k on read, wrong built_k / k on merge,
     # malformed meta, truncated bitmap
@@ -3394,6 +3395,74 @@ def test_bloom_index_release_lifecycle(spark, sf_smoke, tmp_path):
     assert floor[1] == 64 and floor[3] == 0
     grown = dd.merge_window_bloom(floor, r1, built_k=8)
     assert grown[3] > 0 and grown[1] > 64
+    # the floor rebuild honors a caller's stricter FPR target
+    # (review r15 — a hardcoded 1% silently discarded it)
+    strict = dd.merge_window_bloom(floor, r1, built_k=8, fpp=0.001)
+    assert strict[1] > grown[1]
+    dd.release_bloom_broadcasts()
+
+
+def test_overwrite_rebuild_crash_reads_as_malformed(
+    spark, sf_smoke, tmp_path
+):
+    """The in-place-rebuild crash window (review r15): data-before-
+    meta only yields a loud refusal when the crash leaves meta
+    ABSENT — a mode-'overwrite' rebuild dying between the data and
+    meta writes leaves the NEW data under the STALE meta, silently
+    accepted whenever the recorded identity fits (a k=8 meta over a
+    k=4 rebuild probes pure noise). Every overwrite seam now EMPTIES
+    the sidecar first (`artifacts.invalidate_meta`), so both crash
+    windows — during the data write and between data and meta —
+    read as the malformed-meta refusal, and a completed retry
+    restores the artifact."""
+    import pytest
+
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators import dedup as dd
+
+    ref = load_table(spark, sf_smoke, "documents").limit(20)
+
+    # bloom seam: die DURING the bitmap overwrite
+    bloom = dd.build_window_bloom(ref, k=8)
+    p = str(tmp_path / "bloom")
+    dd.write_bloom_index(bloom, spark, p)
+
+    def boom(*a, **kw):
+        raise RuntimeError("bitmap write died")
+
+    orig = dd._write_bloom_bitmap
+    dd._write_bloom_bitmap = boom
+    try:
+        with pytest.raises(RuntimeError, match="bitmap write died"):
+            dd.write_bloom_index(bloom, spark, p)
+    finally:
+        dd._write_bloom_bitmap = orig
+    with pytest.raises(ValueError, match="incomplete or corrupt"):
+        dd.read_bloom_index(spark, p)
+    dd.write_bloom_index(bloom, spark, p)
+    assert dd.read_bloom_index(spark, p) == bloom
+
+    # window-index seam: rebuild at a DIFFERENT k dies between data
+    # and meta — the stale k=8 meta would have silently no-matched
+    # the k=4 hashes
+    idx_path = str(tmp_path / "widx")
+    dd.write_window_index(ref, idx_path, k=8)
+
+    def boom_meta(*a, **kw):
+        raise RuntimeError("meta write died")
+
+    orig_meta = dd._write_index_meta
+    dd._write_index_meta = boom_meta
+    try:
+        with pytest.raises(RuntimeError, match="meta write died"):
+            dd.write_window_index(ref, idx_path, k=4)
+    finally:
+        dd._write_index_meta = orig_meta
+    with pytest.raises(ValueError, match="incomplete or corrupt"):
+        dd.read_window_index(spark, idx_path)
+    dd.write_window_index(ref, idx_path, k=4)
+    _, got_k = dd.read_window_index(spark, idx_path)
+    assert got_k == 4
     dd.release_bloom_broadcasts()
 
 

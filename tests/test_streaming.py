@@ -1345,7 +1345,9 @@ def test_decontamination_multi_release_lifecycle(spark, tmp_path):
         )
 
 
-def test_bloom_gate_identity_and_conservativeness(spark, tmp_path):
+def test_bloom_gate_identity_and_conservativeness(
+    spark, sf_smoke, tmp_path
+):
     """n23's evidence chain (rows-only, the x88 stance): (1)
     single-micro-batch identity — the gate's landed table equals
     x88's batch form (bloom flag + cut) bit-for-bit against the same
@@ -1359,8 +1361,7 @@ def test_bloom_gate_identity_and_conservativeness(spark, tmp_path):
     from stock_market_etl_spark.operators import dedup as dd
     from stock_market_etl_spark.streaming import core
 
-    sf = "/root/testdata/sf0.001"
-    docs = load_table(spark, sf, "documents")
+    docs = load_table(spark, sf_smoke, "documents")
     ref = docs.filter(F.col("doc_id") % 10 >= 8)
     train = docs.filter(F.col("doc_id") % 10 < 8)
 
