@@ -6,7 +6,31 @@ index, bloom bitmap, embedding vectors, LSH buckets — the
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_if_exists(
+    spark: SparkSession, path: str
+) -> DataFrame | None:
+    """Parquet read that returns None when the table does not exist
+    yet (a bootstrap state) and RE-RAISES any other read error —
+    swallowing a real failure would fork a parallel output (the
+    upsert_sink policy). The single home of the PATH_NOT_FOUND
+    classification (review r15 — it existed inline in four ingest
+    sinks; a Spark error-class rename fixed in one copy would leave
+    the others mis-classifying real read errors as bootstrap).
+    Moved here from streaming/core so batch artifact readers can
+    share it without importing the streaming layer."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" not in (
+            getattr(exc, "getErrorClass", lambda: "")() or str(exc)
+        ) and "Path does not exist" not in str(exc):
+            raise
+        return None
 
 
 def invalidate_meta(

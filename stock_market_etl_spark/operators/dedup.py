@@ -725,10 +725,19 @@ def write_corpus_signatures(
     rows_per_band: int = 2,
 ) -> None:
     """Materialize ``corpus_signatures`` to ``path/{hashes,shingles,
-    bands}`` as parquet — the once-per-corpus-version step of the
-    incremental-dedup lifecycle. Shingle arrays are the widest table
-    (~K longs per doc); hashes/bands are fixed-width rows, so the
-    artifact is a small fraction of corpus text size."""
+    bands, meta}`` as parquet — the once-per-corpus-version step of
+    the incremental-dedup lifecycle. Shingle arrays are the widest
+    table (~K longs per doc); hashes/bands are fixed-width rows, so
+    the artifact is a small fraction of corpus text size.
+
+    ``(num_hashes, seed, rows_per_band)`` are the artifact's JOIN
+    IDENTITY — batch-side signatures computed under any other family
+    land in disjoint band buckets and silently find no candidates —
+    so they land in a meta sidecar `read_corpus_signatures` returns
+    and `incremental_dedup` validates (review r15). The sidecar is
+    EMPTIED before the three data writes and restored LAST, so a
+    rebuild crash anywhere between them reads as the malformed-meta
+    refusal instead of mixed-release halves that dedup wrongly."""
     hashes, shingles, bands = corpus_signatures(
         corpus,
         text_col=text_col,
@@ -737,9 +746,16 @@ def write_corpus_signatures(
         seed=seed,
         rows_per_band=rows_per_band,
     )
+    spark = corpus.sparkSession
+    meta_schema = "num_hashes int, seed int, rows_per_band int"
+    artifacts.invalidate_meta(spark, path, meta_schema)
     hashes.write.mode("overwrite").parquet(f"{path}/hashes")
     shingles.write.mode("overwrite").parquet(f"{path}/shingles")
     bands.write.mode("overwrite").parquet(f"{path}/bands")
+    spark.createDataFrame(
+        [(int(num_hashes), int(seed), int(rows_per_band))],
+        meta_schema,
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     # minhash_tables persists its outputs for multi-consumer plans;
     # after a write-through there are no further consumers.
     for df in (shingles, bands):
@@ -748,13 +764,35 @@ def write_corpus_signatures(
 
 def read_corpus_signatures(
     spark: SparkSession, path: str
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Load materialized ``write_corpus_signatures`` output for use as
-    ``incremental_dedup(corpus_sigs=...)``."""
+) -> tuple[DataFrame, DataFrame, DataFrame, tuple[int, int, int]]:
+    """Load materialized ``write_corpus_signatures`` output for use
+    as ``incremental_dedup(corpus_sigs=...)``, as ``(hashes,
+    shingles, bands, (num_hashes, seed, rows_per_band))`` — the
+    caller MUST compute batch-side signatures under the returned
+    parameters (any other family lands in disjoint band buckets and
+    silently finds no candidates; `incremental_dedup` cross-checks
+    them). A missing or malformed meta sidecar — what a crashed
+    `write_corpus_signatures` leaves behind — refuses loudly: the
+    three data dirs may be from different builds."""
+    meta = artifacts.read_if_exists(spark, f"{path}/meta")
+    meta_rows = [] if meta is None else meta.collect()
+    fields = ("num_hashes", "seed", "rows_per_band")
+    if len(meta_rows) != 1 or any(
+        meta_rows[0][f] is None for f in fields
+    ):
+        raise ValueError(
+            f"corpus signatures at {path} have a missing or "
+            "malformed meta sidecar — a (re)build crashed between "
+            "its data and meta writes, so hashes/shingles/bands may "
+            "be from different builds or hash families; rebuild "
+            "with write_corpus_signatures"
+        )
+    params = tuple(int(meta_rows[0][f]) for f in fields)
     return (
         spark.read.parquet(f"{path}/hashes"),
         spark.read.parquet(f"{path}/shingles"),
         spark.read.parquet(f"{path}/bands"),
+        params,
     )
 
 
@@ -771,7 +809,11 @@ def incremental_dedup(
     num_hashes: int = 32,
     seed: int = 42,
     rows_per_band: int = 2,
-    corpus_sigs: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    corpus_sigs: (
+        tuple[DataFrame, DataFrame, DataFrame]
+        | tuple[DataFrame, DataFrame, DataFrame, tuple[int, int, int]]
+        | None
+    ) = None,
 ) -> DataFrame:
     """Dedup an incoming batch AGAINST an existing corpus: drop batch
     documents that are exact duplicates (content hash) or near
@@ -808,9 +850,27 @@ def incremental_dedup(
     never touches corpus text at all (``corpus`` may be None for
     ``source="lsh"``), so per-batch cost is independent of corpus
     size. They must have been built with the same ``seed`` /
-    ``num_hashes`` / ``rows_per_band``. Identity with the inline path
-    is asserted in tests/test_extensions.py.
+    ``num_hashes`` / ``rows_per_band`` — and when the tuple carries
+    the artifact's recorded parameters as a 4th element (what
+    `read_corpus_signatures` returns), a contradiction with this
+    call's arguments refuses LOUDLY (review r15): a mismatched hash
+    family lands every batch band in disjoint buckets and silently
+    under-dedups. Identity with the inline path is asserted in
+    tests/test_extensions.py.
     """
+    if corpus_sigs is not None and len(corpus_sigs) == 4:
+        rec = corpus_sigs[3]
+        if tuple(rec) != (num_hashes, seed, rows_per_band):
+            raise ValueError(
+                f"corpus signatures were built with (num_hashes, "
+                f"seed, rows_per_band)={tuple(rec)} but this call "
+                f"computes batch signatures at "
+                f"{(num_hashes, seed, rows_per_band)} — different "
+                "hash families land in disjoint band buckets and "
+                "silently find no candidates; pass the recorded "
+                "parameters"
+            )
+        corpus_sigs = corpus_sigs[:3]
     if corpus_sigs is not None:
         c_hash = corpus_sigs[0].select(
             F.col("content_hash").alias("__h")

@@ -565,11 +565,28 @@ def write_ivf_index(
     index prunes non-probed cells at the FILE LISTING — a query touches
     ~n_probe/n_lists of the lake, independent of corpus size (partition
     pruning asserted in tests/test_plans.py). ``centroids`` is the tiny
-    n_lists-row table every query broadcasts."""
+    n_lists-row table every query broadcasts.
+
+    A rebuild EMPTIES the ``(n_lists, dim)`` meta sidecar before
+    touching either data dir and restores it LAST (review r15's
+    multi-dir extension): without the stamp, a rebuild dying between
+    the cells and centroids writes leaves NEW assignments under
+    STALE centroids — both halves complete-looking, every probe
+    pruning the wrong cells silently. With it, every crash window
+    reads as `read_ivf_index`'s malformed-meta refusal."""
+    spark = assigned.sparkSession
+    artifacts.invalidate_meta(spark, path, "n_lists int, dim int")
     assigned.write.mode("overwrite").partitionBy("__cell").parquet(
         f"{path}/cells"
     )
     centers_df.write.mode("overwrite").parquet(f"{path}/centroids")
+    stats = centers_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.size("centroid")).alias("d"),
+    ).first()
+    spark.createDataFrame(
+        [(int(stats["n"]), int(stats["d"]))], "n_lists int, dim int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def read_ivf_index(
@@ -578,7 +595,29 @@ def read_ivf_index(
     """Load a materialized `write_ivf_index` artifact as the
     ``(assigned, centers_df)`` pair `ivf_probe` takes. The partition
     column ``__cell`` comes back from the directory layout, so probe
-    filters prune before any file is opened."""
+    filters prune before any file is opened.
+
+    A PRESENT-but-malformed meta sidecar (empty or null fields — the
+    state a crashed `write_ivf_index` rebuild leaves behind) refuses
+    loudly: the cells/centroids halves could be from DIFFERENT
+    builds, and probing mixed releases prunes the wrong cells with
+    no error anywhere. An ABSENT meta dir is tolerated — the
+    streaming-maintained layout (`ivf_append_sink` bootstraps cells
+    by appends against a hand-laid centroid table and has no rebuild,
+    hence no crash window)."""
+    meta = artifacts.read_if_exists(spark, f"{path}/meta")
+    if meta is not None:
+        rows = meta.collect()
+        if len(rows) != 1 or any(
+            rows[0][f] is None for f in ("n_lists", "dim")
+        ):
+            raise ValueError(
+                f"IVF index at {path} has a malformed meta sidecar — "
+                "a rebuild crashed between its data and meta writes, "
+                "so cells and centroids may be from different builds "
+                "(probes would prune the wrong cells silently); "
+                "rebuild with write_ivf_index"
+            )
     return (
         spark.read.parquet(f"{path}/cells"),
         spark.read.parquet(f"{path}/centroids"),
@@ -743,17 +782,32 @@ def write_pq_index(
     (m × n_centroids)-row centroid table every query rebuilds its ADC
     lookup from. Training (driver-side sampled k-means) happens once
     per index build; probes over the read-back artifact never touch
-    raw vectors except for the shortlist re-rank."""
-    m, n_c, _ = books.shape
+    raw vectors except for the shortlist re-rank.
+
+    A rebuild EMPTIES the ``(m, n_centroids, dsub)`` meta sidecar
+    before touching either data dir and restores it LAST (review
+    r15's multi-dir extension): a rebuild dying between the codes
+    and codebooks writes would otherwise leave NEW codes under STALE
+    codebooks — both halves complete-looking, every ADC distance
+    decoded against the wrong centroids silently."""
+    m, n_c, dsub = books.shape
+    spark = codes_df.sparkSession
+    artifacts.invalidate_meta(
+        spark, path, "m int, n_centroids int, dsub int"
+    )
     codes_df.write.mode("overwrite").parquet(f"{path}/codes")
     rows = [
         (j, c, [float(x) for x in books[j][c]])
         for j in range(m)
         for c in range(n_c)
     ]
-    codes_df.sparkSession.createDataFrame(
+    spark.createDataFrame(
         rows, "subspace int, code int, centroid array<double>"
     ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    spark.createDataFrame(
+        [(int(m), int(n_c), int(dsub))],
+        "m int, n_centroids int, dsub int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def read_pq_index(
@@ -762,7 +816,22 @@ def read_pq_index(
     """Load a materialized `write_pq_index` artifact as the
     ``(codes_df, books)`` pair `pq_probe` takes. The codebook read is a
     bounded m × n_centroids-row collect (index metadata, like
-    `ivf_probe`'s centroid ranking)."""
+    `ivf_probe`'s centroid ranking). A missing or malformed meta
+    sidecar — what a crashed `write_pq_index` leaves behind — refuses
+    loudly: mixed-release codes/codebooks decode every ADC distance
+    against the wrong centroids with no error anywhere."""
+    meta = artifacts.read_if_exists(spark, f"{path}/meta")
+    meta_rows = [] if meta is None else meta.collect()
+    fields = ("m", "n_centroids", "dsub")
+    if len(meta_rows) != 1 or any(
+        meta_rows[0][f] is None for f in fields
+    ):
+        raise ValueError(
+            f"PQ index at {path} has a missing or malformed meta "
+            "sidecar — a (re)build crashed between its data and meta "
+            "writes, so codes and codebooks may be from different "
+            "builds; rebuild with write_pq_index"
+        )
     codes_df = spark.read.parquet(f"{path}/codes")
     rows = spark.read.parquet(f"{path}/codebooks").collect()
     m = max(r["subspace"] for r in rows) + 1

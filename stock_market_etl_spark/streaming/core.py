@@ -23,6 +23,12 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+# the single home of the PATH_NOT_FOUND classification lives with
+# the other artifact-seam helpers (review r15, second move — batch
+# artifact readers need it too and must not import streaming)
+from stock_market_etl_spark.operators.artifacts import (
+    read_if_exists as _read_if_exists,
+)
 from stock_market_etl_spark.pipeline import merge_increment
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -650,25 +656,6 @@ def substring_gate_sink(
     )
 
 
-def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
-    """Parquet read that returns None when the table does not exist
-    yet (the bootstrap batch) and RE-RAISES any other read error so
-    the micro-batch retries — swallowing a real failure would fork a
-    parallel output (the upsert_sink policy). The single home of the
-    PATH_NOT_FOUND classification (review r15 — it existed inline in
-    four ingest sinks; a Spark error-class rename fixed in one copy
-    would leave the others mis-classifying real read errors as
-    bootstrap)."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException as exc:
-        if "PATH_NOT_FOUND" not in (
-            getattr(exc, "getErrorClass", lambda: "")() or str(exc)
-        ) and "Path does not exist" not in str(exc):
-            raise
-        return None
 
 
 def _fresh_minus_landed(

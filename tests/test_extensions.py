@@ -3466,6 +3466,79 @@ def test_overwrite_rebuild_crash_reads_as_malformed(
     dd.release_bloom_broadcasts()
 
 
+def test_multi_dir_rebuild_crash_reads_as_malformed(
+    spark, sf_smoke, tmp_path
+):
+    """The multi-dir artifacts (corpus signatures, IVF cells ×
+    centroids, PQ codes × codebooks) had NO meta sidecar at all
+    (review r15's residual): a rebuild dying between two data dirs
+    left mixed-release halves that look complete — band joins under
+    a different hash family silently find no candidates, probes
+    prune the wrong cells. Each writer now empties an identity meta
+    sidecar first and restores it LAST, so the crash state refuses
+    loudly; and the signatures' recorded (num_hashes, seed,
+    rows_per_band) is validated by `incremental_dedup` against the
+    batch-side parameters (a mismatch silently under-dedups). IVF
+    alone tolerates an ABSENT meta — the streaming-maintained n10
+    layout (`ivf_append_sink` bootstraps cells against a hand-laid
+    centroid table; no rebuild, no crash window)."""
+    import pytest
+
+    from stock_market_etl_spark.io import load_table
+    from stock_market_etl_spark.operators import (
+        artifacts,
+        dedup as dd,
+        similarity as sim,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").limit(40)
+
+    # corpus signatures: roundtrip + crash state + param mismatch
+    sig_path = str(tmp_path / "sigs")
+    dd.write_corpus_signatures(docs, sig_path)
+    sigs = dd.read_corpus_signatures(spark, sig_path)
+    assert sigs[3] == (32, 42, 2)
+    with pytest.raises(ValueError, match="hash families"):
+        dd.incremental_dedup(
+            None, docs, source="lsh", corpus_sigs=sigs, seed=7
+        )
+    artifacts.invalidate_meta(
+        spark, sig_path, "num_hashes int, seed int, rows_per_band int"
+    )
+    with pytest.raises(ValueError, match="missing or malformed"):
+        dd.read_corpus_signatures(spark, sig_path)
+    dd.write_corpus_signatures(docs, sig_path)
+    dd.read_corpus_signatures(spark, sig_path)
+
+    # IVF: meta written by the build, crash state refuses, ABSENT
+    # meta (the sink-bootstrapped layout) tolerated
+    emb = load_table(spark, sf_smoke, "embeddings").limit(64)
+    assigned, centers = sim.ivf_index(emb, n_lists=4)
+    ivf_path = str(tmp_path / "ivf")
+    sim.write_ivf_index(assigned, centers, ivf_path)
+    sim.read_ivf_index(spark, ivf_path)
+    artifacts.invalidate_meta(spark, ivf_path, "n_lists int, dim int")
+    with pytest.raises(ValueError, match="malformed meta"):
+        sim.read_ivf_index(spark, ivf_path)
+    import shutil
+
+    shutil.rmtree(f"{ivf_path}/meta")
+    a2, c2 = sim.read_ivf_index(spark, ivf_path)
+    assert a2.count() > 0 and c2.count() == 4
+
+    # PQ: meta required (no sink-bootstrapped layout exists)
+    codes, books = sim.pq_index(emb)
+    pq_path = str(tmp_path / "pq")
+    sim.write_pq_index(codes, books, pq_path)
+    _, books_back = sim.read_pq_index(spark, pq_path)
+    assert books_back.shape == books.shape
+    artifacts.invalidate_meta(
+        spark, pq_path, "m int, n_centroids int, dsub int"
+    )
+    with pytest.raises(ValueError, match="missing or malformed"):
+        sim.read_pq_index(spark, pq_path)
+
+
 def test_publish_bloom_index_write_once_and_crash_recovery(
     spark, sf_smoke, tmp_path
 ):
