@@ -997,6 +997,96 @@ def test_bloom_decontamination_conservative_on_random_corpora(
         assert kept <= kept_exact, (d, kept, kept_exact)
 
 
+@settings(max_examples=4, deadline=None, derandomize=True)
+@given(
+    docs=st.lists(_doc, min_size=3, max_size=6),
+    k=st.sampled_from([2, 3]),
+)
+def test_bloom_release_lifecycle_on_random_corpora(spark, docs, k):
+    """b29 differential on random corpora (the b27-fuzz precedent
+    lifted to the bloom tier): on an arbitrary three-way partition
+    (eval release 1, eval release 2, train), the FULL artifact chain
+    — build r1 → write → read → merge r2 at the read-back geometry →
+    publish write-once → read — must (1) round-trip tuple-identical
+    at both artifact hops, (2) produce a bitmap BIT-IDENTICAL to one
+    built over r1 ∪ r2 at the same (m, j, k) (OR-idempotence at
+    fixed geometry, the merged ≡ rebuilt invariant THROUGH the
+    artifacts rather than in memory), and (3) probe conservatively
+    vs the exact form over the union reference — every exact span
+    inside a bloom span, so the chain can never LOSE a window.
+    Exercises the empty-release, empty-floor-base, and degenerate
+    edges hypothesis finds that the fixture lifecycle test doesn't."""
+    import shutil
+    import tempfile
+    import warnings as _warnings
+
+    from stock_market_etl_spark.operators.dedup import (
+        _bloom_bitmap_at,
+        _window_hash_stream,
+        bloom_contaminated_spans,
+        build_window_bloom,
+        contaminated_spans,
+        merge_window_bloom,
+        publish_bloom_index,
+        read_bloom_index,
+        release_bloom_broadcasts,
+        write_bloom_index,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    r1 = sdf.filter(F.col("doc_id") % 3 == 0)
+    r2 = sdf.filter(F.col("doc_id") % 3 == 1)
+    train = sdf.filter(F.col("doc_id") % 3 == 2)
+    union = r1.unionByName(r2)
+
+    work = tempfile.mkdtemp(prefix="bloom_lifecycle_fuzz_")
+    try:
+        b1 = build_window_bloom(r1, k=k)
+        write_bloom_index(b1, spark, f"{work}/r1")
+        loaded = read_bloom_index(spark, f"{work}/r1")
+        assert loaded == b1
+        with _warnings.catch_warnings():
+            # over-growth past the r1 sizing is expected fuzz input
+            _warnings.simplefilter("ignore", RuntimeWarning)
+            merged = merge_window_bloom(
+                loaded, r2, built_k=loaded[4], k=k
+            )
+        publish_bloom_index(merged, spark, f"{work}/r2")
+        pub = read_bloom_index(spark, f"{work}/r2")
+        assert pub == merged
+
+        if b1[3] > 0 and merged[3] > 0:
+            # geometry was fixed by r1's build: merged ≡ rebuilt
+            union_hashes = (
+                _window_hash_stream(union, k, "text", "doc_id")
+                .select("__h")
+                .distinct()
+            )
+            rebuilt = _bloom_bitmap_at(
+                union_hashes, merged[1], merged[2]
+            )
+            assert merged[0] == rebuilt
+
+        exact = contaminated_spans(union, train, k=k).collect()
+        bloom_spans = bloom_contaminated_spans(
+            pub, train, k=pub[4]
+        ).collect()
+        by_doc: dict = {}
+        for r in bloom_spans:
+            by_doc.setdefault(r["doc_id"], []).append(
+                (r["span_start"], r["span_end"])
+            )
+        for r in exact:
+            assert any(
+                s <= r["span_start"] and r["span_end"] <= e
+                for s, e in by_doc.get(r["doc_id"], [])
+            ), (r, bloom_spans)
+        release_bloom_broadcasts()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 _winnow_text = st.text(
     alphabet=sorted("ab1 .!"), min_size=0, max_size=40
 )
