@@ -26,11 +26,53 @@ def read_if_exists(
     try:
         return spark.read.parquet(path)
     except AnalysisException as exc:
-        if "PATH_NOT_FOUND" not in (
-            getattr(exc, "getErrorClass", lambda: "")() or str(exc)
-        ) and "Path does not exist" not in str(exc):
+        # getCondition is the Spark 4 name; getErrorClass the
+        # deprecated 3.x one (it warns on call) — being the single
+        # home of this classification means absorbing that drift
+        # here (review r15, pass 5)
+        getter = getattr(exc, "getCondition", None) or getattr(
+            exc, "getErrorClass", None
+        )
+        cond = (getter() if getter is not None else "") or str(exc)
+        if (
+            "PATH_NOT_FOUND" not in cond
+            and "Path does not exist" not in str(exc)
+        ):
             raise
         return None
+
+
+def read_required_meta(
+    spark: SparkSession,
+    path: str,
+    fields: tuple[str, ...],
+    what: str,
+    rebuild_with: str,
+    required: bool = True,
+) -> tuple[int, ...] | None:
+    """Load and validate a ``path/meta`` identity sidecar as a tuple
+    of ints in ``fields`` order — the one home of the malformed-meta
+    classification for the r15 multi-dir artifacts (three readers
+    carried the same collect → one-row → no-null shape inline; a
+    change to the classification must land once, the `read_if_exists`
+    rationale). A missing, empty, multi-row, or null-field sidecar —
+    what a crashed (re)build leaves behind — raises the family's
+    loud ValueError naming ``what`` and the rebuild seam. With
+    ``required=False`` an ABSENT meta dir returns None instead (the
+    IVF streaming-maintained layout) while a present-but-malformed
+    one still refuses."""
+    meta = read_if_exists(spark, f"{path}/meta")
+    if meta is None and not required:
+        return None
+    rows = [] if meta is None else meta.collect()
+    if len(rows) != 1 or any(rows[0][f] is None for f in fields):
+        raise ValueError(
+            f"{what} at {path} has a missing or malformed meta "
+            "sidecar — a (re)build crashed between its data and "
+            "meta writes, so the data dirs may be from different "
+            f"builds; rebuild with {rebuild_with}"
+        )
+    return tuple(int(rows[0][f]) for f in fields)
 
 
 def invalidate_meta(

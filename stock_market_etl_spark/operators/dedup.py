@@ -774,20 +774,13 @@ def read_corpus_signatures(
     them). A missing or malformed meta sidecar — what a crashed
     `write_corpus_signatures` leaves behind — refuses loudly: the
     three data dirs may be from different builds."""
-    meta = artifacts.read_if_exists(spark, f"{path}/meta")
-    meta_rows = [] if meta is None else meta.collect()
-    fields = ("num_hashes", "seed", "rows_per_band")
-    if len(meta_rows) != 1 or any(
-        meta_rows[0][f] is None for f in fields
-    ):
-        raise ValueError(
-            f"corpus signatures at {path} have a missing or "
-            "malformed meta sidecar — a (re)build crashed between "
-            "its data and meta writes, so hashes/shingles/bands may "
-            "be from different builds or hash families; rebuild "
-            "with write_corpus_signatures"
-        )
-    params = tuple(int(meta_rows[0][f]) for f in fields)
+    params = artifacts.read_required_meta(
+        spark,
+        path,
+        ("num_hashes", "seed", "rows_per_band"),
+        "corpus signatures",
+        "write_corpus_signatures",
+    )
     return (
         spark.read.parquet(f"{path}/hashes"),
         spark.read.parquet(f"{path}/shingles"),
@@ -859,18 +852,21 @@ def incremental_dedup(
     tests/test_extensions.py.
     """
     if corpus_sigs is not None and len(corpus_sigs) == 4:
-        rec = corpus_sigs[3]
-        if tuple(rec) != (num_hashes, seed, rows_per_band):
+        rec = tuple(corpus_sigs[3])
+        corpus_sigs = corpus_sigs[:3]
+        # the recorded family matters only when batch-side MinHash
+        # signatures will be computed — source='exact' uses just the
+        # family-independent content hashes (review r15, pass 5)
+        if source == "lsh" and rec != (num_hashes, seed, rows_per_band):
             raise ValueError(
                 f"corpus signatures were built with (num_hashes, "
-                f"seed, rows_per_band)={tuple(rec)} but this call "
+                f"seed, rows_per_band)={rec} but this call "
                 f"computes batch signatures at "
                 f"{(num_hashes, seed, rows_per_band)} — different "
                 "hash families land in disjoint band buckets and "
                 "silently find no candidates; pass the recorded "
                 "parameters"
             )
-        corpus_sigs = corpus_sigs[:3]
     if corpus_sigs is not None:
         c_hash = corpus_sigs[0].select(
             F.col("content_hash").alias("__h")

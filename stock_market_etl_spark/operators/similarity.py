@@ -575,17 +575,28 @@ def write_ivf_index(
     pruning the wrong cells silently. With it, every crash window
     reads as `read_ivf_index`'s malformed-meta refusal."""
     spark = assigned.sparkSession
+    # derive the identity stats BEFORE touching the artifact (review
+    # r15, pass 5): a degenerate centroid table refuses here with
+    # nothing overwritten, and no post-write Spark job can die
+    # between the data writes and the meta restore
+    stats = centers_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.size("centroid")).alias("d"),
+    ).first()
+    if not stats["n"] or stats["d"] is None:
+        raise ValueError(
+            "refusing to write an IVF index with no centroids — "
+            "nothing was touched; train centroids with ivf_index "
+            "first"
+        )
+    n_lists, dim = int(stats["n"]), int(stats["d"])
     artifacts.invalidate_meta(spark, path, "n_lists int, dim int")
     assigned.write.mode("overwrite").partitionBy("__cell").parquet(
         f"{path}/cells"
     )
     centers_df.write.mode("overwrite").parquet(f"{path}/centroids")
-    stats = centers_df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.max(F.size("centroid")).alias("d"),
-    ).first()
     spark.createDataFrame(
-        [(int(stats["n"]), int(stats["d"]))], "n_lists int, dim int"
+        [(n_lists, dim)], "n_lists int, dim int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -605,19 +616,14 @@ def read_ivf_index(
     streaming-maintained layout (`ivf_append_sink` bootstraps cells
     by appends against a hand-laid centroid table and has no rebuild,
     hence no crash window)."""
-    meta = artifacts.read_if_exists(spark, f"{path}/meta")
-    if meta is not None:
-        rows = meta.collect()
-        if len(rows) != 1 or any(
-            rows[0][f] is None for f in ("n_lists", "dim")
-        ):
-            raise ValueError(
-                f"IVF index at {path} has a malformed meta sidecar — "
-                "a rebuild crashed between its data and meta writes, "
-                "so cells and centroids may be from different builds "
-                "(probes would prune the wrong cells silently); "
-                "rebuild with write_ivf_index"
-            )
+    artifacts.read_required_meta(
+        spark,
+        path,
+        ("n_lists", "dim"),
+        "IVF index",
+        "write_ivf_index",
+        required=False,
+    )
     return (
         spark.read.parquet(f"{path}/cells"),
         spark.read.parquet(f"{path}/centroids"),
@@ -820,18 +826,13 @@ def read_pq_index(
     sidecar — what a crashed `write_pq_index` leaves behind — refuses
     loudly: mixed-release codes/codebooks decode every ADC distance
     against the wrong centroids with no error anywhere."""
-    meta = artifacts.read_if_exists(spark, f"{path}/meta")
-    meta_rows = [] if meta is None else meta.collect()
-    fields = ("m", "n_centroids", "dsub")
-    if len(meta_rows) != 1 or any(
-        meta_rows[0][f] is None for f in fields
-    ):
-        raise ValueError(
-            f"PQ index at {path} has a missing or malformed meta "
-            "sidecar — a (re)build crashed between its data and meta "
-            "writes, so codes and codebooks may be from different "
-            "builds; rebuild with write_pq_index"
-        )
+    artifacts.read_required_meta(
+        spark,
+        path,
+        ("m", "n_centroids", "dsub"),
+        "PQ index",
+        "write_pq_index",
+    )
     codes_df = spark.read.parquet(f"{path}/codes")
     rows = spark.read.parquet(f"{path}/codebooks").collect()
     m = max(r["subspace"] for r in rows) + 1

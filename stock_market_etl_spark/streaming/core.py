@@ -656,8 +656,6 @@ def substring_gate_sink(
     )
 
 
-
-
 def _fresh_minus_landed(
     fresh: DataFrame, out_path: str, id_col: str
 ) -> DataFrame:

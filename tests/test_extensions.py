@@ -3502,6 +3502,12 @@ def test_multi_dir_rebuild_crash_reads_as_malformed(
         dd.incremental_dedup(
             None, docs, source="lsh", corpus_sigs=sigs, seed=7
         )
+    # source='exact' uses only the family-independent content hashes
+    # — the recorded MinHash family must NOT refuse there (review
+    # r15, pass 5)
+    dd.incremental_dedup(
+        docs, docs.limit(5), source="exact", corpus_sigs=sigs, seed=7
+    ).count()
     artifacts.invalidate_meta(
         spark, sig_path, "num_hashes int, seed int, rows_per_band int"
     )
@@ -3515,6 +3521,14 @@ def test_multi_dir_rebuild_crash_reads_as_malformed(
     emb = load_table(spark, sf_smoke, "embeddings").limit(64)
     assigned, centers = sim.ivf_index(emb, n_lists=4)
     ivf_path = str(tmp_path / "ivf")
+    # a degenerate centroid table refuses BEFORE anything is touched
+    with pytest.raises(ValueError, match="no centroids"):
+        sim.write_ivf_index(
+            assigned, centers.limit(0), str(tmp_path / "ivf_empty")
+        )
+    import os
+
+    assert not os.path.exists(str(tmp_path / "ivf_empty"))
     sim.write_ivf_index(assigned, centers, ivf_path)
     sim.read_ivf_index(spark, ivf_path)
     artifacts.invalidate_meta(spark, ivf_path, "n_lists int, dim int")
