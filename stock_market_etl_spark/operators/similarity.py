@@ -432,10 +432,20 @@ def _attach_unit_cos(
     table and fold the 6-decimal Arrow-batched cosine — the tail
     every LSH pair tier ends with (extracted with
     `_bucket_join_pairs`, review r15). ``va``/``vb`` carry
-    (left_name, __ul) / (right_name, __ur)."""
+    (left_name, __ul) / (right_name, __ur).
+
+    Join order is RIGHT side first, LEFT side last (r15 optimization,
+    guide §2.4): the pair table leaves this tail hash-partitioned by
+    ``left_name``, which is exactly the grain every downstream
+    consumer keys on (the margin backgrounds and best-match of
+    x82/x83 partition by id_a, the contamination verdict by id_t) —
+    so the per-left-id aggregate above a PERSISTED pair table reads
+    the cache without re-exchanging it. The old left-first order left
+    the table partitioned by ``right_name`` and every left-keyed
+    consumer paid one extra full pair-table exchange."""
     return (
-        pairs.join(va, left_name)
-        .join(vb, right_name)
+        pairs.join(vb, right_name)
+        .join(va, left_name)
         .select(
             left_name,
             right_name,
@@ -1295,22 +1305,39 @@ def bitext_margin_from_pairs(
     margin = F.round(
         F.col("cos") / ((F.col("__bg_a") + F.col("__bg_b")) / 2), 6
     )
+    # Join order (r15 optimization, guide §2.4/§2.3): the id_b-keyed
+    # background attaches FIRST and the id_a-keyed one LAST, so when
+    # the backgrounds are corpus-sized (sort-merge, not broadcast) the
+    # scored table comes out hash-partitioned by id_a — the exact
+    # grain the best-match aggregate below needs, saving one full
+    # pair-table exchange (measured 3 → 2 pair-grain exchanges in the
+    # x83 tail at sf0.1). The old order (bg_a, then bg_b, then an
+    # id_a window) re-exchanged the scored table a third time.
     scored = (
-        pairs.join(bg_a, "id_a")
-        .join(bg_b, "id_b")
+        pairs.join(bg_b, "id_b")
+        .join(bg_a, "id_a")
         .select("id_a", "id_b", "cos", margin.alias("margin"))
     )
-    w_best = Window.partitionBy("id_a").orderBy(
-        F.col("margin").desc(), F.col("id_b")
+    # Best target per source as a MAP-SIDE-COMBINABLE aggregate, not a
+    # row_number window (r15 optimization): only the argmax row
+    # survives, so max_by ships one row per id_a through the partial
+    # aggregate instead of sorting every candidate row per key. The
+    # ordering key mirrors the old window exactly — margin DESC with
+    # id_b ASC tie-break = max over (margin, -id_b); ties beyond that
+    # are impossible because (id_a, id_b) pairs are deduped upstream.
+    best = F.max_by(
+        F.struct(F.col("id_b"), F.col("cos"), F.col("margin")),
+        F.struct(F.col("margin"), (-F.col("id_b")).alias("__nb")),
     )
     return (
-        scored.withColumn("__rk", F.row_number().over(w_best))
-        .filter((F.col("__rk") == 1) & (F.col("margin") >= threshold))
+        scored.groupBy("id_a")
+        .agg(best.alias("__best"))
+        .filter(F.col("__best.margin") >= threshold)
         .select(
             "id_a",
-            "id_b",
-            F.col("cos").alias("cosine_sim"),
-            "margin",
+            F.col("__best.id_b").alias("id_b"),
+            F.col("__best.cos").alias("cosine_sim"),
+            F.col("__best.margin").alias("margin"),
         )
     )
 
@@ -1326,20 +1353,29 @@ def contamination_from_pairs(
     complete train×eval pair table reproduces the exact form
     bit-for-bit (tests/test_extensions.py), so the forms differ only
     in candidate generation. Returns (vec_id, nearest_eval_id,
-    max_cosine, contaminated)."""
-    from pyspark.sql import Window
+    max_cosine, contaminated).
 
-    w = Window.partitionBy("id_t").orderBy(
-        F.col("cos").desc(), F.col("id_e")
+    The verdict is a MAP-SIDE-COMBINABLE max_by aggregate, not a
+    row_number window (r15 optimization, guide §2.3): only the best
+    eval match per training vector survives, so the partial aggregate
+    ships one row per id_t instead of sorting every candidate row per
+    key — and when the pair table arrives id_t-partitioned (the
+    `_attach_unit_cos` join order leaves it so), the aggregate needs
+    no exchange at all. Ordering mirrors the old window exactly: cos
+    DESC, id_e ASC tie-break = max over (cos, -id_e); further ties
+    are impossible because (id_t, id_e) pairs are deduped upstream."""
+    best = F.max_by(
+        F.struct(F.col("id_e"), F.col("cos")),
+        F.struct(F.col("cos"), (-F.col("id_e")).alias("__ne")),
     )
     return (
-        pairs.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
+        pairs.groupBy("id_t")
+        .agg(best.alias("__best"))
         .select(
             F.col("id_t").alias("vec_id"),
-            F.col("id_e").alias("nearest_eval_id"),
-            F.col("cos").alias("max_cosine"),
-            (F.col("cos") >= threshold).alias("contaminated"),
+            F.col("__best.id_e").alias("nearest_eval_id"),
+            F.col("__best.cos").alias("max_cosine"),
+            (F.col("__best.cos") >= threshold).alias("contaminated"),
         )
     )
 
