@@ -2719,14 +2719,29 @@ def x75_curation_pipeline_v4(
     clean = dedup.cut_spans(gated, spans).filter(
         F.col("clean_text") != ""
     )
-    from pyspark.sql import Window
-
-    keep_id = F.min("doc_id").over(
-        Window.partitionBy(F.sha2(F.col("clean_text"), 256))
+    # Exact dedup as a plain HASH AGGREGATE over a slim projection
+    # (r15 optimization, guide §2.3 "project before the exchange" —
+    # the `exact_dedup` rationale): the old form windowed over
+    # sha2(clean_text) and shipped every row's CLEAN TEXT through the
+    # hash exchange plus a per-partition sort; only (doc_id, 32-byte
+    # hash, token count) is ever needed past this point. min + first
+    # over LONGS keeps the aggregate in HashAggregate (a min_by
+    # struct buffer would force SortAggregate), the map-side partial
+    # combine collapses duplicate texts inside each input partition,
+    # and no sort runs at all. Keeper rule unchanged: min doc_id per
+    # distinct cleaned text; the token count is constant within a
+    # hash group (identical text), so first() is deterministic in
+    # value.
+    slim = clean.select(
+        "doc_id",
+        F.sha2(F.col("clean_text"), 256).alias("__h"),
+        F.size(F.split(F.trim(F.col("clean_text")), r"\s+"))
+        .cast("long")
+        .alias("n_tokens_clean"),
     )
-    survivors = (
-        clean.select("doc_id", "clean_text", keep_id.alias("__keep"))
-        .filter(F.col("doc_id") == F.col("__keep"))
+    survivors = slim.groupBy("__h").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.first("n_tokens_clean").alias("n_tokens_clean"),
     )
     tag = F.substring(
         F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("split-v1"))),
@@ -2739,11 +2754,7 @@ def x75_curation_pipeline_v4(
         .otherwise("test")
     )
     return survivors.select(
-        "doc_id",
-        split.alias("split"),
-        F.size(F.split(F.trim(F.col("clean_text")), r"\s+"))
-        .cast("long")
-        .alias("n_tokens_clean"),
+        "doc_id", split.alias("split"), "n_tokens_clean"
     ).orderBy("doc_id")
 
 
@@ -3473,8 +3484,6 @@ def x87_curation_pipeline_v5(
     artifact), survivor text crosses one id-grain exchange in the
     second cut. Composition still adds no exchange class beyond the
     sum of its stages."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     universe = docs.filter(F.col("doc_id") % 10 < 8)
     evalset = docs.filter(F.col("doc_id") % 10 >= 8)
@@ -3490,13 +3499,23 @@ def x87_curation_pipeline_v5(
     clean = dedup.cut_spans(gated, spans).filter(
         F.col("clean_text") != ""
     )
-    keep_id = F.min("doc_id").over(
-        Window.partitionBy(F.sha2(F.col("clean_text"), 256))
-    )
+    # Exact dedup as a min_by AGGREGATE, not a window over
+    # sha2(clean_text) (r15 optimization — the `exact_dedup` house
+    # pattern): the survivor text must travel on (the
+    # decontamination stage windows it), but the partial combine
+    # collapses duplicate texts map-side so the exchange carries at
+    # most one candidate row per (hash, input partition) instead of
+    # EVERY row, and the per-partition sort the window needed is
+    # gone. Keeper rule unchanged: min doc_id per distinct cleaned
+    # text.
     survivors = (
-        clean.select("doc_id", "clean_text", keep_id.alias("__keep"))
-        .filter(F.col("doc_id") == F.col("__keep"))
-        .select("doc_id", F.col("clean_text").alias("text"))
+        clean.groupBy(F.sha2(F.col("clean_text"), 256).alias("__h"))
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "clean_text"), F.col("doc_id")
+            ).alias("__keep")
+        )
+        .select("__keep.doc_id", F.col("__keep.clean_text").alias("text"))
     )
     dspans = dedup.contaminated_spans(
         evalset, survivors, k=8, min_ref_docs=1,
