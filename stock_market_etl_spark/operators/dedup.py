@@ -606,31 +606,38 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    material = labels  # the checkpoint frame backing `labels`
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["id"])
             .groupBy(edges["a"].alias("id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # The convergence flag rides the SAME materialization as the
+        # new labels (r15 optimization): a row changed iff its
+        # neighbour minimum strictly improved on its own label, which
+        # is known right here — the old form re-joined the old and new
+        # checkpointed label tables, a whole extra join job per
+        # round. The flag column is dropped before the next round so
+        # the label snapshots stay two columns wide.
+        stepped = (
             labels.join(neighbor_min, "id", "left")
             .select(
                 "id",
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", "label")
                 ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("__changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        _release(labels)  # superseded snapshot: new_labels is material
-        labels = new_labels
-        if changed == 0:
+        converged = stepped.filter(F.col("__changed")).isEmpty()
+        # release the CHECKPOINT frame, not a projection over it —
+        # the helper unpersists via the plan root's backing RDD
+        _release(material)
+        material = stepped
+        labels = stepped.select("id", "label")
+        if converged:
             break
     else:
         raise RuntimeError(
