@@ -2485,7 +2485,7 @@ def x72_substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return dedup.cut_spans(
         docs, spans, text_col="text", id_col="doc_id"
-    ).orderBy("doc_id")
+    )
 
 
 @_q(
@@ -2755,7 +2755,7 @@ def x75_curation_pipeline_v4(
     )
     return survivors.select(
         "doc_id", split.alias("split"), "n_tokens_clean"
-    ).orderBy("doc_id")
+    )
 
 
 @_q(
@@ -2820,7 +2820,7 @@ def x76_substring_dedup_keep_one(
     join for the reassembly."""
     docs = load_table(spark, sf_dir, "documents")
     spans = dedup.exact_substring_spans_keep_one(docs, k=8, min_docs=2)
-    return dedup.cut_spans(docs, spans).orderBy("doc_id")
+    return dedup.cut_spans(docs, spans)
 
 
 @_q(
@@ -3323,7 +3323,7 @@ def x84_substring_decontamination(
     )
     return dedup.cut_spans(
         train, spans, text_col="text", id_col="doc_id"
-    ).orderBy("doc_id")
+    )
 
 
 @_q(
@@ -3540,7 +3540,7 @@ def x87_curation_pipeline_v5(
         F.size(F.split(F.trim(F.col("clean_text")), r"\s+"))
         .cast("long")
         .alias("n_tokens_clean"),
-    ).orderBy("doc_id")
+    )
 
 
 @_q("x88_bloom_decontamination")
@@ -3571,4 +3571,4 @@ def x88_bloom_decontamination(
     )
     return dedup.cut_spans(
         train, spans, text_col="text", id_col="doc_id"
-    ).orderBy("doc_id")
+    )
