@@ -24,10 +24,18 @@ def test_bench_emits_contract_json():
         env=env,
         capture_output=True,
         text=True,
-        # 64 queries × 3 reps at sf0.001 runs ~6-7 min on a quiet
-        # host and shared-host swings go higher; 420 s started
-        # flaking at 63 queries (r11)
-        timeout=720,
+        # 65 queries × (warm-up + 3 reps) at sf0.001. History: 420 s
+        # started flaking at 63 queries (r11) → 720 s; r15 measured
+        # the SAME code at 858–890 s wall on a slower/noisier
+        # sandbox (Firecracker co-tenancy, per-query swings up to
+        # 5×) where the r14/r15 build hosts ran it in ~6–7 min —
+        # the r15 optimizations brought the quiet reading there back
+        # to ~600 s, but 720 s left only 20 % headroom against
+        # documented host variance. 1500 s keeps the guard
+        # meaningful (a hung bench still fails fast relative to the
+        # 25-min suite) without failing the whole suite on host
+        # placement.
+        timeout=1500,
         cwd=REPO_ROOT,
     )
     assert out.returncode == 0, out.stderr[-2000:]
