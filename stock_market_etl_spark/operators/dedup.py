@@ -572,7 +572,8 @@ def connected_components(
     the cap is a runaway guard, not a tuning knob). This is the
     DataFrame-native form of the Hash-Min map-reduce CC algorithm;
     at 100 TB scale each round is two shuffles (a key join and a
-    groupBy-min) on (id, label) pairs only — no payloads — and
+    groupBy-min) on (id, label) pairs plus a per-row convergence
+    boolean — no payloads — and
     ``localCheckpoint`` truncates the growing lineage each round so
     plan size stays constant. Each round's checkpoint is explicitly
     unpersisted once the next round's is materialized (the edges table
@@ -617,9 +618,10 @@ def connected_components(
         # new labels (r15 optimization): a row changed iff its
         # neighbour minimum strictly improved on its own label, which
         # is known right here — the old form re-joined the old and new
-        # checkpointed label tables, a whole extra join job per
-        # round. The flag column is dropped before the next round so
-        # the label snapshots stay two columns wide.
+        # checkpointed label tables, a whole extra join job per round.
+        # Each snapshot therefore caches (id, label, __changed) — one
+        # boolean per row beyond the old two-column form; the flag is
+        # projected away before the next round's plan.
         stepped = (
             labels.join(neighbor_min, "id", "left")
             .select(

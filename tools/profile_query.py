@@ -59,7 +59,7 @@ def main() -> int:
     ap.add_argument("names", nargs="+")
     ap.add_argument("--sf", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--reps", type=int, default=3, choices=range(1, 100))
     ap.add_argument("--plans-dir", default=None,
                     help="dump explain('formatted') per query here")
     ap.add_argument("--suffix", default="before",
@@ -68,8 +68,7 @@ def main() -> int:
                     help="print per-stage metrics for the last rep")
     args = ap.parse_args()
 
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    os.environ.setdefault("SPARK_GRAFT_CPUS", cpus)
+    cpus = os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
 
     from stock_market_etl_spark.catalog import all_queries
@@ -108,7 +107,9 @@ def main() -> int:
         else:
             t_plan = 0.0
 
-        # warm-up (codegen, file listing) then timed reps, bench-style
+        # warm-up (codegen, file listing) then timed reps, bench-style;
+        # stage metrics are collected for the FINAL rep only (each
+        # sweep is one py4j round-trip per stage id)
         rep_times = []
         stage_rows = []
         for i in range(args.reps + 1):
@@ -120,7 +121,10 @@ def main() -> int:
             dt = time.perf_counter() - t0
             if i > 0:
                 rep_times.append(round(dt, 3))
-            stage_rows = _stage_rows(spark, cursor, _stage_frontier(spark))
+            if i == args.reps:
+                stage_rows = _stage_rows(
+                    spark, cursor, _stage_frontier(spark)
+                )
         print(
             f"{name}: build={t_build:.3f}s explain={t_plan:.3f}s "
             f"reps={rep_times} min={min(rep_times):.3f}s "
