@@ -134,6 +134,101 @@ def test_simhash_matches_aggregate_form(spark, sf_smoke):
     assert fast == slow
 
 
+def test_minhash_signature_matches_matrix_form(spark, sf_smoke):
+    """Differential: the per-hash reduceat signature kernel (r15 —
+    cache-resident slices instead of a (total x num_hashes) matrix of
+    temporaries) must reproduce, bit for bit, the band values of the
+    straightforward matrix form it replaced, recomputed here from the
+    same persisted shingle table with the same hash family."""
+    import random
+
+    import numpy as np
+
+    docs = load_table(spark, sf_smoke, "documents")
+    num_hashes, rows_per_band, seed = 32, 2, 42
+    n_bands = num_hashes // rows_per_band
+    sh, bands = dedup.minhash_tables(
+        docs, num_hashes=num_hashes, seed=seed, rows_per_band=rows_per_band
+    )
+    fast = {
+        (r["doc_id"], r["band_idx"]): r["band_val"]
+        for r in bands.collect()
+    }
+    rng = random.Random(seed)
+    prime = 4294967311
+    a_coef = np.array(
+        [rng.randrange(1, 1 << 30) for _ in range(num_hashes)],
+        dtype=np.int64,
+    )
+    b_coef = np.array(
+        [rng.randrange(0, 1 << 30) for _ in range(num_hashes)],
+        dtype=np.int64,
+    )
+    slow = {}
+    for r in sh.collect():
+        flat = np.asarray(r["__shingles"], dtype=np.int64) & 0xFFFFFFFF
+        mins = (flat[:, None] * a_coef[None, :] + b_coef[None, :]) % prime
+        mins = mins.min(axis=0)  # (num_hashes,)
+        bvals = mins.view(np.uint64).reshape(n_bands, rows_per_band)
+        vals = bvals[:, 0].copy()
+        for t in range(1, rows_per_band):
+            vals = vals * np.uint64(1099511628211) + bvals[:, t]
+        for bi, bv in enumerate(vals.view(np.int64)):
+            slow[(r["doc_id"], bi)] = int(bv)
+    assert fast == slow
+    sh.unpersist()
+    bands.unpersist()
+
+
+def test_winnow_wide_gram_path_matches_reference(spark):
+    """The k > 8 winnowing key path (raw k-byte void keys — the
+    uint64 packing only covers k <= 8) must equal the per-position
+    md5 reference; the fuzz in test_properties.py covers k in {2, 3}
+    so this pins the other branch."""
+    import hashlib
+    import re
+
+    k, w = 10, 4
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog repeatedly"),
+        (2, "the quick brown fox leaps over the lazy dog repeatedly"),
+        (3, "abcdefghijk"),  # 2 grams: clipped window
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got: dict = {}
+    for r in dedup.winnow_fingerprints(docs, k=k, w=w).collect():
+        got.setdefault(r["doc_id"], set()).add((r["fp_pos"], r["fp_hash"]))
+
+    def signed(x: int) -> int:
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    want: dict = {}
+    for i, text in rows:
+        t = re.sub(r"[^a-z0-9]", "", text.lower())
+        if len(t) < k:
+            continue
+        data = t.encode("utf-8")
+        n = len(data) - k + 1
+        h = [
+            signed(
+                int.from_bytes(
+                    hashlib.md5(data[j : j + k]).digest()[:8], "little"
+                )
+            )
+            for j in range(n)
+        ]
+        ww = min(w, n)
+        sel = set()
+        for s in range(n - ww + 1):
+            window = h[s : s + ww]
+            m = min(window)
+            # rightmost minimum
+            off = ww - 1 - window[::-1].index(m)
+            sel.add((s + off + 1, m))
+        want[i] = sel
+    assert got == want
+
+
 def test_simhash_near_pairs_verified(spark, sf_smoke):
     """Every banded candidate pair that survives must truly be within
     the Hamming bound (the verify step is exact)."""
