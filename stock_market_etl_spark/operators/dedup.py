@@ -1262,47 +1262,50 @@ def winnow_fingerprints(
 
         md5 = hashlib.md5
         empty = np.array([], dtype=np.int64)
-        for pdf in batches:
-            # Gram hashing pays one Python-level md5 call per BATCH-
-            # UNIQUE gram, not per gram position: normalized corpus
-            # text repeats its k-grams heavily (measured 7.4% unique
-            # at sf0.1), so extracting the windows vectorized, keying
-            # them as fixed-width values (uint64 for k <= 8, raw
-            # k-byte void otherwise) and md5-ing only np.unique's
-            # survivors is ~2.5x faster with bit-identical output —
-            # the digest input is still exactly the gram's k bytes
-            # (r15, guide §4.2; equivalence pinned in
-            # tests/test_extensions.py against the per-position form
-            # and by the x64 DuckDB oracle, which replays every hash).
-            texts_b = [t.encode("utf-8") for t in pdf["__t"].values]
-            gram_key = (
-                np.dtype(np.uint64) if k <= 8 else np.dtype((np.void, k))
-            )
-            gram_arrays = []
-            for data_b in texts_b:
-                data = np.frombuffer(data_b, dtype=np.uint8)
-                n = data.size - k + 1
-                sw = np.ascontiguousarray(
-                    np.lib.stride_tricks.sliding_window_view(data, k)[:n]
-                )
-                if k <= 8:
-                    # zero-pad each gram into one little-endian uint64
-                    # key (injective: padding is constant); the real
-                    # gram bytes are recovered as the key's first k
-                    # bytes when hashing
-                    padded = np.zeros((n, 8), dtype=np.uint8)
-                    padded[:, :k] = sw
-                    gram_arrays.append(padded.view(np.uint64).ravel())
-                else:
-                    gram_arrays.append(sw.view(gram_key).ravel())
-            allg = (
-                np.concatenate(gram_arrays)
-                if gram_arrays
-                else np.array([], dtype=gram_key)
-            )
+        # Gram hashing pays one Python-level md5 call per CHUNK-UNIQUE
+        # gram, not per gram position: normalized corpus text repeats
+        # its k-grams heavily (measured 7.4% unique at sf0.1), so the
+        # windows are extracted vectorized, keyed as fixed-width
+        # values (uint64 for k <= 8, raw k-byte void otherwise) and
+        # only np.unique's survivors are hashed — ~2.5x faster with
+        # bit-identical output; the digest input is still exactly the
+        # gram's k bytes (r15, guide §4.2; equivalence pinned in
+        # tests/test_extensions.py against the per-position form and
+        # by the x64 DuckDB oracle, which replays every hash). The
+        # dedup runs over bounded CHUNKS of documents, never the whole
+        # Arrow batch, and each document winnows immediately after its
+        # chunk is hashed: peak extra memory is the chunk's key array
+        # plus np.unique's sort workspace (~a few x 32 MB at the 4M
+        # budget), independent of batch size — an unbounded batch-wide
+        # key table would trade the old kernel's O(longest doc)
+        # footprint for O(batch text) (review r15).
+        gram_budget = 1 << 22  # 4M grams ≈ 32 MB of uint64 keys
+        gram_key = (
+            np.dtype(np.uint64) if k <= 8 else np.dtype((np.void, k))
+        )
+        width = 8 if k <= 8 else k
+
+        def _grams(data_b):
+            """Fixed-width gram keys for one document's bytes."""
+            data = np.frombuffer(data_b, dtype=np.uint8)
+            sw = np.lib.stride_tricks.sliding_window_view(data, k)
+            if k <= 8:
+                # zero-pad each gram into one little-endian uint64
+                # key (injective: padding is constant); the real
+                # gram bytes are recovered as the key's first k
+                # bytes when hashing
+                padded = np.zeros((sw.shape[0], 8), dtype=np.uint8)
+                padded[:, :k] = sw
+                return padded.view(np.uint64).ravel()
+            return np.ascontiguousarray(sw).view(gram_key).ravel()
+
+        def _hash_chunk(chunk):
+            """md5-int64 hashes for a chunk of per-doc gram-key
+            arrays, deduped across the chunk; returns one int64 array
+            per input document."""
+            allg = np.concatenate(chunk)
             uniq_g, inv = np.unique(allg, return_inverse=True)
             ub = uniq_g.tobytes()
-            width = 8 if k <= 8 else k
             dig = np.empty(len(uniq_g), dtype=np.uint64)
             for j in range(len(uniq_g)):
                 dig[j] = int.from_bytes(
@@ -1310,24 +1313,39 @@ def winnow_fingerprints(
                     "little",
                 )
             h_flat = dig[inv].view(np.int64)
+            out, o = [], 0
+            for g in chunk:
+                out.append(h_flat[o : o + g.size])
+                o += g.size
+            return out
 
+        def _select(h, counts, pos_parts, hash_parts):
+            """Winnow one document's hash stream: slide the w-window,
+            keep the rightmost minimum per window, dedup (pos, hash)."""
+            n = h.size
+            ww = min(w, n)
+            sw = np.lib.stride_tricks.sliding_window_view(h, ww)
+            # rightmost argmin: first occurrence in the reversed view
+            off = ww - 1 - np.argmin(sw[:, ::-1], axis=1)
+            pos = np.arange(sw.shape[0], dtype=np.int64) + off + 1
+            uniq = np.unique(np.stack([pos, h[pos - 1]], axis=1), axis=0)
+            counts.append(uniq.shape[0])
+            pos_parts.append(uniq[:, 0])
+            hash_parts.append(uniq[:, 1])
+
+        for pdf in batches:
             counts, pos_parts, hash_parts = [], [], []
-            offset = 0
-            for data_b in texts_b:
-                n = len(data_b) - k + 1
-                h = h_flat[offset : offset + n]
-                offset += n
-                ww = min(w, n)
-                sw = np.lib.stride_tricks.sliding_window_view(h, ww)
-                # rightmost argmin: first occurrence in the reversed view
-                off = ww - 1 - np.argmin(sw[:, ::-1], axis=1)
-                pos = np.arange(sw.shape[0], dtype=np.int64) + off + 1
-                uniq = np.unique(
-                    np.stack([pos, h[pos - 1]], axis=1), axis=0
-                )
-                counts.append(uniq.shape[0])
-                pos_parts.append(uniq[:, 0])
-                hash_parts.append(uniq[:, 1])
+            chunk, chunk_grams = [], 0
+            for t in pdf["__t"].values:
+                chunk.append(_grams(t.encode("utf-8")))
+                chunk_grams += chunk[-1].size
+                if chunk_grams >= gram_budget:
+                    for h in _hash_chunk(chunk):
+                        _select(h, counts, pos_parts, hash_parts)
+                    chunk, chunk_grams = [], 0
+            if chunk:
+                for h in _hash_chunk(chunk):
+                    _select(h, counts, pos_parts, hash_parts)
             yield pd.DataFrame(
                 {
                     id_col: np.repeat(pdf["__id"].values, counts)

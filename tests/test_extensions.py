@@ -175,9 +175,11 @@ def test_minhash_signature_matches_matrix_form(spark, sf_smoke):
             vals = vals * np.uint64(1099511628211) + bvals[:, t]
         for bi, bv in enumerate(vals.view(np.int64)):
             slow[(r["doc_id"], bi)] = int(bv)
-    assert fast == slow
+    # unpersist BEFORE asserting so a failing differential cannot
+    # leak the cached tables into the shared session (review r15)
     sh.unpersist()
     bands.unpersist()
+    assert fast == slow
 
 
 def test_winnow_wide_gram_path_matches_reference(spark):
