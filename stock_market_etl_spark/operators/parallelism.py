@@ -17,6 +17,43 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def fanout_width(df: DataFrame) -> int:
+    """Pinned post-shuffle width for a COMPUTE-DENSE fan-out exchange.
+
+    Some operators put a stage whose work is a large multiple of its
+    input bytes below a small exchange — the doc-grain text repartition
+    feeding `repetition_metrics`' ~19× gram explode, the bin-grain
+    pair enumeration below `interval_overlap_pairs`' bin join. AQE's
+    partition coalescing sizes post-shuffle tasks by BYTES, so at
+    small exchange sizes it collapses those stages to 1-2 tasks and
+    serializes minutes of fan-out work (r15 measured x57's 2 MB doc
+    exchange coalesced to 2 of 32 cores). The r15 session-wide
+    `coalescePartitions.minPartitionSize=64k` floor fixed those three
+    queries but taxed every OTHER shuffle with up-to-core-count
+    micro-tasks (r15 driver bench: 52/65 regressed, geomean 0.72) —
+    so r16 scopes the fix to the exchanges that need it: callers pass
+    this width to `repartition(width, key)`, whose REPARTITION_BY_NUM
+    shuffle AQE never coalesces (user-pinned partition count).
+
+    Width = max(shuffle partitions, defaultParallelism): follows the
+    session's own scale knobs (cluster deployments raise both), never
+    a local constant. The trade documented at each call site: a
+    pinned width also opts the exchange out of AQE skew splitting,
+    acceptable exactly where per-key work is bounded by construction
+    (doc-grain keys, bin-grain keys with the bin_s skew knob).
+    """
+    spark = df.sparkSession
+    try:
+        sp = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except Exception:
+        sp = 200
+    try:
+        dp = int(spark.sparkContext.defaultParallelism)
+    except Exception:  # Spark Connect: no driver-side context
+        dp = 0
+    return max(sp, dp, 1)
+
+
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition up to ``min_partitions`` (default:
     ``spark.sql.shuffle.partitions``) — only when the input is

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from stock_market_etl_spark.operators.parallelism import fanout_width
+
 
 def _micros(ts_col: Column) -> Column:
     # unix_micros accepts only TIMESTAMP; the cast makes the operator
@@ -106,6 +108,18 @@ def interval_overlap_pairs(
     `overlap_us` = micros the two intervals share.
     """
     width_us = int(bin_s * 1_000_000)
+    # The bin-grain exchange width is PINNED (REPARTITION_BY_NUM,
+    # r16): the stage below it enumerates every qualifying pair per
+    # bin — work that is a large multiple of the exchange's bytes —
+    # so AQE's byte-based coalescing starves it (r15 measured the
+    # ~2 MB exchange coalesced to 2 of 32 cores; d11 2.7 -> 1.0 s
+    # once re-parallelized). The r15 session-wide 64k coalescing
+    # floor achieved the same width but regressed 52/65 other bench
+    # rows and is reverted; this pin scopes full parallelism to
+    # exactly this exchange. Both join sides alias the same
+    # repartitioned frame, so the exchange is planned once and
+    # reused. Skew: a pinned width opts out of AQE skew splitting —
+    # per-bin fan-out is the operator's documented `bin_s` knob.
     binned = intervals.withColumn(
         "__bin",
         F.explode(
@@ -115,7 +129,7 @@ def interval_overlap_pairs(
                 F.lit(width_us),
             )
         ),
-    )
+    ).repartition(fanout_width(intervals), F.col("__bin"))
     a = binned.select(
         F.col("__bin").alias("__bin_a"),
         *[F.col(c).alias(f"a_{c}") for c in intervals.columns],

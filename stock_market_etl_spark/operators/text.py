@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from stock_market_etl_spark.operators.parallelism import fanout_width
+
 #: minimal stopword profiles per language for the n-gram/token-overlap
 #: language-ID heuristic. Ordered dict = deterministic tie-break priority.
 LANG_PROFILES: dict[str, list[str]] = {
@@ -821,11 +823,21 @@ def repetition_metrics(
     # bounded by the largest document — fine for web/doc corpora with
     # bounded doc sizes, and far cheaper than shuffling the gram
     # stream at 20× corpus volume.
+    #
+    # The width is PINNED (REPARTITION_BY_NUM, r16): the stage below
+    # this exchange does ~19× its input bytes of gram fan-out work, so
+    # AQE's byte-based coalescing starves it — at sf0.1 the 2 MB doc
+    # exchange coalesced to 2 of 32 cores, serializing 3.2 s of x57's
+    # 4.7 s executor time (r15 stage attribution). The r15 session-wide
+    # 64k coalescing floor fixed this but regressed 52/65 other bench
+    # rows; the pin scopes full parallelism to exactly this exchange
+    # (fanout_width tracks the session's own scale knobs). Skew note:
+    # per-key work is one document's grams, bounded by doc length.
     tokenized = docs.select(
         F.col(id_col),
         toks.alias("__t"),
         F.length(F.concat_ws(" ", toks)).cast("double").alias("__base"),
-    ).repartition(F.col(id_col))
+    ).repartition(fanout_width(docs), F.col(id_col))
     tagged = tokenized.select(
         F.col(id_col),
         F.col("__base"),

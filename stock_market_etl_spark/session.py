@@ -39,21 +39,18 @@ _RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Coalescing floor 1m -> 64k (r15, guide §2.2/§2.5): several
-    # operators put a COMPUTE-DENSE stage below a small exchange —
-    # the doc-grain text repartition feeding the ~19x gram explode
-    # (repetition_metrics/x56/x57), the bin-grain session explode
-    # (d11) — and the default 1 MB floor coalesced a 2 MB exchange
-    # to 2 tasks, serializing minutes of fan-out work on 2 of 32
-    # cores (measured: x56 1.75 -> 0.99 s, d11 2.7 -> 1.0 s at
-    # sf0.1 interleaved A/B; x71/x84 neutral). Scale-adaptive by
-    # construction, not a local[32] constant: with
-    # parallelismFirst (default) the coalescing target is
-    # max(bytes/defaultParallelism, THIS floor) capped by the 64 MB
-    # advisory, so on a production cluster where exchanges dwarf
-    # cores x 64 KB the floor never engages — it only stops
-    # sub-core-count collapses of small-byte/high-CPU shuffles.
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+    # r16: the r15 session-wide coalescing floor (minPartitionSize
+    # 1m -> 64k) is REVERTED to the default. It fixed three queries
+    # whose compute-dense fan-out stages AQE had coalesced to 2 tasks
+    # (x56/x57's gram explode, d11's bin join) but taxed every other
+    # shuffle-bearing query with up-to-core-count micro-tasks at the
+    # measured contract point (r15 driver bench: 52/65 regressed,
+    # geomean 0.72; 23 queries ran FASTER on 8 cores than 32). The
+    # fan-out fix is now scoped to the exchanges that need it via
+    # pinned-width repartitions AQE never coalesces — see
+    # operators.parallelism.fanout_width and its call sites in
+    # operators.text.repetition_metrics / operators.range_join.
+    # interval_overlap_pairs.
     # idempotent partition rewrites (SURVEY §2 O7/L2) overwrite only the
     # partitions present in the written frame.
     "spark.sql.sources.partitionOverwriteMode": "dynamic",

@@ -516,15 +516,18 @@ def test_rsi_and_ema_single_exchange(spark, sf_smoke):
 
 def test_repetition_metrics_single_text_exchange(spark, sf_smoke):
     """x56's only shuffle must be the doc-grain TEXT repartition below
-    the gram explode (tagged REPARTITION_BY_COL): HashPartitioning
-    (doc_id) satisfies every doc-keyed groupBy above it, so the
-    exploded gram stream (~19× corpus bytes; measured 92.8 MB vs
-    5.9 MB at sf0.1) never hits an exchange. A second hash exchange
-    appearing here means an aggregation stopped reusing the doc
-    partitioning."""
+    the gram explode, PINNED at full width (REPARTITION_BY_NUM, r16 —
+    AQE's byte-based coalescing must never serialize the ~19× gram
+    fan-out under it): HashPartitioning(doc_id) satisfies every
+    doc-keyed groupBy above it, so the exploded gram stream (~19×
+    corpus bytes; measured 92.8 MB vs 5.9 MB at sf0.1) never hits an
+    exchange. A second hash exchange appearing here means an
+    aggregation stopped reusing the doc partitioning; the tag
+    reverting to REPARTITION_BY_COL means the exchange became
+    coalescible again (the r15 2-task collapse)."""
     df = all_queries()["x56_gopher_repetition"](spark, sf_smoke)
     plan = _plan(df)
-    assert plan.count("REPARTITION_BY_COL") == 1, plan[:2000]
+    assert plan.count("REPARTITION_BY_NUM") == 1, plan[:2000]
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
 
 

@@ -42,7 +42,7 @@ SHOWCASE = [
     ("x48_curation_pipeline_lsh", "composed curation v2, LSH pair source: band-bucket equality join for candidates, id-only CC tables, one bounded 1-row BNLJ (n_min scalar)"),
     ("x58_dsir_importance", "bounded 4096-bucket model: bucket-count agg + single-partition window totals; the weight join back onto the gram stream is a BroadcastHashJoin, never SMJ"),
     ("e19_hourly_rollup_merge", "rollup-from-partials: partial+final HashAggregate at both grains — the first exchange carries hourly partials, the second the hourly grain itself"),
-    ("x56_gopher_repetition", "one REPARTITION_BY_COL text exchange below the gram explode; every doc-keyed groupBy reuses HashPartitioning(doc_id) — the ~19×-corpus gram stream never shuffles"),
+    ("x56_gopher_repetition", "one width-pinned REPARTITION_BY_NUM text exchange below the gram explode (AQE must never coalesce the ~19× fan-out's parallelism away); every doc-keyed groupBy reuses HashPartitioning(doc_id) — the gram stream never shuffles"),
     ("x60_boilerplate_prune", "binary-sha2 block keys: hash-grain count-distinct ban set broadcast into the LeftAnti; keep-lists broadcast into the doc-grain LeftOuter — text never enters a corpus-wide exchange"),
     ("e21_market_beta", "the only event-volume exchange carries map-side (user, day) partial aggregates; the |days|-row market frame is a BroadcastExchange; covar/corr/var fold in one HashAggregate"),
     ("x61_image_near_dup", "decode+hash MapInPandas materializes ONCE (InMemoryTableScan feeds both band-join sides); candidate join is equality on (band_idx, band_val) over 24 B rows — pixels never reach an exchange"),

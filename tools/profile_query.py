@@ -66,6 +66,21 @@ def main() -> int:
                     help="plan filename suffix: <name>_<suffix>.txt")
     ap.add_argument("--stages", action="store_true",
                     help="print per-stage metrics for the last rep")
+    ap.add_argument("--json", default=None, metavar="PATH",
+                    help="APPEND one machine-readable JSON line per "
+                    "query: label, reps, min wall, and the last rep's "
+                    "stage rollup (run/cpu ms, shuffle MB, task/stage "
+                    "counts). The interleaved A/B protocol (VERDICT "
+                    "r15 task 3): alternate invocations of the A and "
+                    "B code states against the SAME file with "
+                    "--label A / --label B (each invocation is a "
+                    "fresh JVM, so ABAB ordering interleaves host "
+                    "noise instead of attributing it to whichever "
+                    "state ran second), then compare per-label "
+                    "min/median wall AND the structural columns — "
+                    "cpu_ms/sh_write_mb move only with the code.")
+    ap.add_argument("--label", default=None,
+                    help="record label for --json lines (e.g. A / B)")
     args = ap.parse_args()
 
     cpus = os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
@@ -131,6 +146,25 @@ def main() -> int:
             f"stages={len(stage_rows)} "
             f"run_ms_total={sum(r['run_ms'] for r in stage_rows)}"
         )
+        if args.json:
+            import json
+
+            with open(args.json, "a") as f:
+                f.write(json.dumps({
+                    "label": args.label,
+                    "query": name,
+                    "sf": args.sf,
+                    "cpus": cpus,
+                    "build_s": round(t_build, 3),
+                    "reps": rep_times,
+                    "min_s": min(rep_times),
+                    "stages": len(stage_rows),
+                    "tasks": sum(r["tasks"] for r in stage_rows),
+                    "run_ms": sum(r["run_ms"] for r in stage_rows),
+                    "cpu_ms": sum(r["cpu_ms"] for r in stage_rows),
+                    "sh_write_mb": round(sum(
+                        r["sh_write_mb"] for r in stage_rows), 2),
+                }) + "\n")
         if args.stages:
             for r in sorted(stage_rows, key=lambda r: -r["run_ms"]):
                 print(
